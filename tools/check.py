@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local self-check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+
+Reads <out>/oracle_sql.json, runs each SQL in DuckDB with views over the
+sf parquet tables, reads the Spark result parquet from <out>/<name>/, and
+compares: schema (column names sorted), row count, and values in row order.
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return repr(v)
+
+def main():
+    out = sys.argv[1]
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_dir}")
+            n_fail += 1
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchdf()
+        ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+        if ocols != scols:
+            print(f"FAIL {name}: cols oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if len(odf) != len(sdf):
+            print(f"FAIL {name}: rows oracle={len(odf)} spark={len(sdf)}")
+            n_fail += 1
+            continue
+        odf, sdf = odf[ocols], sdf[ocols]
+        bad = 0
+        for i in range(len(odf)):
+            for c in ocols:
+                a, b = odf[c].iloc[i], sdf[c].iloc[i]
+                if norm(a) != norm(b):
+                    if bad < 3:
+                        print(f"  {name} row {i} col {c}: oracle={a!r} spark={b!r}")
+                    bad += 1
+        if bad:
+            print(f"FAIL {name}: {bad} value mismatches")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(odf)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
