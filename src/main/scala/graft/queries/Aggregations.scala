@@ -13,13 +13,11 @@ import graft.Tables
   * Scale notes (100 TB): all aggregates here are hash aggregates with
   * map-side partial aggregation (Catalyst `AggUtils` plans partial+final
   * automatically); grouping keys are low-cardinality so the shuffle after
-  * partial agg is tiny regardless of input size.
+  * partial agg is tiny regardless of input size. `count(distinct)` is planned
+  * as the two-phase Expand rewrite; at extreme cardinality swap in
+  * `approx_count_distinct` (q_agg_approx is the registered scale path).
   */
-object Aggregations {
-
-  /** Decimal-exact sum of a money column, surfaced as double. */
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+object Aggregations extends QueryFamily {
 
   /** q_agg_hash — TPC-H Q1 shape on lineitem (root: A14
     * /root/reference/syscol/scheduler.go:293-302, filter+sum aggregate).
@@ -37,11 +35,81 @@ object Aggregations {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_hash" -> (qAggHash _)
-  )
+  /** q_agg_distinct — exact distinct count per group. */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
 
-  val oracle: Map[String, String] = Map(
+  /** q_agg_approx — HLL distinct (no oracle: algo-specific; property-tested
+    * against exact ±5% in AggregationSpec). The 100 TB path for distincts. */
+  def qAggApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  /** q_agg_rollup — hierarchical totals region→nation→(all). */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** q_agg_cube — all grouping combinations of status × priority. */
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** q_agg_gsets — explicit grouping sets (SQL path through the same
+    * Catalyst Expand operator as rollup/cube). */
+  def qAggGsets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gsets")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q_agg_minmax_by — arg-max/arg-min: top/bottom event per user by
+    * (value, event_id) — the pair makes the ordering total so the argmax is
+    * deterministic in both engines. */
+  def qAggMinmaxBy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("top_event"),
+        min_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("bottom_event"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .orderBy("user_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hash" -> (qAggHash _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_approx" -> (qAggApprox _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_gsets" -> (qAggGsets _),
+    "q_agg_minmax_by" -> (qAggMinmaxBy _))
+
+  override val oracle: Map[String, String] = Map(
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -51,6 +119,37 @@ object Aggregations {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_agg_minmax_by" ->
+      """SELECT user_id,
+        |  arg_max(event_id, (value, event_id)) AS top_event,
+        |  arg_min(event_id, (value, event_id)) AS bottom_event,
+        |  MAX(value) AS max_value, MIN(value) AS min_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

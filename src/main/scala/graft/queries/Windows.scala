@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** B-5 window functions + B-6 sort/limit (SURVEY.md §2).
+  *
+  * Scale notes (100 TB): window queries shuffle once on the partition key and
+  * sort within partitions — the partition keys here (c_mktsegment, user_id)
+  * are either low-cardinality (fine: each group still fits an executor after
+  * AQE) or high-cardinality user keys (ideal). Running/sliding frames are
+  * computed in a single pass over the sorted partition. q_sort_limit is
+  * planned as TakeOrderedAndProject: per-partition top-N + driver merge, no
+  * global sort materialization.
+  */
+object Windows extends QueryFamily {
+
+  /** q_window_rank — rank/dense_rank over ties, row_number with a total
+    * tiebreak, per market segment by balance. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment").orderBy(desc("c_acctbal"))
+    val total = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"),
+        row_number().over(total).as("rn"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** q_window_analytic — lag/lead deltas per user ordered by time: the
+    * canonical consumer of syscol's counter stream (metric deltas).
+    * Root: A1 tick stream, /root/reference/syscol/metrics_reporter.go:75-105. */
+  def qWindowAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (col("value").cast("decimal(18,2)") -
+          lag("value", 1).over(w).cast("decimal(18,2)"))
+          .cast("double").as("delta"))
+      .orderBy("event_id")
+  }
+
+  /** q_window_frame — running sum (rows frame), sliding 3-row sum, and a
+    * 1-hour rangeBetween frame keyed on epoch seconds. */
+  def qWindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = ordered.rowsBetween(-2, Window.currentRow)
+    val byEpoch = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(running)
+          .cast("double").as("running_sum"),
+        sum(col("value").cast("decimal(18,2)")).over(sliding)
+          .cast("double").as("sliding3_sum"),
+        sum(col("value").cast("decimal(18,2)")).over(byEpoch)
+          .cast("double").as("hour_sum"))
+      .orderBy("event_id")
+  }
+
+  /** q_topk_group — top-3 per group via row_number ≤ k. */
+  def qTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** q_sort_limit — global order-by + limit (TakeOrderedAndProject). */
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(25)
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_analytic" -> (qWindowAnalytic _),
+    "q_window_frame" -> (qWindowFrame _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_sort_limit" -> (qSortLimit _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  CAST(CAST(value AS DECIMAL(18,2)) - LAG(CAST(value AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_topk_group" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)
+}
