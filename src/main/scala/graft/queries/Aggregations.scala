@@ -52,16 +52,24 @@ object Aggregations extends QueryFamily {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
-  /** q_agg_rollup — hierarchical totals region→nation→(all). */
-  def qAggRollup(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
-      .join(broadcast(Tables.nation(s, dir)),
-        col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, dir)),
-        col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
+  /** q_agg_rollup — hierarchical totals region→nation→(all), expressed as
+    * explicit grouping sets ((r,n),(r),()) — semantically ROLLUP, same single
+    * Expand + hash-aggregate plan. `Dataset.rollup` itself trips Spark 4.1's
+    * ambiguous-column (dataset-id) check whenever its child contains a join,
+    * even behind a fresh projection; `groupingSets` resolves cleanly. */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name"), n("n_name"), c("c_acctbal"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
 
   /** q_agg_cube — all grouping combinations of status × priority. */
   def qAggCube(s: SparkSession, dir: String): DataFrame =
@@ -72,18 +80,17 @@ object Aggregations extends QueryFamily {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
-  /** q_agg_gsets — explicit grouping sets (SQL path through the same
-    * Catalyst Expand operator as rollup/cube). */
-  def qAggGsets(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gsets")
-    s.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem_gsets
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
-  }
+  /** q_agg_gsets — explicit grouping sets through the Dataset API (Spark 4's
+    * `Dataset.groupingSets`), same Catalyst Expand operator as rollup/cube.
+    * Pure function of its inputs — no temp-view session mutation. */
+  def qAggGsets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** q_agg_minmax_by — arg-max/arg-min: top/bottom event per user by
     * (value, event_id) — the pair makes the ordering total so the argmax is
@@ -147,9 +154,14 @@ object Aggregations extends QueryFamily {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_agg_minmax_by" ->
-      """SELECT user_id,
-        |  arg_max(event_id, (value, event_id)) AS top_event,
-        |  arg_min(event_id, (value, event_id)) AS bottom_event,
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn_top,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rn_bot
+        |  FROM events)
+        |SELECT user_id,
+        |  MAX(CASE WHEN rn_top = 1 THEN event_id END) AS top_event,
+        |  MAX(CASE WHEN rn_bot = 1 THEN event_id END) AS bottom_event,
         |  MAX(value) AS max_value, MIN(value) AS min_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
