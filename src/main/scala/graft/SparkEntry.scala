@@ -9,7 +9,8 @@ object SparkEntry {
     graft.queries.Joins,
     graft.queries.Aggregations,
     graft.queries.Windows,
-    graft.queries.SetOps)
+    graft.queries.SetOps,
+    graft.queries.ScalarFuncs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** B-8 scalar function families (SURVEY.md §2).
+  *
+  * Each query exercises one family of codegen'd built-ins over the test
+  * tables — no UDFs anywhere, so every expression stays inside
+  * WholeStageCodegen and the scan still gets column pruning (only the
+  * referenced columns reach ReadSchema).
+  *
+  * Oracle parity notes (Spark vs DuckDB, both verified empirically):
+  * - `length`/`size`/`year`… return INT in Spark, BIGINT in DuckDB — Spark
+  *   side casts to long.
+  * - decimal `round` is HALF_UP in both; double `round` is not comparable —
+  *   money is rounded in decimal only.
+  * - libm-dependent fns (ln/exp/pow with fractional exponents) can differ by
+  *   1 ulp between JVM and C — kept out of oracle columns; `sqrt` is IEEE
+  *   correctly-rounded and `pow(x, 2)` on small integral doubles is exact,
+  *   both safe.
+  * - DuckDB list slicing `l[1:3]` is 1-based inclusive = Spark
+  *   `slice(l, 1, 3)`.
+  * - engine-defined `hash`/`xxhash64` are Spark-specific — never oracled;
+  *   md5/sha2 are algorithm-defined and compare as hex strings.
+  */
+object ScalarFuncs extends QueryFamily {
+
+  /** q_str_funcs — split/substring/suffix/strip/case/pad, mirroring the
+    * reference's string surgery: task-id → slave-id extraction (split +
+    * fixed-suffix strip, /root/reference/syscol/scheduler.go:256-262), last-5
+    * id abbreviation (`suffix`, /root/reference/syscol/utils.go:30-36), and
+    * scheme-prefix strip (`listenAddr`, /root/reference/syscol/scheduler.go:264-276).
+    */
+  def qStrFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        regexp_replace(col("c_name"), "^Customer#0*", "").as("stripped"),
+        expr("right(c_name, 5)").as("suffix5"),
+        concat_ws("-", col("c_mktsegment"), expr("right(c_name, 5)")).as("tag"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("id_pad"))
+      .orderBy("c_custkey")
+
+  /** q_date_funcs — extract/trunc/diff on order dates. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+      .orderBy("o_orderkey")
+
+  /** q_math_funcs — arithmetic + rounding on prices; the revenue expression
+    * `price*(1-disc)*(1+tax)` in exact decimal. */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")) *
+          (lit(1) + col("l_tax").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double")
+          .as("price_r1"),
+        abs(col("l_discount") - lit(0.05)).as("disc_dev"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        floor(col("l_extendedprice") / 100).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice") / 100).cast("long").as("price_ceil"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_discount") * 100).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_array_funcs — length/access/slice/reduce over embedding vectors.
+    * `norm_sq` is the self-dot-product — the building block of the cosine
+    * similarity path (B-10) — computed with `aggregate`, left-to-right in
+    * double, matching DuckDB's list_sum over a transformed DOUBLE list. */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        element_at(col("embedding"), -1).as("last_dim"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        array_max(col("embedding")).as("max_dim"),
+        array_min(col("embedding")).as("min_dim"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+          .as("norm_sq"))
+      .orderBy("vec_id")
+
+  /** q_map_funcs — dynamic JSON payload → typed map: keys/lookup/size.
+    * Root: A3 (schema-on-read decode of the metrics snapshot map,
+    * /root/reference/syscol/metrics_reporter.go:125). */
+  def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        map_keys(m).as("keys"),
+        element_at(m, "k").as("k_val"),
+        array_contains(map_keys(m), "k").as("has_k"))
+      .orderBy("event_id")
+  }
+
+  /** q_json_funcs — JSON path extraction + canonical re-serialization.
+    * Root: A3/A5 (dynamic decode + JSON serialize,
+    * /root/reference/syscol/metrics_reporter.go:125,143-148). */
+  def qJsonFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("jk"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        length(col("props")).cast("long").as("raw_len"),
+        to_json(from_json(col("props"), org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+          .as("canonical"))
+      .orderBy("event_id")
+
+  /** q_hash_funcs — algorithm-defined digests over document text.
+    * Root: A7 (Confluent framing hashes/ids) + A11 (keyed partitioning,
+    * /root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/partitioner.go:27-44).
+    * Engine-defined `hash` lives in q_hash_partition (not oracle-able). */
+  def qHashFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+
+  /** q_hash_partition — partition assignment analog of the reference's
+    * FNV-1a producer partitioner (A11): partition = pmod(hash(key), n).
+    * Spark's Murmur3 `hash` is engine-defined, so this is registered without
+    * an oracle (rows-only check); stability is asserted in HashPartitionSpec.
+    * This is exactly the hash-partitioning a 100 TB keyed sink shuffles on. */
+  def qHashPartition(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(pmod(hash(col("user_id")), lit(32)).as("part"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("part")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_funcs" -> (qStrFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_json_funcs" -> (qJsonFuncs _),
+    "q_hash_funcs" -> (qHashFuncs _),
+    "q_hash_partition" -> (qHashPartition _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  regexp_replace(c_name, '^Customer#0*', '') AS stripped,
+        |  right(c_name, 5) AS suffix5,
+        |  concat_ws('-', c_mktsegment, right(c_name, 5)) AS tag,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  length(c_name) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS id_pad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS o_year,
+        |  month(o_orderdate) AS o_month,
+        |  dayofmonth(o_orderdate) AS o_day,
+        |  quarter(o_orderdate) AS o_quarter,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  last_day(o_orderdate) AS month_end,
+        |  datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  pow(l_quantity, 2) AS qty_sq,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+        |  l_orderkey % 7 AS key_mod,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_quantity, l_discount * 100) AS l
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  embedding[1] AS first_dim,
+        |  embedding[-1] AS last_dim,
+        |  embedding[1:3] AS head3,
+        |  list_aggregate(embedding, 'max') AS max_dim,
+        |  list_aggregate(embedding, 'min') AS min_dim,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  len(json_keys(props)) AS n_keys,
+        |  json_keys(props) AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  list_contains(json_keys(props), 'k') AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS jk,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  length(props) AS raw_len,
+        |  CAST(json_extract(props, '$') AS VARCHAR) AS canonical
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_hash_funcs" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex,
+        |  length(text) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
