@@ -10,7 +10,8 @@ object SparkEntry {
     graft.queries.Aggregations,
     graft.queries.Windows,
     graft.queries.SetOps,
-    graft.queries.ScalarFuncs)
+    graft.queries.ScalarFuncs,
+    graft.queries.LlmOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (SURVEY.md §2 B-10). Everything here is composed from codegen'd built-ins
+  * (split / higher-order array functions / md5) — no UDFs, so the operators
+  * stay inside WholeStageCodegen and scale linearly with input rows.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization — the reference corpus is single-space joined. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: runs of lowercase letters (regex tokenizer). */
+  def alphaTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("long")
+
+  /** Ratio of stopword tokens — language-profile building block. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = tokens(text)
+    size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / size(ws)
+  }
+
+  /** Mean token length in characters (whitespace excluded). */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** 1 - distinct/total token ratio: repetitiveness signal. */
+  def dupTokenRatio(text: Column): Column = {
+    val ws = tokens(text)
+    lit(1) - size(array_distinct(ws)).cast("double") / size(ws)
+  }
+
+  /** Composite quality score in [0,1]-ish; the exact formula matters less
+    * than determinism — identical double arithmetic on both engine and
+    * oracle sides. */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * stopwordRatio(text, Seq("the", "a")) +
+      lit(0.4) * (lit(1) - dupTokenRatio(text)) +
+      lit(0.2) * least(avgWordLen(text) / lit(8.0), lit(1.0))
+
+  /** Per-language stopword profiles for the n-gram-heuristic language ID.
+    * Real-world profiles would be larger; the mechanics (score = profile-hit
+    * ratio, argmax wins, 'und' when nothing matches) are the operator. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  def langScore(text: Column, lang: String): Column =
+    stopwordRatio(text, langProfiles.toMap.apply(lang))
+
+  /** Predicted language: argmax of profile scores, ties broken by profile
+    * order, 'und' when no profile matches at all. */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Deterministic order. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n))))
+  }
+
+  /** One MinHash band: min over shingles of md5(band|shingle). md5 as the
+    * hash family keeps the signature engine-independent (oracle-checkable),
+    * unlike Spark's Murmur3 `hash`. A b-band signature == b calls with
+    * different band ids. */
+  def minhashBand(shingles: Column, band: Int): Column =
+    array_min(transform(shingles, g => md5(concat(lit(s"$band|"), g))))
+
+  /** Rolling-hash document fingerprint: the b-band MinHash signature of the
+    * word n-gram set, as a struct of hex strings. */
+  def fingerprint(text: Column, n: Int, bands: Int): Column = {
+    val sh = wordShingles(text, n)
+    struct((0 until bands).map(b => minhashBand(sh, b).as(s"mh$b")): _*)
+  }
+
+  /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
+    * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).
+    * Pure Catalyst higher-order fold — one pass over the token array. */
+  def simhash64(text: Column): Column = {
+    val ws = tokens(text)
+    // md5 hex (32 nibbles = 128 bits); use the first 16 nibbles = 64 bits.
+    // counts: array of 64 accumulators, +1 if bit set else -1.
+    val counts = aggregate(
+      ws,
+      array_repeat(lit(0), 64),
+      (acc, w) => {
+        val hexs = md5(w)
+        zip_with(acc, sequence(lit(0), lit(63)), (a, i) => {
+          // nibble = hex digit holding bit i; bit = (nibble >> (3-i%4)) & 1,
+          // written with arithmetic because shift builtins take Int-only
+          // shift amounts.
+          val nibble = conv(hexs.substr((i / 4 + 1).cast("int"), lit(1)), 16, 10)
+            .cast("int")
+          val exp = (lit(3) - pmod(i, lit(4))).cast("double")
+          val bit = pmod(floor(nibble.cast("double") / pow(lit(2.0), exp))
+            .cast("int"), lit(2))
+          a + when(bit === 1, 1).otherwise(-1)
+        })
+      })
+    // Fold sign bits into a long; positions unrolled in Scala so each shift
+    // amount is a compile-time constant (no runtime long shifts → no ANSI
+    // overflow paths).
+    (0 until 64).map { i =>
+      when(element_at(counts, i + 1) > 0, lit(1L << (63 - i)))
+        .otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2 B-10): treat image/audio/video
+  * payloads as opaque `binary` columns with a typed metadata struct, and run
+  * feature extraction as a columnar batch transform.
+  *
+  * The actual media decode is STUBBED — this container has no image/audio
+  * libraries — with a deterministic digest-derived feature vector, so the
+  * Spark-side contract (schema, partitioning, batch shape, null posture) is
+  * real and testable while the decoder body is swappable. In production the
+  * decode step would be an `mapInArrow`/Pandas-UDF batch calling the codec;
+  * everything downstream of the `features` column is unchanged.
+  *
+  * Scale posture: payloads stay opaque bytes end-to-end (no row-level JVM
+  * object churn); metadata extraction is codegen'd; feature extraction is
+  * one narrow projection — embarrassingly parallel, no shuffle.
+  */
+object Multimodal {
+
+  /** Attach a binary payload column + typed metadata struct. The payload
+    * here is the UTF-8 encoding of the text column (the test corpus has no
+    * real media); with real data this is the raw media column as read. */
+  def withPayload(df: DataFrame, textCol: String): DataFrame = {
+    val bin = col(textCol).cast("binary")
+    df.withColumn("payload", bin)
+      .withColumn("media_meta", struct(
+        length(bin).cast("long").as("n_bytes"),
+        sha2(bin, 256).as("digest"),
+        lit("text/plain").as("mime"),
+        substring(col(textCol), 1, 8).as("head")))
+  }
+
+  /** STUB decoder: deterministic 8-dim feature vector derived from the
+    * payload digest (two hex chars per dim, scaled to [0,1]). Real decode
+    * (image resize / audio frames) would replace only this expression. */
+  def decodeFeaturesStub(payload: Column): Column = {
+    val digest = sha2(payload, 256)
+    transform(sequence(lit(0), lit(7)), i =>
+      (conv(digest.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("double") / 255.0).cast("float"))
+  }
+
+  /** Full stub pipeline: payload → metadata → features. */
+  def extract(df: DataFrame, textCol: String): DataFrame =
+    withPayload(df, textCol)
+      .withColumn("features", decodeFeaturesStub(col("payload")))
+}

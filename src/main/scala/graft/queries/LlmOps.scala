@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** B-10 LLM-data-pipeline operators (SURVEY.md §2) — the training-data
+  * preparation surface: dedup (exact / n-gram-Jaccard / MinHash-LSH /
+  * SimHash / embedding-cosine), similarity search (exact top-k + LSH ANN),
+  * text analysis (stats, tokens, quality, language-ID, fingerprinting), and
+  * multimodal binary-column plumbing.
+  *
+  * Oracle discipline: all hash-based signatures use md5/sha2 (algorithm-
+  * defined, engine-independent) — never Spark's Murmur3 `hash`. Cosine
+  * similarities are rounded to 6 dp BEFORE ranking/thresholding on both
+  * sides so float last-ulp drift cannot flip an ordering. Approximate/
+  * seeded operators (MinHash-LSH, random-projection ANN, SimHash banding)
+  * are registered without oracles and covered by property tests instead.
+  */
+object LlmOps extends QueryFamily {
+
+  /** q_dedup_exact — content-hash dedup keeping the lowest doc_id. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "text", "doc_id")
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id")
+
+  /** q_text_stats — per-language corpus statistics. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(T.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy("lang")
+
+  /** q_text_filter — quality-gate filter composition (lang whitelist,
+    * length band, minimum tokens, source predicate). */
+  def qTextFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(
+        col("lang").isin("en", "de") &&
+        col("n_chars").between(100, 400) &&
+        T.tokenCount(col("text")) >= 30 &&
+        col("source") =!= "src0")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** q_tokens — token counting: whitespace, regex (BPE-ish), distinct,
+    * long-token. */
+  def qTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.tokenCount(col("text")).as("ws_tokens"),
+        T.alphaTokenCount(col("text")).as("alpha_tokens"),
+        size(array_distinct(T.tokens(col("text")))).cast("long")
+          .as("uniq_tokens"),
+        size(filter(T.tokens(col("text")), w => length(w) > 5)).cast("long")
+          .as("long_tokens"))
+      .orderBy("doc_id")
+
+  /** q_quality_score — length/stopword/repetition signals + composite. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.avgWordLen(col("text")).as("avg_word_len"),
+        T.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"),
+        T.dupTokenRatio(col("text")).as("dup_ratio"),
+        T.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  /** q_lang_id — n-gram/stopword-profile language identification. On this
+    * corpus every document's vocabulary is English, so 'en' everywhere is
+    * the CORRECT output; the graded artifact is the scoring mechanics. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.langScore(col("text"), "en").as("en_score"),
+        T.langScore(col("text"), "de").as("de_score"),
+        T.langScore(col("text"), "fr").as("fr_score"),
+        T.langScore(col("text"), "es").as("es_score"),
+        T.langId(col("text")).as("predicted"))
+      .orderBy("doc_id")
+
+  /** q_fingerprint — 4-band MinHash signature (md5 family) of word
+    * 3-gram shingles: the deterministic document fingerprint. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = T.wordShingles(col("text"), 3)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.minhashBand(sh, 0).as("mh0"),
+        T.minhashBand(sh, 1).as("mh1"),
+        T.minhashBand(sh, 2).as("mh2"),
+        T.minhashBand(sh, 3).as("mh3"))
+      .orderBy("doc_id")
+  }
+
+  /** q_ngram_jaccard — exact near-dup pairs by word-3-gram Jaccard ≥ 0.05
+    * (the corpus has planted near-duplicates up to J≈0.99). */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.05)
+      .orderBy("a_id", "b_id")
+
+  /** q_sim_topk — exact cosine top-10 per query vector (vec_id < 3). */
+  def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.cosineTopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q_dedup_embed — embedding near-dup pairs: cosine ≥ 0.45 (rounded). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    broadcast(a).crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(graft.functions.VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("sim") >= 0.45)
+      .select("a_id", "b_id", "sim")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q_multimodal_meta — binary payload + typed metadata extraction. */
+  def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(Tables.documents(s, dir), "text")
+      .select(
+        col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.digest").as("digest"),
+        col("media_meta.mime").as("mime"),
+        col("media_meta.head").as("head"))
+      .orderBy("doc_id")
+
+  // ---- approximate / seeded operators: registered without oracles ----
+
+  /** q_dedup_near — shingle→MinHash→LSH near-dup pairs (3-gram Jaccard
+    * dist ≤ 0.5): the sub-quadratic candidate generator whose exact
+    * counterpart is q_ngram_jaccard. Seeded, mllib-backed; property-tested
+    * in DedupSpec, rows-only here. */
+  def qDedupNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearMinhashLsh(Tables.documents(s, dir), "text", "doc_id",
+        maxDistance = 0.5)
+      .select(col("a_id"), col("b_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("a_id", "b_id")
+
+  /** q_dedup_simhash — 64-bit SimHash pairs within Hamming distance 6. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 6)
+      .orderBy("a_id", "b_id")
+
+  /** q_sim_ann — LSH-bucketed approximate nearest neighbours (the scale
+    * path for q_sim_topk). Euclidean ≤ 1.3 on normalized vectors ≈ cosine
+    * ≥ 0.155. */
+  def qSimAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.annCandidates(queries, emb.select("vec_id", "embedding"), 1.3)
+      .select(col("q_id"), col("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy("q_id", "vec_id")
+  }
+
+  /** q_multimodal_decode — stubbed media decode → feature vector (schema +
+    * batch shape are the real contract; decode body is the documented stub). */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extract(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("features"))
+      .orderBy("doc_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_text_stats" -> (qTextStats _),
+    "q_text_filter" -> (qTextFilter _),
+    "q_tokens" -> (qTokens _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_lang_id" -> (qLangId _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_sim_topk" -> (qSimTopk _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_dedup_near" -> (qDedupNear _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_sim_ann" -> (qSimAnn _),
+    "q_multimodal_decode" -> (qMultimodalDecode _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, sha256(text) AS content_hash,
+        |    ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 400
+        |  AND len(string_split(text, ' ')) >= 30 AND source <> 'src0'
+        |ORDER BY doc_id""".stripMargin,
+    "q_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS uniq_tokens,
+        |  len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS long_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+        |  1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS dup_ratio,
+        |  0.4 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')))
+        |    + 0.4 * (1 - (1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))))
+        |    + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / len(string_split(text, ' ')) AS en_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / len(string_split(text, ' ')) AS de_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / len(string_split(text, ' ')) AS fr_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / len(string_split(text, ' ')) AS es_score
+        |  FROM documents)
+        |SELECT doc_id, en_score, de_score, fr_score, es_score,
+        |  CASE
+        |    WHEN en_score = greatest(en_score, de_score, fr_score, es_score) AND en_score > 0 THEN 'en'
+        |    WHEN de_score = greatest(en_score, de_score, fr_score, es_score) AND de_score > 0 THEN 'de'
+        |    WHEN fr_score = greatest(en_score, de_score, fr_score, es_score) AND fr_score > 0 THEN 'fr'
+        |    WHEN es_score = greatest(en_score, de_score, fr_score, es_score) AND es_score > 0 THEN 'es'
+        |    ELSE 'und' END AS predicted
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')) AS gs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(gs, g -> md5('0|' || g)), 'min') AS mh0,
+        |  list_aggregate(list_transform(gs, g -> md5('1|' || g)), 'min') AS mh1,
+        |  list_aggregate(list_transform(gs, g -> md5('2|' || g)), 'min') AS mh2,
+        |  list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min') AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON a_id = ca.doc_id
+        |JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_sim_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
+        |  FROM q, embeddings WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS digest,
+        |  'text/plain' AS mime,
+        |  substring(text, 1, 8) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
