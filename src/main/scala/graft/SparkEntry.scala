@@ -11,7 +11,8 @@ object SparkEntry {
     graft.queries.Windows,
     graft.queries.SetOps,
     graft.queries.ScalarFuncs,
-    graft.queries.LlmOps)
+    graft.queries.LlmOps,
+    graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

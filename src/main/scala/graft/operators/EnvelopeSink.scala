@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, LongType}
+import graft.expressions.{ConfluentAvroEncode, SchemaRegistryStub}
+
+/** The reference's output data path, rebuilt Spark-first: envelope
+  * projection → serialization (JSON or Confluent-framed Avro) → keyed
+  * `(key: binary, value: binary)` sink contract (SURVEY.md §2 B-1, roots
+  * A4+A5+A6+A7+A9+A10).
+  *
+  * The whole path is a narrow projection — no shuffle anywhere, exactly as
+  * embarrassingly parallel as one collector per slave
+  * (/root/reference/syscol/metrics_reporter.go:85-97). At 100 TB this runs
+  * as one WholeStageCodegen span per input partition (the Avro expression
+  * is the single CodegenFallback leaf).
+  */
+object EnvelopeSink {
+
+  /** Avro twin of the envelope, mirroring
+    * /root/reference/avro/slave_metrics.avsc:1-30 (field order == Go struct
+    * order, /root/reference/syscol/metrics_reporter.go:33-40). */
+  val schemaJson: String =
+    """{"type":"record","name":"SlaveMetrics","namespace":"graft.avro",
+      |"fields":[
+      |{"name":"SlaveID","type":"string"},
+      |{"name":"Hostname","type":"string"},
+      |{"name":"Port","type":"int"},
+      |{"name":"Namespace","type":"string"},
+      |{"name":"Timestamp","type":"long"},
+      |{"name":"Metrics","type":"bytes"}]}""".stripMargin.replace("\n", "")
+
+  def schemaId: Int = SchemaRegistryStub.register("SlaveMetrics-value", schemaJson)
+
+  private val metricsType = MapType(StringType, LongType)
+
+  /** Envelope projection over the events stream: constant + derived context
+    * columns and the ns-precision timestamp, exactly `transformNone`'s
+    * record build (/root/reference/syscol/metrics_reporter.go:133-141).
+    * Field order is load-bearing: the JSON serialization is byte-compared. */
+  def envelope(events: DataFrame, namespace: String = "prod"): DataFrame =
+    events.select(
+      col("event_id"),
+      concat(lit("slave-"), col("user_id")).as("SlaveID"),
+      concat(lit("host-"), (col("user_id") % 5)).as("Hostname"),
+      lit(5051).as("Port"),
+      lit(namespace).as("Namespace"),
+      (unix_micros(col("ts")) * 1000).as("Timestamp"),
+      col("props"))
+
+  /** JSON transform: envelope → compact JSON string with Go-struct field
+    * order, payload inlined as a JSON object
+    * (/root/reference/syscol/metrics_reporter.go:143-148). */
+  def toJsonValue: Column =
+    to_json(struct(
+      col("SlaveID"), col("Hostname"), col("Port"), col("Namespace"),
+      col("Timestamp"),
+      from_json(col("props"), metricsType).as("Metrics")))
+
+  /** Avro transform: payload stays opaque JSON bytes inside the record
+    * (/root/reference/syscol/metrics_reporter.go:151-165), then
+    * Confluent-framed (magic 0x00 + BE schema id + body). */
+  def toAvroValue: Column = {
+    val payload = to_json(from_json(col("props"), metricsType))
+      .cast("binary")
+    val env = struct(
+      col("SlaveID"), col("Hostname"), col("Port"), col("Namespace"),
+      col("Timestamp"), payload.as("Metrics"))
+    org.apache.spark.sql.graft.Bridge.column(ConfluentAvroEncode(
+      org.apache.spark.sql.graft.Bridge.expression(env),
+      schemaJson, schemaId))
+  }
+
+  /** Kafka-shaped sink rows: (key = SlaveID bytes, value = serialized
+    * envelope bytes) — the producer-record contract
+    * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/kafka_producer.go:12-21). */
+  def kafkaRows(events: DataFrame, transform: String): DataFrame = {
+    val value = transform match {
+      case "none" => toJsonValue.cast("binary")
+      case "avro" => toAvroValue
+      case other =>
+        // invalid transform fails fast at plan build, like the reference's
+        // serializer dispatch (/root/reference/syscol/executor.go:131-141)
+        throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+    envelope(events)
+      .select(col("event_id"),
+        col("SlaveID").cast("binary").as("key"), value.as("value"))
+  }
+}
