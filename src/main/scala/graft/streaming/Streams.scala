@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.EnvelopeSink
+
+/** Metric tick record — the streaming shape of the reference's envelope
+  * source (one record per reporting interval per slave,
+  * /root/reference/syscol/metrics_reporter.go:75-105). */
+case class Tick(slaveId: String, ts: java.sql.Timestamp, value: Double,
+  props: String)
+
+/** Task lifecycle event for the keyed-state operator (S6). */
+case class TaskEvent(slaveId: String, taskId: String, status: String,
+  seq: Long)
+
+/** Emitted state transition from the keyed lifecycle operator. */
+case class TaskTransition(slaveId: String, taskId: String, action: String)
+
+/** B-9 Structured Streaming operators (SURVEY.md §2 S1–S7). Every function
+  * is a pure stream→stream transform usable on both streaming and batch
+  * DataFrames, verified with MemoryStream in StreamingSpec.
+  *
+  * Scale posture (100 TB/day ingest): windowed aggregations shuffle once on
+  * (window, key) with watermark-bounded state; dedup and lifecycle state are
+  * keyed by slaveId (high-cardinality — even state distribution); the
+  * envelope sink is a narrow projection inside foreachBatch with
+  * per-batch-id idempotent commit (exactly-once per micro-batch).
+  */
+object Streams {
+
+  /** S1 — tumbling-window rollup of the tick stream (per-interval per-slave
+    * aggregate; root A1+A12). */
+  def tumbling(ticks: DataFrame, window_ : String = "10 seconds",
+      watermark: String = "30 seconds"): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("slaveId"))
+      .agg(count(lit(1)).as("n_ticks"), sum("value").as("sum_value"),
+        avg("value").as("avg_value"))
+      .select(col("window.start").as("w_start"), col("slaveId"),
+        col("n_ticks"), col("sum_value"), col("avg_value"))
+
+  /** S2 — sliding window (30 s span, 10 s slide). */
+  def sliding(ticks: DataFrame, span: String = "30 seconds",
+      slide: String = "10 seconds", watermark: String = "1 minute"): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), span, slide), col("slaveId"))
+      .agg(count(lit(1)).as("n_ticks"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("slaveId"),
+        col("n_ticks"), col("sum_value"))
+
+  /** S3 — session window per slave (gap-based). */
+  def session(ticks: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("slaveId"))
+      .agg(count(lit(1)).as("n_ticks"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("slaveId"),
+        col("n_ticks"), col("sum_value"))
+
+  /** S4 — watermarked aggregate where late data (older than the watermark)
+    * is dropped; the tumbling rollup IS the watermark consumer, this thin
+    * wrapper just makes the late-drop interval explicit for the spec. */
+  def watermarked(ticks: DataFrame, lateness: String): DataFrame =
+    tumbling(ticks, watermark = lateness)
+
+  /** S5 — streaming dedup on (slaveId, ts) with watermark-bounded state
+    * (root A15: at-most-one record per key; state expires with the
+    * watermark instead of growing forever). */
+  def dedup(ticks: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .dropDuplicates("slaveId", "ts")
+
+  /** S6 — keyed lifecycle state: at most one live task per slave; a launch
+    * on an occupied key is rejected (the reference Cluster panics on
+    * duplicate insert, /root/reference/syscol/cluster.go:43-53 — an engine
+    * must not crash, so the gate emits a rejection like scheduler.acceptOffer's
+    * skip, /root/reference/syscol/scheduler.go:183-193); terminal statuses
+    * remove the key (/root/reference/syscol/scheduler.go:150-160), making
+    * the slave schedulable again. */
+  val terminalStatuses: Set[String] =
+    Set("finished", "failed", "killed", "lost", "error")
+
+  def keyedLifecycle(events: Dataset[TaskEvent]): Dataset[TaskTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.slaveId)
+      .flatMapGroupsWithState[Option[TaskState], TaskTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (slaveId, evs, state: GroupState[Option[TaskState]]) =>
+          // Micro-batch iterators carry no order guarantee — replay in
+          // sequence order so lifecycle semantics are deterministic.
+          val out = evs.toSeq.sortBy(_.seq).flatMap { e =>
+            val current = state.getOption.flatten
+            e.status match {
+              case "launch" =>
+                if (current.isDefined)
+                  Seq(TaskTransition(slaveId, e.taskId, "rejected_duplicate"))
+                else {
+                  state.update(Some(TaskState(slaveId, e.taskId)))
+                  Seq(TaskTransition(slaveId, e.taskId, "launched"))
+                }
+              case s if terminalStatuses(s) =>
+                current match {
+                  case Some(t) if t.taskId == e.taskId =>
+                    state.update(None)
+                    Seq(TaskTransition(slaveId, e.taskId, "removed"))
+                  case _ =>
+                    Seq(TaskTransition(slaveId, e.taskId, "ignored_unknown"))
+                }
+              case _ => // running etc: state unchanged
+                Seq.empty
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** S7 — foreachBatch envelope sink: serialize the micro-batch through the
+    * envelope path and commit it as one parquet batch directory (idempotent
+    * per batchId — re-delivered batches overwrite their own directory,
+    * giving exactly-once output per micro-batch; root A10). */
+  def envelopeSinkBatch(outDir: String, transform: String = "none")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val env = batch.select(
+      col("slaveId").as("SlaveID"),
+      concat(lit("host-"), col("slaveId")).as("Hostname"),
+      lit(5051).as("Port"),
+      lit("prod").as("Namespace"),
+      (unix_micros(col("ts")) * 1000).as("Timestamp"),
+      col("props"))
+    val value = transform match {
+      case "none" => EnvelopeSink.toJsonValue.cast("binary")
+      case "avro" => EnvelopeSink.toAvroValue
+      case other =>
+        throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+    env.select(col("SlaveID").cast("binary").as("key"), value.as("value"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+}
+
+/** Live task state held per slave key (S6). */
+case class TaskState(slaveId: String, taskId: String)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup operator properties (SURVEY.md §5.2 item 3). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near dup of 0
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog")    // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content group") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", "doc_id")
+    val twice = Dedup.exact(once.select("doc_id", "text"), "text", "doc_id")
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq ===
+      twice.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("ngram jaccard: self-similarity is 1, pairs are symmetric-safe (a<b)") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .collect()
+    // identical docs 0/1/4 → jaccard 1.0; near-dup 2 shares most shingles
+    val byPair = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byPair((0L, 1L)) === 1.0)
+    assert(byPair((0L, 4L)) === 1.0)
+    assert(byPair((1L, 4L)) === 1.0)
+    assert(byPair((0L, 2L)) > 0.5 && byPair((0L, 2L)) < 1.0)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not the distinct doc") {
+    val found = Dedup.nearMinhashLsh(docs, "text", "doc_id", maxDistance = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 1L)))
+    assert(found.contains((0L, 4L)))
+    assert(!found.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs collide at hamming 0; distinct doc is far") {
+    val sigs = docs.select(col("doc_id"),
+      TextFunctions.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) === sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 6)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("fingerprint is deterministic and equal for identical docs") {
+    val fp = docs.select(col("doc_id"),
+      TextFunctions.minhashBand(TextFunctions.wordShingles(col("text"), 3), 0)
+        .as("mh0"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) !== fp(3L))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.EnvelopeSink
+import graft.expressions.SchemaRegistryStub
+
+/** Envelope serialization fixtures (FIXTURES.md §2): golden JSON with the
+  * Go-struct field order, and Confluent-framed Avro bytes checked against an
+  * independent spec-level encoder written here from the Avro 1.x binary
+  * encoding rules (zigzag varints, length-prefixed strings/bytes) — NOT the
+  * library under test. */
+class EnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = Timestamp.from(java.time.Instant.parse("2015-07-16T11:54:10Z"))
+  private def envelopeDf = Seq(
+    (1L, 8L, ts, """{"k": 87}""")
+  ).toDF("event_id", "user_id", "ts", "props")
+
+  test("JSON envelope matches the Go-marshal golden string") {
+    val row = EnvelopeSink.envelope(envelopeDf)
+      .withColumn("v", EnvelopeSink.toJsonValue)
+      .select("v").as[String].head()
+    val expectedTs = 1437047650000000L * 1000 // epoch micros → nanos
+    assert(row ===
+      s"""{"SlaveID":"slave-8","Hostname":"host-3","Port":5051,"Namespace":"prod","Timestamp":$expectedTs,"Metrics":{"k":87}}""")
+  }
+
+  // -- independent minimal Avro binary encoder (spec-level, test-only) --
+  private def zigzag(n: Long): Array[Byte] = {
+    var v = (n << 1) ^ (n >> 63)
+    val out = new ByteArrayOutputStream()
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.toByteArray
+  }
+  private def avroString(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8"); zigzag(b.length) ++ b
+  }
+  private def avroBytes(b: Array[Byte]): Array[Byte] = zigzag(b.length) ++ b
+
+  test("Confluent Avro frame matches a spec-level independent encoding") {
+    val got = EnvelopeSink.kafkaRows(envelopeDf, "avro")
+      .select("value").as[Array[Byte]].head()
+
+    val id = EnvelopeSink.schemaId
+    val expected =
+      Array[Byte](0, (id >>> 24).toByte, (id >>> 16).toByte,
+        (id >>> 8).toByte, id.toByte) ++
+      avroString("slave-8") ++
+      avroString("host-3") ++
+      zigzag(5051L) ++                          // int Port
+      avroString("prod") ++
+      zigzag(1437047650000000L * 1000) ++        // long Timestamp (ns)
+      avroBytes("""{"k":87}""".getBytes("UTF-8")) // canonicalized payload
+
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("schema registry stub: deterministic id, register-once semantics") {
+    val a = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
+    val b = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
+    assert(a === b && a > 0)
+    val other = SchemaRegistryStub.register("Other-value", EnvelopeSink.schemaJson)
+    assert(other !== a)
+  }
+
+  test("invalid transform fails fast at plan build") {
+    intercept[IllegalArgumentException] {
+      EnvelopeSink.kafkaRows(envelopeDf, "proto")
+    }
+  }
+
+  test("SQL function confluent_avro_encode is registered via extensions") {
+    envelopeDf.createOrReplaceTempView("env_fixture")
+    val n = spark.sql(
+      """SELECT confluent_avro_encode(named_struct(
+        |  'SlaveID', 'a', 'Hostname', 'b', 'Port', 1,
+        |  'Namespace', 'c', 'Timestamp', CAST(2 AS BIGINT),
+        |  'Metrics', CAST('{}' AS BINARY))) AS v""".stripMargin)
+      .selectExpr("length(v)").as[Int].head()
+    spark.catalog.dropTempView("env_fixture")
+    assert(n > 5) // frame header alone is 5 bytes
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the 100 TB design claims in the query Scaladoc
+  * are checked here against the actual plans — pushdown reaches the scan,
+  * dimension joins broadcast, global sort+limit becomes TakeOrdered, and
+  * approximate aggregates stay single-pass (SURVEY.md §4.2). */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_parquet pushes its predicate into the parquet scan") {
+    val p = planString(graft.queries.Filters.qScanParquet(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_quantity"), p)
+    // projection pruning: only the 4 referenced columns in ReadSchema
+    assert(!p.contains("l_comment") && !p.contains("l_tax"), p)
+  }
+
+  test("q_join_broadcast plans broadcast joins for both dims") {
+    val p = planString(graft.queries.Joins.qJoinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject (no global sort)") {
+    val p = planString(graft.queries.Windows.qSortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_filter_pred aggregates with partial (map-side) aggregation") {
+    val p = planString(graft.queries.Filters.qFilterPred(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("envelope sink is shuffle-free (no Exchange in the plan)") {
+    val p = planString(
+      graft.operators.EnvelopeSink.kafkaRows(Tables.events(spark, sf), "none"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    val semi = planString(graft.queries.Joins.qJoinSemi(spark, sf))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planString(graft.queries.Joins.qJoinAnti(spark, sf))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Streams, TaskEvent, Tick}
+
+/** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
+  * MemoryStream harness: windows close as the watermark advances, late data
+  * is dropped, duplicates are suppressed, the keyed lifecycle honours the
+  * Cluster invariants, and the foreachBatch envelope sink commits
+  * per-batch parquet. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  /** Runs the stream; the feed callback gets a step() that forces the
+    * pending data into its own micro-batch (watermarks only advance at
+    * batch boundaries — a single coalesced batch would never drop late
+    * data). */
+  private def runQuery(df: org.apache.spark.sql.DataFrame, mode: OutputMode,
+      name: String)(feed: (() => Unit) => Unit): Array[org.apache.spark.sql.Row] = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try { feed(() => q.processAllAvailable()); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).collect()
+  }
+
+  test("S1 tumbling window closes when the watermark passes (late drop)") {
+    val in = MemoryStream[Tick]
+    val out = runQuery(Streams.tumbling(in.toDF(), "10 seconds", "10 seconds"),
+      OutputMode.Append, "s1") { step =>
+      in.addData(Tick("s0", t(1), 1.0, "{}"), Tick("s0", t(5), 2.0, "{}"))
+      step()
+      // advance event time far enough to close [0,10): watermark = 60-10=50
+      in.addData(Tick("s0", t(60), 9.0, "{}"))
+      step()
+      // this record is older than the watermark → dropped, not re-opened
+      in.addData(Tick("s0", t(3), 100.0, "{}"))
+    }
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Timestamp]("w_start") === t(0))
+    assert(r.getAs[Long]("n_ticks") === 2L)
+    assert(r.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("S2 sliding window: one closed span contains both early ticks") {
+    val in = MemoryStream[Tick]
+    val out = runQuery(
+      Streams.sliding(in.toDF(), "30 seconds", "10 seconds", "10 seconds"),
+      OutputMode.Append, "s2") { step =>
+      in.addData(Tick("s0", t(12), 1.0, "{}"), Tick("s0", t(25), 2.0, "{}"))
+      step()
+      in.addData(Tick("s0", t(120), 9.0, "{}"))
+    }
+    // spans [0,30) [10,40) [20,50) close; [10,40) holds 12 and 25
+    val span10 = out.find(_.getAs[Timestamp]("w_start") === t(10))
+    assert(span10.isDefined)
+    assert(span10.get.getAs[Long]("n_ticks") === 2L)
+    assert(out.forall(_.getAs[Timestamp]("w_start").getTime < 50000))
+  }
+
+  test("S3 session window merges gap-bounded ticks into one session") {
+    val in = MemoryStream[Tick]
+    val out = runQuery(
+      Streams.session(in.toDF(), "10 seconds", "10 seconds"),
+      OutputMode.Append, "s3") { step =>
+      in.addData(Tick("s0", t(1), 1.0, "{}"), Tick("s0", t(5), 2.0, "{}"),
+        Tick("s0", t(30), 3.0, "{}"))
+      step()
+      in.addData(Tick("s0", t(200), 9.0, "{}"))
+    }
+    // [1,5] merge (gap < 10s); 30 is its own session
+    assert(out.length === 2)
+    val first = out.minBy(_.getAs[Timestamp]("s_start").getTime)
+    assert(first.getAs[Long]("n_ticks") === 2L)
+    assert(first.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("S5 streaming dedup drops duplicate (slaveId, ts) records") {
+    val in = MemoryStream[Tick]
+    val out = runQuery(Streams.dedup(in.toDF(), "10 seconds"),
+      OutputMode.Append, "s5") { step =>
+      in.addData(
+        Tick("s0", t(1), 1.0, "{}"),
+        Tick("s0", t(1), 99.0, "{}"), // duplicate key (slaveId, ts)
+        Tick("s1", t(1), 2.0, "{}"))
+      step()
+      in.addData(Tick("s0", t(1), 50.0, "{}")) // cross-batch duplicate
+    }
+    assert(out.length === 2)
+    assert(out.map(_.getAs[String]("slaveId")).toSet === Set("s0", "s1"))
+  }
+
+  test("S6 keyed lifecycle: insert-if-absent, reject duplicate, remove on terminal") {
+    val in = MemoryStream[TaskEvent]
+    val out = runQuery(Streams.keyedLifecycle(in.toDS()).toDF(),
+      OutputMode.Append, "s6") { step =>
+      in.addData(
+        TaskEvent("s0", "task-1", "launch", 1),
+        TaskEvent("s0", "task-2", "launch", 2),   // occupied → rejected
+        TaskEvent("s0", "task-1", "running", 3))  // no transition
+      step()
+      in.addData(
+        TaskEvent("s0", "task-1", "failed", 4),   // terminal → removed
+        TaskEvent("s0", "task-3", "launch", 5))   // key free again
+    }
+    val actions = out.map(r => (r.getAs[String]("taskId"),
+      r.getAs[String]("action"))).toSeq
+    assert(actions.contains(("task-1", "launched")))
+    assert(actions.contains(("task-2", "rejected_duplicate")))
+    assert(actions.contains(("task-1", "removed")))
+    assert(actions.contains(("task-3", "launched")))
+    assert(actions.length === 4) // 'running' emits nothing
+  }
+
+  test("S7 foreachBatch envelope sink commits per-batch parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("s7_sink").toString
+    val in = MemoryStream[Tick]
+    val q = in.toDF().writeStream
+      .foreachBatch(Streams.envelopeSinkBatch(dir, "none") _)
+      .start()
+    try {
+      in.addData(Tick("s0", t(1), 1.0, """{"k": 1}"""))
+      q.processAllAvailable()
+      in.addData(Tick("s1", t(2), 2.0, """{"k": 2}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$dir/batch=*")
+    assert(rows.count() === 2)
+    val value = rows.selectExpr("cast(value as string) v").as[String]
+      .collect().sorted.head
+    assert(value.startsWith("""{"SlaveID":"s0","Hostname":"host-s0","Port":5051"""))
+    assert(value.contains(""""Metrics":{"k":1}"""))
+  }
+}

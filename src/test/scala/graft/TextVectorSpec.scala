@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.Similarity
+
+/** Text-analysis + vector-math unit checks on crafted fixtures. */
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId classifies real multilingual sentences") {
+    val df = Seq(
+      (1L, "the cat is on the roof of the house"),
+      (2L, "der hund und die katze das ist gut"),
+      (3L, "le chat et la maison les arbres est grand"),
+      (4L, "el perro y la casa los gatos es grande"),
+      (5L, "xyzzy qwerty plugh")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "fr")
+    assert(got(4L) === "es")
+    assert(got(5L) === "und")
+  }
+
+  test("token counts and quality signals") {
+    val df = Seq((1L, "the the the aa bb")).toDF("id", "text")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.stopwordRatio(col("text"), Seq("the", "a")),
+      TextFunctions.dupTokenRatio(col("text")),
+      TextFunctions.avgWordLen(col("text")))
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 === 5L)
+    assert(r._2 === 0.6)      // 3 of 5 are 'the'
+    assert(r._3 === 1.0 - 3.0 / 5.0) // 3 distinct of 5
+    assert(r._4 === 13.0 / 5.0)      // 13 chars over 5 tokens
+  }
+
+  test("cosine/dot/norm on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      round(VectorFunctions.cosine(col("a"), col("b")), 9))
+      .as[(Double, Double, Double)].collect()
+    assert(rows(0) === ((0.0, 1.0, 0.0)))
+    assert(rows(1) === ((10.0, math.sqrt(5.0), 1.0)))
+    assert(rows(2) === ((25.0, 5.0, 1.0)))
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f)),
+      (13L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("q_id", "q_emb")
+    val top = Similarity.cosineTopK(queries, corpus, 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(top.toSeq === Seq(10L, 11L, 12L))
+  }
+
+  test("multimodal stub: payload round-trip + deterministic features") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.extract(df, "text")
+    val r = out.select(
+      col("media_meta.n_bytes"),
+      expr("cast(payload as string)"),
+      size(col("features")))
+      .as[(Long, String, Int)].head()
+    assert(r._1 === 11L)
+    assert(r._2 === "hello world")
+    assert(r._3 === 8)
+    // determinism: same payload → same features
+    val f1 = out.select("features").as[Array[Float]].head().toSeq
+    val f2 = out.select("features").as[Array[Float]].head().toSeq
+    assert(f1 === f2)
+    assert(f1.forall(v => v >= 0.0f && v <= 1.0f))
+  }
+}
