@@ -89,34 +89,13 @@ object TextFunctions {
 
   /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
     * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).
-    * Pure Catalyst higher-order fold — one pass over the token array. */
+    * Backed by the graft.expressions.SimHash64 custom expression — one
+    * tight digest loop per row; the equivalent higher-order fold evaluated
+    * tokens×64 interpreted lambdas per document (measured 20 s+ over the
+    * sf0.1 corpus). */
   def simhash64(text: Column): Column = {
-    val ws = tokens(text)
-    // md5 hex (32 nibbles = 128 bits); use the first 16 nibbles = 64 bits.
-    // counts: array of 64 accumulators, +1 if bit set else -1.
-    val counts = aggregate(
-      ws,
-      array_repeat(lit(0), 64),
-      (acc, w) => {
-        val hexs = md5(w)
-        zip_with(acc, sequence(lit(0), lit(63)), (a, i) => {
-          // nibble = hex digit holding bit i; bit = (nibble >> (3-i%4)) & 1,
-          // written with arithmetic because shift builtins take Int-only
-          // shift amounts.
-          val nibble = conv(hexs.substr((i / 4 + 1).cast("int"), lit(1)), 16, 10)
-            .cast("int")
-          val exp = (lit(3) - pmod(i, lit(4))).cast("double")
-          val bit = pmod(floor(nibble.cast("double") / pow(lit(2.0), exp))
-            .cast("int"), lit(2))
-          a + when(bit === 1, 1).otherwise(-1)
-        })
-      })
-    // Fold sign bits into a long; positions unrolled in Scala so each shift
-    // amount is a compile-time constant (no runtime long shifts → no ANSI
-    // overflow paths).
-    (0 until 64).map { i =>
-      when(element_at(counts, i + 1) > 0, lit(1L << (63 - i)))
-        .otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.SimHash64(
+      Bridge.expression(tokens(text))))
   }
 }

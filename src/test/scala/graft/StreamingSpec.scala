@@ -119,6 +119,33 @@ class StreamingSpec extends SparkSpec {
     assert(actions.length === 4) // 'running' emits nothing
   }
 
+  test("S8 stream-stream join matches ticks to events within the time band") {
+    val ticks = MemoryStream[Tick]
+    val events = MemoryStream[(String, Timestamp, String)]
+    val evDf = events.toDF().toDF("slaveId", "ev_ts", "status")
+    val out = runQuery(Streams.streamStreamJoin(ticks.toDF(), evDf),
+      OutputMode.Append, "s8") { step =>
+      ticks.addData(Tick("s0", t(10), 1.0, "{}"),
+        Tick("s0", t(100), 2.0, "{}"),  // outside the ±30 s band
+        Tick("s1", t(12), 3.0, "{}"))   // different slave
+      events.addData(("s0", t(20), "running"))
+      step()
+    }
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("slaveId") === "s0")
+    assert(out.head.getAs[Timestamp]("tick_ts") === t(10))
+  }
+
+  test("A1 rate→tick projection yields the envelope source schema") {
+    val raw = Seq((new Timestamp(1000L), 7L)).toDF("timestamp", "value")
+    val ticks = Streams.rateToTicks(raw, 4).collect()
+    assert(ticks.length === 1)
+    val r = ticks.head
+    assert(r.getAs[String]("slaveId") === "slave-3")
+    assert(r.getAs[Double]("value") === 7.0)
+    assert(r.getAs[String]("props") === """{"seq": 7}""")
+  }
+
   test("S7 foreachBatch envelope sink commits per-batch parquet") {
     val dir = java.nio.file.Files.createTempDirectory("s7_sink").toString
     val in = MemoryStream[Tick]
