@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorFunctions
@@ -28,6 +29,50 @@ object Similarity {
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // queries: (q_id, q_emb), corpus: (vec_id, embedding)
     val sims = broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "sim")
+  }
+
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nCells` cells; each query probes only its
+    * `nProbe` nearest cells and reranks those candidates with the exact
+    * codegen'd cosine kernel. The classic sub-linear ANN layout: at 100 TB
+    * the corpus is written partitioned by cell_id, so a probe reads
+    * nProbe/nCells of the data — partition pruning does the work, and the
+    * rerank is cosineTopK's plan over a fraction of the corpus. Seeded and
+    * deterministic given the corpus. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val fc = corpus.withColumn("fvec", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fvec").setPredictionCol("cell_id")
+    val model = km.fit(fc)
+    val assigned = model.transform(fc).select(
+      col("vec_id"), col("embedding"), col("cell_id"))
+
+    // centroid table is tiny → broadcast; each query scores all centroids
+    // and keeps its nProbe nearest (by the same cosine kernel).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell_id", "centroid")
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(desc("c_sim"), asc("cell_id"))
+    val probed = broadcast(queries).crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        VectorFunctions.cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(probeW))
+      .filter(col("c_rnk") <= nProbe)
+      .select("q_id", "q_emb", "cell_id")
+
+    // rerank: exact cosine only inside the probed cells
+    val sims = probed.join(assigned, "cell_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim",
         round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 6))

@@ -177,6 +177,17 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "vec_id")
   }
 
+  /** q_sim_ivf — IVF ANN: k-means cells + probed exact rerank (the other
+    * classic sub-linear similarity layout next to LSH). Seeded k-means →
+    * rows-only check; recall vs exact top-k asserted in SimilaritySpec. */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.ivfTopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
   /** q_multimodal_decode — stubbed media decode → feature vector (schema +
     * batch shape are the real contract; decode body is the documented stub). */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
@@ -199,6 +210,7 @@ object LlmOps extends QueryFamily {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_ann" -> (qSimAnn _),
+    "q_sim_ivf" -> (qSimIvf _),
     "q_multimodal_decode" -> (qMultimodalDecode _))
 
   override val oracle: Map[String, String] = Map(
