@@ -4,12 +4,13 @@ import java.io.ByteArrayOutputStream
 import scala.collection.concurrent.TrieMap
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-import org.apache.avro.io.EncoderFactory
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Offline stand-in for the Confluent Schema Registry: deterministic ids
@@ -90,5 +91,66 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String,
   }
 
   override protected def withNewChildInternal(newChild: Expression): ConfluentAvroEncode =
+    copy(child = newChild)
+}
+
+/** Inverse of [[ConfluentAvroEncode]]: strip the Confluent frame (assert
+  * magic 0x00, read the BE int32 schema id) and decode the Avro body back
+  * into a struct — the consumer side of the reference's wire format
+  * (/root/reference/Godeps/_workspace/src/github.com/elodina/go-kafka-avro/avro_encoder_decoder.go:81-105).
+  * Frames whose schema id differs from `schemaId` (or with a bad magic
+  * byte) decode to null, mirroring the decoder's error posture. */
+case class ConfluentAvroDecode(child: Expression, schemaJson: String,
+    schemaId: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+
+  override def dataType: DataType = StructType(
+    scala.jdk.CollectionConverters.ListHasAsScala(schema.getFields)
+      .asScala.toSeq.map { f =>
+      val t = f.schema().getType match {
+        case Schema.Type.STRING => StringType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.LONG => LongType
+        case Schema.Type.BYTES => BinaryType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.BOOLEAN => BooleanType
+        case other =>
+          throw new IllegalArgumentException(s"unsupported avro type $other")
+      }
+      StructField(f.name(), t, nullable = false)
+    })
+  override def nullable: Boolean = true
+  override def prettyName: String = "confluent_avro_decode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length < 5 || bytes(0) != 0) return null
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    if (id != schemaId) return null
+    val dec = DecoderFactory.get()
+      .binaryDecoder(bytes, 5, bytes.length - 5, null)
+    val rec = reader.read(null, dec)
+    val fields = schema.getFields
+    val out = new Array[Any](fields.size())
+    var i = 0
+    while (i < fields.size()) {
+      out(i) = rec.get(i) match {
+        case s: org.apache.avro.util.Utf8 => UTF8String.fromString(s.toString)
+        case s: String => UTF8String.fromString(s)
+        case b: java.nio.ByteBuffer =>
+          val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+        case v => v
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ConfluentAvroDecode =
     copy(child = newChild)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{MapType, StringType, LongType}
-import graft.expressions.{ConfluentAvroEncode, SchemaRegistryStub}
+import graft.expressions.{ConfluentAvroDecode, ConfluentAvroEncode, SchemaRegistryStub}
 
 /** The reference's output data path, rebuilt Spark-first: envelope
   * projection → serialization (JSON or Confluent-framed Avro) → keyed
@@ -71,6 +71,13 @@ object EnvelopeSink {
       org.apache.spark.sql.graft.Bridge.expression(env),
       schemaJson, schemaId))
   }
+
+  /** Consumer-side inverse: strip the Confluent frame and decode the Avro
+    * body back into the envelope struct (the reference's KafkaAvroDecoder). */
+  def fromAvroValue(value: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(ConfluentAvroDecode(
+      org.apache.spark.sql.graft.Bridge.expression(value),
+      schemaJson, schemaId))
 
   /** Kafka-shaped sink rows: (key = SlaveID bytes, value = serialized
     * envelope bytes) — the producer-record contract

@@ -60,6 +60,43 @@ class EnvelopeSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("Confluent Avro round-trip: decode(encode(envelope)) == envelope") {
+    val decoded = EnvelopeSink.kafkaRows(envelopeDf, "avro")
+      .withColumn("env", EnvelopeSink.fromAvroValue(col("value")))
+      .select(
+        col("env.SlaveID"), col("env.Hostname"), col("env.Port"),
+        col("env.Namespace"), col("env.Timestamp"),
+        expr("cast(env.Metrics as string)"))
+      .as[(String, String, Int, String, Long, String)].head()
+    assert(decoded === (("slave-8", "host-3", 5051, "prod",
+      1437047650000000L * 1000, """{"k":87}""")))
+  }
+
+  test("Confluent Avro decode rejects bad magic and foreign schema ids") {
+    val rows = Seq(
+      Array[Byte](1, 0, 0, 0, 1, 42),         // wrong magic
+      Array[Byte](0, 9, 9, 9, 9, 42),         // foreign schema id
+      Array[Byte](0, 1)                       // truncated frame
+    ).toDF("value")
+    val nulls = rows.select(EnvelopeSink.fromAvroValue(col("value")).as("env"))
+      .filter(col("env").isNull).count()
+    assert(nulls === 3)
+  }
+
+  test("HTTP snapshot scan: fetch per target, empty payload on error") {
+    import graft.sources.{HttpSnapshotScan, SnapshotTarget}
+    val targets = Seq(
+      SnapshotTarget("s0", "host0", 5051),
+      SnapshotTarget("s1", "bad-host", 5051)).toDS()
+    val out = HttpSnapshotScan.scan(targets, url =>
+        if (url.contains("host0")) """{"slave/cpus_total": 4.0}"""
+        else throw new RuntimeException("connection refused"))
+      .select(col("slaveId"), col("metrics"))
+      .as[(String, Map[String, Double])].collect().toMap
+    assert(out("s0") === Map("slave/cpus_total" -> 4.0))
+    assert(out("s1") === Map.empty[String, Double]) // error → empty, tick kept
+  }
+
   test("schema registry stub: deterministic id, register-once semantics") {
     val a = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
     val b = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
