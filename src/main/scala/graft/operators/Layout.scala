@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout mechanics for 100 TB operation (SURVEY.md §4.2): the
+  * techniques that keep the big joins/aggregations from shuffling the fact
+  * table — bucketing for co-located joins, salting for skewed keys,
+  * partitioned layout for pruning. Verified at plan level in LayoutSpec.
+  */
+object Layout {
+
+  /** Persist a table bucketed+sorted by its join key. Two tables bucketed
+    * the same way join with ZERO exchange — at 100 TB this converts the
+    * nightly fact⋈fact join from a full-cluster shuffle into a local merge
+    * per bucket. (Parquet + catalog table; bucket metadata lives in the
+    * metastore.) */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Persist partitioned by a low-cardinality column (e.g. event date):
+    * predicate on the partition column prunes directories before any IO. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Skew-safe join of a fact table against a dimension when a handful of
+    * fact keys dominate: the fact side gets a deterministic salt derived
+    * from `saltSource` (any well-distributed fact column), the dim side is
+    * exploded `salts`× so every (key, salt) pair still matches. The hot
+    * key's rows now spread over `salts` reducers instead of one straggler.
+    * Result set is identical to the unsalted join (verified in LayoutSpec).
+    * AQE's skew-join split handles moderate skew automatically; explicit
+    * salting is for the pathological keys AQE cannot split (e.g. a single
+    * key bigger than an executor). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase aggregation with an explicit salt: partial per (key, salt),
+    * final per key. Spark's hash aggregate already does map-side partials;
+    * the explicit form is for aggregations where a single group's partial
+    * state itself is too big for one reducer (giant distinct sets, huge
+    * collect_list) — the salt bounds per-reducer state. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      saltSource: Column, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial_sum"),
+        count(lit(1)).as("_partial_n"))
+      .groupBy(col(key))
+      .agg(sum("_partial_sum").as("sum_value"), sum("_partial_n").as("n"))
+}
