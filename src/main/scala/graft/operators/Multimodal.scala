@@ -47,4 +47,39 @@ object Multimodal {
   def extract(df: DataFrame, textCol: String): DataFrame =
     withPayload(df, textCol)
       .withColumn("features", decodeFeaturesStub(col("payload")))
+
+  /** STUB frame sampler: every `stride`-th fixed-size window of the payload
+    * becomes one "frame" row (frame_idx, byte offset, frame bytes) — the
+    * video → frames explode. The schema and explode shape are the real
+    * contract; a production decoder replaces the byte-window slicing with
+    * codec output. One narrow explode, no shuffle; at 100 TB the frames
+    * inherit the payload's partitioning. */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 16,
+      stride: Int = 4): DataFrame = {
+    val nFrames = greatest(
+      floor((length(col("payload")) - frameBytes) / (frameBytes * stride))
+        .cast("int") + 1, lit(0))
+    df.withColumn("frame", explode(transform(
+        sequence(lit(0), nFrames - 1),
+        i => {
+          val off = i * (frameBytes * stride) + 1
+          struct(
+            i.as("frame_idx"),
+            (off - 1).cast("long").as("byte_offset"),
+            // substring works positionally on binary payloads
+            col("payload").substr(off, lit(frameBytes)).as("bytes"))
+        })))
+      .select(df.columns.map(col) :+ col("frame.frame_idx")
+        :+ col("frame.byte_offset") :+ col("frame.bytes").as("frame_bytes"): _*)
+  }
+
+  /** STUB resize: recompute the feature vector at a different "resolution"
+    * (dim count) from the same digest — stands in for image resize +
+    * re-embed. Deterministic; schema `array<float>` of `dims`. */
+  def resizeFeaturesStub(payload: Column, dims: Int): Column = {
+    val digest = sha2(payload, 512)
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (conv(digest.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10)
+        .cast("double") / 255.0).cast("float"))
+  }
 }

@@ -107,7 +107,23 @@ object Aggregations extends QueryFamily {
         min(col("value")).as("min_value"))
       .orderBy("user_id")
 
+  /** q_agg_percentile — exact median/quartiles per group (Spark
+    * `percentile` and DuckDB `quantile_cont` both linear-interpolate —
+    * verified bit-identical on interpolated values). The 100 TB path swaps
+    * in `approx_percentile` (t-digest) the same way q_agg_approx shadows
+    * countDistinct. */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("med_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx" -> (qAggApprox _),
@@ -117,6 +133,13 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -44,6 +44,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("as-of join is the single-shuffle union+window plan, no join explosion") {
+    val df = graft.queries.Joins.qJoinAsof(spark, sf)
+    val p = planString(df)
+    // union+window formulation: no physical join operator at all, and only
+    // the window partitioning + final orderBy exchanges — never a per-event
+    // candidate join
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected one hash exchange, plan:\n$p")
+  }
+
   test("semi/anti joins stay semi/anti at the physical level") {
     val semi = planString(graft.queries.Joins.qJoinSemi(spark, sf))
     assert(semi.contains("LeftSemi"), semi)

@@ -68,6 +68,32 @@ class TextVectorSpec extends SparkSpec {
     assert(top.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("multimodal frame sampling: offsets, strides, and frame bytes") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ-_!?"))
+      .toDF("doc_id", "text")
+    val frames = graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.withPayload(df, "text"),
+      frameBytes = 8, stride = 2)
+      .select(col("frame_idx"), col("byte_offset"),
+        expr("cast(frame_bytes as string)"))
+      .as[(Int, Long, String)].collect().sortBy(_._1)
+    // 66-byte payload, 8-byte frames every 16 bytes → frames at 0,16,32,48
+    assert(frames.map(_._2).toSeq === Seq(0L, 16L, 32L, 48L))
+    assert(frames.head._3 === "abcdefgh")
+    assert(frames(1)._3 === "qrstuvwx")
+    assert(frames.forall(_._3.length === 8))
+  }
+
+  test("multimodal resize stub: requested dims, deterministic, in range") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.withPayload(df, "text")
+      .select(graft.operators.Multimodal
+        .resizeFeaturesStub(col("payload"), 16).as("f"))
+      .as[Array[Float]].head()
+    assert(out.length === 16)
+    assert(out.forall(v => v >= 0.0f && v <= 1.0f))
+  }
+
   test("multimodal stub: payload round-trip + deterministic features") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
     val out = graft.operators.Multimodal.extract(df, "text")
