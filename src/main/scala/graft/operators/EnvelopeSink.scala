@@ -72,6 +72,19 @@ object EnvelopeSink {
       schemaJson, schemaId))
   }
 
+  /** Topic-shaped persistent sink: kafka rows land in `nPartitions`
+    * directories with partition = pmod(hash(key), n) — the engine analog of
+    * the reference's hash partitioner choosing the topic partition
+    * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/partitioner.go:27-44).
+    * All rows for one key land in one partition (ordering per key, like
+    * Kafka); `repartition` on the partition id makes each output dir a
+    * single task's write at any scale. */
+  def writeTopicLike(rows: DataFrame, path: String, nPartitions: Int): Unit =
+    rows
+      .withColumn("partition", pmod(hash(col("key")), lit(nPartitions)))
+      .repartition(col("partition"))
+      .write.mode("overwrite").partitionBy("partition").parquet(path)
+
   /** Consumer-side inverse: strip the Confluent frame and decode the Avro
     * body back into the envelope struct (the reference's KafkaAvroDecoder). */
   def fromAvroValue(value: Column): Column =

@@ -97,6 +97,25 @@ class EnvelopeSpec extends SparkSpec {
     assert(out("s1") === Map.empty[String, Double]) // error → empty, tick kept
   }
 
+  test("topic-like sink: every key's rows land in its hash partition") {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
+    val events = Tables.events(spark, sf)
+    val rows = EnvelopeSink.kafkaRows(events, "none")
+    val dir = java.nio.file.Files.createTempDirectory("topic_sink").toString
+    EnvelopeSink.writeTopicLike(rows, dir, 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === events.count())
+    // layout invariant: the directory a row lives in IS its key's hash bucket
+    val misplaced = back.filter(
+      col("partition") =!= pmod(hash(col("key")), lit(8))).count()
+    assert(misplaced === 0)
+    // partitions are the hash range (an empty bucket is legitimate for the
+    // small fixture key population)
+    val parts = back.select("partition").distinct()
+      .as[Int].collect().sorted
+    assert(parts.forall(p => p >= 0 && p < 8) && parts.length >= 6, parts.toSeq)
+  }
+
   test("schema registry stub: deterministic id, register-once semantics") {
     val a = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
     val b = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
