@@ -133,6 +133,20 @@ object ScalarFuncs extends QueryFamily {
           .as("canonical"))
       .orderBy("event_id")
 
+  /** q_json_variant — Spark 4 VariantType path for fully-dynamic JSON
+    * (SURVEY §1.2): parse once into the binary variant encoding, then typed
+    * path extraction and canonical re-serialization. This is the engine's
+    * schema-on-read answer when payload keys are unknown at compile time
+    * (the reference's `map[string]interface{}` decode,
+    * /root/reference/syscol/metrics_reporter.go:125). */
+  def qJsonVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("vk"),
+        expr("cast(parse_json(props) as string)").as("vjson"))
+      .orderBy("event_id")
+
   /** q_hash_funcs — algorithm-defined digests over document text.
     * Root: A7 (Confluent framing hashes/ids) + A11 (keyed partitioning,
     * /root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/partitioner.go:27-44).
@@ -165,6 +179,7 @@ object ScalarFuncs extends QueryFamily {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_funcs" -> (qJsonFuncs _),
+    "q_json_variant" -> (qJsonVariant _),
     "q_hash_funcs" -> (qHashFuncs _),
     "q_hash_partition" -> (qHashPartition _))
 
@@ -227,6 +242,11 @@ object ScalarFuncs extends QueryFamily {
         |  json_extract_string(props, '$.k') AS k_str,
         |  length(props) AS raw_len,
         |  CAST(json_extract(props, '$') AS VARCHAR) AS canonical
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
+        |  CAST(json_extract(props, '$') AS VARCHAR) AS vjson
         |FROM events ORDER BY event_id""".stripMargin,
     "q_hash_funcs" ->
       """SELECT doc_id,
