@@ -122,7 +122,20 @@ object Aggregations extends QueryFamily {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** q_agg_collect — array-collecting aggregation: per-nation sorted key
+    * list + distinct segment set (sorted for cross-engine determinism —
+    * collect order is partition-dependent, the sort makes it canonical). */
+  def qAggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        sort_array(collect_list(col("c_custkey"))).as("custkeys"),
+        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -133,6 +146,12 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(c_custkey)) AS custkeys,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,

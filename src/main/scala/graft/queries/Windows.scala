@@ -79,6 +79,19 @@ object Windows extends QueryFamily {
       .orderBy("c_mktsegment", "rn")
   }
 
+  /** q_window_dist — distribution window functions: ntile buckets,
+    * percent_rank, cume_dist per market segment by balance. */
+  def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, dir).select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** q_sort_limit — global order-by + limit (TakeOrderedAndProject). */
   def qSortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -90,6 +103,7 @@ object Windows extends QueryFamily {
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_window_frame" -> (qWindowFrame _),
+    "q_window_dist" -> (qWindowDist _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sort_limit" -> (qSortLimit _))
 
@@ -117,6 +131,14 @@ object Windows extends QueryFamily {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q_topk_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
