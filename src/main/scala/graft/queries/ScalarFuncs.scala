@@ -160,6 +160,48 @@ object ScalarFuncs extends QueryFamily {
         length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
 
+  /** q_pivot — pivoted conditional aggregation: per-nation customer counts
+    * by market segment as columns (Spark `pivot` plans the same single
+    * hash-aggregate as the CASE formulation the oracle uses). */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0L, segs)
+      .orderBy("c_nationkey")
+  }
+
+  /** q_explode_tokens — table-generating positional explode (posexplode):
+    * one row per (doc, position, token). Bounded to the first docs so the
+    * output stays a correctness fixture, not a data dump. */
+  def qExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  /** q_null_funcs — null-handling family: coalesce / nullif / nvl2-shape /
+    * null-safe equality over the full-outer join's null-extended rows. */
+  def qNullFuncs(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = Tables.supplier(s, dir).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sp, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        nullif(col("n_cust"), lit(0L)).as("cust_or_null"),
+        when(col("n_supp").isNull, lit("no_suppliers"))
+          .otherwise(lit("has_suppliers")).as("supp_status"),
+        (col("c_nationkey") <=> col("s_nationkey")).as("both_present"))
+      .orderBy("nationkey")
+  }
+
   /** q_hash_partition — partition assignment analog of the reference's
     * FNV-1a producer partitioner (A11): partition = pmod(hash(key), n).
     * Spark's Murmur3 `hash` is engine-defined, so this is registered without
@@ -180,6 +222,9 @@ object ScalarFuncs extends QueryFamily {
     "q_map_funcs" -> (qMapFuncs _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_json_variant" -> (qJsonVariant _),
+    "q_pivot" -> (qPivot _),
+    "q_explode_tokens" -> (qExplodeTokens _),
+    "q_null_funcs" -> (qNullFuncs _),
     "q_hash_funcs" -> (qHashFuncs _),
     "q_hash_partition" -> (qHashPartition _))
 
@@ -243,6 +288,36 @@ object ScalarFuncs extends QueryFamily {
         |  length(props) AS raw_len,
         |  CAST(json_extract(props, '$') AS VARCHAR) AS canonical
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_nationkey,
+        |  COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+        |  COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+        |  COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+        |  COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+        |  COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT doc_id, i - 1 AS pos, ws[i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |      FROM documents WHERE doc_id < 10),
+        |  range(1, 1000) t(i)
+        |WHERE i <= len(ws)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT
+        |  COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(n_supp, 0) AS n_supp,
+        |  NULLIF(n_cust, 0) AS cust_or_null,
+        |  CASE WHEN n_supp IS NULL THEN 'no_suppliers'
+        |       ELSE 'has_suppliers' END AS supp_status,
+        |  c_nationkey IS NOT DISTINCT FROM s_nationkey AS both_present
+        |FROM
+        |  (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN
+        |  (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_json_variant" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS vk,
