@@ -122,6 +122,22 @@ object Joins extends QueryFamily {
       .orderBy("event_id")
   }
 
+  /** q_subquery_avg — customers above their nation's average balance: the
+    * correlated-scalar-subquery shape, expressed as a window aggregate
+    * (Catalyst's own decorrelation produces the same single-shuffle
+    * partition-aggregate plan). Threshold computed in exact decimal so the
+    * comparison is order-independent in both engines. */
+  def qSubqueryAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+    val natAvg = (sum(col("c_acctbal").cast("decimal(18,2)")).over(w) /
+      count(lit(1)).over(w)).cast("double")
+    Tables.customer(s, dir)
+      .withColumn("nation_avg", natAvg)
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   /** q_join_multiway — 5-way star join, TPC-H Q5 shape (ASIA, 1996). */
   def qJoinMultiway(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -152,6 +168,7 @@ object Joins extends QueryFamily {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_subquery_avg" -> (qSubqueryAvg _),
     "q_join_multiway" -> (qJoinMultiway _))
 
   override val oracle: Map[String, String] = Map(
@@ -201,6 +218,12 @@ object Joins extends QueryFamily {
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
         |) o ON true
         |ORDER BY e.event_id""".stripMargin,
+    "q_subquery_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_join_multiway" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

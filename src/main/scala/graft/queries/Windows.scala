@@ -92,6 +92,43 @@ object Windows extends QueryFamily {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** q_resample_ffill — time-series resampling with forward fill: every
+    * (user, day) grid cell carries the user's last event value at-or-before
+    * the end of that day — the canonical gap-filling consumer of syscol's
+    * metric stream (counters sampled to a regular grid). Same union+window
+    * formulation as q_join_asof: ONE shuffle on user_id, one partition-local
+    * sort, no per-cell candidate join — survives any grid × corpus scale. */
+  def qResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val ev = events.select(
+      col("user_id"), col("ts").as("t"), lit(0).as("side"),
+      col("event_id"), col("value"),
+      lit(null).cast("timestamp").as("day_start"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(timestamp'2024-01-01', timestamp'2024-01-30', interval 1 day)"))
+        .as("day_start")))
+      // probe at end-of-day: events at exactly the next midnight belong to
+      // the next cell
+      .select(col("user_id"),
+        (col("day_start") + expr("INTERVAL 1 DAY") -
+          expr("INTERVAL 1 MICROSECOND")).as("t"),
+        lit(1).as("side"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"), col("day_start"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(
+      when(col("side") === 0, struct(col("event_id"), col("value"))),
+      ignoreNulls = true).over(w)
+    ev.unionByName(grid)
+      .withColumn("m", matched)
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("day_start").cast("date").as("day"),
+        col("m.value").as("last_value"), col("m.event_id").as("last_event"))
+      .orderBy("user_id", "day")
+  }
+
   /** q_sort_limit — global order-by + limit (TakeOrderedAndProject). */
   def qSortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -104,6 +141,7 @@ object Windows extends QueryFamily {
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_window_frame" -> (qWindowFrame _),
     "q_window_dist" -> (qWindowDist _),
+    "q_resample_ffill" -> (qResampleFfill _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sort_limit" -> (qSortLimit _))
 
@@ -139,6 +177,22 @@ object Windows extends QueryFamily {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH days AS (
+        |  SELECT d AS day_start
+        |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |    INTERVAL 1 DAY) t(d)),
+        |grid AS (
+        |  SELECT u.user_id, days.day_start,
+        |    days.day_start + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS probe
+        |  FROM (SELECT DISTINCT user_id FROM events) u, days)
+        |SELECT g.user_id, CAST(g.day_start AS DATE) AS day,
+        |  o.value AS last_value, o.event_id AS last_event
+        |FROM grid g LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events e
+        |  WHERE e.user_id = g.user_id AND CAST(e.ts AS TIMESTAMP) <= g.probe
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) o ON true
+        |ORDER BY g.user_id, day""".stripMargin,
     "q_topk_group" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
