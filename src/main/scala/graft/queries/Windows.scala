@@ -129,6 +129,26 @@ object Windows extends QueryFamily {
       .orderBy("user_id", "day")
   }
 
+  /** q_sessionize — batch sessionization: events more than 30 minutes
+    * apart start a new session; session_id = running count of gap-breaks
+    * per user. Two stacked windows over the SAME (user_id, ts) ordering —
+    * one shuffle, one sort, both windows computed in a single pass. The
+    * streaming analog is S3 (session_window). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapBreak = when(
+      unix_micros(col("ts")) -
+        unix_micros(lag("ts", 1).over(byTime)) > 30L * 60 * 1000000, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .withColumn("new_session", gapBreak)
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+  }
+
   /** q_sort_limit — global order-by + limit (TakeOrderedAndProject). */
   def qSortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -142,6 +162,7 @@ object Windows extends QueryFamily {
     "q_window_frame" -> (qWindowFrame _),
     "q_window_dist" -> (qWindowDist _),
     "q_resample_ffill" -> (qResampleFfill _),
+    "q_sessionize" -> (qSessionize _),
     "q_topk_group" -> (qTopkGroup _),
     "q_sort_limit" -> (qSortLimit _))
 
@@ -177,6 +198,19 @@ object Windows extends QueryFamily {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      epoch_us(LAG(CAST(ts AS TIMESTAMP), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session,
+        |    ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM flagged ORDER BY event_id""".stripMargin,
     "q_resample_ffill" ->
       """WITH days AS (
         |  SELECT d AS day_start

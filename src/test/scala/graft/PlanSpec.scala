@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected one hash exchange, plan:\n$p")
   }
 
+  test("resample/sessionize are single-shuffle window plans, no joins") {
+    for (df <- Seq(graft.queries.Windows.qResampleFfill(spark, sf),
+        graft.queries.Windows.qSessionize(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Window"), p)
+    }
+  }
+
   test("semi/anti joins stay semi/anti at the physical level") {
     val semi = planString(graft.queries.Joins.qJoinSemi(spark, sf))
     assert(semi.contains("LeftSemi"), semi)
