@@ -43,6 +43,34 @@ object Layout {
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * `targetFiles` right-sized files. Streaming micro-batch sinks and
+    * over-parallel writes accumulate thousands of tiny files; at 100 TB the
+    * file count (not the bytes) becomes the scan-planning and
+    * namenode/listing bottleneck — periodic compaction is table
+    * maintenance, not an optimization. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int): Unit = {
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** Keyed upsert (merge): rows from `updates` replace base rows with the
+    * same key; unmatched base rows survive, new keys append. The engine's
+    * batch analog of the reference's config upsert semantics — and the
+    * merge shape a snapshot+increment pipeline runs nightly. One anti-join
+    * (same shuffle key as the union write) — no row-by-row driver logic. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** Two-phase aggregation with an explicit salt: partial per (key, salt),
     * final per key. Spark's hash aggregate already does map-side partials;
     * the explicit form is for aggregations where a single group's partial

@@ -69,6 +69,36 @@ class LayoutSpec extends SparkSpec {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("compaction collapses small files without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    df.repartition(32).write.mode("overwrite").parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // decimal sum: order-independent, so it survives the repartition
+    def dsum() = spark.read.parquet(dir)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    val before = files()
+    val sumBefore = dsum()
+    Layout.compact(spark, dir, 2)
+    assert(files() === 2 && before > 2, s"before=$before after=${files()}")
+    assert(dsum() === sumBefore)
+    assert(spark.read.parquet(dir).count() === df.count())
+  }
+
+  test("upsert: updates win, unmatched base survives, new keys append") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    val merged = Layout.upsert(base, updates, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(merged === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // idempotent: re-applying the same updates changes nothing
+    val again = Layout.upsert(Layout.upsert(base, updates, "k"), updates, "k")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(again === merged)
+  }
+
   test("partitioned layout prunes directories on the partition predicate") {
     val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
     val df = Tables.events(spark, sf)
