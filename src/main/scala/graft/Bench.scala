@@ -21,6 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Timing via count(): Catalyst prunes the final total-order `orderBy`
+    // every registered query carries for ORACLE determinism (a range
+    // exchange that is comparison plumbing, not workload). A `noop`-sink
+    // run (full plan incl. those sorts) measured ~7x higher uniformly —
+    // same ranking, inflated by sort cost no real consumer pays. Column
+    // pruning slightly understates scan width; noted and accepted.
     def run(name: String): Option[String] =
       try { SparkEntry.queries(name)(spark, sfDir).count(); None }
       catch { case e: Throwable =>
