@@ -68,6 +68,25 @@ class TextVectorSpec extends SparkSpec {
     assert(top.toSeq === Seq(10L, 11L, 12L))
   }
 
+  test("typed Aggregators: weighted mean and range agg, grouped and whole") {
+    import org.apache.spark.sql.functions.udaf
+    val wm = udaf(new graft.functions.TypedAggregators.WeightedMean)
+    val df = Seq(
+      ("a", 10.0, 1.0), ("a", 20.0, 3.0), // wmean = (10+60)/4 = 17.5
+      ("b", 5.0, 2.0)
+    ).toDF("k", "v", "w")
+    val got = df.groupBy("k")
+      .agg(wm(col("v"), col("w")).as("wmean"))
+      .orderBy("k").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 17.5), ("b", 5.0)))
+
+    val range = udaf(new graft.functions.TypedAggregators.RangeAgg)
+    val r = Seq(3.0, 9.0, 1.0).toDF("v")
+      .agg(range(col("v")).as("r"))
+      .select(col("r._1"), col("r._2")).as[(Double, Long)].head()
+    assert(r === ((8.0, 3L)))
+  }
+
   test("multimodal frame sampling: offsets, strides, and frame bytes") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ-_!?"))
       .toDF("doc_id", "text")
