@@ -62,6 +62,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("ngram jaccard stop-shingle guard drops only high-df shingles") {
+    // Shingle df in the fixture: prefixes shared by docs 0/1/2/4 have df=4;
+    // the '…lazy dog' tail shingles live only in the identical docs 0/1/4
+    // (df=3); docs 2 and 3 have df≤1 uniques.
+    // guard=3: df-4 shingles drop → the near-dup pair (0,2) loses all its
+    // common shingles, but the exact dups still pair on the df-3 tail.
+    val g3 = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2,
+      maxShingleDf = 3).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(g3 === Set((0L, 1L), (0L, 4L), (1L, 4L)))
+    // guard=2: every shared shingle is dropped → no candidate pairs at all
+    val g2 = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2,
+      maxShingleDf = 2)
+    assert(g2.count() === 0)
+    // no guard: the near-dup pair (0,2) is present too
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(all.contains((0L, 2L)) && g3.subsetOf(all))
+  }
+
   test("fingerprint is deterministic and equal for identical docs") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.minhashBand(TextFunctions.wordShingles(col("text"), 3), 0)

@@ -116,6 +116,25 @@ class EnvelopeSpec extends SparkSpec {
     assert(parts.forall(p => p >= 0 && p < 8) && parts.length >= 6, parts.toSeq)
   }
 
+  test("end-to-end pipeline: events → avro topic dirs → decode → original") {
+    // the full reference data path and its inverse, over real fixture data
+    val events = Tables.events(spark, sf)
+    val rows = EnvelopeSink.kafkaRows(events, "avro")
+    val dir = java.nio.file.Files.createTempDirectory("e2e_topic").toString
+    EnvelopeSink.writeTopicLike(rows, dir, 4)
+    val decoded = spark.read.parquet(dir)
+      .withColumn("env", EnvelopeSink.fromAvroValue(col("value")))
+      .select(col("env.SlaveID").as("slave"), col("env.Timestamp").as("ts_ns"))
+    assert(decoded.count() === events.count())
+    assert(decoded.filter(col("slave").isNull).count() === 0)
+    // every decoded envelope maps back to a source (user, ts) pair
+    val src = events.select(
+      concat(lit("slave-"), col("user_id")).as("slave"),
+      (unix_micros(col("ts")) * 1000).as("ts_ns"))
+    assert(decoded.exceptAll(src).count() === 0)
+    assert(src.exceptAll(decoded).count() === 0)
+  }
+
   test("schema registry stub: deterministic id, register-once semantics") {
     val a = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
     val b = SchemaRegistryStub.register("SlaveMetrics-value", EnvelopeSink.schemaJson)
