@@ -138,6 +138,21 @@ object Streams {
       (col("value") % 100).cast("double").as("value"),
       concat(lit("{\"seq\": "), col("value"), lit("}")).as("props"))
 
+  /** A1 (replay) — stream pre-captured snapshots from a parquet directory:
+    * the offline twin of the live poll loop. Spark's file source tails the
+    * directory (new files become micro-batches), so a capture can be
+    * replayed through exactly the envelope/sink pipeline the live stream
+    * uses. `maxFilesPerTrigger=1` paces the replay file-by-file. */
+  def replayEvents(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .select(
+        concat(lit("slave-"), col("user_id")).as("slaveId"),
+        col("ts"), col("value"), col("props"))
+
   /** S8 — watermark-bounded stream-stream join: each tick joined to task
     * lifecycle events for the same slave within a ±30 s event-time band.
     * Both sides carry watermarks so the join state is bounded — the

@@ -136,6 +136,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Timestamp]("tick_ts") === t(10))
   }
 
+  test("A1 replay source streams a captured parquet dir through the pipeline") {
+    val capture = java.nio.file.Files.createTempDirectory("replay_src").toString
+    val events = Tables.events(spark, sf).limit(20)
+    events.write.mode("overwrite").parquet(capture)
+    val schema = spark.read.parquet(capture).schema
+    val replay = Streams.replayEvents(spark, capture, schema)
+    assert(replay.isStreaming)
+    val q = replay.writeStream.format("memory").queryName("replay_out")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("replay_out")
+    assert(out.count() === 20)
+    assert(out.columns.toSeq === Seq("slaveId", "ts", "value", "props"))
+    assert(out.filter(org.apache.spark.sql.functions.col("slaveId")
+      .startsWith("slave-")).count() === 20)
+  }
+
   test("A1 rate→tick projection yields the envelope source schema") {
     val raw = Seq((new Timestamp(1000L), 7L)).toDF("timestamp", "value")
     val ticks = Streams.rateToTicks(raw, 4).collect()
