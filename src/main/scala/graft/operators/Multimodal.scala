@@ -69,7 +69,7 @@ object Multimodal {
             // substring works positionally on binary payloads
             col("payload").substr(off, lit(frameBytes)).as("bytes"))
         })))
-      .select(df.columns.map(col) :+ col("frame.frame_idx")
+      .select(df.columns.toIndexedSeq.map(col) :+ col("frame.frame_idx")
         :+ col("frame.byte_offset") :+ col("frame.bytes").as("frame_bytes"): _*)
   }
 
