@@ -134,7 +134,30 @@ object Aggregations extends QueryFamily {
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
+  /** q_agg_stats — variance/stddev computed order-independently: sums and
+    * sums-of-squares accumulate in exact decimal, the variance formula
+    * ((ss - s²/n)/(n-1)) runs in double only at the end — identical IEEE
+    * ops on both engines, unlike the built-in var_samp whose streaming
+    * accumulation is float-order-dependent. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("s"),
+        sum(q * q).cast("double").as("ss"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_hash" -> (qAggHash _),
@@ -146,6 +169,16 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (ss - s * s / n) / (n - 1) AS var_qty,
+        |  sqrt((ss - s * s / n) / (n - 1)) AS std_qty
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT c_nationkey,
         |  list_sort(list(c_custkey)) AS custkeys,

@@ -47,6 +47,20 @@ object ScalarFuncs extends QueryFamily {
         lpad(col("c_custkey").cast("string"), 10, "0").as("id_pad"))
       .orderBy("c_custkey")
 
+  /** q_str_funcs2 — second string family: translate/reverse/repeat/
+    * instr/left/regexp group extraction. */
+  def qStrFuncs2(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        translate(col("s_name"), "Sup", "Zyx").as("translated"),
+        reverse(col("s_name")).as("reversed"),
+        repeat(expr("right(s_name, 2)"), 3).as("repeated"),
+        instr(col("s_name"), "#").cast("long").as("hash_pos"),
+        expr("left(s_name, 8)").as("prefix8"),
+        regexp_extract(col("s_name"), "([0-9]+)", 1).as("num_part"))
+      .orderBy("s_suppkey")
+
   /** q_date_funcs — extract/trunc/diff on order dates. */
   def qDateFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -216,6 +230,7 @@ object ScalarFuncs extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_funcs" -> (qStrFuncs _),
+    "q_str_funcs2" -> (qStrFuncs2 _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
@@ -240,6 +255,15 @@ object ScalarFuncs extends QueryFamily {
         |  length(c_name) AS name_len,
         |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS id_pad
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_str_funcs2" ->
+      """SELECT s_suppkey,
+        |  translate(s_name, 'Sup', 'Zyx') AS translated,
+        |  reverse(s_name) AS reversed,
+        |  repeat(right(s_name, 2), 3) AS repeated,
+        |  strpos(s_name, '#') AS hash_pos,
+        |  left(s_name, 8) AS prefix8,
+        |  regexp_extract(s_name, '([0-9]+)', 1) AS num_part
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_date_funcs" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS o_year,

@@ -47,13 +47,38 @@ object SetOps extends QueryFamily {
     c.except(sp).orderBy("nk")
   }
 
+  /** q_union_byname — schema-evolved union: two relations with overlapping
+    * but different columns, aligned by NAME with nulls for the missing side
+    * (Spark `unionByName(allowMissingColumns)` ≡ DuckDB UNION ALL BY NAME).
+    * The shape every multi-source ingest pipeline hits when schemas drift. */
+  def qUnionByName(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.customer(s, dir).select(
+      lit("cust").as("src"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val sp = graft.Tables.supplier(s, dir).select(
+      lit("supp").as("src"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_nationkey").as("nk"))
+    c.unionByName(sp, allowMissingColumns = true)
+      .orderBy("src", "id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_byname" -> (qUnionByName _),
     "q_union" -> (qUnion _),
     "q_union_distinct" -> (qUnionDistinct _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _))
 
   override val oracle: Map[String, String] = Map(
+    "q_union_byname" ->
+      """SELECT * FROM (
+        |  SELECT 'cust' AS src, c_custkey AS id, c_name AS name, c_acctbal AS bal
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT 'supp' AS src, s_suppkey AS id, s_name AS name, s_nationkey AS nk
+        |  FROM supplier)
+        |ORDER BY src, id""".stripMargin,
     "q_union" ->
       """SELECT nk, COUNT(*) AS n_rows, COUNT(DISTINCT side) AS n_sides FROM (
         |  SELECT CAST(c_nationkey AS INT) AS nk, 'cust' AS side FROM customer
