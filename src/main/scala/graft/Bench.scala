@@ -33,10 +33,18 @@ object Bench {
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
     names.foreach(run) // warm-up: JIT, codegen cache, parquet footers
-    val timed = names.map { name =>
+    // Two timed passes, report the per-query MIN: transient host noise
+    // (observed multi-second spikes on trivial queries) inflates single
+    // samples; the min of two is a far better plan-cost estimate.
+    def pass(): Map[String, (Double, Option[String])] = names.map { name =>
       val t0 = System.nanoTime()
       val err = run(name)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      name -> ((System.nanoTime() - t0) / 1e9, err)
+    }.toMap
+    val (p1, p2) = (pass(), pass())
+    val timed = names.map { name =>
+      val ((t1, e1), (t2, e2)) = (p1(name), p2(name))
+      (name, math.min(t1, t2), e1.orElse(e2))
     }
     def q(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
