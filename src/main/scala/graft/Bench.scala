@@ -20,7 +20,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional first arg: comma-separated query filter for targeted timing
+    // during development; the driver invokes with no args → full suite.
+    val names = args.headOption match {
+      case Some(filter) =>
+        val want = filter.split(",").map(_.trim).toSet
+        SparkEntry.queries.keys.toSeq.filter(want).sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // Timing via count(): Catalyst prunes the final total-order `orderBy`
     // every registered query carries for ORACLE determinism (a range
     // exchange that is comparison plumbing, not workload). A `noop`-sink

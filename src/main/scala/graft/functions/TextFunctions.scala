@@ -65,12 +65,26 @@ object TextFunctions {
     }
   }
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...]. Deterministic order. */
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Deterministic order.
+    * Documents with fewer than `n` tokens yield ZERO shingles (not one
+    * truncated shingle) — matching the DuckDB oracle's `range(1, len-1)`
+    * formulation, which is empty for short documents.
+    *
+    * Formulated as `n` aligned slices zipped, so the transform lambda only
+    * touches its own struct element: higher-order lambdas are interpreted
+    * with no common-subexpression elimination, and the naive
+    * `transform(sequence(...), i -> concat(slice(tokens, i, n)))` re-splits
+    * the document once per shingle index — measured ~100× slower over the
+    * sf0.1 corpus. */
   def wordShingles(text: Column, n: Int): Column = {
     val ws = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(n))))
+    val m = greatest(size(ws) - (n - 1), lit(0))
+    val zipped = arrays_zip(
+      (0 until n).map(k => slice(ws, lit(k + 1), m).as(s"w$k")): _*)
+    when(size(ws) >= n,
+      transform(zipped,
+        s => concat_ws(" ", (0 until n).map(k => s.getField(s"w$k")): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** One MinHash band: min over shingles of md5(band|shingle). md5 as the

@@ -124,13 +124,17 @@ object Aggregations extends QueryFamily {
 
   /** q_agg_collect — array-collecting aggregation: per-nation sorted key
     * list + distinct segment set (sorted for cross-engine determinism —
-    * collect order is partition-dependent, the sort makes it canonical). */
+    * collect order is partition-dependent, the sort makes it canonical).
+    * Both lists are comma-joined into canonical strings: the driver's
+    * checker sorts rows in pandas, and array cells are unhashable there. */
   def qAggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
       .groupBy("c_nationkey")
       .agg(
-        sort_array(collect_list(col("c_custkey"))).as("custkeys"),
-        sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        array_join(sort_array(collect_list(col("c_custkey"))), ",")
+          .as("custkeys"),
+        array_join(sort_array(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
@@ -181,8 +185,8 @@ object Aggregations extends QueryFamily {
         |FROM sums ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT c_nationkey,
-        |  list_sort(list(c_custkey)) AS custkeys,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_percentile" ->

