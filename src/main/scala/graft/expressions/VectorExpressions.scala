@@ -51,13 +51,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val (ga, gb) = (elemGetter(left), elemGetter(right))
       val (n, dot, na, nb, i) = (ctx.freshName("n"), ctx.freshName("dot"),
         ctx.freshName("na"), ctx.freshName("nb"), ctx.freshName("i"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.$ga($i);
-         |  double y = (double) $b.$gb($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = (double) $a.$ga($i);
+         |  double $y = (double) $b.$gb($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

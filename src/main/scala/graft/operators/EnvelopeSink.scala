@@ -73,17 +73,34 @@ object EnvelopeSink {
   }
 
   /** Topic-shaped persistent sink: kafka rows land in `nPartitions`
-    * directories with partition = pmod(hash(key), n) — the engine analog of
-    * the reference's hash partitioner choosing the topic partition
+    * directories — the engine analog of the reference's producer
+    * partitioner choosing the topic partition
     * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/partitioner.go:27-44).
-    * All rows for one key land in one partition (ordering per key, like
-    * Kafka); `repartition` on the partition id makes each output dir a
-    * single task's write at any scale. */
-  def writeTopicLike(rows: DataFrame, path: String, nPartitions: Int): Unit =
+    * `partitioner` selects the placement hash: "murmur3" (engine-native
+    * pmod(hash(key), n)) or "fnv1a" (reference-exact abs(FNV-1a-32) mod n,
+    * for consumers that expect the reference's physical placement).
+    * Keyless rows (null key) spread uniformly at random — the reference's
+    * nil-key posture (partitioner.go:46-58; time-seeded there, seeded here
+    * so layouts are reproducible in tests). All rows for one key land in
+    * one partition (ordering per key, like Kafka); `repartition` on the
+    * partition id makes each output dir a single task's write at any scale. */
+  def writeTopicLike(rows: DataFrame, path: String, nPartitions: Int,
+      partitioner: String = "murmur3"): Unit = {
+    val keyedPart = partitioner match {
+      case "murmur3" => pmod(hash(col("key")), lit(nPartitions))
+      case "fnv1a" =>
+        graft.functions.HashFunctions.fnvPartition(col("key"), nPartitions)
+      case other =>
+        throw new IllegalArgumentException(s"unknown partitioner: $other")
+    }
     rows
-      .withColumn("partition", pmod(hash(col("key")), lit(nPartitions)))
+      .withColumn("partition",
+        when(col("key").isNull,
+          floor(rand(7) * nPartitions).cast("int"))
+          .otherwise(keyedPart.cast("int")))
       .repartition(col("partition"))
       .write.mode("overwrite").partitionBy("partition").parquet(path)
+  }
 
   /** Consumer-side inverse: strip the Confluent frame and decode the Avro
     * body back into the envelope struct (the reference's KafkaAvroDecoder). */
@@ -94,8 +111,12 @@ object EnvelopeSink {
 
   /** Kafka-shaped sink rows: (key = SlaveID bytes, value = serialized
     * envelope bytes) — the producer-record contract
-    * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/kafka_producer.go:12-21). */
-  def kafkaRows(events: DataFrame, transform: String): DataFrame = {
+    * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/kafka_producer.go:12-21).
+    * `keyed = false` emits null keys — the reference's own data path sends
+    * records with NO key (/root/reference/syscol/metrics_reporter.go:96),
+    * trading per-key ordering for uniform random placement. */
+  def kafkaRows(events: DataFrame, transform: String,
+      keyed: Boolean = true): DataFrame = {
     val value = transform match {
       case "none" => toJsonValue.cast("binary")
       case "avro" => toAvroValue
@@ -104,8 +125,10 @@ object EnvelopeSink {
         // serializer dispatch (/root/reference/syscol/executor.go:131-141)
         throw new IllegalArgumentException(s"unknown transform: $other")
     }
+    val key =
+      if (keyed) col("SlaveID").cast("binary")
+      else lit(null).cast("binary")
     envelope(events)
-      .select(col("event_id"),
-        col("SlaveID").cast("binary").as("key"), value.as("value"))
+      .select(col("event_id"), key.as("key"), value.as("value"))
   }
 }

@@ -51,15 +51,21 @@ object Layout {
     * maintenance, not an optimization. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int): Unit = {
-    val tmp = path.stripSuffix("/") + "__compacting"
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path.stripSuffix("/") + "__compacting")
+    val bak = new Path(path.stripSuffix("/") + "__precompact")
     spark.read.parquet(path)
       .repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(path)
+    // resolve the filesystem from the path (the default FS may differ)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-safe swap: original aside, rewrite in, then drop the old copy —
+    // at no point is the only copy of the table deleted
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
 
   /** Keyed upsert (merge): rows from `updates` replace base rows with the

@@ -56,11 +56,16 @@ object Multimodal {
     * inherit the payload's partitioning. */
   def sampleFrames(df: DataFrame, frameBytes: Int = 16,
       stride: Int = 4): DataFrame = {
-    val nFrames = greatest(
+    val nFrames =
       floor((length(col("payload")) - frameBytes) / (frameBytes * stride))
-        .cast("int") + 1, lit(0))
+        .cast("int") + 1
+    // payloads shorter than one frame yield ZERO frames: an unguarded
+    // sequence(0, nFrames-1) with nFrames <= 0 descends (step -1) and emits
+    // spurious negative-offset frames
+    val idxs = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
     df.withColumn("frame", explode(transform(
-        sequence(lit(0), nFrames - 1),
+        idxs,
         i => {
           val off = i * (frameBytes * stride) + 1
           struct(

@@ -160,7 +160,27 @@ object Aggregations extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
+  /** q_agg_weighted — quantity-weighted mean price via the typed
+    * `Aggregator` extension point (TypedAggregators.WeightedMean): the
+    * engine's UDAF surface exercised by a production query, not only by
+    * tests. Double accumulation is partition-order-dependent → rows-only
+    * (the ±ulp-tolerance equivalence to the closed form is asserted in
+    * TextVectorSpec). */
+  def qAggWeighted(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val wm = udaf(new graft.functions.TypedAggregators.WeightedMean(),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        wm(col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("double")).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_weighted" -> (qAggWeighted _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),

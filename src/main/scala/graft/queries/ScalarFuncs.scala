@@ -223,9 +223,10 @@ object ScalarFuncs extends QueryFamily {
   }
 
   /** q_hash_partition — partition assignment analog of the reference's
-    * FNV-1a producer partitioner (A11): partition = pmod(hash(key), n).
-    * Spark's Murmur3 `hash` is engine-defined, so this is registered without
-    * an oracle (rows-only check); stability is asserted in HashPartitionSpec.
+    * producer partitioner (A11) in the engine-native hash: partition =
+    * pmod(hash(key), n). Spark's Murmur3 `hash` is engine-defined, so this
+    * is registered without an oracle (rows-only check); stability is
+    * asserted in ApproxSpec ("hash partitioning is stable and in-range").
     * This is exactly the hash-partitioning a 100 TB keyed sink shuffles on. */
   def qHashPartition(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -234,7 +235,32 @@ object ScalarFuncs extends QueryFamily {
       .agg(count(lit(1)).as("n"))
       .orderBy("part")
 
+  /** q_hash_partition_fnv — the same partition histogram with the
+    * REFERENCE-EXACT placement: abs(FNV-1a-32(key bytes)) mod 32, the
+    * siesta-producer hash partitioner byte-for-byte
+    * (/root/reference/Godeps/_workspace/src/github.com/elodina/siesta-producer/partitioner.go:27-44).
+    * FNV-1a is algorithm-defined (unlike Murmur3's engine-specific seeds),
+    * so the DuckDB oracle recomputes it from first principles — a full
+    * cross-engine check of the custom codegen expression. */
+  def qHashPartitionFnv(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(graft.functions.HashFunctions.fnvPartition(
+        col("user_id").cast("string").cast("binary"), 32).as("part"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("part")
+
+  /** q_uuid — A18: RFC-4122 v4 id per document, the reference's per-message
+    * uuid (github.com/pborman/uuid in the Go producer). Non-deterministic by
+    * construction → registered rows-only; distinctness + format are
+    * asserted in ApproxSpec. */
+  def qUuid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("uuid()").as("id"))
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_uuid" -> (qUuid _),
     "q_str_funcs" -> (qStrFuncs _),
     "q_str_funcs2" -> (qStrFuncs2 _),
     "q_date_funcs" -> (qDateFuncs _),
@@ -247,7 +273,8 @@ object ScalarFuncs extends QueryFamily {
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_null_funcs" -> (qNullFuncs _),
     "q_hash_funcs" -> (qHashFuncs _),
-    "q_hash_partition" -> (qHashPartition _))
+    "q_hash_partition" -> (qHashPartition _),
+    "q_hash_partition_fnv" -> (qHashPartitionFnv _))
 
   override val oracle: Map[String, String] = Map(
     "q_str_funcs" ->
@@ -359,5 +386,19 @@ object ScalarFuncs extends QueryFamily {
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex,
         |  length(text) AS text_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hash_partition_fnv" ->
+      """WITH h AS (
+        |  SELECT list_reduce(
+        |    list_prepend(2166136261::BIGINT,
+        |      list_transform(range(1, length(CAST(user_id AS VARCHAR)) + 1),
+        |        i -> ord(substr(CAST(user_id AS VARCHAR), i, 1))::BIGINT)),
+        |    (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS hu
+        |  FROM events),
+        |s AS (
+        |  SELECT CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS hs
+        |  FROM h)
+        |SELECT (CASE WHEN hs < 0 THEN -hs ELSE hs END) % 32 AS part,
+        |  COUNT(*) AS n
+        |FROM s GROUP BY part ORDER BY part""".stripMargin)
 }

@@ -30,6 +30,15 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("q_uuid: one RFC-4122 v4 id per row, all distinct") {
+    val df = graft.queries.ScalarFuncs.qUuid(spark, sf)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.select("id").distinct().count() === n)
+    val v4 = "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"
+    assert(df.filter(not(col("id").rlike(s"^$v4$$"))).count() === 0)
+  }
+
   test("pmod(hash(k), n) partition assignment is stable and total") {
     val df = spark.range(0, 10000)
       .select(pmod(hash(col("id")), lit(32)).as("p"))

@@ -116,6 +116,54 @@ class EnvelopeSpec extends SparkSpec {
     assert(parts.forall(p => p >= 0 && p < 8) && parts.length >= 6, parts.toSeq)
   }
 
+  test("fnv1a32 matches the public FNV-1a 32-bit test vectors") {
+    import graft.functions.HashFunctions
+    val got = Seq("", "a", "b", "foobar").toDF("s")
+      .select(HashFunctions.fnv1a32(col("s").cast("binary")).as("h"))
+      .as[Int].collect().toSeq
+    // draft-eastlake-fnv test vectors, reinterpreted as signed int32
+    assert(got === Seq(0x811c9dc5, 0xe40c292c, 0xe70c2de5, 0xbf9cf968))
+  }
+
+  test("fnv1a topic sink: placement matches an independent FNV-1a impl") {
+    // independent reimplementation of the reference partitioner
+    // (abs(int32(fnv1a(key))) % n) — NOT the expression under test
+    def fnvRef(bytes: Array[Byte]): Int = {
+      var h = 0x811c9dc5
+      for (b <- bytes) h = (h ^ (b & 0xff)) * 16777619
+      h
+    }
+    val events = Tables.events(spark, sf)
+    val rows = EnvelopeSink.kafkaRows(events, "none")
+    val dir = java.nio.file.Files.createTempDirectory("fnv_topic").toString
+    EnvelopeSink.writeTopicLike(rows, dir, 8, partitioner = "fnv1a")
+    val back = spark.read.parquet(dir).select("partition", "key")
+      .as[(Int, Array[Byte])].collect()
+    assert(back.length === events.count())
+    assert(back.forall { case (p, k) =>
+      val h = fnvRef(k)
+      p === ((if (h < 0) -h.toLong else h.toLong) % 8).toInt
+    })
+  }
+
+  test("keyless rows spread across partitions; keyed rows stay sticky") {
+    val events = Tables.events(spark, sf)
+    val dirU = java.nio.file.Files.createTempDirectory("topic_unkeyed").toString
+    EnvelopeSink.writeTopicLike(
+      EnvelopeSink.kafkaRows(events, "none", keyed = false), dirU, 8)
+    val backU = spark.read.parquet(dirU)
+    assert(backU.filter(col("key").isNotNull).count() === 0)
+    // nil-key posture: rows spread over (nearly) all partitions
+    assert(backU.select("partition").distinct().count() >= 6)
+    val dirK = java.nio.file.Files.createTempDirectory("topic_keyed").toString
+    EnvelopeSink.writeTopicLike(
+      EnvelopeSink.kafkaRows(events, "none"), dirK, 8)
+    val maxPartsPerKey = spark.read.parquet(dirK)
+      .groupBy("key").agg(countDistinct(col("partition")).as("np"))
+      .agg(max("np")).as[Long].head()
+    assert(maxPartsPerKey === 1L)
+  }
+
   test("end-to-end pipeline: events → avro topic dirs → decode → original") {
     // the full reference data path and its inverse, over real fixture data
     val events = Tables.events(spark, sf)

@@ -103,6 +103,35 @@ class TextVectorSpec extends SparkSpec {
     assert(frames.forall(_._3.length === 8))
   }
 
+  test("multimodal frame sampling: short payload yields zero frames") {
+    val df = Seq((1L, "abc"), (2L, "0123456789abcdef")).toDF("doc_id", "text")
+    val frames = graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.withPayload(df, "text"),
+      frameBytes = 16, stride = 4)
+      .select(col("doc_id"), col("frame_idx"), col("byte_offset"))
+      .as[(Long, Int, Long)].collect()
+    // doc 1 (3 bytes < one frame) must emit nothing — not frame_idx -1 with
+    // a negative byte offset; doc 2 is exactly one frame
+    assert(frames.toSeq === Seq((2L, 0, 0L)))
+  }
+
+  test("weighted mean survives partition-split merges (closed-form parity)") {
+    import org.apache.spark.sql.functions.udaf
+    val wm = udaf(new graft.functions.TypedAggregators.WeightedMean)
+    val df = spark.range(0, 1000)
+      .select((col("id") % 3).cast("string").as("k"),
+        (col("id") * 7 % 101).cast("double").as("v"),
+        (col("id") % 13 + 1).cast("double").as("w"))
+      .repartition(7) // force non-trivial partial-buffer merges
+    val got = df.groupBy("k").agg(wm(col("v"), col("w")).as("wmean"))
+      .as[(String, Double)].collect().toMap
+    val want = df.groupBy("k")
+      .agg((sum(col("v") * col("w")) / sum(col("w"))).as("m"))
+      .as[(String, Double)].collect().toMap
+    for ((k, m) <- want)
+      assert(math.abs(got(k) - m) < 1e-9, s"k=$k got=${got(k)} want=$m")
+  }
+
   test("multimodal resize stub: requested dims, deterministic, in range") {
     val df = Seq((1L, "hello world")).toDF("doc_id", "text")
     val out = graft.operators.Multimodal.withPayload(df, "text")
