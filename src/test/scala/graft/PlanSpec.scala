@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("gated dedup plans contain no cartesian/nested-loop product") {
+    // the quadratic all-pairs shapes are exactly what the LSH gates replace —
+    // lock the property in at the plan level
+    for (df <- Seq(
+        graft.queries.LlmOps.qDedupEmbed(spark, sf),
+        graft.queries.LlmOps.qDedupNear(spark, sf),
+        graft.queries.LlmOps.qDedupSimhash(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
+
   test("semi/anti joins stay semi/anti at the physical level") {
     val semi = planString(graft.queries.Joins.qJoinSemi(spark, sf))
     assert(semi.contains("LeftSemi"), semi)
