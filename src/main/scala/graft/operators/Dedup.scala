@@ -49,17 +49,22 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val sh = df
+    val sh0 = df
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
           .as("g"))
-    val filtered =
-      if (maxShingleDf == Long.MaxValue) sh
+    val filtered0 =
+      if (maxShingleDf == Long.MaxValue) sh0
       else {
-        val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+        val dfreq = sh0.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select("g")
-        sh.join(broadcast(dfreq), "g")
+        sh0.join(broadcast(dfreq), "g")
       }
+    // The (doc, shingle) table feeds four consumers (doc frequencies,
+    // per-doc counts, both sides of the pair join); Spark has no plan-level
+    // CSE, so materialize it once — at corpus scale this is the
+    // checkpoint-the-exploded-table step a production dedup runs anyway.
+    val filtered = filtered0.localCheckpoint()
     val counts = filtered.groupBy("doc").agg(count(lit(1)).as("c"))
     val inter = filtered.select(col("doc").as("a_id"), col("g"))
       .join(filtered.select(col("doc").as("b_id"), col("g")), "g")

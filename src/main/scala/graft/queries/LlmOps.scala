@@ -140,6 +140,54 @@ object LlmOps extends QueryFamily {
         Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.45)
       .orderBy("a_id", "b_id")
 
+  /** q_pack_chunks — training-sequence packing (concat-and-chunk): documents
+    * concatenate in deterministic (shard, doc_id) order and cut into fixed
+    * 512-token chunks; each document reports its shard-local token offset,
+    * chunk id and in-chunk offset — the data-layout step between a cleaned
+    * corpus and a pretraining dataloader. One window per shard (the window
+    * never crosses shards, so there is no global-order single-partition
+    * bottleneck: at 100 TB each shard packs independently, exactly like a
+    * per-worker packing job). */
+  def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("doc_id div 100").as("shard"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_tok div $budget"))
+      .withColumn("chunk_offset", col("start_tok") % budget)
+      .select("doc_id", "shard", "n_tokens", "start_tok", "chunk_id",
+        "chunk_offset")
+      .orderBy("doc_id")
+  }
+
+  /** q_mix_sources — deterministic mixture downsampling: per-source keep
+    * every k-th document by rank (k from a per-source weight table) — the
+    * reproducible, shuffle-light analog of weighted source sampling when
+    * composing a training mix. Exactly one shuffle (the per-source window);
+    * no RNG, so the mix is stable across runs and engines. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep_every",
+        when(col("source") === "src0", 1)
+          .when(col("source").isin("src1", "src2", "src3", "src4"), 2)
+          .otherwise(4))
+      .filter((col("rn") - 1) % col("keep_every") === 0)
+      .select(col("doc_id"), col("source"),
+        col("rn").cast("long").as("rn"),
+        col("keep_every").cast("long").as("keep_every"))
+      .orderBy("doc_id")
+  }
+
   /** q_multimodal_meta — binary payload + typed metadata extraction. */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.withPayload(Tables.documents(s, dir), "text")
@@ -214,6 +262,8 @@ object LlmOps extends QueryFamily {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_pack_chunks" -> (qPackChunks _),
+    "q_mix_sources" -> (qMixSources _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -326,6 +376,33 @@ object LlmOps extends QueryFamily {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS end_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  end_tok - n_tokens AS start_tok,
+        |  (end_tok - n_tokens) // 512 AS chunk_id,
+        |  (end_tok - n_tokens) % 512 AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_mix_sources" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    CASE WHEN source = 'src0' THEN 1
+        |         WHEN source IN ('src1', 'src2', 'src3', 'src4') THEN 2
+        |         ELSE 4 END AS keep_every
+        |  FROM documents)
+        |SELECT doc_id, source, rn, CAST(keep_every AS BIGINT) AS keep_every
+        |FROM r WHERE (rn - 1) % keep_every = 0
+        |ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
