@@ -112,28 +112,48 @@ object Similarity {
       .setInputCol("nvec").setOutputCol("buckets")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setSeed(42)
+    // bucket join runs NARROW (ids + key only), then pairs are de-duplicated
+    // before verification so the kernel evaluates once per unique pair (a
+    // pair colliding in k tables would otherwise be verified k times), and
+    // the embeddings re-attach by id afterwards — the wide vector payload
+    // stays out of the candidate shuffle, and Catalyst/AQE picks broadcast
+    // vs shuffle for the attach joins by actual corpus size
     val keys = lsh.fit(cn).transform(cn)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("t", "h")))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         struct(col("t"), element_at(vector_to_array(col("h")), 1)).as("bk"))
-    keys.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("bk"))
-      .join(keys.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("bk")), "bk")
+    val cands = keys.select(col("vec_id").as("a_id"), col("bk"))
+      .join(keys.select(col("vec_id").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    cands
+      .join(corpus.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb")), "a_id")
+      .join(corpus.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), "b_id")
       .withColumn("sim",
         round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
       .filter(col("sim") >= minSim)
       .select("a_id", "b_id", "sim")
-      .distinct()
   }
 
   /** Approximate nearest neighbours via random-projection LSH buckets.
     * Vectors are L2-normalized first so euclidean NN order == cosine order.
-    * Returns (q_id, vec_id, dist) candidate pairs within `maxDistance`. */
+    * Returns (q_id, vec_id, dist) candidate pairs within `maxDistance`,
+    * where dist is the euclidean distance between the normalized vectors
+    * (= √(2 − 2·cosine)).
+    *
+    * mllib contributes only the seeded hyperplanes (fit); the candidate
+    * join runs narrow on (table, bucket) keys and every candidate distance
+    * is one codegen'd cosine kernel — `approxSimilarityJoin`'s interpreted
+    * per-candidate vector ops are the same trap measured at 505 s on the
+    * minhash path, avoided here identically. */
   def annCandidates(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
     // norm as its own column first — an inline norm inside the transform
     // lambda would be recomputed per vector ELEMENT (interpreted, no CSE)
     def normalized(df: DataFrame, emb: String): DataFrame =
@@ -148,11 +168,23 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setSeed(42)
     val model = lsh.fit(cn)
-    model.approxSimilarityJoin(qn, cn, maxDistance, "dist")
-      .select(
-        col("datasetA.q_id").as("q_id"),
-        col("datasetB.vec_id").as("vec_id"),
-        col("dist"))
+    def bucketKeys(df: DataFrame, idCol: String): DataFrame =
+      model.transform(df)
+        .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "h")))
+        .select(col(idCol),
+          struct(col("t"), element_at(vector_to_array(col("h")), 1)).as("bk"))
+    val cands = bucketKeys(qn, "q_id").join(bucketKeys(cn, "vec_id"), "bk")
       .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
+      .distinct()
+    cands
+      .join(queries.select(col("q_id"), col("q_emb")), "q_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("dist",
+        sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) *
+            VectorFunctions.cosine(col("q_emb"), col("embedding")))))
+      .filter(col("dist") <= maxDistance)
+      .select("q_id", "vec_id", "dist")
   }
 }
