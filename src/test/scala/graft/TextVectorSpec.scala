@@ -39,6 +39,15 @@ class TextVectorSpec extends SparkSpec {
     assert(r._4 === 13.0 / 5.0)      // 13 chars over 5 tokens
   }
 
+  test("wordShingles: exact shingles; short documents yield zero shingles") {
+    val df = Seq((1L, "one two"), (2L, "one two three four")).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq.empty) // < n tokens → no truncated shingle
+    assert(got(2L) === Seq("one two three", "two three four"))
+  }
+
   test("cosine/dot/norm on known vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
