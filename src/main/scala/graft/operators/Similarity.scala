@@ -82,6 +82,55 @@ object Similarity {
       .select("q_id", "rnk", "vec_id", "sim")
   }
 
+  /** Materialize the IVF layout at rest: the corpus written partitioned by
+    * its k-means cell id — one directory per cell. Returns the centroid
+    * table (cell_id, centroid) that drives probes. At 100 TB this is the
+    * similarity-search table layout: a probe touches nProbe/nCells of the
+    * bytes because the filesystem layout IS the index. */
+  def writeIvfLayout(corpus: DataFrame, path: String,
+      nCells: Int = 16): DataFrame = {
+    val fc = corpus.withColumn("fvec", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("fvec").setPredictionCol("cell_id")
+    val model = km.fit(fc)
+    model.transform(fc).select(col("vec_id"), col("embedding"), col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toDF("cell_id", "centroid")
+  }
+
+  /** Probe the at-rest IVF layout: each query scores the (tiny, broadcast)
+    * centroid table with the codegen cosine kernel and keeps its `nProbe`
+    * nearest cells; the probed (q_id, cell_id) set then equi-joins the
+    * partitioned corpus, and Dynamic Partition Pruning turns that join into
+    * a read of ONLY the probed cell directories (asserted at plan level in
+    * SimilaritySpec). Rerank is the exact kernel + window top-k — the same
+    * tail as cosineTopK over a fraction of the data. */
+  def probeIvfLayout(path: String, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(desc("c_sim"), asc("cell_id"))
+    val probed = broadcast(queries).crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        VectorFunctions.cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(probeW))
+      .filter(col("c_rnk") <= nProbe)
+      .select("q_id", "q_emb", "cell_id")
+    val sims = spark.read.parquet(path)
+      .join(broadcast(probed), "cell_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("vec_id"))
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "sim")
+  }
+
   /** LSH-bucketed cosine-threshold SELF-join: candidate pairs share a
     * random-projection bucket in at least one hash table; every candidate is
     * then verified by the exact codegen'd cosine kernel, so the bucketing

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.operators.EnvelopeSink
 
 /** Metric tick record — the streaming shape of the reference's envelope
@@ -117,6 +118,20 @@ object Streams {
       }
   }
 
+  /** S6 (modern form) — the same keyed lifecycle on Spark 4's
+    * `transformWithState` arbitrary-state API: one `ValueState[TaskState]`
+    * per slave key, identical transition semantics to `keyedLifecycle`.
+    * This is the forward path for custom streaming state (explicit state
+    * variables, TTL, timers, RocksDB changelog checkpointing); requires the
+    * RocksDB state store provider — StreamingSpec runs both formulations
+    * through the same scenario and asserts identical transitions. */
+  def keyedLifecycleTws(events: Dataset[TaskEvent]): Dataset[TaskTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.slaveId)
+      .transformWithState(new LifecycleProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** A1 — fixed-interval tick source: the streaming analog of the
     * reference's 1 s reporting loop
     * (/root/reference/syscol/metrics_reporter.go:75-105). Each rate-source
@@ -196,3 +211,37 @@ object Streams {
 
 /** Live task state held per slave key (S6). */
 case class TaskState(slaveId: String, taskId: String)
+
+/** The S6 lifecycle as a Spark 4 `StatefulProcessor`: at most one live task
+  * per slave key in a `ValueState`, duplicate launches rejected, terminal
+  * statuses clear the key (same contract as `Streams.keyedLifecycle`,
+  * roots /root/reference/syscol/cluster.go:35-78 and scheduler.go:150-193). */
+class LifecycleProcessor
+  extends StatefulProcessor[String, TaskEvent, TaskTransition] {
+
+  @transient private var live: ValueState[TaskState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    live = getHandle.getValueState[TaskState]("live",
+      Encoders.product[TaskState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TaskEvent],
+      timers: TimerValues): Iterator[TaskTransition] =
+    rows.toSeq.sortBy(_.seq).flatMap { e =>
+      e.status match {
+        case "launch" =>
+          if (live.exists())
+            Seq(TaskTransition(key, e.taskId, "rejected_duplicate"))
+          else {
+            live.update(TaskState(key, e.taskId))
+            Seq(TaskTransition(key, e.taskId, "launched"))
+          }
+        case s if Streams.terminalStatuses(s) =>
+          if (live.exists() && live.get().taskId == e.taskId) {
+            live.clear()
+            Seq(TaskTransition(key, e.taskId, "removed"))
+          } else Seq(TaskTransition(key, e.taskId, "ignored_unknown"))
+        case _ => Seq.empty // running etc: state unchanged
+      }
+    }.iterator
+}

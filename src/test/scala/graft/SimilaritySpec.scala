@@ -51,6 +51,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF at-rest layout: probe prunes to the probed cells; full probe is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    val centroids = Similarity.writeIvfLayout(corpus, dir, nCells = 8)
+    val probe = Similarity.probeIvfLayout(dir, queries, centroids,
+      k = 10, nProbe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    // the probe join must reach the scan as a partition-pruning filter on
+    // cell_id (dynamic partition pruning), not a full-layout read
+    assert(p.contains("PartitionFilters"), p.take(3000))
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+    assert(probe.count() === 30) // 3 queries × top-10 from probed cells
+    // probing every cell == reading the whole layout == exact brute force
+    val full = topkSet(Similarity.probeIvfLayout(dir, queries, centroids,
+      k = 10, nProbe = 8))
+    assert(full === topkSet(Similarity.cosineTopK(queries, corpus, 10)))
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,

@@ -119,6 +119,39 @@ class StreamingSpec extends SparkSpec {
     assert(actions.length === 4) // 'running' emits nothing
   }
 
+  test("S6 transformWithState lifecycle matches flatMapGroupsWithState") {
+    // the processor-API formulation needs the RocksDB state store; scoped to
+    // this query and restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TaskEvent]
+      val out = runQuery(Streams.keyedLifecycleTws(in.toDS()).toDF(),
+        OutputMode.Append, "s6tws") { step =>
+        in.addData(
+          TaskEvent("s0", "task-1", "launch", 1),
+          TaskEvent("s0", "task-2", "launch", 2),   // occupied → rejected
+          TaskEvent("s0", "task-1", "running", 3))  // no transition
+        step()
+        in.addData(
+          TaskEvent("s0", "task-1", "failed", 4),   // terminal → removed
+          TaskEvent("s0", "task-3", "launch", 5))   // key free again
+      }
+      val actions = out.map(r => (r.getAs[String]("taskId"),
+        r.getAs[String]("action"))).toSeq
+      // identical transitions to the flatMapGroupsWithState formulation
+      assert(actions.toSet === Set(
+        ("task-1", "launched"), ("task-2", "rejected_duplicate"),
+        ("task-1", "removed"), ("task-3", "launched")))
+      assert(actions.length === 4)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("S8 stream-stream join matches ticks to events within the time band") {
     val ticks = MemoryStream[Tick]
     val events = MemoryStream[(String, Timestamp, String)]
