@@ -161,23 +161,21 @@ object Similarity {
       .setInputCol("nvec").setOutputCol("buckets")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
       .setSeed(42)
-    // bucket join runs NARROW (ids + key only), then pairs are de-duplicated
-    // before verification so the kernel evaluates once per unique pair (a
-    // pair colliding in k tables would otherwise be verified k times), and
-    // the embeddings re-attach by id afterwards — the wide vector payload
-    // stays out of the candidate shuffle, and Catalyst/AQE picks broadcast
-    // vs shuffle for the attach joins by actual corpus size
+    // bucket join runs NARROW (ids + band key only); candidates stream
+    // straight through the embedding-attach joins (Catalyst/AQE picks
+    // broadcast vs shuffle by actual corpus size) into the codegen kernel,
+    // and only the tiny SURVIVOR set is de-duplicated. A pair colliding in
+    // k tables is verified k times, but the kernel is ~100 ns/pair while a
+    // distinct over the full candidate stream is a shuffle of that whole
+    // stream — re-verification is the cheaper side of the trade.
     val keys = lsh.fit(cn).transform(cn)
       .select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("t", "h")))
       .select(col("vec_id"),
         struct(col("t"), element_at(vector_to_array(col("h")), 1)).as("bk"))
-    val cands = keys.select(col("vec_id").as("a_id"), col("bk"))
+    keys.select(col("vec_id").as("a_id"), col("bk"))
       .join(keys.select(col("vec_id").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
-    cands
       .join(corpus.select(col("vec_id").as("a_id"),
         col("embedding").as("a_emb")), "a_id")
       .join(corpus.select(col("vec_id").as("b_id"),
@@ -186,6 +184,7 @@ object Similarity {
         round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
       .filter(col("sim") >= minSim)
       .select("a_id", "b_id", "sim")
+      .distinct()
   }
 
   /** Approximate nearest neighbours via random-projection LSH buckets.
