@@ -78,6 +78,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("packing/mixture plans window per shard/source, never a global window") {
+    for (df <- Seq(graft.queries.LlmOps.qPackChunks(spark, sf),
+        graft.queries.LlmOps.qMixSources(spark, sf))) {
+      val p = planString(df)
+      assert(p.contains("Window"), p.take(2000))
+      // a window without a partition spec collapses everything onto one
+      // task (Exchange SinglePartition) — the 100 TB killer this layout
+      // deliberately avoids by packing per shard / ranking per source
+      assert(!p.contains("SinglePartition"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
   test("semi/anti joins stay semi/anti at the physical level") {
     val semi = planString(graft.queries.Joins.qJoinSemi(spark, sf))
     assert(semi.contains("LeftSemi"), semi)
