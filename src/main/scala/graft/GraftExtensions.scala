@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.ConfluentAvroEncode
+import graft.expressions.{ConfluentAvroEncode, Fnv1a32}
 import graft.operators.EnvelopeSink
 
 /** Session extensions installer: registers graft's custom SQL functions so
@@ -12,8 +12,10 @@ import graft.operators.EnvelopeSink
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
   * `confluent_avro_encode(struct)` — Confluent wire framing + Avro body for
-  * the SlaveMetrics envelope (SURVEY.md §2 A7). The DataFrame API path
-  * (EnvelopeSink.toAvroValue) does not require the extension.
+  * the SlaveMetrics envelope (SURVEY.md §2 A7).
+  * `fnv1a32(binary)` — the reference producer's placement hash (A11).
+  * The DataFrame API paths (EnvelopeSink.toAvroValue,
+  * HashFunctions.fnv1a32) do not require the extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -27,6 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             EnvelopeSink.schemaId)
         case _ => throw new IllegalArgumentException(
           "confluent_avro_encode expects exactly one struct argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("fnv1a32"),
+      new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
+      (children: Seq[Expression]) => children match {
+        case Seq(child) => Fnv1a32(child)
+        case _ => throw new IllegalArgumentException(
+          "fnv1a32 expects exactly one binary argument")
       }))
   }
 }

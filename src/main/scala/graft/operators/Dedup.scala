@@ -42,29 +42,41 @@ object Dedup {
   }
 
   /** Exact word-n-gram Jaccard similarity for all pairs above `threshold`.
-    * Shingles with document frequency > `maxShingleDf` are dropped from
+    * Shingles with document frequency above the guard are dropped from
     * candidate generation AND from the per-document shingle counts (stop-
     * shingle guard — at corpus scale a shingle present in 1% of documents
-    * would otherwise dominate the join). */
+    * would otherwise dominate the join). The guard is either the absolute
+    * `maxShingleDf`, or — when `maxShingleDfFraction` is set — the relative
+    * max(5, ⌈fraction × corpus row count⌉), computed INSIDE the plan (a
+    * broadcast one-row aggregate, no driver-side action). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
-      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+      maxShingleDf: Long = Long.MaxValue,
+      maxShingleDfFraction: Option[Double] = None): DataFrame = {
     val sh0 = df
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
           .as("g"))
-    val filtered0 =
-      if (maxShingleDf == Long.MaxValue) sh0
-      else {
-        val dfreq = sh0.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("g")
-        sh0.join(broadcast(dfreq), "g")
-      }
+    def guarded(capOf: DataFrame => DataFrame): DataFrame = {
+      val dfreq = capOf(sh0.groupBy("g").agg(count(lit(1)).as("df")))
+        .select("g")
+      sh0.join(broadcast(dfreq), "g")
+    }
+    val filtered0 = maxShingleDfFraction match {
+      case Some(frac) =>
+        val total = df.agg(count(lit(1)).as("_n"))
+        guarded(_.crossJoin(broadcast(total))
+          .filter(col("df") <=
+            greatest(lit(5L), ceil(col("_n") * frac).cast("long"))))
+      case None if maxShingleDf == Long.MaxValue => sh0
+      case None => guarded(_.filter(col("df") <= maxShingleDf))
+    }
     // The (doc, shingle) table feeds four consumers (doc frequencies,
     // per-doc counts, both sides of the pair join); Spark has no plan-level
-    // CSE, so materialize it once — at corpus scale this is the
-    // checkpoint-the-exploded-table step a production dedup runs anyway.
-    val filtered = filtered0.localCheckpoint()
+    // CSE, so materialize it once (lazily, on first action) — at corpus
+    // scale this is the checkpoint-the-exploded-table step a production
+    // dedup runs anyway.
+    val filtered = filtered0.localCheckpoint(eager = false)
     val counts = filtered.groupBy("doc").agg(count(lit(1)).as("c"))
     val inter = filtered.select(col("doc").as("a_id"), col("g"))
       .join(filtered.select(col("doc").as("b_id"), col("g")), "g")

@@ -110,15 +110,13 @@ object LlmOps extends QueryFamily {
     * documents are dropped from candidate generation and from the
     * per-document counts — at corpus scale those are boilerplate, and
     * unguarded they turn the shared-shingle self-join quadratic on the
-    * heavy-hitter keys. The doc count is a metadata-only parquet action;
-    * the identical cap formula runs in the DuckDB oracle. */
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val cap = math.max(5L, math.ceil(docs.count() * 0.01).toLong)
-    Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        n = 3, threshold = 0.05, maxShingleDf = cap)
+    * heavy-hitter keys. The cap is computed inside the plan (broadcast
+    * one-row count — no driver-side action); the identical formula runs in
+    * the DuckDB oracle. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
-  }
 
   /** q_sim_topk — exact cosine top-10 per query vector (vec_id < 3). */
   def qSimTopk(s: SparkSession, dir: String): DataFrame = {

@@ -197,6 +197,12 @@ class EnvelopeSpec extends SparkSpec {
     }
   }
 
+  test("SQL function fnv1a32 is registered via extensions") {
+    val h = spark.sql("SELECT fnv1a32(CAST('foobar' AS BINARY)) AS h")
+      .as[Int].head()
+    assert(h === 0xbf9cf968)
+  }
+
   test("SQL function confluent_avro_encode is registered via extensions") {
     envelopeDf.createOrReplaceTempView("env_fixture")
     val n = spark.sql(
