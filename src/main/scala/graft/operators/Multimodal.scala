@@ -35,12 +35,15 @@ object Multimodal {
 
   /** STUB decoder: deterministic 8-dim feature vector derived from the
     * payload digest (two hex chars per dim, scaled to [0,1]). Real decode
-    * (image resize / audio frames) would replace only this expression. */
+    * (image resize / audio frames) would replace only this expression.
+    * Built as a static `array(...)` projection, NOT a transform lambda: an
+    * interpreted lambda re-evaluates the outer digest per element, while
+    * codegen subexpression elimination computes the sha2 once here. */
   def decodeFeaturesStub(payload: Column): Column = {
     val digest = sha2(payload, 256)
-    transform(sequence(lit(0), lit(7)), i =>
-      (conv(digest.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10)
-        .cast("double") / 255.0).cast("float"))
+    array((0 until 8).map(i =>
+      (conv(substring(digest, i * 2 + 1, 2), 16, 10)
+        .cast("double") / 255.0).cast("float")): _*)
   }
 
   /** Full stub pipeline: payload → metadata → features. */
@@ -80,11 +83,12 @@ object Multimodal {
 
   /** STUB resize: recompute the feature vector at a different "resolution"
     * (dim count) from the same digest — stands in for image resize +
-    * re-embed. Deterministic; schema `array<float>` of `dims`. */
+    * re-embed. Deterministic; schema `array<float>` of `dims`. Static
+    * projection for the same CSE reason as decodeFeaturesStub. */
   def resizeFeaturesStub(payload: Column, dims: Int): Column = {
     val digest = sha2(payload, 512)
-    transform(sequence(lit(0), lit(dims - 1)), i =>
-      (conv(digest.substr((i * 2 + 1).cast("int"), lit(2)), 16, 10)
-        .cast("double") / 255.0).cast("float"))
+    array((0 until dims).map(i =>
+      (conv(substring(digest, i * 2 + 1, 2), 16, 10)
+        .cast("double") / 255.0).cast("float")): _*)
   }
 }
