@@ -7,17 +7,20 @@ import graft.functions.{TextFunctions => T}
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** B-10 LLM-data-pipeline operators (SURVEY.md §2) — the training-data
-  * preparation surface: dedup (exact / n-gram-Jaccard / MinHash-LSH /
-  * SimHash / embedding-cosine), similarity search (exact top-k + LSH ANN),
-  * text analysis (stats, tokens, quality, language-ID, fingerprinting), and
-  * multimodal binary-column plumbing.
+  * preparation surface: dedup (exact / n-gram-Jaccard / banded-MinHash /
+  * SimHash / embedding-cosine), similarity search (exact top-k + LSH ANN +
+  * IVF), sequence packing, source-mixture downsampling, text analysis
+  * (stats, tokens, quality, language-ID, fingerprinting), and multimodal
+  * binary-column plumbing.
   *
-  * Oracle discipline: all hash-based signatures use md5/sha2 (algorithm-
-  * defined, engine-independent) — never Spark's Murmur3 `hash`. Cosine
-  * similarities are rounded to 6 dp BEFORE ranking/thresholding on both
-  * sides so float last-ulp drift cannot flip an ordering. Approximate/
-  * seeded operators (MinHash-LSH, random-projection ANN, SimHash banding)
-  * are registered without oracles and covered by property tests instead.
+  * Oracle discipline: every ORACLE-CHECKED hash signature uses md5/sha2
+  * (algorithm-defined, engine-independent) — never Spark's Murmur3 `hash`.
+  * Cosine similarities are rounded to 6 dp BEFORE ranking/thresholding on
+  * both sides so float last-ulp drift cannot flip an ordering.
+  * Approximate/seeded operators (banded MinHash, random-projection ANN,
+  * SimHash banding) are registered without oracles and covered by property
+  * tests instead — those may use the cheaper engine-local xxhash64, since
+  * no cross-engine recomputation ever sees their signatures.
   */
 object LlmOps extends QueryFamily {
 
