@@ -25,6 +25,11 @@ object Bench {
     val names = args.headOption match {
       case Some(filter) =>
         val want = filter.split(",").map(_.trim).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          // a typo'd filter must not masquerade as an instant-pass bench
+          System.err.println(
+            s"Bench: unknown query names ignored: ${unknown.mkString(", ")}")
         SparkEntry.queries.keys.toSeq.filter(want).sorted
       case None => SparkEntry.queries.keys.toSeq.sorted
     }

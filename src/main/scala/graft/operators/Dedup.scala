@@ -57,25 +57,31 @@ object Dedup {
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
           .as("g"))
-    def guarded(capOf: DataFrame => DataFrame): DataFrame = {
-      val dfreq = capOf(sh0.groupBy("g").agg(count(lit(1)).as("df")))
+    // the guard broadcasts the DROPPED heavy-hitter set and anti-joins: at
+    // most totalShingles/cap shingles can exceed the cap, so that set is
+    // provably tiny, while the kept set is the whole corpus vocabulary —
+    // broadcasting the complement would invert the size relationship the
+    // broadcast depends on
+    def guarded(hotOf: DataFrame => DataFrame): DataFrame = {
+      val hot = hotOf(sh0.groupBy("g").agg(count(lit(1)).as("df")))
         .select("g")
-      sh0.join(broadcast(dfreq), "g")
+      sh0.join(broadcast(hot), Seq("g"), "left_anti")
     }
     val filtered0 = maxShingleDfFraction match {
       case Some(frac) =>
         val total = df.agg(count(lit(1)).as("_n"))
         guarded(_.crossJoin(broadcast(total))
-          .filter(col("df") <=
+          .filter(col("df") >
             greatest(lit(5L), ceil(col("_n") * frac).cast("long"))))
       case None if maxShingleDf == Long.MaxValue => sh0
-      case None => guarded(_.filter(col("df") <= maxShingleDf))
+      case None => guarded(_.filter(col("df") > maxShingleDf))
     }
     // The (doc, shingle) table feeds four consumers (doc frequencies,
     // per-doc counts, both sides of the pair join); Spark has no plan-level
-    // CSE, so materialize it once (lazily, on first action) — at corpus
-    // scale this is the checkpoint-the-exploded-table step a production
-    // dedup runs anyway.
+    // CSE, so materialize it once (lazily, on first action). localCheckpoint
+    // trades fault tolerance for speed (blocks die with their executor) —
+    // the right local/test choice; a long-running production job would use
+    // reliable checkpoint() or replicated persist here.
     val filtered = filtered0.localCheckpoint(eager = false)
     val counts = filtered.groupBy("doc").agg(count(lit(1)).as("c"))
     val inter = filtered.select(col("doc").as("a_id"), col("g"))

@@ -61,10 +61,16 @@ object Layout {
     // resolve the filesystem from the path (the default FS may differ)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash-safe swap: original aside, rewrite in, then drop the old copy —
-    // at no point is the only copy of the table deleted
+    // at no point is the only copy of the table deleted. FileSystem.rename
+    // reports failure by RETURNING FALSE (not throwing), so each step is
+    // checked and the original is restored on a failed swap.
     if (fs.exists(bak)) fs.delete(bak, true)
-    fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: could not move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst) // restore the original before giving up
+      throw new java.io.IOException(s"compact: could not move $tmp into place")
+    }
     fs.delete(bak, true)
   }
 
