@@ -49,6 +49,26 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("banded minhash finds every planted near-dup pair on a crafted corpus") {
+    // 10 planted pairs: doc 2i+1 differs from doc 2i in exactly one token
+    // of 30 → shingle Jaccard ≈ 0.82, well inside dist ≤ 0.5. With 8 bands
+    // × 2 minhashes the per-pair candidate probability at J=0.82 is
+    // 1-(1-0.82²)⁸ ≈ 1-2e-6, and the md5/xxhash signatures are
+    // deterministic — this asserts the banding actually delivers the
+    // recall the operator's docstring claims, not just the happy fixture.
+    val base = (0 until 10).map { i =>
+      (0 until 30).map(t => s"w${i}_$t").mkString(" ")
+    }
+    val docs = base.zipWithIndex.flatMap { case (text, i) =>
+      val variant = text.replace(s"w${i}_15", "CHANGED")
+      Seq((2L * i, text), (2L * i + 1, variant))
+    }.toDF("doc_id", "text")
+    val found = Dedup.nearMinhashLsh(docs, "text", "doc_id", maxDistance = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet
+    assert(found === expected) // all 10 planted pairs, zero false pairs
+  }
+
   test("simhash: identical docs collide at hamming 0; distinct doc is far") {
     val sigs = docs.select(col("doc_id"),
       TextFunctions.simhash64(col("text")).as("sig"))
