@@ -141,6 +141,31 @@ object LlmOps extends QueryFamily {
         Tables.embeddings(s, dir).select("vec_id", "embedding"), 0.45)
       .orderBy("a_id", "b_id")
 
+  /** q_decontaminate — train/eval overlap removal: a training document is
+    * contaminated if it shares any word 5-gram with the eval split — the
+    * standard benchmark-decontamination step before pretraining (the eval
+    * split here is the deterministic doc_id % 50 == 0 slice). Plan shape
+    * for 100 TB: the eval shingle set is tiny against the train corpus and
+    * BROADCASTS; the train side is one narrow shingle explode + broadcast
+    * join + distinct on flagged ids — the corpus itself never shuffles. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
+      .distinct()
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val contaminated = train
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .select("doc_id").distinct()
+      .withColumn("contaminated", lit(true))
+    train.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** q_pack_chunks — training-sequence packing (concat-and-chunk): documents
     * concatenate in deterministic (shard, doc_id) order and cut into fixed
     * 512-token chunks; each document reports its shard-local token offset,
@@ -263,6 +288,7 @@ object LlmOps extends QueryFamily {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_mix_sources" -> (qMixSources _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -377,6 +403,21 @@ object LlmOps extends QueryFamily {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS g
+        |    FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM ev))
+        |SELECT d.doc_id,
+        |  d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
+        |FROM documents d WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id // 100 AS shard,
