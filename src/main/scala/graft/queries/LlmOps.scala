@@ -93,6 +93,26 @@ object LlmOps extends QueryFamily {
         T.langId(col("text")).as("predicted"))
       .orderBy("doc_id")
 
+  /** q_rep_ngram — repetitiveness signals in the style of Gopher's quality
+    * rules: per document, the occurrence share of its most frequent word
+    * bigram and trigram (high shares mean boilerplate/templated text — a
+    * standard pretraining quality gate next to the stopword/dup-token
+    * signals in q_quality_score). Shingles keep multiplicity here (no
+    * array_distinct); one explode + two-level aggregate per n, narrow at
+    * any scale. */
+  def qRepNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def topShare(n: Int, name: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(T.wordShingles(col("text"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max("c").cast("double") / sum("c")).as(name))
+    topShare(2, "top2_share")
+      .join(topShare(3, "top3_share"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q_fingerprint — 4-band MinHash signature (md5 family) of word
     * 3-gram shingles: the deterministic document fingerprint. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -288,6 +308,7 @@ object LlmOps extends QueryFamily {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopk _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_rep_ngram" -> (qRepNgram _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_chunks" -> (qPackChunks _),
     "q_mix_sources" -> (qMixSources _),
@@ -403,6 +424,20 @@ object LlmOps extends QueryFamily {
         |WHERE a.vec_id < b.vec_id
         |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_rep_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |  i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+        |  AS top2_share FROM c2 GROUP BY doc_id),
+        |b3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |  i -> array_to_string(ws[i:i+2], ' '))) AS g FROM t),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+        |  AS top3_share FROM c3 GROUP BY doc_id)
+        |SELECT s2.doc_id, top2_share, top3_share
+        |FROM s2 JOIN s3 USING (doc_id) ORDER BY s2.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, g FROM (
