@@ -22,16 +22,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional first arg: comma-separated query filter for targeted timing
     // during development; the driver invokes with no args → full suite.
-    val names = args.headOption match {
+    val (names, badFilter) = args.headOption match {
       case Some(filter) =>
         val want = filter.split(",").map(_.trim).toSet
-        val unknown = want -- SparkEntry.queries.keySet
-        if (unknown.nonEmpty)
-          // a typo'd filter must not masquerade as an instant-pass bench
-          System.err.println(
-            s"Bench: unknown query names ignored: ${unknown.mkString(", ")}")
-        SparkEntry.queries.keys.toSeq.filter(want).sorted
-      case None => SparkEntry.queries.keys.toSeq.sorted
+        (SparkEntry.queries.keys.toSeq.filter(want).sorted,
+          (want -- SparkEntry.queries.keySet).toSeq.sorted)
+      case None => (SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
     }
     // Timing via count(): Catalyst prunes the final total-order `orderBy`
     // every registered query carries for ORACLE determinism (a range
@@ -61,7 +57,10 @@ object Bench {
     def q(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = timed.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = timed.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
+    // typo'd filter names land in the machine-read errors map — a filter
+    // that matched nothing must not masquerade as an instant-pass bench
+    val errs = (timed.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
+      ++ badFilter.map(n => s"${q(n)}:${q("unknown query name in filter")}"))
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -68,7 +68,11 @@ object Layout {
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"compact: could not move $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(bak, dst) // restore the original before giving up
+      // restore the original before giving up; if even the restore fails,
+      // say exactly where the sole surviving copy sits
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"compact: swap failed AND restore failed — data is at $bak")
       throw new java.io.IOException(s"compact: could not move $tmp into place")
     }
     fs.delete(bak, true)

@@ -174,10 +174,9 @@ object Similarity {
     * SimilaritySpec re-checks that contract against the exact join. */
   def cosinePairs(corpus: DataFrame, minSim: Double,
       bucketLength: Double = 2.0, numHashTables: Int = 6): DataFrame = {
-    val model = fitLsh(l2Normalized(corpus, "embedding"),
-      bucketLength, numHashTables)
-    val keys = lshBucketKeys(model, l2Normalized(corpus, "embedding"),
-      "vec_id")
+    val cn = l2Normalized(corpus, "embedding")
+    val model = fitLsh(cn, bucketLength, numHashTables)
+    val keys = lshBucketKeys(model, cn, "vec_id")
     keys.select(col("vec_id").as("a_id"), col("bk"))
       .join(keys.select(col("vec_id").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))

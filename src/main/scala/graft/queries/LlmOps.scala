@@ -108,8 +108,10 @@ object LlmOps extends QueryFamily {
         .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg((max("c").cast("double") / sum("c")).as(name))
+    // left join: a 2-token doc has a bigram signal but no trigram — it must
+    // keep its row (null top3_share), not silently vanish from the gate
     topShare(2, "top2_share")
-      .join(topShare(3, "top3_share"), "doc_id")
+      .join(topShare(3, "top3_share"), Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
 
@@ -180,7 +182,9 @@ object LlmOps extends QueryFamily {
       .join(broadcast(evalShingles), "g")
       .select("doc_id").distinct()
       .withColumn("contaminated", lit(true))
-    train.join(contaminated, Seq("doc_id"), "left")
+    // the flagged-id set is bounded by the (tiny) eval overlap — broadcast
+    // it too, so the train corpus truly never enters a shuffle
+    train.join(broadcast(contaminated), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
       .orderBy("doc_id")
@@ -437,7 +441,7 @@ object LlmOps extends QueryFamily {
         |s3 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
         |  AS top3_share FROM c3 GROUP BY doc_id)
         |SELECT s2.doc_id, top2_share, top3_share
-        |FROM s2 JOIN s3 USING (doc_id) ORDER BY s2.doc_id""".stripMargin,
+        |FROM s2 LEFT JOIN s3 USING (doc_id) ORDER BY s2.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, g FROM (

@@ -51,11 +51,11 @@ class DedupSpec extends SparkSpec {
 
   test("banded minhash finds every planted near-dup pair on a crafted corpus") {
     // 10 planted pairs: doc 2i+1 differs from doc 2i in exactly one token
-    // of 30 → shingle Jaccard ≈ 0.82, well inside dist ≤ 0.5. With 8 bands
-    // × 2 minhashes the per-pair candidate probability at J=0.82 is
-    // 1-(1-0.82²)⁸ ≈ 1-2e-6, and the md5/xxhash signatures are
-    // deterministic — this asserts the banding actually delivers the
-    // recall the operator's docstring claims, not just the happy fixture.
+    // of 30 → 28 trigram shingles each, 25 shared → Jaccard = 25/31 ≈ 0.81,
+    // well inside dist ≤ 0.5. With 8 bands × 2 minhashes the per-pair
+    // candidate probability is 1-(1-0.81²)⁸ ≈ 1-2e-4, and the xxhash
+    // signatures are deterministic — this asserts the banding actually
+    // delivers the recall the docstring claims, not just the happy fixture.
     val base = (0 until 10).map { i =>
       (0 until 30).map(t => s"w${i}_$t").mkString(" ")
     }
