@@ -12,6 +12,7 @@ object SparkEntry {
     graft.queries.SetOps,
     graft.queries.ScalarFuncs,
     graft.queries.LlmOps,
+    graft.queries.CorpusOps,
     graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

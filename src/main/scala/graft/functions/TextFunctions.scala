@@ -101,6 +101,32 @@ object TextFunctions {
     struct((0 until bands).map(b => minhashBand(sh, b).as(s"mh$b")): _*)
   }
 
+  /** PII patterns shared by the redactor, the match counters, and the DuckDB
+    * oracle. Restricted to syntax with identical semantics in Java regex and
+    * RE2 (character classes, bounded repetition, ASCII \b) so both engines
+    * see the same matches. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+  def piiEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long")
+  def piiIps(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long")
+  def piiPhones(text: Column): Column =
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long")
+
+  /** PII redaction: emails → [EMAIL], then IPv4 → [IP], then phone-shaped
+    * digit runs → [PHONE]. Order matters — emails and IPs must be consumed
+    * before the greedy phone pattern can see their digits. Pure
+    * `regexp_replace` composition: codegen'd, one pass per pattern. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
+
   /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
     * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).
     * Backed by the graft.expressions.SimHash64 custom expression — one

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Clusters, Dedup}
+
+/** Round-4 corpus-pipeline operators: duplicate-cluster resolution
+  * (connected components over near-dup pairs), BM25 keyword ranking, PII
+  * redaction, robust outlier detection (median/MAD), and a salted
+  * skew-mitigated join. Together with LlmOps these complete the
+  * training-data pipeline surface: pairs → clusters → canonical docs;
+  * corpus search; safety filtering; telemetry quality gates; skew
+  * engineering.
+  *
+  * Oracle discipline matches LlmOps: double outputs are rounded to 6 dp
+  * (2 dp for money sums) before any rank/threshold decision on BOTH sides;
+  * hash signatures use md5/sha2, never engine-local hashes.
+  */
+object CorpusOps extends QueryFamily {
+
+  /** q_dup_clusters — the step after pairwise near-dup detection: group
+    * transitively-connected documents (word-3-gram Jaccard ≥ 0.05 edges,
+    * stop-shingle guard engaged — the exact q_ngram_jaccard edge set) into
+    * clusters via distributed connected components, label every document
+    * with its cluster's minimum doc_id, and mark the canonical keeper.
+    * A~B plus B~C collapses to one cluster even though the A~C pair was
+    * never emitted. Isolated documents are their own cluster (left join +
+    * coalesce — the component loop never sees them). */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
+    val comp = Clusters.connectedComponents(pairs, "a_id", "b_id")
+    docs.select("doc_id")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q_bm25 — BM25 keyword search over the corpus (k1 = 1.2, b = 0.75,
+    * Lucene-style idf = ln(1 + (N − df + 0.5)/(df + 0.5))), top-20 by
+    * rounded score with doc_id tie-break. Plan shape: the per-term postings
+    * come from one token explode filtered to the (tiny, literal) query
+    * vocabulary BEFORE any shuffle; corpus stats (N, avgdl) are a one-row
+    * broadcast aggregate; the final top-k is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("spark", "table", "hash")
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select(col("doc_id"), T.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // identical literals on both sides: 2.2 = k1+1, 0.25 = 1−b — spelled
+      // as decimal literals so Spark and DuckDB parse the same doubles
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** q_pii_redact — PII detection + redaction: per-pattern raw-text match
+    * counts and the md5 of the redacted text (emails → [EMAIL], IPv4 →
+    * [IP], phone-shaped digit runs → [PHONE]). This corpus contains no PII,
+    * so every count is 0 and the digest equals md5(text) — the CORRECT
+    * output here; the redaction mechanics are exercised on crafted fixtures
+    * in CorpusOpsSpec. One codegen'd projection, no shuffle. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        T.piiEmails(col("text")).as("n_emails"),
+        T.piiIps(col("text")).as("n_ips"),
+        T.piiPhones(col("text")).as("n_phones"),
+        md5(T.redactPii(col("text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** q_outliers — robust outlier detection on event values: per event_type
+    * median + MAD (median absolute deviation, ×1.4826 for σ-consistency),
+    * flag rows with robust z > 3. Median/MAD resist the very outliers they
+    * hunt, unlike mean/stddev. Two narrow aggregates over the (tiny,
+    * broadcast) per-type statistics; the event stream itself shuffles only
+    * for the exact percentiles — at 100 TB the same shape holds with
+    * approx_percentile swapped in (documented, not registered: the oracle
+    * needs the exact one). */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("robust_z",
+        round(col("adev") / (lit(1.4826) * col("mad")), 6))
+      .filter(col("robust_z") > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("robust_z"))
+      .orderBy("event_id")
+  }
+
+  /** q_join_salted — skew-mitigated fact⋈dim join with results identical to
+    * the plain join: the fact side gets a deterministic salt in [0, 8) from
+    * its own unique columns, the dim side is replicated ×8 with every salt,
+    * and the join key becomes (key, salt) — a hot orderkey's rows spread
+    * over 8 reducers instead of one. The shuffle_hash hint keeps the demo
+    * honest (broadcast would bypass the salted shuffle). Results are
+    * oracle-checked against the UNSALTED join — salting must never change
+    * the answer. */
+  def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_linenumber"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts))
+          .cast("int"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
+    li.hint("shuffle_hash")
+      .join(ord,
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> (qDupClusters _),
+    "q_bm25" -> (qBm25 _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_outliers" -> (qOutliers _),
+    "q_join_salted" -> (qJoinSalted _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh0 AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id
+        |  JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.05),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        |  WHERE e.d <> r.s),
+        |comp AS (SELECT s AS doc_id, least(s, MIN(d)) AS comp
+        |  FROM reach GROUP BY s)
+        |SELECT dd.doc_id,
+        |  coalesce(comp.comp, dd.doc_id) AS cluster_id,
+        |  coalesce(comp.comp, dd.doc_id) = dd.doc_id AS is_canonical
+        |FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok IN ('spark', 'table', 'hash') GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id,
+        |  round(SUM(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |    AS score
+        |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN st
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text, '\+?[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+        |    '\+?[0-9][0-9 -]{6,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_id, d.event_type, value,
+        |  round(d.med, 6) AS med, round(a.mad, 6) AS mad,
+        |  round(adev / (1.4826 * a.mad), 6) AS robust_z
+        |FROM dev d JOIN mad a USING (event_type)
+        |WHERE round(adev / (1.4826 * a.mad), 6) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clusters
+import graft.functions.{TextFunctions => T}
+import graft.queries.CorpusOps
+
+/** Round-4 corpus-pipeline operators: duplicate clustering, BM25, PII
+  * redaction, robust outliers, salted join. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- connected components ----
+
+  test("connected components merge transitive chains and keep islands apart") {
+    // chain 1-2-3-4 (no 1-4 edge), pair 10-11, triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val comp = Clusters.connectedComponents(edges, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+  }
+
+  test("connected components converge on a long path (compression bound)") {
+    // a 64-vertex path needs pointer compression to finish inside the
+    // 25-round budget: plain min-propagation would need 63 rounds
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Clusters.connectedComponents(edges, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
+
+  // ---- PII redaction ----
+
+  test("PII redaction masks emails, IPs, and phone numbers") {
+    val df = Seq(
+      (0L, "contact alice.smith+x@example.org or bob@sub.domain.co today"),
+      (1L, "server at 192.168.0.1 and 10.0.255.13 replied"),
+      (2L, "call +1 555 123 4567 or 020-7946-0958 now"),
+      (3L, "no pii in this plain sentence at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      T.piiEmails(col("text")).as("e"),
+      T.piiIps(col("text")).as("i"),
+      T.piiPhones(col("text")).as("p"),
+      T.redactPii(col("text")).as("red"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getLong(1) == 2 &&
+      out(0).getString(4) == "contact [EMAIL] or [EMAIL] today")
+    assert(out(1).getLong(2) == 2 &&
+      out(1).getString(4) == "server at [IP] and [IP] replied")
+    assert(out(2).getLong(3) == 2 &&
+      out(2).getString(4) == "call [PHONE] or [PHONE] now")
+    assert(out(3).getString(4) == "no pii in this plain sentence at all")
+  }
+
+  test("PII redaction does not double-count IPs as phones") {
+    val df = Seq((0L, "ip 192.168.100.200 is not a phone")).toDF("doc_id", "text")
+    val r = df.select(T.piiPhones(col("text")).as("p"),
+      T.piiIps(col("text")).as("i"),
+      T.redactPii(col("text")).as("red")).head()
+    assert(r.getLong(0) == 0 && r.getLong(1) == 1 &&
+      r.getString(2) == "ip [IP] is not a phone")
+  }
+
+  // ---- BM25 ----
+
+  test("BM25 ranks a term-dense short doc above sparse and absent docs") {
+    // hand-checkable corpus: doc 0 has both terms repeatedly and is short,
+    // doc 1 mentions one once in a long body, doc 2 has none
+    val docs = Seq(
+      (0L, "spark table spark table spark"),
+      (1L, "one mention of spark inside a much longer body of text " +
+        "padded with many other words to stretch the document length"),
+      (2L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bm25docs")
+    val dl = docs.select(col("doc_id"), T.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin("spark", "table"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib", col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored(0L) > scored(1L))
+    assert(!scored.contains(2L)) // no query terms → no posting rows at all
+    assert(scored.values.forall(_ > 0.0))
+  }
+
+  // ---- robust outliers ----
+
+  test("median/MAD flags the planted outlier and nothing else") {
+    val ev = (1L to 20L).map(i => (i, "click", 10.0 + (i % 5))) :+
+      ((21L, "click", 500.0)) // the outlier
+    val df = ev.toDF("event_id", "event_type", "value")
+    val med = df.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val flagged = dev.join(broadcast(mad), "event_type")
+      .withColumn("z", col("adev") / (lit(1.4826) * col("mad")))
+      .filter(col("z") > 3.0)
+      .select("event_id").as[Long].collect()
+    assert(flagged.toSeq == Seq(21L))
+  }
+
+  // ---- salted join ----
+
+  test("salted join returns exactly the unsalted join's aggregate") {
+    val salted = CorpusOps.qJoinSalted(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted join does not broadcast (the salt must reach the shuffle)") {
+    val p = CorpusOps.qJoinSalted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+}
