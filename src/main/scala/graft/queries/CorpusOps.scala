@@ -126,19 +126,15 @@ object CorpusOps extends QueryFamily {
     * oracle-checked against the UNSALTED join — salting must never change
     * the answer. */
   def qJoinSalted(s: SparkSession, dir: String): DataFrame = {
-    val nSalts = 8
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
         col("l_linenumber"))
-      .withColumn("salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts))
-          .cast("int"))
+      .hint("shuffle_hash")
     val ord = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .withColumn("salt", explode(array((0 until nSalts).map(lit): _*)))
-    li.hint("shuffle_hash")
-      .join(ord,
-        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Layout
+      .saltedJoin(li, ord, "l_orderkey",
+        struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -146,12 +142,54 @@ object CorpusOps extends QueryFamily {
       .orderBy("o_orderpriority")
   }
 
+  /** q_histogram — fixed-width histogram of event values per type (bin
+    * width 25): count/min/max/sum per bin. The binning projection is one
+    * codegen'd floor-divide; the aggregate is a narrow two-key groupBy with
+    * map-side partials — the canonical distribution-profiling query shape
+    * at any scale. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") / lit(25.0)).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 6).as("bin_min"),
+        round(max("value"), 6).as("bin_max"),
+        round(sum("value"), 4).as("bin_sum"))
+      .orderBy("event_type", "bin")
+
+  /** q_edit_distance — fuzzy matching over the guarded near-dup pair list:
+    * Levenshtein distance + length-normalized similarity for every
+    * word-3-gram-Jaccard ≥ 0.05 pair. The quadratic-per-pair DP runs ONLY
+    * on pairs an LSH-style candidate step already produced — the composition
+    * (cheap candidate generator → expensive exact verifier) is the same
+    * scale discipline as the dedup family, applied to edit distance. */
+  def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("text").as("a_text")),
+        "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("text").as("b_text")),
+        "b_id")
+      .withColumn("lev", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .withColumn("lev_sim",
+        round(lit(1.0) - col("lev") /
+          greatest(length(col("a_text")), length(col("b_text")))
+            .cast("double"), 6))
+      .select("a_id", "b_id", "lev", "lev_sim")
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters _),
     "q_bm25" -> (qBm25 _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_outliers" -> (qOutliers _),
-    "q_join_salted" -> (qJoinSalted _))
+    "q_join_salted" -> (qJoinSalted _),
+    "q_histogram" -> (qHistogram _),
+    "q_edit_distance" -> (qEditDistance _))
 
   override val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -235,6 +273,44 @@ object CorpusOps extends QueryFamily {
         |FROM dev d JOIN mad a USING (event_type)
         |WHERE round(adev / (1.4826 * a.mad), 6) > 3.0
         |ORDER BY event_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  round(MIN(value), 6) AS bin_min,
+        |  round(MAX(value), 6) AS bin_max,
+        |  round(CAST(SUM(value) AS DOUBLE), 4) AS bin_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_edit_distance" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id
+        |  JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.05)
+        |SELECT a_id, b_id,
+        |  levenshtein(da.text, db.text) AS lev,
+        |  round(1.0 - levenshtein(da.text, db.text) /
+        |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
+        |    AS lev_sim
+        |FROM pairs
+        |JOIN documents da ON a_id = da.doc_id
+        |JOIN documents db ON b_id = db.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
