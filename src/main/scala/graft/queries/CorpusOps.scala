@@ -182,6 +182,56 @@ object CorpusOps extends QueryFamily {
       .orderBy("a_id", "b_id")
   }
 
+  /** q_upsert — keyed merge (snapshot + increment): a deterministic
+    * updates slice (every 7th order restated with status X and a price
+    * adjustment, every 97th appended under a fresh key) merged into the
+    * base via `Layout.upsert` — one anti-join on the key, no row-by-row
+    * logic. The nightly table-maintenance shape at any scale; Layout.upsert
+    * gets its production consumer here. */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    val restated = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", round(col("o_totalprice") + lit(1000.0), 2))
+    val appended = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    graft.operators.Layout
+      .upsert(base, restated.unionByName(appended), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** q_scd2 — slowly-changing-dimension history: per user, each event's
+    * validity interval [its ts, next event's ts) as epoch micros, open
+    * (null, is_current) for the latest. One per-user window — the
+    * standard change-capture → queryable-history step; epoch-micro output
+    * keeps the oracle comparison integral. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("valid_from", unix_micros(col("ts")))
+      .withColumn("valid_to", unix_micros(lead(col("ts"), 1).over(w)))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("event_id", "user_id", "valid_from", "valid_to", "is_current")
+      .orderBy("event_id")
+  }
+
+  /** q_sample_hash — reproducible content-hash sampling: keep documents
+    * whose md5 hex prefix falls under a threshold (~16% here). Unlike
+    * `sample()`, the kept set is a pure function of content — stable
+    * across runs, engines, partitionings, and corpus growth, which is what
+    * a training-data subsample must be. Zero shuffle; md5 keeps it
+    * engine-independent (oracle-checkable). */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h2", substring(md5(col("text")), 1, 2))
+      .filter(col("h2") <= "28")
+      .select("doc_id", "h2", "n_chars")
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters _),
     "q_bm25" -> (qBm25 _),
@@ -189,7 +239,10 @@ object CorpusOps extends QueryFamily {
     "q_outliers" -> (qOutliers _),
     "q_join_salted" -> (qJoinSalted _),
     "q_histogram" -> (qHistogram _),
-    "q_edit_distance" -> (qEditDistance _))
+    "q_edit_distance" -> (qEditDistance _),
+    "q_upsert" -> (qUpsert _),
+    "q_scd2" -> (qScd2 _),
+    "q_sample_hash" -> (qSampleHash _))
 
   override val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -311,6 +364,37 @@ object CorpusOps extends QueryFamily {
         |JOIN documents da ON a_id = da.doc_id
         |JOIN documents db ON b_id = db.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(o_totalprice, 2) AS o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |    round(o_totalprice + 1000.0, 2) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scd2" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(LEAD(ts, 1) OVER w) AS valid_to,
+        |  LEAD(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, substring(md5(text), 1, 2) AS h2, n_chars
+        |FROM documents
+        |WHERE substring(md5(text), 1, 2) <= '28'
+        |ORDER BY doc_id""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)

@@ -135,6 +135,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  // ---- SCD2 intervals ----
+
+  test("SCD2 intervals chain without gaps and close only the latest row") {
+    val rows = CorpusOps.qScd2(spark, sf)
+      .select("user_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.values.foreach { u =>
+      val sorted = u.sortBy(_._2)
+      // exactly one open (current) row per user, and it is the last one
+      assert(sorted.count(_._4) == 1 && sorted.last._4)
+      // every closed row's valid_to equals the next row's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2))
+        case _ =>
+      }
+    }
+  }
+
+  // ---- hash sampling ----
+
+  test("hash sampling is a pure content function: stable and subset-closed") {
+    val once = CorpusOps.qSampleHash(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val again = CorpusOps.qSampleHash(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again && once.nonEmpty)
+    // threshold monotonicity: a tighter prefix threshold samples a subset
+    val tighter = Tables.documents(spark, sf)
+      .withColumn("h2", substring(md5(col("text")), 1, 2))
+      .filter(col("h2") <= "10")
+      .select("doc_id").as[Long].collect().toSet
+    assert(tighter.subsetOf(once))
+  }
+
   test("salted join does not broadcast (the salt must reach the shuffle)") {
     val p = CorpusOps.qJoinSalted(spark, sf)
       .queryExecution.executedPlan.toString
