@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ConfluentAvroEncode, Fnv1a32}
+import graft.expressions.{ConfluentAvroEncode, CosineSimilarity, DotProduct, Fnv1a32, SimHash64}
 import graft.operators.EnvelopeSink
 
 /** Session extensions installer: registers graft's custom SQL functions so
@@ -14,8 +14,12 @@ import graft.operators.EnvelopeSink
   * `confluent_avro_encode(struct)` — Confluent wire framing + Avro body for
   * the SlaveMetrics envelope (SURVEY.md §2 A7).
   * `fnv1a32(binary)` — the reference producer's placement hash (A11).
+  * `cosine_sim(arr, arr)` / `dot_product(arr, arr)` — the codegen vector
+  * kernels behind the similarity operators (B-10).
+  * `simhash64(array<string>)` — the 64-bit SimHash signature (B-10).
   * The DataFrame API paths (EnvelopeSink.toAvroValue,
-  * HashFunctions.fnv1a32) do not require the extension.
+  * HashFunctions.fnv1a32, VectorFunctions, TextFunctions.simhash64) do not
+  * require the extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -37,6 +41,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => Fnv1a32(child)
         case _ => throw new IllegalArgumentException(
           "fnv1a32 expects exactly one binary argument")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case _ => throw new IllegalArgumentException(
+          "cosine_sim expects exactly two array arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_product expects exactly two array arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => children match {
+        case Seq(child) => SimHash64(child)
+        case _ => throw new IllegalArgumentException(
+          "simhash64 expects exactly one array<string> argument")
       }))
   }
 }

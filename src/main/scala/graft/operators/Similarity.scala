@@ -56,7 +56,11 @@ object Similarity {
         struct(col("t"), element_at(vector_to_array(col("h")), 1)).as("bk"))
 
   private def fitQuantizer(corpus: DataFrame, nCells: Int): KMeansModel =
-    new KMeans().setK(nCells).setSeed(42)
+    // a coarse quantizer only needs roughly-balanced cells, not converged
+    // centroids — 8 iterations is plenty (default 20 just burns fit passes;
+    // recall is asserted in SimilaritySpec either way). At 100 TB the fit
+    // runs on a corpus SAMPLE; assignment is the only full pass.
+    new KMeans().setK(nCells).setSeed(42).setMaxIter(8)
       .setFeaturesCol("fvec").setPredictionCol("cell_id")
       .fit(corpus.withColumn("fvec", array_to_vector(col("embedding"))))
 

@@ -122,6 +122,23 @@ object Aggregations extends QueryFamily {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** q_agg_approx_pct — the registered t-digest twin of q_agg_percentile:
+    * single-pass mergeable sketches instead of a per-group sort, the swap a
+    * 100 TB job makes. Deterministic for a fixed input (the sketch is
+    * order-insensitive at this accuracy parameter) but algorithm-specific —
+    * rows-only like q_agg_approx; accuracy vs the exact percentile is
+    * asserted in ApproxSpec. */
+  def qAggApproxPct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+          .as("med_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.25), lit(10000))
+          .as("p25_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** q_agg_collect — array-collecting aggregation: per-nation sorted key
     * list + distinct segment set (sorted for cross-engine determinism —
     * collect order is partition-dependent, the sort makes it canonical).
@@ -184,6 +201,7 @@ object Aggregations extends QueryFamily {
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
     "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_approx_pct" -> (qAggApproxPct _),
     "q_agg_hash" -> (qAggHash _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_approx" -> (qAggApprox _),

@@ -30,6 +30,20 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 2% of exact per return flag") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, a, e) =>
+      assert(math.abs(a - e) / e <= 0.02, s"flag=$flag approx=$a exact=$e")
+    }
+  }
+
   test("q_uuid: one RFC-4122 v4 id per row, all distinct") {
     val df = graft.queries.ScalarFuncs.qUuid(spark, sf)
     val n = df.count()

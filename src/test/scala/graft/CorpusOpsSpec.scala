@@ -170,6 +170,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tighter.subsetOf(once))
   }
 
+  // ---- SQL extension surface ----
+
+  test("vector and simhash kernels are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c1,
+        |  cosine_sim(array(1.0F, 0.0F), array(0.0F, 1.0F)) AS c0,
+        |  dot_product(array(2.0F, 3.0F), array(4.0F, 5.0F)) AS dp,
+        |  simhash64(array('a', 'b', 'a')) AS sh""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 23.0) < 1e-9)
+    // same signature as the column-function path
+    val viaCol = Seq("a b a").toDF("text")
+      .select(graft.functions.TextFunctions.simhash64(col("text")))
+      .head().getLong(0)
+    assert(r.getLong(3) == viaCol)
+  }
+
   test("salted join does not broadcast (the salt must reach the shuffle)") {
     val p = CorpusOps.qJoinSalted(spark, sf)
       .queryExecution.executedPlan.toString

@@ -97,4 +97,25 @@ class PlanSpec extends SparkSpec {
     val anti = planString(graft.queries.Joins.qJoinAnti(spark, sf))
     assert(anti.contains("LeftAnti"), anti)
   }
+
+  test("BM25 top-k is TakeOrderedAndProject over partially-aggregated postings") {
+    val p = planString(graft.queries.CorpusOps.qBm25(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial"), p.take(2000))
+    // the query-vocabulary filter must run before the aggregate fan-in,
+    // not after: postings traffic ∝ query-term hits, not corpus tokens
+    assert(p.contains("INSET") || p.contains(" IN ("), p.take(2000))
+  }
+
+  test("PII redaction and hash sampling plan zero exchanges") {
+    for (df <- Seq(graft.queries.CorpusOps.qPiiRedact(spark, sf),
+        graft.queries.CorpusOps.qSampleHash(spark, sf))) {
+      // orderBy in the registered query is the Verify dump determinism sort;
+      // the operator itself (projection + filter) must not shuffle
+      val body = df.queryExecution.optimizedPlan.children.headOption
+        .getOrElse(df.queryExecution.optimizedPlan)
+      val p = body.toString
+      assert(!p.contains("Exchange") && !p.contains("Repartition"), p.take(2000))
+    }
+  }
 }
