@@ -1,9 +1,25 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+
+/** Input validation shared by the SQL-registered kernels: these expressions
+  * are reachable from arbitrary `spark.sql(...)` via GraftExtensions, so a
+  * wrong-typed argument must fail analysis with a readable message, not
+  * ClassCastException inside eval/codegen. */
+private[expressions] object VectorTypeCheck {
+  def numericArrays(name: String, types: Seq[DataType]): TypeCheckResult =
+    if (types.forall {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float> or array<double> arguments, got " +
+        types.map(_.catalogString).mkString(", "))
+}
 
 /** Codegen'd dense-vector kernels (SURVEY.md §2 B-10 similarity search).
   *
@@ -23,6 +39,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.numericArrays(prettyName,
+      Seq(left.dataType, right.dataType))
 
   private def elemGetter(e: Expression): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
@@ -75,6 +95,10 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.numericArrays(prettyName,
+      Seq(left.dataType, right.dataType))
 
   private def elemGetter(e: Expression): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
@@ -130,6 +154,12 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array<string> argument, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val tokens = input.asInstanceOf[ArrayData]

@@ -109,23 +109,31 @@ object TextFunctions {
   val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val phoneRe = "\\+?[0-9][0-9 -]{6,}[0-9]"
 
+  private def redactEmails(text: Column): Column =
+    regexp_replace(text, emailRe, "[EMAIL]")
+  private def redactIps(text: Column): Column =
+    regexp_replace(text, ipv4Re, "[IP]")
+
+  /** Counts match the redaction cascade stage-for-stage: emails are counted
+    * on raw text, IPs on the email-redacted text, phones on the email+IP-
+    * redacted text — so `n_*` always agrees with the number of masks
+    * `redactPii` actually emits (a digit run inside an email local part is
+    * an email, not a phone). */
   def piiEmails(text: Column): Column =
     size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long")
   def piiIps(text: Column): Column =
-    size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long")
+    size(regexp_extract_all(redactEmails(text), lit(ipv4Re), lit(0)))
+      .cast("long")
   def piiPhones(text: Column): Column =
-    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long")
+    size(regexp_extract_all(redactIps(redactEmails(text)), lit(phoneRe),
+      lit(0))).cast("long")
 
   /** PII redaction: emails → [EMAIL], then IPv4 → [IP], then phone-shaped
     * digit runs → [PHONE]. Order matters — emails and IPs must be consumed
     * before the greedy phone pattern can see their digits. Pure
     * `regexp_replace` composition: codegen'd, one pass per pattern. */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, emailRe, "[EMAIL]"),
-        ipv4Re, "[IP]"),
-      phoneRe, "[PHONE]")
+    regexp_replace(redactIps(redactEmails(text)), phoneRe, "[PHONE]")
 
   /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
     * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).

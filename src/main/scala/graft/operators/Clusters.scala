@@ -52,17 +52,22 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("comp").as("nbr_comp"))
+      // checkpoint BEFORE the compression self-join: it consumes
+      // `propagated` twice, and Spark has no plan-level CSE — unckeckpointed,
+      // the neighbour-min join would be planned (and run) on both sides
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = true)
       // path compression: comp := comp(comp) — labels only ever decrease,
       // so following the label's own label one hop is always sound and
-      // halves the remaining pointer-chain depth
+      // halves the remaining pointer-chain depth. No checkpoint needed:
+      // `next` is one shallow join over the checkpointed `propagated`, so
+      // per-round lineage stays bounded either way.
       val next = propagated
         .join(propagated.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
-        .localCheckpoint(eager = true)
       converged = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev"))
@@ -70,6 +75,11 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // exhausting the round budget would silently return labels that are NOT
+    // components (transitively-connected vertices still apart) — refuse
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "raise maxIter (compression makes rounds ~log2(diameter))")
     labels
   }
 }

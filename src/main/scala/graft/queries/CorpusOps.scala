@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Clusters, Dedup}
+import graft.operators.{Clusters, Dedup, Outliers, Ranking}
 
 /** Round-4 corpus-pipeline operators: duplicate-cluster resolution
   * (connected components over near-dup pairs), BM25 keyword ranking, PII
@@ -48,32 +48,9 @@ object CorpusOps extends QueryFamily {
     * vocabulary BEFORE any shuffle; corpus stats (N, avgdl) are a one-row
     * broadcast aggregate; the final top-k is orderBy+limit →
     * TakeOrderedAndProject, never a global sort. */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val queryTerms = Seq("spark", "table", "hash")
-    val docs = Tables.documents(s, dir)
-    val dl = docs.select(col("doc_id"), T.tokenCount(col("text")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(queryTerms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      // identical literals on both sides: 2.2 = k1+1, 0.25 = 1−b — spelled
-      // as decimal literals so Spark and DuckDB parse the same doubles
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-          + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id").agg(round(sum("contrib"), 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(20)
-  }
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    Ranking.bm25(Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "table", "hash"), k = 20)
 
   /** q_pii_redact — PII detection + redaction: per-pattern raw-text match
     * counts and the md5 of the redacted text (emails → [EMAIL], IPv4 →
@@ -99,23 +76,14 @@ object CorpusOps extends QueryFamily {
     * for the exact percentiles — at 100 TB the same shape holds with
     * approx_percentile swapped in (documented, not registered: the oracle
     * needs the exact one). */
-  def qOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
-    val med = ev.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), "event_type")
-      .withColumn("robust_z",
-        round(col("adev") / (lit(1.4826) * col("mad")), 6))
-      .filter(col("robust_z") > 3.0)
+  def qOutliers(s: SparkSession, dir: String): DataFrame =
+    Outliers.robustOutliers(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", zMax = 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
         col("robust_z"))
       .orderBy("event_id")
-  }
 
   /** q_join_salted — skew-mitigated fact⋈dim join with results identical to
     * the plain join: the fact side gets a deterministic salt in [0, 8) from
@@ -300,15 +268,25 @@ object CorpusOps extends QueryFamily {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_pii_redact" ->
-      """SELECT doc_id,
+      """WITH staged AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |      AS t1
+        |  FROM documents),
+        |staged2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+        |      AS t2
+        |  FROM staged)
+        |SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
-        |  len(regexp_extract_all(text, '\+?[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-        |    '\+?[0-9][0-9 -]{6,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(t2, '\+?[0-9][0-9 -]{6,}[0-9]')) AS n_phones,
+        |  md5(regexp_replace(t2, '\+?[0-9][0-9 -]{6,}[0-9]', '[PHONE]', 'g'))
+        |    AS redacted_md5
+        |FROM staged2 ORDER BY doc_id""".stripMargin,
     "q_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -322,9 +300,9 @@ object CorpusOps extends QueryFamily {
         |  FROM dev GROUP BY 1)
         |SELECT event_id, d.event_type, value,
         |  round(d.med, 6) AS med, round(a.mad, 6) AS mad,
-        |  round(adev / (1.4826 * a.mad), 6) AS robust_z
+        |  round(adev / (1.4826 * nullif(a.mad, 0)), 6) AS robust_z
         |FROM dev d JOIN mad a USING (event_type)
-        |WHERE round(adev / (1.4826 * a.mad), 6) > 3.0
+        |WHERE round(adev / (1.4826 * nullif(a.mad, 0)), 6) > 3.0
         |ORDER BY event_id""".stripMargin,
     "q_histogram" ->
       """SELECT event_type,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Clusters
+import graft.operators.{Clusters, Outliers, Ranking}
 import graft.functions.{TextFunctions => T}
 import graft.queries.CorpusOps
 
@@ -58,6 +58,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3).getString(4) == "no pii in this plain sentence at all")
   }
 
+  test("PII counts follow the redaction cascade: email digits are not phones") {
+    val df = Seq((0L, "reach 12345678@example.com today")).toDF("doc_id", "text")
+    val r = df.select(T.piiEmails(col("text")).as("e"),
+      T.piiPhones(col("text")).as("p"),
+      T.redactPii(col("text")).as("red")).head()
+    // the 8-digit local part is part of the email, so the counts must agree
+    // with the redacted text (one [EMAIL] mask, no [PHONE] mask)
+    assert(r.getLong(0) == 1 && r.getLong(1) == 0 &&
+      r.getString(2) == "reach [EMAIL] today")
+  }
+
   test("PII redaction does not double-count IPs as phones") {
     val df = Seq((0L, "ip 192.168.100.200 is not a phone")).toDF("doc_id", "text")
     val r = df.select(T.piiPhones(col("text")).as("p"),
@@ -78,21 +89,8 @@ class CorpusOpsSpec extends SparkSpec {
         "padded with many other words to stretch the document length"),
       (2L, "nothing relevant here at all")
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("bm25docs")
-    val dl = docs.select(col("doc_id"), T.tokenCount(col("text")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin("spark", "table"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "tok").join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log((col("n_docs") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib", col("idf") * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id").agg(sum("contrib").as("score"))
+    val scored = Ranking.bm25(docs, "doc_id", "text", Seq("spark", "table"),
+        k = 10)
       .as[(Long, Double)].collect().toMap
     assert(scored(0L) > scored(1L))
     assert(!scored.contains(2L)) // no query terms → no posting rows at all
@@ -105,17 +103,18 @@ class CorpusOpsSpec extends SparkSpec {
     val ev = (1L to 20L).map(i => (i, "click", 10.0 + (i % 5))) :+
       ((21L, "click", 500.0)) // the outlier
     val df = ev.toDF("event_id", "event_type", "value")
-    val med = df.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
-    val dev = df.join(broadcast(med), "event_type")
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    val flagged = dev.join(broadcast(mad), "event_type")
-      .withColumn("z", col("adev") / (lit(1.4826) * col("mad")))
-      .filter(col("z") > 3.0)
+    val flagged = Outliers.robustOutliers(df, "event_type", "value", 3.0)
       .select("event_id").as[Long].collect()
     assert(flagged.toSeq == Seq(21L))
+  }
+
+  test("MAD = 0 groups yield null z-scores and no flags (never Infinity)") {
+    // 9 of 11 rows sit exactly on the median → MAD = 0; the two off-median
+    // rows must NOT be emitted as Infinity outliers (oracle divergence:
+    // DuckDB NULLs double division by zero)
+    val df = ((1L to 9L).map(i => (i, "hb", 5.0)) ++
+      Seq((10L, "hb", 9.0), (11L, "hb", 1.0))).toDF("event_id", "event_type", "value")
+    assert(Outliers.robustOutliers(df, "event_type", "value", 3.0).isEmpty)
   }
 
   // ---- salted join ----
@@ -187,6 +186,19 @@ class CorpusOpsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.simhash64(col("text")))
       .head().getLong(0)
     assert(r.getLong(3) == viaCol)
+  }
+
+  test("SQL kernels reject wrong-typed arguments at analysis time") {
+    for (bad <- Seq(
+        "SELECT cosine_sim('a', 'b')",
+        "SELECT dot_product(array(1, 2), array(3, 4))",
+        "SELECT simhash64(array(1, 2))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(bad).head()
+      }
+      assert(e.getMessage.contains("expects") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), s"$bad → ${e.getMessage}")
+    }
   }
 
   test("salted join does not broadcast (the salt must reach the shuffle)") {

@@ -107,15 +107,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("INSET") || p.contains(" IN ("), p.take(2000))
   }
 
-  test("PII redaction and hash sampling plan zero exchanges") {
+  test("PII redaction and hash sampling plan zero exchanges beyond the dump sort") {
     for (df <- Seq(graft.queries.CorpusOps.qPiiRedact(spark, sf),
         graft.queries.CorpusOps.qSampleHash(spark, sf))) {
-      // orderBy in the registered query is the Verify dump determinism sort;
-      // the operator itself (projection + filter) must not shuffle
-      val body = df.queryExecution.optimizedPlan.children.headOption
-        .getOrElse(df.queryExecution.optimizedPlan)
-      val p = body.toString
-      assert(!p.contains("Exchange") && !p.contains("Repartition"), p.take(2000))
+      // physical plan (Exchange nodes only exist there): the single allowed
+      // exchange is the rangepartitioning for the Verify determinism
+      // orderBy — the operator body (projection + filter) must not shuffle
+      val p = planString(df)
+      val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges == 1 && p.contains("rangepartitioning"), p.take(2000))
     }
   }
 }
