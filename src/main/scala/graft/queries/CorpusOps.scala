@@ -200,6 +200,44 @@ object CorpusOps extends QueryFamily {
       .select("doc_id", "h2", "n_chars")
       .orderBy("doc_id")
 
+  /** q_retention — weekly cohort retention: users grouped by first-activity
+    * week, distinct active users per (cohort, week offset). Two narrow
+    * aggregates + one broadcast join of the (tiny) per-user cohort table —
+    * the classic product-analytics matrix, shuffle-bounded by user
+    * cardinality at any scale. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .cast("long").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.distinct()
+      .join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q_transitions — event-type transition matrix: per user, each event's
+    * predecessor type via one lag window, then (prev, next) counts and the
+    * per-prev transition probability. One user-keyed window + one two-key
+    * aggregate; the probability denominator is a window over the (tiny)
+    * aggregated matrix, not the event stream. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = pairs.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("prev_type")), 6))
+      .orderBy("prev_type", "event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters _),
     "q_bm25" -> (qBm25 _),
@@ -210,7 +248,9 @@ object CorpusOps extends QueryFamily {
     "q_edit_distance" -> (qEditDistance _),
     "q_upsert" -> (qUpsert _),
     "q_scd2" -> (qScd2 _),
-    "q_sample_hash" -> (qSampleHash _))
+    "q_sample_hash" -> (qSampleHash _),
+    "q_retention" -> (qRetention _),
+    "q_transitions" -> (qTransitions _))
 
   override val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -373,6 +413,30 @@ object CorpusOps extends QueryFamily {
         |FROM documents
         |WHERE substring(md5(text), 1, 2) <= '28'
         |ORDER BY doc_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_transitions" ->
+      """WITH pairs AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev_type, event_type, COUNT(*) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT), 6) AS p
+        |FROM counts ORDER BY prev_type, event_type""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
