@@ -238,6 +238,50 @@ object CorpusOps extends QueryFamily {
       .orderBy("prev_type", "event_type")
   }
 
+  /** q_pipeline_e2e — the whole training-data pipeline as ONE composed
+    * query: exact dedup (keep lowest doc_id per content hash) →
+    * benchmark decontamination (drop train docs sharing a word 5-gram with
+    * the eval slice) → quality gate (≥ 30 tokens and dup-token ratio
+    * < 0.85) → per-shard 512-token sequence packing. Every stage is the
+    * registered operator, composed the way a user would compose them; the
+    * oracle chains the same stages in SQL. Plan shape: the corpus shuffles
+    * once for the dedup window and once for the packing window; the
+    * decontamination and gate are narrow (broadcast semi-join + codegen
+    * projections) in between. */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stage 1: exact dedup
+    val deduped = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "text")
+    // stage 2: decontamination against the deterministic eval slice
+    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
+      .distinct()
+    val contaminated = deduped.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .select("doc_id").distinct()
+    val clean = deduped.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // stage 3: quality gate
+    val gated = clean
+      .filter(T.tokenCount(col("text")) >= 30 &&
+        T.dupTokenRatio(col("text")) < 0.85)
+    // stage 4: per-shard packing at a 512-token budget
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gated
+      .select(col("doc_id"), expr("doc_id div 100").as("shard"),
+        T.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
+      .withColumn("chunk_id", expr("start_tok div 512"))
+      .select("doc_id", "shard", "n_tokens", "start_tok", "chunk_id")
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters _),
     "q_bm25" -> (qBm25 _),
@@ -250,7 +294,8 @@ object CorpusOps extends QueryFamily {
     "q_scd2" -> (qScd2 _),
     "q_sample_hash" -> (qSampleHash _),
     "q_retention" -> (qRetention _),
-    "q_transitions" -> (qTransitions _))
+    "q_transitions" -> (qTransitions _),
+    "q_pipeline_e2e" -> (qPipelineE2e _))
 
   override val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -424,6 +469,45 @@ object CorpusOps extends QueryFamily {
         |  COUNT(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS g
+        |    FROM documents WHERE doc_id % 50 = 0)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS g
+        |    FROM dedup WHERE doc_id % 50 <> 0)
+        |  WHERE g IN (SELECT g FROM ev)),
+        |gated AS (
+        |  SELECT doc_id, text FROM dedup
+        |  WHERE doc_id % 50 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |    AND len(string_split(text, ' ')) >= 30
+        |    AND (1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' '))) < 0.85),
+        |t AS (
+        |  SELECT doc_id, doc_id // 100 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM gated),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS end_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  end_tok - n_tokens AS start_tok,
+        |  (end_tok - n_tokens) // 512 AS chunk_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_transitions" ->
       """WITH pairs AS (
         |  SELECT user_id, event_type,
