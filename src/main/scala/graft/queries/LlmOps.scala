@@ -292,6 +292,18 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_sim_sq8 — scalar-quantized (8-bit) cosine top-10: the compressed
+    * at-rest similarity path (4× less IO than float32), deterministic
+    * arithmetic end-to-end so — unlike LSH/IVF — the WHOLE compressed path
+    * is oracle-checked, not just property-tested. */
+  def qSimSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.sq8TopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
   /** q_multimodal_decode — stubbed media decode → feature vector (schema +
     * batch shape are the real contract; decode body is the documented stub).
     * The vector is emitted as its canonical JSON string so the driver's
@@ -321,6 +333,7 @@ object LlmOps extends QueryFamily {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_ivf" -> (qSimIvf _),
+    "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _))
 
   override val oracle: Map[String, String] = Map(
@@ -415,6 +428,28 @@ object LlmOps extends QueryFamily {
         |  SELECT q_id, vec_id,
         |    round(list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
         |  FROM q, embeddings WHERE vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    "q_sim_sq8" ->
+      """WITH st AS (
+        |  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list(CASE WHEN mx > mn
+        |      THEN mn + round((CAST(embedding[i] AS DOUBLE) - mn) * 255.0
+        |        / (mx - mn)) * (mx - mn) / 255.0
+        |      ELSE mn END ORDER BY i) AS v
+        |  FROM embeddings, st GROUP BY vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM dq WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 6) AS sim
+        |  FROM q, dq WHERE vec_id <> q_id),
         |ranked AS (
         |  SELECT q_id, vec_id, sim,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk

@@ -31,6 +31,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.subsetOf(topkSet(Similarity.cosineTopK(queries, corpus, 500))))
   }
 
+  test("SQ8 quantized top-k stays close to exact (8-bit error is tiny)") {
+    // 8-bit scalar quantization perturbs each dim by ≤ range/510, so
+    // rounded cosines move by ~1e-3 — the top-10 should overlap the exact
+    // top-10 almost entirely (ties at the boundary may swap)
+    val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
+    val sq8 = topkSet(Similarity.sq8TopK(queries, corpus, 10))
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // and a full-depth quantized ranking must contain every exact top-10 id
+    assert(exact.subsetOf(topkSet(Similarity.sq8TopK(queries, corpus, 100))))
+  }
+
   test("LSH-gated cosine pairs equal the exact all-pairs join (100% recall)") {
     import graft.functions.VectorFunctions
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
