@@ -205,18 +205,14 @@ object CorpusOps extends QueryFamily {
     * aggregates + one broadcast join of the (tiny) per-user cohort table —
     * the classic product-analytics matrix, shuffle-bounded by user
     * cardinality at any scale. */
-  def qRetention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"),
-        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
-          .cast("long").as("week"))
-    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
-    ev.distinct()
-      .join(broadcast(cohort), "user_id")
-      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct("user_id").as("n_users"))
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohortMatrix(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+              .cast("long").as("week")),
+        "user_id", "week")
       .orderBy("cohort_week", "week_offset")
-  }
 
   /** q_transitions — event-type transition matrix: per user, each event's
     * predecessor type via one lag window, then (prev, next) counts and the
@@ -250,34 +246,26 @@ object CorpusOps extends QueryFamily {
     * projections) in between. */
   def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // stage 1: exact dedup
-    val deduped = Dedup.exact(docs, "text", "doc_id")
+    // stage 1: exact dedup; the train branch feeds BOTH the contamination
+    // scan and the final anti-join — materialize it once (no plan-level CSE)
+    val train = Dedup.exact(docs, "text", "doc_id")
       .select("doc_id", "text")
+      .filter(col("doc_id") % 50 =!= 0)
+      .localCheckpoint(eager = false)
     // stage 2: decontamination against the deterministic eval slice
-    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
-      .select(explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
-      .distinct()
-    val contaminated = deduped.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"),
-        explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
-      .join(broadcast(evalShingles), "g")
-      .select("doc_id").distinct()
-    val clean = deduped.filter(col("doc_id") % 50 =!= 0)
-      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val contaminated = graft.operators.Decontaminate
+      .contaminatedIds(train, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 5)
+    val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // stage 3: quality gate
     val gated = clean
       .filter(T.tokenCount(col("text")) >= 30 &&
         T.dupTokenRatio(col("text")) < 0.85)
     // stage 4: per-shard packing at a 512-token budget
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gated
-      .select(col("doc_id"), expr("doc_id div 100").as("shard"),
-        T.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("end_tok", sum(col("n_tokens")).over(w))
-      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
-      .withColumn("chunk_id", expr("start_tok div 512"))
+    graft.operators.Packing.packChunks(
+        gated.select(col("doc_id"), expr("doc_id div 100").as("shard"),
+          T.tokenCount(col("text")).as("n_tokens")),
+        "shard", "doc_id", "n_tokens", budget = 512)
       .select("doc_id", "shard", "n_tokens", "start_tok", "chunk_id")
       .orderBy("doc_id")
   }
@@ -461,7 +449,8 @@ object CorpusOps extends QueryFamily {
     "q_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,
-        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+        |    CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      / 7.0) AS BIGINT) AS week
         |  FROM events),
         |cohort AS (
         |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
@@ -512,7 +501,7 @@ object CorpusOps extends QueryFamily {
       """WITH pairs AS (
         |  SELECT user_id, event_type,
         |    LAG(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS prev_type
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
         |  FROM events),
         |counts AS (
         |  SELECT prev_type, event_type, COUNT(*) AS n

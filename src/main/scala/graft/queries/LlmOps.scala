@@ -172,15 +172,10 @@ object LlmOps extends QueryFamily {
     * join + distinct on flagged ids — the corpus itself never shuffles. */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
-      .select(explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
-      .distinct()
     val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val contaminated = train
-      .select(col("doc_id"),
-        explode(array_distinct(T.wordShingles(col("text"), 5))).as("g"))
-      .join(broadcast(evalShingles), "g")
-      .select("doc_id").distinct()
+    val contaminated = graft.operators.Decontaminate
+      .contaminatedIds(train, docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 5)
       .withColumn("contaminated", lit(true))
     // the flagged-id set is bounded by the (tiny) eval overlap — broadcast
     // it too, so the train corpus truly never enters a shuffle
@@ -198,23 +193,16 @@ object LlmOps extends QueryFamily {
     * never crosses shards, so there is no global-order single-partition
     * bottleneck: at 100 TB each shard packs independently, exactly like a
     * per-worker packing job). */
-  def qPackChunks(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val budget = 512
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("doc_id div 100").as("shard"),
-        T.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("end_tok", sum(col("n_tokens")).over(w))
-      .withColumn("start_tok", col("end_tok") - col("n_tokens"))
-      .withColumn("chunk_id", expr(s"start_tok div $budget"))
-      .withColumn("chunk_offset", col("start_tok") % budget)
+  def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packChunks(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("doc_id div 100").as("shard"),
+            T.tokenCount(col("text")).as("n_tokens")),
+        "shard", "doc_id", "n_tokens", budget = 512)
       .select("doc_id", "shard", "n_tokens", "start_tok", "chunk_id",
         "chunk_offset")
       .orderBy("doc_id")
-  }
 
   /** q_mix_sources — deterministic mixture downsampling: per-source keep
     * every k-th document by rank (k from a per-source weight table) — the
@@ -435,17 +423,20 @@ object LlmOps extends QueryFamily {
         |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
     "q_sim_sq8" ->
-      """WITH st AS (
-        |  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
-        |    MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-        |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+      """WITH flat AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+        |  FROM flat GROUP BY i),
         |dq AS (
         |  SELECT vec_id,
         |    list(CASE WHEN mx > mn
-        |      THEN mn + round((CAST(embedding[i] AS DOUBLE) - mn) * 255.0
+        |      THEN mn + round((CAST(x AS DOUBLE) - mn) * 255.0
         |        / (mx - mn)) * (mx - mn) / 255.0
         |      ELSE mn END ORDER BY i) AS v
-        |  FROM embeddings, st GROUP BY vec_id),
+        |  FROM flat JOIN st USING (i) GROUP BY vec_id),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM dq WHERE vec_id < 3),
         |sims AS (
         |  SELECT q_id, vec_id, round(list_cosine_similarity(qv, v), 6) AS sim

@@ -169,6 +169,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tighter.subsetOf(once))
   }
 
+  // ---- cohort retention ----
+
+  test("retention matrix separates cohorts and decays offsets correctly") {
+    // cohort 0: users 1,2 (u1 active weeks 0,1,2; u2 weeks 0,2)
+    // cohort 1: user 3 (active weeks 1,3)
+    val activity = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 2L),
+      (3L, 1L), (3L, 3L)
+    ).toDF("user_id", "week")
+    val m = graft.operators.Retention.cohortMatrix(activity, "user_id", "week")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(m == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   // ---- SQL extension surface ----
 
   test("vector and simhash kernels are callable from SQL via GraftExtensions") {
