@@ -107,6 +107,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("INSET") || p.contains(" IN ("), p.take(2000))
   }
 
+  test("e2e pipeline plans per-shard windows and no cartesian products") {
+    val p = planString(graft.queries.CorpusOps.qPipelineE2e(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // both windows (dedup hash, shard packing) must be partitioned — a
+    // SinglePartition window would serialize the whole corpus
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("PII redaction and hash sampling plan zero exchanges beyond the dump sort") {
     for (df <- Seq(graft.queries.CorpusOps.qPiiRedact(spark, sf),
         graft.queries.CorpusOps.qSampleHash(spark, sf))) {
