@@ -200,6 +200,27 @@ object CorpusOps extends QueryFamily {
       .select("doc_id", "h2", "n_chars")
       .orderBy("doc_id")
 
+  /** q_sample_stratified — exact-quota stratified sampling: per source,
+    * keep exactly min(quota, available) documents, chosen by md5(text)
+    * order — like `q_sample_hash` the kept set is a pure content function
+    * (stable across runs/engines/partitionings), but with hard per-stratum
+    * quotas instead of a global rate. One per-source window, the same
+    * shuffle shape as q_mix_sources. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quota",
+        when(col("source") === "src0", 20)
+          .when(col("source").isin("src1", "src2", "src3", "src4"), 10)
+          .otherwise(5))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
+        col("quota").cast("long").as("quota"))
+      .orderBy("doc_id")
+  }
+
   /** q_retention — weekly cohort retention: users grouped by first-activity
     * week, distinct active users per (cohort, week offset). Two narrow
     * aggregates + one broadcast join of the (tiny) per-user cohort table —
@@ -283,7 +304,8 @@ object CorpusOps extends QueryFamily {
     "q_sample_hash" -> (qSampleHash _),
     "q_retention" -> (qRetention _),
     "q_transitions" -> (qTransitions _),
-    "q_pipeline_e2e" -> (qPipelineE2e _))
+    "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -445,6 +467,18 @@ object CorpusOps extends QueryFamily {
       """SELECT doc_id, substring(md5(text), 1, 2) AS h2, n_chars
         |FROM documents
         |WHERE substring(md5(text), 1, 2) <= '28'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS rn,
+        |    CASE WHEN source = 'src0' THEN 20
+        |         WHEN source IN ('src1', 'src2', 'src3', 'src4') THEN 10
+        |         ELSE 5 END AS quota
+        |  FROM documents)
+        |SELECT doc_id, source, rn, CAST(quota AS BIGINT) AS quota
+        |FROM r WHERE rn <= quota
         |ORDER BY doc_id""".stripMargin,
     "q_retention" ->
       """WITH ev AS (
