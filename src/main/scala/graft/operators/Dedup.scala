@@ -41,6 +41,21 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Incremental (batch-vs-store) exact dedup — the nightly-ingest shape:
+    * the new `batch` first dedups within itself (lowest id per digest wins),
+    * then drops everything whose content digest already exists in `store`.
+    * Only genuinely novel content survives. Both the window and the
+    * anti-join key on the uniform sha256 digest (no skew by construction),
+    * and the store side is pruned to its digest column before the join — at
+    * 100 TB the anti-join moves digests, not documents. */
+  def incremental(batch: DataFrame, store: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val seen = store.select(sha2(col(textCol), 256).as("content_hash"))
+      .distinct()
+    exact(batch, textCol, idCol)
+      .join(seen, Seq("content_hash"), "left_anti")
+  }
+
   /** Exact word-n-gram Jaccard similarity for all pairs above `threshold`.
     * Shingles with document frequency above the guard are dropped from
     * candidate generation AND from the per-document shingle counts (stop-

@@ -87,6 +87,50 @@ object Layout {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** Equal-width bin id in [0, nbins) for `x` given column-level min/max
+    * (typically from a one-row broadcast aggregate). The expression shape
+    * (`(x − mn) / (mx − mn) * nbins`, floor, clamp) is mirrored verbatim in
+    * the DuckDB oracle — identical IEEE op order makes the bin ids
+    * bit-exact across engines. Degenerate range (mx == mn) puts every row
+    * in bin 0. */
+  def rangeBin(x: Column, mn: Column, mx: Column, nbins: Int): Column =
+    when(mx > mn,
+      least(greatest(floor((x - mn) / (mx - mn) * lit(nbins.toDouble)),
+        lit(0)), lit(nbins - 1)).cast("long"))
+      .otherwise(lit(0L))
+
+  /** Z-order (Morton) value: interleave the low `bits` bits of two bin-id
+    * columns — binA occupies the odd bit positions, binB the even ones.
+    * Sorting or range-partitioning by this value clusters rows so every
+    * contiguous z-range covers a tight BOX in (A, B) space: a file holding
+    * one 2k-bit z-prefix spans at most 2^(bits−k) bins on EACH dimension,
+    * so parquet min/max stats prune multi-dimensional box predicates —
+    * the layout trick a single-column sort cannot do (it leaves the second
+    * dimension's span unbounded per file). Pure shifts/ands/adds on longs:
+    * codegen'd, and reproducible bit-for-bit in the oracle's SQL. */
+  def zorderValue(binA: Column, binB: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(binA, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(binB, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** Persist a table z-order-clustered into `files` parquet files: range-
+    * partition by the z value (contiguous z-ranges per file), sort within
+    * each file so row groups get tight min/max stats on BOTH clustered
+    * dimensions. At 100 TB this is the at-rest layout for workloads that
+    * filter on two correlated-selectivity columns at once (e.g. time × node,
+    * value × type); file- and row-group-level stats pruning then skips the
+    * overwhelming majority of IO for any 2-D box predicate. Verified in
+    * LayoutSpec: per-file spans of both dimensions are bounded, where a
+    * hash-partitioned write leaves them at full range. */
+  def writeZOrdered(df: DataFrame, path: String, zCol: Column,
+      files: Int): Unit =
+    df.withColumn("_z", zCol)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Two-phase aggregation with an explicit salt: partial per (key, salt),
     * final per key. Spark's hash aggregate already does map-side partials;
     * the explicit form is for aggregations where a single group's partial

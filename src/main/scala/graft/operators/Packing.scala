@@ -28,4 +28,32 @@ object Packing {
       .withColumn("chunk_id", expr(s"start_tok div $budget"))
       .withColumn("chunk_offset", col("start_tok") % budget)
   }
+
+  /** Overlapping (strided) per-document chunking — the RAG/indexing cut,
+    * complementing `packChunks`' cross-document concatenation: each
+    * document yields windows of `size` tokens starting every `stride`
+    * tokens, the last window clipped to the document end. A document
+    * shorter than `size` yields exactly one (full-document) chunk; every
+    * token lands in ≥ 1 chunk and consecutive chunks overlap by
+    * `size − stride` tokens.
+    *
+    * Scale shape: pure per-row sequence + explode — NO shuffle at all; the
+    * chunk list inherits the document partitioning. Output rows per doc =
+    * ceil(max(n − size, 0) / stride) + 1, bounded and predictable. */
+  def chunkOverlap(df: DataFrame, idCol: String, nTokensCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = col(nTokensCol).cast("long")
+    // last start = the smallest multiple of `stride` >= n - size (so the
+    // final chunk always reaches the document end), 0 for docs shorter
+    // than one window; sequence bounds are inclusive
+    val lastStart = lit(stride.toLong) *
+      ceil(greatest(n - size, lit(0L)).cast("double") / stride).cast("long")
+    df.withColumn("start_tok",
+        explode(sequence(lit(0L), lastStart, lit(stride.toLong))))
+      .withColumn("end_tok", least(col("start_tok") + size, n))
+      .withColumn("chunk_idx", expr(s"start_tok div $stride"))
+      .withColumn("n_chunk_tokens", col("end_tok") - col("start_tok"))
+  }
 }

@@ -45,4 +45,37 @@ object Ranking {
       .orderBy(desc("score"), asc(idCol))
       .limit(k)
   }
+
+  /** TF-IDF keyword extraction: the top `k` terms per document by
+    * tf · ln(N/df), ties broken by term. Where `bm25` ranks documents for a
+    * given query, this ranks TERMS within each document — the per-doc
+    * keyword/topic signal a corpus index or mixture analysis wants.
+    *
+    * Scale shape: term frequencies aggregate per (doc, term) with map-side
+    * partials; document frequency comes from one window over the term key
+    * (same shuffle the df-join would need, without the join-back); the
+    * per-doc top-k is a bounded window. Scores are integer micro-units
+    * (round(tf·idf·1e6)) so ranking and output are float-order-immune on
+    * both engines. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_u",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) *
+          lit(1000000.0), 0).cast("long"))
+    val w = Window.partitionBy(idCol).orderBy(desc("score_u"), asc("tok"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("score_u"),
+        col("rk"))
+      .orderBy(col(idCol), col("rk"))
+  }
 }
