@@ -117,6 +117,64 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("unigram LM broadcasts the vocabulary and stats, never shuffling tokens to it") {
+    val p = planString(graft.queries.PipelineOps.qUnigramLm(spark, sf))
+    // vocab lookup + total both arrive as broadcasts; the only hash
+    // exchanges are the token count and the per-doc aggregate
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("overlap chunking plans zero exchanges beyond the dump sort") {
+    val p = planString(graft.queries.PipelineOps.qChunkOverlap(spark, sf))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1 && p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("incremental dedup keeps the anti-join and prunes the store to its digest") {
+    val p = planString(graft.queries.PipelineOps.qDedupIncremental(spark, sf))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    // the store side must read only the text column it digests — no
+    // full-width documents moving through the anti-join
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB the optimizer injects a bloom filter built from the
+    // selective (dim) side into the fact scan, dropping non-joining rows
+    // BEFORE the shuffle — the size thresholds that gate it are simply not
+    // met at test scale, so lower them to show the plan Spark would run.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), p.take(3000))
+      // and the result is unchanged by the injected filter
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("PII redaction and hash sampling plan zero exchanges beyond the dump sort") {
     for (df <- Seq(graft.queries.CorpusOps.qPiiRedact(spark, sf),
         graft.queries.CorpusOps.qSampleHash(spark, sf))) {
