@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ConfluentAvroEncode, CosineSimilarity, DotProduct, Fnv1a32, SimHash64}
+import graft.expressions.{ConfluentAvroEncode, CosineSimilarity, DotProduct, Fnv1a32, NfcNormalize, SimHash64}
 import graft.operators.EnvelopeSink
 
 /** Session extensions installer: registers graft's custom SQL functions so
@@ -17,6 +17,8 @@ import graft.operators.EnvelopeSink
   * `cosine_sim(arr, arr)` / `dot_product(arr, arr)` — the codegen vector
   * kernels behind the similarity operators (B-10).
   * `simhash64(array<string>)` — the 64-bit SimHash signature (B-10).
+  * `nfc_normalize(string)` — unicode NFC canonicalization (no Spark
+  * built-in exists; digest-keyed operators need it).
   * The DataFrame API paths (EnvelopeSink.toAvroValue,
   * HashFunctions.fnv1a32, VectorFunctions, TextFunctions.simhash64) do not
   * require the extension.
@@ -57,6 +59,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           "dot_product expects exactly two array arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => children match {
+        case Seq(child) => NfcNormalize(child)
+        case _ => throw new IllegalArgumentException(
+          "nfc_normalize expects exactly one string argument")
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

@@ -135,6 +135,22 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(redactIps(redactEmails(text)), phoneRe, "[PHONE]")
 
+  /** Unicode NFC canonicalization (custom codegen expression — Spark has
+    * no built-in normalizer; composed vs decomposed accents would
+    * otherwise fracture every digest-keyed operator). */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.NfcNormalize(Bridge.expression(text)))
+  }
+
+  /** Canonical text form for content-keyed operators: NFC → lowercase →
+    * trim → single-space whitespace runs. The normalization that runs
+    * BEFORE exact dedup / incremental-store digests / hash sampling, so
+    * byte-level encoding and spacing provenance can't split identical
+    * content across digest keys. Pure codegen'd projection. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(trim(lower(nfc(text))), "\\s+", " ")
+
   /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
     * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).
     * Backed by the graft.expressions.SimHash64 custom expression — one

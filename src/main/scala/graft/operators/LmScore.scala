@@ -36,7 +36,11 @@ object LmScore {
       vocabSize: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // the count table feeds BOTH broadcast subplans (vocab top-V and the
+    // one-row total) — materialize it once, or each re-runs the corpus
+    // scan+tokenize+aggregate from scratch (no plan-level CSE)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     // one-row total over ALL tokens (not just the kept vocabulary) — the
     // model is the corpus distribution, the cap only bounds the lookup table
     val stats = counts.agg(sum("cnt").as("total"))
@@ -54,6 +58,5 @@ object LmScore {
         sum("oov").as("n_oov"),
         sum("nll_u").as("nll_micro"))
       .withColumn("ce_micro", expr("nll_micro DIV n_tokens"))
-      .orderBy(idCol)
   }
 }

@@ -44,7 +44,10 @@ object Packing {
       size: Int, stride: Int): DataFrame = {
     require(stride > 0 && size >= stride,
       s"need 0 < stride <= size, got size=$size stride=$stride")
-    val n = col(nTokensCol).cast("long")
+    // a NULL token count would otherwise fabricate a phantom full-size
+    // chunk (least/greatest skip nulls): treat unknown as empty — one
+    // zero-token chunk, same as an n=0 document
+    val n = coalesce(col(nTokensCol).cast("long"), lit(0L))
     // last start = the smallest multiple of `stride` >= n - size (so the
     // final chunk always reaches the document end), 0 for docs shorter
     // than one window; sequence bounds are inclusive

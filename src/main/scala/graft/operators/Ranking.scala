@@ -76,6 +76,5 @@ object Ranking {
       .filter(col("rk") <= k)
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("score_u"),
         col("rk"))
-      .orderBy(col(idCol), col("rk"))
   }
 }

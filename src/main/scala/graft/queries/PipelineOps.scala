@@ -23,6 +23,7 @@ object PipelineOps extends QueryFamily {
   def qUnigramLm(s: SparkSession, dir: String): DataFrame =
     LmScore.unigramCrossEntropy(Tables.documents(s, dir), "text", "doc_id",
       vocabSize = 1000)
+      .orderBy("doc_id")
 
   /** q_tfidf_terms — top-3 keywords per document by tf·ln(N/df), term
     * tie-break: the per-document topic signal (vs q_bm25, which ranks
@@ -30,6 +31,7 @@ object PipelineOps extends QueryFamily {
     * float-order-immune. */
   def qTfidfTerms(s: SparkSession, dir: String): DataFrame =
     Ranking.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rk")
 
   /** q_dedup_incremental — the nightly-ingest dedup shape: a new batch
     * (doc_id % 3 == 0) dedups within itself (keep lowest id per sha256
@@ -95,7 +97,50 @@ object PipelineOps extends QueryFamily {
         col("end_tok"), col("n_chunk_tokens"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q_normalize — canonical text form for content-keyed operators: NFC
+    * (custom codegen expression — Spark has no unicode normalizer) →
+    * lowercase → trim → single-space whitespace runs, surfaced as the
+    * normalized digest plus before/after lengths. This is the projection
+    * that runs BEFORE exact dedup / incremental-store digests / hash
+    * sampling so encoding and spacing provenance cannot split identical
+    * content across digest keys. Zero shuffle; the unicode mechanics
+    * (composed == decomposed) are fixture-tested in PipelineOpsSpec. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(T.normalizeText(col("text"))).as("len_norm"),
+        md5(T.normalizeText(col("text"))).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q_source_overlap — cross-source contamination matrix: near-dup pairs
+    * (the guarded word-3-gram Jaccard edge set) aggregated to unordered
+    * (source, source) counts — the data-governance view of where duplicate
+    * content flows between corpus sources. One tiny aggregate over the
+    * pair list; the expensive part is the same guarded candidate join the
+    * dedup family already bounds. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, "text",
+      "doc_id", n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")),
+        "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")),
+        "b_id")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_normalize" -> (qNormalize _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_tfidf_terms" -> (qTfidfTerms _),
@@ -103,6 +148,41 @@ object PipelineOps extends QueryFamily {
     "q_zorder" -> (qZorder _))
 
   override val oracle: Map[String, String] = Map(
+    "q_normalize" ->
+      """SELECT doc_id, length(text) AS len_raw,
+        |  length(regexp_replace(trim(lower(nfc_normalize(text))),
+        |    '\s+', ' ', 'g')) AS len_norm,
+        |  md5(regexp_replace(trim(lower(nfc_normalize(text))),
+        |    '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT))),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id
+        |  JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.05)
+        |SELECT least(da.source, db.source) AS source_lo,
+        |  greatest(da.source, db.source) AS source_hi,
+        |  COUNT(*) AS n_pairs
+        |FROM pairs
+        |JOIN documents da ON a_id = da.doc_id
+        |JOIN documents db ON b_id = db.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_chunk_overlap" ->
       """WITH d AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),

@@ -94,6 +94,45 @@ class PipelineOpsSpec extends SparkSpec {
     d4.sliding(2).foreach { case Seq(a, b) => assert(b._3 <= a._4) }
   }
 
+  test("chunkOverlap treats null and zero token counts as empty docs") {
+    import graft.operators.Packing
+    val docs = Seq((1L, Some(0L)), (2L, None), (3L, Some(40L)))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.chunkOverlap(docs, "doc_id", "n_tokens",
+        size = 128, stride = 32)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_chunk_tokens")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // no phantom 128-token chunks: empty/unknown docs yield one empty chunk
+    assert(out === Seq((1L, 0L, 0L, 0L, 0L), (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 40L, 40L)))
+  }
+
+  test("nfc normalization unifies composed and decomposed unicode") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Seq(
+      (1L, "café"),            // composed é
+      (2L, "café"),           // decomposed e + combining acute
+      (3L, "  CAFÉ   latte "), // case + whitespace noise
+      (4L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        T.normalizeText(col("text")).as("norm"),
+        md5(T.normalizeText(col("text"))).as("h"))
+      .orderBy("doc_id").as[(Long, String, String)].collect()
+    // composed == decomposed after NFC; digest-keyed dedup now sees them
+    // as the same content
+    assert(out(0)._2 === out(1)._2 && out(0)._3 === out(1)._3)
+    assert(out(2)._2 === "café latte")
+    assert(out(3)._2 === "plain ascii")
+    // the SQL registration works and agrees with the column API
+    docs.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(text) AS n FROM nfc_docs ORDER BY doc_id")
+      .as[String].collect()
+    assert(viaSql(0) === viaSql(1))
+  }
+
   test("zorderValue interleaves bits exactly") {
     def ref(a: Long, b: Long, bits: Int): Long =
       (0 until bits).map { i =>

@@ -139,6 +139,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p.take(2000))
     // the store side must read only the text column it digests — no
     // full-width documents moving through the anti-join
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
+    assert(!p.contains("lang"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
@@ -147,6 +150,13 @@ class PlanSpec extends SparkSpec {
     // selective (dim) side into the fact scan, dropping non-joining rows
     // BEFORE the shuffle — the size thresholds that gate it are simply not
     // met at test scale, so lower them to show the plan Spark would run.
+    import org.apache.spark.sql.functions._
+    // baseline BEFORE any bloom conf is set — comparing two bloom-filtered
+    // runs against each other could never catch a wrongly-dropped row
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
@@ -155,7 +165,6 @@ class PlanSpec extends SparkSpec {
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      import org.apache.spark.sql.functions._
       val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
       val ord = Tables.orders(spark, sf)
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -164,10 +173,6 @@ class PlanSpec extends SparkSpec {
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("might_contain"), p.take(3000))
       // and the result is unchanged by the injected filter
-      val expected = Tables.lineitem(spark, sf)
-        .join(Tables.orders(spark, sf)
-            .filter(col("o_orderpriority") === "1-URGENT"),
-          col("l_orderkey") === col("o_orderkey")).count()
       assert(joined.count() === expected)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
