@@ -196,7 +196,25 @@ object Aggregations extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
+  /** q_agg_salted — two-phase aggregation with an explicit salt
+    * (`Layout.saltedAgg` gets its production consumer): partial sums per
+    * (key, salt), final per key. The shape for aggregations where one
+    * group's partial state outgrows a reducer (giant distinct sets, huge
+    * collects) — the salt bounds per-reducer state. Oracle-checked against
+    * the plain one-phase aggregate: salting must never change the answer
+    * (l_quantity is integral-valued, so double summation is exact in any
+    * order on both engines). */
+  def qAggSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Layout.saltedAgg(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("k"),
+            col("l_quantity").as("v"),
+            col("l_orderkey"), col("l_linenumber")),
+        "k", "v", struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
+      .orderBy("k")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted" -> (qAggSalted _),
     "q_agg_weighted" -> (qAggWeighted _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_collect" -> (qAggCollect _),
@@ -211,6 +229,10 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT l_returnflag AS k,
+        |  SUM(l_quantity) AS sum_value, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_stats" ->
       """WITH sums AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

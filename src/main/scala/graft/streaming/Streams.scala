@@ -16,6 +16,9 @@ case class Tick(slaveId: String, ts: java.sql.Timestamp, value: Double,
 case class TaskEvent(slaveId: String, taskId: String, status: String,
   seq: Long)
 
+/** Document-ingest record for the continuous dedup operator (S9). */
+case class DocIngest(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
@@ -183,6 +186,26 @@ object Streams {
         col("tick_ts") <= col("ev_ts") + expr("INTERVAL 30 SECONDS"))
       .select(col("slaveId"), col("tick_ts"), col("value"), col("ev_ts"),
         col("status"))
+  }
+
+  /** S9 — continuous-ingest dedup: the streaming twin of
+    * `graft.operators.Dedup.incremental`. New documents stream in;
+    * within-stream repeats are dropped by event-time-bounded digest state
+    * (`dropDuplicatesWithinWatermark` — state expires with the watermark
+    * instead of accumulating every digest ever seen), and anything whose
+    * content digest already exists in the STATIC store (yesterday's corpus)
+    * is removed by a stream-static anti-join — stateless on the stream
+    * side; the store is pruned to its digest column before the join. At
+    * 100 TB/day this is the ingest-frontier dedup: bounded state for the
+    * hot window, the at-rest store handled by the batch operator. */
+  def incrementalDedup(docs: DataFrame, store: DataFrame,
+      watermark: String = "30 seconds"): DataFrame = {
+    val seen = store.select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+    docs.withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(seen, Seq("content_hash"), "left_anti")
   }
 
   /** S7 — foreachBatch envelope sink: serialize the micro-batch through the

@@ -152,6 +152,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S9 continuous-ingest dedup: store dups and stream repeats dropped, novel survives") {
+    val store = Seq((10L, "seen before"), (11L, "also seen"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[graft.streaming.DocIngest]
+    val out = runQuery(
+      Streams.incrementalDedup(in.toDF(), store, "30 seconds"),
+      OutputMode.Append, "s9") { step =>
+      in.addData(
+        graft.streaming.DocIngest(20L, t(1), "seen before"), // in store
+        graft.streaming.DocIngest(21L, t(2), "brand new"),   // survives
+        graft.streaming.DocIngest(22L, t(3), "brand new"))   // stream repeat
+      step()
+      in.addData(
+        graft.streaming.DocIngest(23L, t(5), "another new")) // survives
+    }
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq.sorted
+    assert(ids === Seq(21L, 23L))
+  }
+
   test("S8 stream-stream join matches ticks to events within the time band") {
     val ticks = MemoryStream[Tick]
     val events = MemoryStream[(String, Timestamp, String)]
