@@ -43,11 +43,17 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Static kernel shared by interpreted eval and generated code. Fast
-    * path: `Normalizer.isNormalized` is a cheap scan that avoids the
-    * allocation entirely for already-NFC text (virtually all of a real
-    * corpus) — the normalize cost is only paid on rows that need it. */
+  /** Static kernel shared by interpreted eval and generated code. Two fast
+    * paths: pure-ASCII text (virtually all of a real corpus) is NFC by
+    * definition and returns the input after a byte scan with ZERO
+    * allocation; non-ASCII text pays one String materialization for
+    * `Normalizer.isNormalized` (another cheap scan) and allocates a
+    * normalized copy only when the text actually needs rewriting. */
   def kernel(s: UTF8String): UTF8String = {
+    var i = 0
+    val n = s.numBytes()
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s // pure ASCII: already NFC, no allocation at all
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str,
         java.text.Normalizer.Form.NFC)) s

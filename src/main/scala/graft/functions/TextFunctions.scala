@@ -144,12 +144,15 @@ object TextFunctions {
   }
 
   /** Canonical text form for content-keyed operators: NFC → lowercase →
-    * trim → single-space whitespace runs. The normalization that runs
-    * BEFORE exact dedup / incremental-store digests / hash sampling, so
-    * byte-level encoding and spacing provenance can't split identical
-    * content across digest keys. Pure codegen'd projection. */
+    * collapse whitespace runs to single spaces → trim. The collapse runs
+    * BEFORE the trim (trim only strips 0x20, so a leading tab must become
+    * a space first or it survives as a residual leading space and splits
+    * the digest). This is the normalization that runs BEFORE exact dedup /
+    * incremental-store digests / hash sampling, so byte-level encoding and
+    * spacing provenance can't split identical content across digest keys.
+    * Pure codegen'd projection. */
   def normalizeText(text: Column): Column =
-    regexp_replace(trim(lower(nfc(text))), "\\s+", " ")
+    trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
 
   /** 64-bit SimHash over whitespace tokens, md5-derived bit vectors:
     * bit i of the signature = sign of Σ_tokens (±1 by bit i of md5(token)).

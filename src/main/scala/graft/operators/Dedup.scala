@@ -41,6 +41,14 @@ object Dedup {
       .drop("rn")
   }
 
+  /** The distinct content-digest column of a document store — the ONE
+    * definition of "already seen" shared by the batch and streaming
+    * incremental dedups (if the digest recipe ever changes, both twins
+    * change together or the streaming path stops recognizing the batch
+    * store's digests). */
+  def digests(store: DataFrame, textCol: String): DataFrame =
+    store.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+
   /** Incremental (batch-vs-store) exact dedup — the nightly-ingest shape:
     * the new `batch` first dedups within itself (lowest id per digest wins),
     * then drops everything whose content digest already exists in `store`.
@@ -49,12 +57,9 @@ object Dedup {
     * and the store side is pruned to its digest column before the join — at
     * 100 TB the anti-join moves digests, not documents. */
   def incremental(batch: DataFrame, store: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val seen = store.select(sha2(col(textCol), 256).as("content_hash"))
-      .distinct()
+      idCol: String): DataFrame =
     exact(batch, textCol, idCol)
-      .join(seen, Seq("content_hash"), "left_anti")
-  }
+      .join(digests(store, textCol), Seq("content_hash"), "left_anti")
 
   /** Exact word-n-gram Jaccard similarity for all pairs above `threshold`.
     * Shingles with document frequency above the guard are dropped from

@@ -150,10 +150,10 @@ object PipelineOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     "q_normalize" ->
       """SELECT doc_id, length(text) AS len_raw,
-        |  length(regexp_replace(trim(lower(nfc_normalize(text))),
-        |    '\s+', ' ', 'g')) AS len_norm,
-        |  md5(regexp_replace(trim(lower(nfc_normalize(text))),
-        |    '\s+', ' ', 'g')) AS norm_md5
+        |  length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '\s+', ' ', 'g'))) AS len_norm,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '\s+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_overlap" ->
       """WITH sh0 AS (

@@ -199,14 +199,15 @@ object Streams {
     * 100 TB/day this is the ingest-frontier dedup: bounded state for the
     * hot window, the at-rest store handled by the batch operator. */
   def incrementalDedup(docs: DataFrame, store: DataFrame,
-      watermark: String = "30 seconds"): DataFrame = {
-    val seen = store.select(sha2(col("text"), 256).as("content_hash"))
-      .distinct()
-    docs.withColumn("content_hash", sha2(col("text"), 256))
-      .withWatermark("ts", watermark)
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "30 seconds"): DataFrame =
+    docs.withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
-      .join(seen, Seq("content_hash"), "left_anti")
-  }
+      // ONE digest definition shared with the batch twin — see
+      // Dedup.digests
+      .join(graft.operators.Dedup.digests(store, textCol),
+        Seq("content_hash"), "left_anti")
 
   /** S7 — foreachBatch envelope sink: serialize the micro-batch through the
     * envelope path and commit it as one parquet batch directory (idempotent

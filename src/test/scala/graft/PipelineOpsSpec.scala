@@ -44,6 +44,7 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val out = Ranking.tfidfTopTerms(docs, "doc_id", "text", k = 2)
       .select("doc_id", "tok", "rk")
+      .orderBy("doc_id", "rk") // the operator no longer sorts its output
       .as[(Long, String, Long)].collect().toSeq
     assert(out === Seq(
       (1L, "y", 1L), (1L, "x", 2L),   // y: 2*ln(3) beats x: 0
@@ -114,7 +115,8 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "café"),            // composed é
       (2L, "café"),           // decomposed e + combining acute
       (3L, "  CAFÉ   latte "), // case + whitespace noise
-      (4L, "plain ascii"))
+      (4L, "plain ascii"),
+      (5L, "\tplain\nascii  "))    // tabs/newlines must not leave residue
       .toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
         T.normalizeText(col("text")).as("norm"),
@@ -125,6 +127,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(0)._2 === out(1)._2 && out(0)._3 === out(1)._3)
     assert(out(2)._2 === "café latte")
     assert(out(3)._2 === "plain ascii")
+    // collapse runs BEFORE trim: a leading tab can't survive as a space
+    assert(out(4)._2 === "plain ascii" && out(4)._3 === out(3)._3)
     // the SQL registration works and agrees with the column API
     docs.createOrReplaceTempView("nfc_docs")
     val viaSql = spark.sql(

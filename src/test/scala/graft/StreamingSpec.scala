@@ -157,7 +157,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val in = MemoryStream[graft.streaming.DocIngest]
     val out = runQuery(
-      Streams.incrementalDedup(in.toDF(), store, "30 seconds"),
+      Streams.incrementalDedup(in.toDF(), store),
       OutputMode.Append, "s9") { step =>
       in.addData(
         graft.streaming.DocIngest(20L, t(1), "seen before"), // in store
