@@ -138,7 +138,36 @@ object PipelineOps extends QueryFamily {
       .orderBy("source_lo", "source_hi")
   }
 
+  /** q_doc_index — inverted-index build for a query vocabulary: per term,
+    * document frequency and the full postings list (doc_id + 0-based token
+    * positions) as canonical JSON. The at-rest structure BM25 queries
+    * against; positions enable phrase/proximity search. Plan shape mirrors
+    * q_bm25: the token explode filters to the (tiny, literal) vocabulary
+    * BEFORE any shuffle, so postings traffic is proportional to term
+    * occurrences, not corpus tokens; per-term postings lists are bounded by
+    * document frequency. Both sides sort postings and positions, so the
+    * JSON is deterministic. */
+  def qDocIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val vocab = Seq("spark", "table", "hash", "stream", "data")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(T.tokens(col("text")))
+        .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+    toks
+      .groupBy("tok", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("n_occurrences"),
+        to_json(sort_array(collect_list(
+          struct(col("doc_id"), col("positions"))))).as("postings"))
+      .orderBy("tok")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_index" -> (qDocIndex _),
     "q_normalize" -> (qNormalize _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_chunk_overlap" -> (qChunkOverlap _),
@@ -148,6 +177,23 @@ object PipelineOps extends QueryFamily {
     "q_zorder" -> (qZorder _))
 
   override val oracle: Map[String, String] = Map(
+    "q_doc_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ')[i] AS tok,
+        |    CAST(i - 1 AS INT) AS pos
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)
+        |  WHERE string_split(text, ' ')[i] IN
+        |    ('spark', 'table', 'hash', 'stream', 'data')),
+        |per_doc AS (
+        |  SELECT tok, doc_id,
+        |    list_sort(list(pos)) AS positions, COUNT(*) AS tf
+        |  FROM toks GROUP BY tok, doc_id)
+        |SELECT tok, COUNT(*) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+        |  to_json(list_sort(list({'doc_id': doc_id,
+        |    'positions': positions}))) AS postings
+        |FROM per_doc GROUP BY tok ORDER BY tok""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id, length(text) AS len_raw,
         |  length(trim(regexp_replace(lower(nfc_normalize(text)),
