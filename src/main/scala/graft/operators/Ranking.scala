@@ -18,6 +18,22 @@ import graft.functions.TextFunctions
   */
 object Ranking {
 
+  /** Vocabulary-filtered positional postings: one row per (doc, term)
+    * with the sorted 0-based token positions. THE single tokenize/filter
+    * definition shared by the BM25 scorer and the inverted-index build
+    * (`q_doc_index`) — a tokenizer change lands in both or neither, so the
+    * index can never desynchronize from the scorer that queries it. The
+    * vocabulary filter runs BEFORE any shuffle: postings traffic is
+    * proportional to term occurrences, not corpus tokens. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+      .groupBy(idCol, "tok")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
   /** Lucene-style BM25: idf = ln(1 + (N − df + 0.5)/(df + 0.5)); returns
     * the top `k` of (`idCol`, score) by 6-dp-rounded score with id
     * tie-break. */
@@ -26,10 +42,9 @@ object Ranking {
     val dl = docs.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .filter(col("tok").isin(queryTerms: _*))
-      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val tf = postings(docs, idCol, textCol, queryTerms)
+      .select(col(idCol), col("tok"),
+        size(col("positions")).cast("long").as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "tok")
       .join(dl, idCol)

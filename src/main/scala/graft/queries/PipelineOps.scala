@@ -147,24 +147,15 @@ object PipelineOps extends QueryFamily {
     * occurrences, not corpus tokens; per-term postings lists are bounded by
     * document frequency. Both sides sort postings and positions, so the
     * JSON is deterministic. */
-  def qDocIndex(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TextFunctions => T}
-    val vocab = Seq("spark", "table", "hash", "stream", "data")
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(T.tokens(col("text")))
-        .as(Seq("pos", "tok")))
-      .filter(col("tok").isin(vocab: _*))
-    toks
-      .groupBy("tok", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("positions"),
-        count(lit(1)).as("tf"))
+  def qDocIndex(s: SparkSession, dir: String): DataFrame =
+    Ranking.postings(Tables.documents(s, dir), "doc_id", "text",
+        vocab = Seq("spark", "table", "hash", "stream", "data"))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
-        sum("tf").as("n_occurrences"),
+        sum(size(col("positions"))).cast("long").as("n_occurrences"),
         to_json(sort_array(collect_list(
           struct(col("doc_id"), col("positions"))))).as("postings"))
       .orderBy("tok")
-  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_doc_index" -> (qDocIndex _),
@@ -186,11 +177,10 @@ object PipelineOps extends QueryFamily {
         |  WHERE string_split(text, ' ')[i] IN
         |    ('spark', 'table', 'hash', 'stream', 'data')),
         |per_doc AS (
-        |  SELECT tok, doc_id,
-        |    list_sort(list(pos)) AS positions, COUNT(*) AS tf
+        |  SELECT tok, doc_id, list_sort(list(pos)) AS positions
         |  FROM toks GROUP BY tok, doc_id)
         |SELECT tok, COUNT(*) AS df,
-        |  CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+        |  CAST(SUM(len(positions)) AS BIGINT) AS n_occurrences,
         |  to_json(list_sort(list({'doc_id': doc_id,
         |    'positions': positions}))) AS postings
         |FROM per_doc GROUP BY tok ORDER BY tok""".stripMargin,
