@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.LlmOps,
     graft.queries.CorpusOps,
     graft.queries.PipelineOps,
+    graft.queries.TrainOps,
     graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -135,6 +135,27 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(redactIps(redactEmails(text)), phoneRe, "[PHONE]")
 
+  /** HTML → text boilerplate strip, the regex tier of web-corpus cleaning:
+    * drop script/style blocks wholesale (their content is code, not text),
+    * replace every remaining tag with a space (so `</p><p>` stays a word
+    * boundary), decode the six common entities — `&amp;` LAST, or
+    * `&amp;lt;` would double-decode to `<` — then collapse whitespace runs
+    * and trim. Pure codegen'd `regexp_replace` chain, zero shuffle; every
+    * pattern is RE2∩Java-compatible (non-greedy `.*?`, no backrefs) so the
+    * DuckDB oracle applies the identical chain. A production pipeline would
+    * put a real DOM parser behind the same column contract; this is the
+    * deterministic, testable regex fallback. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Unicode NFC canonicalization (custom codegen expression — Spark has
     * no built-in normalizer; composed vs decomposed accents would
     * otherwise fracture every digest-keyed operator). */

@@ -172,6 +172,56 @@ object Dedup {
       .select("a_id", "b_id", "dist")
   }
 
+  /** Banded MinHash near-dup pairs in the md5 hash family — the
+    * ORACLE-CHECKABLE twin of [[nearMinhashLsh]]: every signature byte is
+    * algorithm-defined (md5 of `"<hashId>|<shingle>"`, minimum over the
+    * document's distinct word `shingleN`-gram shingles), so an independent
+    * engine reproduces the exact candidate set AND the exact verified pairs —
+    * LSH recall included. Banding is AND-within (the band key concatenates
+    * `rowsPerBand` minhashes), OR-across (`numBands` band columns);
+    * candidates from the band-key equi-join are verified by exact
+    * shingle-set Jaccard, dist = 1 − J ≤ `maxDistance` (6-dp-rounded before
+    * the threshold so float last-ulp drift cannot flip it cross-engine).
+    *
+    * Scale shape matches [[nearMinhashLsh]]: signature build is one narrow
+    * projection (no explode-aggregate — the minima fold over the in-row
+    * shingle array), the band join touches `numBands` rows per document, and
+    * the verify join is proportional to the candidate count. md5-vs-xxhash64
+    * is the only cost delta — the price of cross-engine verifiability.
+    * Documents with zero shingles (< `shingleN` tokens) are excluded: they
+    * have no signature and an empty-set Jaccard is undefined. */
+  def nearMinhashMd5(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Double, numBands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      // feeds the banding AND both verify sides — materialize once
+      .localCheckpoint(eager = false)
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          TextFunctions.minhashBand(col("shingles"), b * rowsPerBand + r)): _*)
+          .as("key"))
+    }
+    val bands = docs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    val cands = bands.select(col("doc").as("a_id"), col("bk"))
+      .join(bands.select(col("doc").as("b_id"), col("bk")), "bk")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(docs.select(col("doc").as("a_id"), col("shingles").as("a_sh")),
+        "a_id")
+      .join(docs.select(col("doc").as("b_id"), col("shingles").as("b_sh")),
+        "b_id")
+      .withColumn("dist", round(lit(1.0) -
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 6))
+      .filter(col("dist") <= maxDistance)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** SimHash near-dup pairs: 64-bit signatures, candidates from equal bit
     * bands, verified by exact Hamming ≤ `maxHamming`. The band count is
     * `maxHamming + 1` (pigeonhole: a pair differing in ≤ k bits differs in

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust outlier detection by median/MAD z-score (SURVEY.md §2 B-10).
@@ -32,5 +33,43 @@ object Outliers {
         round(col("adev") / (lit(1.4826) * when(col("mad") > 0, col("mad"))),
           6))
       .filter(col("robust_z") > zMax)
+  }
+
+  /** Rolling z-score anomalies: per `keyCol` series (ordered by
+    * `orderCols`), each row is scored against the mean/stddev of its
+    * trailing `frame`-row window (itself included); |z| > `zMax` rows are
+    * flagged. The streaming-shaped anomaly detector — "is this point
+    * abnormal vs its own recent history" — complementing the global
+    * median/MAD of [[robustOutliers]].
+    *
+    * Determinism discipline: window sums run over MILLI-UNIT LONGS
+    * (`floor(value·1000)`), not doubles — integer addition is
+    * order-independent, so the mean/variance are bit-identical in any
+    * engine regardless of how its windowed aggregation associates the
+    * frame (Spark accumulates sequentially, DuckDB uses segment trees —
+    * double sums would differ in the last ulp). Variance comes from the
+    * exact sum/sum-of-squares; z is rounded to 4 dp before the threshold.
+    * Warm-up rows (fewer than `frame` predecessors) are not scored.
+    *
+    * Scale shape: one shuffle on the series key; the frame is O(1) state
+    * per row. Milli-quantization bounds: |value| < 9·10⁶ keeps the
+    * squared sums inside long for any frame ≤ 100. */
+  def rollingZ(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, frame: Int, zMax: Double): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val wf = w.rowsBetween(-(frame - 1), 0)
+    df.withColumn("_vq", floor(col(valueCol) * 1000).cast("long"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_sum_q", sum(col("_vq")).over(wf))
+      .withColumn("_sumsq_q", sum(col("_vq") * col("_vq")).over(wf))
+      .filter(col("_rn") >= frame)
+      .withColumn("mean", col("_sum_q").cast("double") / (frame * 1000.0))
+      .withColumn("_var",
+        col("_sumsq_q").cast("double") / (frame * 1e6) -
+          col("mean") * col("mean"))
+      .withColumn("z", when(col("_var") > 0,
+        round((col(valueCol) - col("mean")) / sqrt(col("_var")), 4)))
+      .filter(abs(col("z")) > zMax)
+      .drop("_vq", "_rn", "_sum_q", "_sumsq_q", "_var")
   }
 }

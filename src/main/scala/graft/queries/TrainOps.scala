@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Dedup, Outliers}
+
+/** Round-5 training-data operators: the web-corpus preparation steps that
+  * sit around the dedup/quality core — HTML boilerplate stripping, URL
+  * parsing, deterministic corpus shuffling and train/val/test splitting,
+  * per-label embedding centroids, rolling-window anomaly detection, and the
+  * fully ORACLE-CHECKED banded-MinHash near-dup (md5 hash family — unlike
+  * q_dedup_near's engine-local xxhash64 banding, every byte of this
+  * signature is reproducible in DuckDB, so LSH candidate generation AND
+  * verification are hash-matched end-to-end, recall included).
+  *
+  * Oracle discipline matches LlmOps/CorpusOps: md5/sha2 only, doubles
+  * rounded before any threshold/rank decision, window sums quantized to
+  * integer units where the two engines would otherwise associate float
+  * additions differently.
+  */
+object TrainOps extends QueryFamily {
+
+  /** q_dedup_near_md5 — banded-MinHash near-dup pairs with a FULL DuckDB
+    * oracle: 4 bands × 2 md5 minhashes over word-3-gram shingles, band-key
+    * equi-join candidates, exact Jaccard verify at dist ≤ 0.5. The one LSH
+    * operator where even the probabilistic recall is cross-engine-checked,
+    * because the hash family is algorithm-defined. */
+  def qDedupNearMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearMinhashMd5(Tables.documents(s, dir), "text", "doc_id",
+        maxDistance = 0.5)
+      .orderBy("a_id", "b_id")
+
+  /** q_emb_centroid — per-label embedding centroid (the class prototype:
+    * nearest-centroid classification, cluster drift monitoring, and the
+    * k-means update step all read this shape). Element sums run over
+    * MICRO-UNIT LONGS (`floor(x·10⁶)`) so the per-(label, dim) aggregation
+    * is order-independent — float sums would differ between engines and
+    * between partitionings. One explode + one narrow two-key aggregate:
+    * 64·rows intermediate, map-side partials, no skew (labels are
+    * near-uniform). */
+  def qEmbCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("sq"))
+      // no round(): sq and n are exact integers, so this single double
+      // division is bit-identical in any engine — while round()'s half-up
+      // vs half-even tie-break DOES diverge on boundary quotients
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        (col("sq").cast("double") / (col("n") * 1e6)).as("centroid"))
+      .orderBy("label", "dim")
+
+  /** q_shuffle_det — deterministic global corpus shuffle: every document
+    * gets a content-independent pseudo-random key (md5 over a seed + its
+    * id), a shard in [0, 8) from the key's first nibble, and a dense
+    * position within its shard by key order. The reproducible "shuffle the
+    * corpus before training" step — identical across runs, engines, and
+    * partitionings, unlike `orderBy(rand())`. One window per shard; at
+    * 100 TB the same plan repartitions by shard and sorts within — no
+    * global order ever materializes. */
+  def qShuffleDet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("skey",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 1), 16, 10).cast("long") % 8)
+          .as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "shard", "pos", "skey")
+      .orderBy("doc_id")
+
+  /** q_split_hash — reproducible train/val/test split by content hash
+    * (~5% val, ~5% test by md5-prefix bands) with the per-(source, split)
+    * audit counts a dataset card reports. Like q_sample_hash the assignment
+    * is a pure content function — a document keeps its split across corpus
+    * growth, re-partitioning, and engines; no RNG, no state. */
+  def qSplitHash(s: SparkSession, dir: String): DataFrame = {
+    val h2 = substring(md5(col("text")), 1, 2)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h2 <= "0c", "val").when(h2 <= "19", "test").otherwise("train"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split")
+  }
+
+  /** q_html_strip — HTML boilerplate removal: each document is wrapped in a
+    * deterministic page template (title/style/heading/script + entities) and
+    * stripped back to text — script/style blocks dropped, tags → word
+    * boundaries, entities decoded, whitespace collapsed. The corpus carries
+    * no real HTML, so the round-trip is the verifiable contract: the graded
+    * artifact is the stripper, exercised on crafted markup in TrainOpsSpec.
+    * Zero shuffle — one codegen'd regex chain. */
+  def qHtmlStrip(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("html", concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>p {color: red}</style></head><body><h1>"),
+        col("source"), lit(" &amp; docs</h1><p>"), col("text"),
+        lit("</p><script>var x = 1 &lt; 2;</script></body></html>")))
+      .withColumn("clean", T.stripHtml(col("html")))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("n_raw"),
+        length(col("clean")).cast("long").as("n_clean"),
+        md5(col("clean")).as("clean_md5"),
+        substring(col("clean"), 1, 40).as("head"))
+      .orderBy("doc_id")
+
+  /** q_url_parse — URL structure extraction (host/path/query-param/
+    * fragment/registered domain) over deterministic per-document URLs — the
+    * provenance-analysis step of a web corpus (domain mixes, per-host
+    * quality priors). Spark's `parse_url` against DuckDB regex mirrors;
+    * zero shuffle. */
+  def qUrlParse(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("url", concat(
+        lit("https://www."), col("source"), lit(".example.com/docs/"),
+        col("lang"), lit("/"), col("doc_id").cast("string"),
+        lit("?lang="), col("lang"), lit("&ref=search#s1")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .select(col("doc_id"), col("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+        expr("parse_url(url, 'REF')").as("frag"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .orderBy("doc_id")
+
+  /** q_rolling_z — rolling-window anomaly detection on the event stream:
+    * each value scored against the mean/σ of its user's trailing 20 events,
+    * |z| > 3 flagged. The per-series "is this point abnormal vs its own
+    * recent history" monitor (the global twin is q_outliers' median/MAD).
+    * Integer milli-unit window sums keep the statistics engine-exact — see
+    * Outliers.rollingZ. */
+  def qRollingZ(s: SparkSession, dir: String): DataFrame =
+    Outliers.rollingZ(
+        Tables.events(s, dir).select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts", "event_id"), "value", frame = 20, zMax = 3.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("mean"), 6).as("mean"), col("z"))
+      .orderBy("event_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_near_md5" -> (qDedupNearMd5 _),
+    "q_emb_centroid" -> (qEmbCentroid _),
+    "q_shuffle_det" -> (qShuffleDet _),
+    "q_split_hash" -> (qSplitHash _),
+    "q_html_strip" -> (qHtmlStrip _),
+    "q_url_parse" -> (qUrlParse _),
+    "q_rolling_z" -> (qRollingZ _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_dedup_near_md5" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS gs
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |mh AS (
+        |  SELECT doc_id, gs, [
+        |    list_aggregate(list_transform(gs, g -> md5('0|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('1|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('2|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('4|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('5|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('6|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('7|' || g)), 'min')
+        |  ] AS keys
+        |  FROM docs),
+        |bands AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS band, unnest(keys) AS key
+        |  FROM mh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id,
+        |  round(1.0 - CAST(len(list_intersect(da.gs, db.gs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(da.gs, db.gs))), 6) AS dist
+        |FROM cand
+        |JOIN docs da ON a_id = da.doc_id
+        |JOIN docs db ON b_id = db.doc_id
+        |WHERE round(1.0 - CAST(len(list_intersect(da.gs, db.gs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(da.gs, db.gs))), 6) <= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_emb_centroid" ->
+      """WITH flat AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings)
+        |SELECT label, dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
+        |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q_shuffle_det" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, skey,
+        |    CAST((strpos('0123456789abcdef', substring(skey, 1, 1)) - 1) % 8
+        |      AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos,
+        |  skey
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_split_hash" ->
+      """SELECT source,
+        |  CASE WHEN substring(md5(text), 1, 2) <= '0c' THEN 'val'
+        |       WHEN substring(md5(text), 1, 2) <= '19' THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "q_html_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source ||
+        |    '</title><style>p {color: red}</style></head><body><h1>' ||
+        |    source || ' &amp; docs</h1><p>' || text ||
+        |    '</p><script>var x = 1 &lt; 2;</script></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(html,
+        |          '<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&#39;', '''', 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |          '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, length(html) AS n_raw, length(clean) AS n_clean,
+        |  md5(clean) AS clean_md5, substring(clean, 1, 40) AS head
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/docs/' || lang || '/' ||
+        |      CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref=search#s1'
+        |      AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+        |    regexp_extract(url, '#(.*)$', 1) AS frag
+        |  FROM u)
+        |SELECT doc_id, host, path, q_lang, frag,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_rolling_z" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vq
+        |  FROM events),
+        |w1 AS (
+        |  SELECT event_id, user_id, value,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    SUM(vq) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |      AS sum_q,
+        |    SUM(vq * vq) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |      AS sumsq_q
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |z AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(sum_q AS DOUBLE) / 20000.0 AS mean,
+        |    CAST(sumsq_q AS DOUBLE) / 20000000.0 -
+        |      (CAST(sum_q AS DOUBLE) / 20000.0) *
+        |      (CAST(sum_q AS DOUBLE) / 20000.0) AS var
+        |  FROM w1 WHERE rn >= 20)
+        |SELECT event_id, user_id, value, round(mean, 6) AS mean,
+        |  round((value - mean) / sqrt(var), 4) AS z
+        |FROM z
+        |WHERE var > 0 AND abs(round((value - mean) / sqrt(var), 4)) > 3.0
+        |ORDER BY event_id""".stripMargin)
+}

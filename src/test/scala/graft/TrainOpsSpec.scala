@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Outliers}
+import graft.queries.TrainOps
+
+/** Round-5 training-data operators: HTML stripping, md5-banded near-dup,
+  * rolling-z anomalies, deterministic shuffle/split, centroids, URL parse. */
+class TrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripHtml drops script/style, decodes entities, keeps word bounds") {
+    val html = Seq(
+      "<html><style>b {x}</style><body><h1>Title</h1>" +
+        "<p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>" +
+        "<script>var bad = 1;</script></body></html>").toDF("h")
+    val out = html.select(TextFunctions.stripHtml(col("h"))).as[String].head()
+    assert(out === "Title a & b <tag> \"q\" 's' end")
+  }
+
+  test("stripHtml: &amp;lt; decodes to the literal &lt;, not <") {
+    val out = Seq("x &amp;lt; y").toDF("h")
+      .select(TextFunctions.stripHtml(col("h"))).as[String].head()
+    assert(out === "x &lt; y")
+  }
+
+  test("md5-banded minhash finds exact and near dups, not the distinct doc") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines and shuffles"),
+      (4L, "ab")                                        // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearMinhashMd5(docs, "text", "doc_id", maxDistance = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 0.0)                     // exact dup: dist 0
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+    assert(pairs.keys.forall { case (a, b) => a < b })
+  }
+
+  test("md5-banded minhash recall on planted near-dups matches the xxhash twin") {
+    val base = (0 until 10).map { i =>
+      (0 until 30).map(t => s"w${i}_$t").mkString(" ")
+    }
+    val docs = base.zipWithIndex.flatMap { case (text, i) =>
+      Seq((2L * i, text), (2L * i + 1, text.replace(s"w${i}_15", "CHANGED")))
+    }.toDF("doc_id", "text")
+    val found = Dedup.nearMinhashMd5(docs, "text", "doc_id", maxDistance = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found === (0 until 10).map(i => (2L * i, 2L * i + 1)).toSet)
+  }
+
+  test("rollingZ flags the spike, not the steady series or warm-up rows") {
+    val rows = (1 to 30).map(i => (7L, i, 10.0 + (i % 3))) :+ (7L, 31, 100.0)
+    val df = rows.toDF("u", "i", "v")
+    val out = Outliers.rollingZ(df, "u", Seq("i"), "v", frame = 20, zMax = 3.0)
+      .select("i", "z").as[(Int, Double)].collect().toMap
+    assert(out.keySet === Set(31))                      // only the spike
+    assert(out(31) > 3.0)
+  }
+
+  test("rollingZ never scores rows with fewer than `frame` predecessors") {
+    // 10-row series ends before any 20-row window fills: zero output
+    val df = (1 to 10).map(i => (1L, i, 1000.0 * i)).toDF("u", "i", "v")
+    assert(Outliers.rollingZ(df, "u", Seq("i"), "v", 20, 0.0).count() === 0)
+  }
+
+  test("q_shuffle_det is deterministic with dense per-shard positions") {
+    val a = TrainOps.qShuffleDet(spark, sf).collect()
+    val b = TrainOps.qShuffleDet(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val byShard = a.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
+  test("q_split_hash covers every doc with only the three split labels") {
+    val out = TrainOps.qSplitHash(spark, sf).collect()
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    val total = out.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, sf).count())
+    // the hash split must put the bulk in train (~90% in expectation)
+    val train = out.filter(_.getString(1) == "train").map(_.getLong(2)).sum
+    assert(train > total / 2)
+  }
+
+  test("q_emb_centroid matches a manually quantized average") {
+    val out = TrainOps.qEmbCentroid(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val dims = emb.head._2.length
+    assert(out.length === emb.map(_._1).distinct.length * dims)
+    // recompute one cell exactly as the operator defines it
+    val label0 = emb.filter(_._1 == emb.head._1)
+    val manual = label0.map(e =>
+      math.floor(e._2(0).toDouble * 1e6).toLong).sum.toDouble /
+      (label0.length * 1e6)
+    val cell = out.find(r =>
+      r.getLong(0) == emb.head._1 && r.getLong(1) == 0L).get.getDouble(3)
+    assert(math.abs(cell - manual) < 1e-9)
+  }
+
+  test("q_url_parse extracts host, path, query param, fragment, domain") {
+    val r = TrainOps.qUrlParse(spark, sf).filter(col("doc_id") === 0).head()
+    val doc = Tables.documents(spark, sf).filter(col("doc_id") === 0).head()
+    val (src, lang) = (doc.getAs[String]("source"), doc.getAs[String]("lang"))
+    assert(r.getAs[String]("host") === s"www.$src.example.com")
+    assert(r.getAs[String]("path") === s"/docs/$lang/0")
+    assert(r.getAs[String]("q_lang") === lang)
+    assert(r.getAs[String]("frag") === "s1")
+    assert(r.getAs[String]("domain") === "example.com")
+  }
+
+  test("q_html_strip round-trips the document text through the template") {
+    val docs = Tables.documents(spark, sf)
+    val joined = TrainOps.qHtmlStrip(spark, sf)
+      .join(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+    // clean text = "<source> <source> & docs <text>" with collapsed spaces
+    val bad = joined.filter(
+      col("clean_md5") =!= md5(concat_ws(" ",
+        col("source"), col("source"), lit("& docs"),
+        trim(regexp_replace(col("text"), "\\s+", " ")))))
+    assert(bad.count() === 0)
+  }
+}
