@@ -255,4 +255,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** Repeated-substring statistics — the distributed analog of exact
+    * substring deduplication (single-node pipelines build a corpus suffix
+    * array; the shuffle-friendly equivalent hashes every `k`-token rolling
+    * window and counts occurrences). A window is DUPLICATED if its hash
+    * occurs ≥ 2 times anywhere in the corpus — cross-document boilerplate
+    * and within-document repetition both count, exactly the spans a
+    * substring-dedup pass would strip before training. Adjacent duplicated
+    * windows merge into maximal spans by the islands trick (pos − row_number
+    * is constant on a run of consecutive positions).
+    *
+    * Per input document (with ≥ k tokens): total window count, duplicated
+    * window count and ratio, number of maximal duplicated spans, and the
+    * longest span in tokens (run + k − 1).
+    *
+    * Scale shape: the occurrence count is a groupBy on the window hash —
+    * map-side partial aggregation absorbs heavy-hitter boilerplate windows
+    * (a hot hash is a hot COUNTER, not a join explosion); the mark-back is
+    * one semi-join on the hash; spans are one doc-keyed window. Everything
+    * is linear in corpus token count — the 100 TB plan is the same plan. */
+  def substrDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = df.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.wordShingles(col(textCol), k))
+          .as(Seq("pos", "win")))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        md5(col("win")).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("h")
+    val marked = wins.join(dup, Seq("h"), "left_semi")
+    val islands = marked
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc").orderBy("pos")))
+      .groupBy("doc", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc").agg(count(lit(1)).as("n_spans"),
+        (max("run") + (k - 1)).as("max_span_tokens"))
+    val dupCounts = marked.groupBy("doc").agg(count(lit(1)).as("n_dup"))
+    wins.groupBy("doc").agg(count(lit(1)).as("n_windows"))
+      .join(dupCounts, Seq("doc"), "left")
+      .join(islands, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_windows"), 6).as("dup_ratio"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+  }
 }

@@ -146,6 +146,72 @@ object TrainOps extends QueryFamily {
         round(col("mean"), 6).as("mean"), col("z"))
       .orderBy("event_id")
 
+  /** q_substr_dedup — exact-substring duplication statistics: every 8-token
+    * rolling window is hashed; windows whose hash occurs ≥ 2 times anywhere
+    * in the corpus are the spans a substring-dedup pass would strip, and
+    * consecutive duplicated windows merge into maximal spans. The distributed
+    * analog of suffix-array substring dedup — see Dedup.substrDupStats for
+    * the shuffle shape. */
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrDupStats(Tables.documents(s, dir), "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+
+  /** q_mixture_plan — temperature-based source-mixture planning (the data-
+    * mixing step before training: raw web-scale source shares are too
+    * skewed, so per-source sampling weights are flattened with q_s ∝
+    * p_s^(1/T), T = 2). Per source: doc/token counts, raw token share p,
+    * temperature share q, and the sampling factor q·(B/tokens) under a
+    * B = total/2 token budget — factor > 1 means the source is upsampled
+    * (multiple epochs), < 1 downsampled.
+    *
+    * Determinism: token counts integer-sum exactly; p is a single division
+    * of exact longs; √p is IEEE-exact; the CROSS-SOURCE sum of √p values is
+    * quantized to micro-unit longs first (float addition order would
+    * otherwise differ between engines). The final factor formula is kept
+    * textually identical on both sides. Source count is tiny (domains, not
+    * documents), so the one-row totals broadcast is free. */
+  def qMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text"))).as("tokens"))
+    val total = perSrc.agg(sum("tokens").as("total_tokens"))
+    val withP = perSrc.join(broadcast(total))
+      .withColumn("p", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("sqq", floor(sqrt(col("p")) * 1e6).cast("long"))
+    val sumQ = withP.agg(sum("sqq").as("sum_sqq"))
+    withP.join(broadcast(sumQ))
+      .withColumn("q", col("sqq").cast("double") / col("sum_sqq"))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        round(col("q") * col("total_tokens") * 0.5 / col("tokens"), 6)
+          .as("factor"))
+      .orderBy("source")
+  }
+
+  /** q_quality_gate — per-source relative quality gating: drop the bottom
+    * decile of each source's quality-score distribution (a fixed global
+    * threshold would empty low-register sources and pass everything from
+    * high-register ones — production filters gate RELATIVE to the source).
+    * The cut uses percent_rank over a (score, doc_id) total order: an exact
+    * rational (rank−1)/(n−1) of integers, so the boundary is bit-identical
+    * in any engine — no interpolated-percentile last-ulp risk. One window +
+    * one aggregate, both keyed by source. */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        T.qualityScore(col("text")).as("score"))
+    val pr = percent_rank().over(
+      Window.partitionBy("source").orderBy("score", "doc_id"))
+    scored.withColumn("pr", pr)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("pr") >= 0.1, 1L).otherwise(0L)).as("n_kept"),
+        round(min(when(col("pr") >= 0.1, col("score"))), 6)
+          .as("min_kept_score"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
     "q_emb_centroid" -> (qEmbCentroid _),
@@ -153,7 +219,10 @@ object TrainOps extends QueryFamily {
     "q_split_hash" -> (qSplitHash _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_url_parse" -> (qUrlParse _),
-    "q_rolling_z" -> (qRollingZ _))
+    "q_rolling_z" -> (qRollingZ _),
+    "q_substr_dedup" -> (qSubstrDedup _),
+    "q_mixture_plan" -> (qMixturePlan _),
+    "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
     "q_dedup_near_md5" ->
@@ -268,6 +337,76 @@ object TrainOps extends QueryFamily {
         |SELECT doc_id, host, path, q_lang, frag,
         |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
         |FROM p ORDER BY doc_id""".stripMargin,
+    "q_substr_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    md5(array_to_string(ws[i:i+7], ' ')) AS h
+        |  FROM t, unnest(range(1, len(ws) - 6)) AS u(i)
+        |  WHERE len(ws) >= 8),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+        |marked AS (
+        |  SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM dup)),
+        |isl AS (
+        |  SELECT doc_id,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp),
+        |per_span AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(MAX(run) + 7 AS BIGINT) AS max_span_tokens
+        |  FROM spans GROUP BY doc_id),
+        |nw AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+        |  FROM wins GROUP BY doc_id),
+        |nd AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |  FROM marked GROUP BY doc_id)
+        |SELECT nw.doc_id, n_windows,
+        |  COALESCE(n_dup, 0) AS n_dup_windows,
+        |  round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_windows, 6)
+        |    AS dup_ratio,
+        |  COALESCE(n_spans, 0) AS n_spans,
+        |  COALESCE(max_span_tokens, 0) AS max_span_tokens
+        |FROM nw LEFT JOIN nd USING (doc_id) LEFT JOIN per_span USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per),
+        |wp AS (
+        |  SELECT source, n_docs, tokens, total_tokens,
+        |    CAST(tokens AS DOUBLE) / total_tokens AS p,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * 1000000)
+        |      AS BIGINT) AS sqq
+        |  FROM per, tot),
+        |sq AS (SELECT CAST(SUM(sqq) AS BIGINT) AS sum_sqq FROM wp)
+        |SELECT source, n_docs, tokens, round(p, 6) AS p,
+        |  round(CAST(sqq AS DOUBLE) / sum_sqq, 6) AS q,
+        |  round(CAST(sqq AS DOUBLE) / sum_sqq * total_tokens * 0.5 / tokens, 6)
+        |    AS factor
+        |FROM wp, sq ORDER BY source""".stripMargin,
+    "q_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    0.4 * (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')))
+        |      + 0.4 * (1 - (1 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))))
+        |      + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) AS score
+        |  FROM documents),
+        |pr AS (
+        |  SELECT source, score,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id)
+        |      AS pr
+        |  FROM scored)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN pr >= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(MIN(CASE WHEN pr >= 0.1 THEN score END), 6) AS min_kept_score
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin,
     "q_rolling_z" ->
       """WITH b AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,

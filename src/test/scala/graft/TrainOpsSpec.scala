@@ -129,4 +129,57 @@ class TrainOpsSpec extends SparkSpec {
         trim(regexp_replace(col("text"), "\\s+", " ")))))
     assert(bad.count() === 0)
   }
+
+  test("substrDupStats marks shared windows and merges adjacent spans") {
+    // docs 1 and 2 share tokens a1..a9 (two 8-token windows: pos 0 and 1 in
+    // doc 1 → ONE merged span of 9 tokens); doc 3 is unique; doc 4 is too
+    // short for any window.
+    val shared = (1 to 9).map(i => s"a$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " x1 x2 x3"),
+      (2L, "y1 y2 " + shared),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDupStats(docs, "text", "doc_id", k = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_windows") === 5L)  // 12 tokens → 5 windows
+    assert(d1.getAs[Long]("n_dup_windows") === 2L)
+    assert(d1.getAs[Long]("n_spans") === 1L)    // pos 0,1 merge
+    assert(d1.getAs[Long]("max_span_tokens") === 9L)  // run 2 + 7
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_dup_windows") === 0L)
+    assert(d3.getAs[Long]("n_spans") === 0L)
+  }
+
+  test("substrDupStats counts within-document repetition too") {
+    val rep = ((1 to 8) ++ (1 to 8)).map(i => s"t$i").mkString(" ")
+    val out = Dedup.substrDupStats(
+        Seq((1L, rep)).toDF("doc_id", "text"), "text", "doc_id", k = 8)
+      .head()
+    // windows at pos 0 and pos 8 are identical → both marked duplicated
+    assert(out.getAs[Long]("n_dup_windows") === 2L)
+    assert(out.getAs[Long]("n_spans") === 2L)  // pos 0 and 8 not adjacent
+  }
+
+  test("q_mixture_plan: shares sum to ~1 and flattening upsamples the tail") {
+    val rows = TrainOps.qMixturePlan(spark, sf).collect()
+    val (ps, qs) = (rows.map(_.getAs[Double]("p")),
+      rows.map(_.getAs[Double]("q")))
+    assert(math.abs(ps.sum - 1.0) < 1e-4 && math.abs(qs.sum - 1.0) < 1e-4)
+    // temperature flattening: smallest source gains share, largest loses
+    val byP = rows.sortBy(_.getAs[Double]("p"))
+    assert(byP.head.getAs[Double]("q") >= byP.head.getAs[Double]("p"))
+    assert(byP.last.getAs[Double]("q") <= byP.last.getAs[Double]("p"))
+  }
+
+  test("q_quality_gate keeps ~90% per source and reports the cut score") {
+    TrainOps.qQualityGate(spark, sf).collect().foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(kept <= n && kept >= (0.85 * n).toLong)
+      assert(!r.isNullAt(r.fieldIndex("min_kept_score")))
+    }
+  }
 }
