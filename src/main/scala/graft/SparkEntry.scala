@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.CorpusOps,
     graft.queries.PipelineOps,
     graft.queries.TrainOps,
+    graft.queries.CurateOps,
     graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -193,19 +193,8 @@ object Dedup {
   def nearMinhashMd5(df: DataFrame, textCol: String, idCol: String,
       maxDistance: Double, numBands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
-    val docs = df.select(col(idCol).as("doc"),
-        array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      // feeds the banding AND both verify sides — materialize once
-      .localCheckpoint(eager = false)
-    val bandCols = (0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until rowsPerBand).map(r =>
-          TextFunctions.minhashBand(col("shingles"), b * rowsPerBand + r)): _*)
-          .as("key"))
-    }
-    val bands = docs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    val docs = md5ShingleDocs(df, textCol, idCol, shingleN)
+    val bands = md5Bands(docs, numBands, rowsPerBand)
     val cands = bands.select(col("doc").as("a_id"), col("bk"))
       .join(bands.select(col("doc").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
@@ -220,6 +209,79 @@ object Dedup {
           size(array_union(col("a_sh"), col("b_sh"))), 6))
       .filter(col("dist") <= maxDistance)
       .select("a_id", "b_id", "dist")
+  }
+
+  /** (doc, distinct-shingle-array) pairs for the md5-family LSH operators —
+    * documents with zero shingles (< `shingleN` tokens) are excluded; the
+    * result feeds both the banding and the verify sides, so it is
+    * materialized once. */
+  private def md5ShingleDocs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint(eager = false)
+
+  /** One (doc, band-key) row per band: the key concatenates `rowsPerBand`
+    * md5 minhashes (AND-amplification within the band). */
+  private def md5Bands(docs: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          TextFunctions.minhashBand(col("shingles"), b * rowsPerBand + r)): _*)
+          .as("key"))
+    }
+    docs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** Incremental (batch-vs-store) NEAR-dup — the nightly-ingest twin of
+    * [[incremental]] for near-duplicates: each batch document is flagged
+    * with its closest store near-duplicate (exact Jaccard dist ≤
+    * `maxDistance`, 6-dp-rounded) or marked novel. Candidates come from the
+    * same md5-family banded MinHash as [[nearMinhashMd5]], but the band join
+    * is strictly batch×store — batch-internal and store-internal pairs are
+    * never generated, so a nightly batch never re-verifies the store against
+    * itself. Ties on distance break to the lowest store id (lexicographic
+    * struct min), making the "closest" choice deterministic cross-engine.
+    *
+    * Batch documents with < `shingleN` tokens have no signature and are
+    * reported novel (kept): with no shingles there is no evidence of
+    * duplication, and dropping unverifiable content silently would bias the
+    * corpus.
+    *
+    * Scale shape: the store contributes `numBands` narrow band rows per
+    * document (hash-partitioned equi-join — the store's documents
+    * themselves never move), candidates ∝ true near-dup density, and the
+    * final left join returns one row per batch document. */
+  def incrementalNear(batch: DataFrame, store: DataFrame, textCol: String,
+      idCol: String, maxDistance: Double, numBands: Int = 4,
+      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val bDocs = md5ShingleDocs(batch, textCol, idCol, shingleN)
+    val sDocs = md5ShingleDocs(store, textCol, idCol, shingleN)
+    val cands = md5Bands(bDocs, numBands, rowsPerBand)
+      .select(col("doc").as("b_doc"), col("bk"))
+      .join(md5Bands(sDocs, numBands, rowsPerBand)
+        .select(col("doc").as("s_doc"), col("bk")), "bk")
+      .select("b_doc", "s_doc").distinct()
+    val best = cands
+      .join(bDocs.select(col("doc").as("b_doc"), col("shingles").as("b_sh")),
+        "b_doc")
+      .join(sDocs.select(col("doc").as("s_doc"), col("shingles").as("s_sh")),
+        "s_doc")
+      .withColumn("dist", round(lit(1.0) -
+        size(array_intersect(col("b_sh"), col("s_sh"))).cast("double") /
+          size(array_union(col("b_sh"), col("s_sh"))), 6))
+      .filter(col("dist") <= maxDistance)
+      .groupBy("b_doc")
+      .agg(min(struct(col("dist"), col("s_doc"))).as("best"))
+      .select(col("b_doc").as("doc_id"), col("best.s_doc").as("near_store_id"),
+        col("best.dist").as("dist"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("near_store_id"), col("dist"),
+        col("near_store_id").isNull.as("is_novel"))
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, candidates from equal bit

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling (SURVEY.md §2 B-10): the per-column statistics a data
+  * card / ingest-validation step reports — row count, null count, exact
+  * distinct count, and min/max per column.
+  *
+  * Plan shape: ONE aggregate branch PER COLUMN, unioned. Deliberately not a
+  * single multi-`countDistinct` aggregate: Catalyst plans n distinct
+  * aggregates in one query as an Expand ×n (every corpus row replicated n
+  * times through the shuffle), while n independent branches each read ONE
+  * column from parquet (columnar pruning — per-branch IO is one column's
+  * pages, and the per-branch shuffle is partial-aggregated counts, not
+  * rows). Branches share nothing, so a scheduler runs them concurrently.
+  * At 100 TB the exact `countDistinct` is the only heavy term — the
+  * documented swap is `approx_count_distinct` (HLL, one pass, no
+  * per-value shuffle) when exactness isn't required by contract.
+  */
+object Profile {
+
+  sealed trait Kind
+  case object Num extends Kind      // min/max as double
+  case object Str extends Kind      // min/max as string
+  case object Ts extends Kind       // min/max formatted yyyy-MM-dd HH:mm:ss
+
+  /** Per-column profile of `df` for the given (column, kind) spec: one row
+    * per column with (col_name, n_rows, n_nulls, n_distinct, min_num,
+    * max_num, min_str, max_str) — the num/str pair not applicable to the
+    * column's kind is null. Min/max never involve arithmetic (pure
+    * comparisons), so the values are engine-exact; timestamps are pinned to
+    * an explicit format so rendering cannot diverge. */
+  def columnProfile(df: DataFrame, spec: Seq[(String, Kind)]): DataFrame = {
+    val branches = spec.map { case (name, kind) =>
+      val c = col(name)
+      def nul(t: String) = lit(null).cast(t)
+      val (minN, maxN, minS, maxS): (Column, Column, Column, Column) =
+        kind match {
+          case Num => (min(c).cast("double"), max(c).cast("double"),
+            nul("string"), nul("string"))
+          case Str => (nul("double"), nul("double"),
+            min(c).cast("string"), max(c).cast("string"))
+          case Ts => (nul("double"), nul("double"),
+            date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        }
+      df.select(c)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(c).as("n_distinct"),
+          minN.as("min_num"), maxN.as("max_num"),
+          minS.as("min_str"), maxS.as("max_str"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    branches.reduce(_ unionByName _)
+  }
+}

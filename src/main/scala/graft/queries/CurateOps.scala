@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Profile, Vocab}
+
+/** Corpus-curation operators, round 4: tokenizer-training pair statistics
+  * (the counting step of BPE), per-column dataset profiling (the data-card /
+  * ingest-validation report), and incremental NEAR-dedup (nightly batch vs
+  * seen store — the near-dup twin of q_dedup_incremental). All three carry
+  * full DuckDB oracles.
+  */
+object CurateOps extends QueryFamily {
+
+  /** q_bpe_pairs — BPE merge statistics: adjacent character-pair counts over
+    * the whitespace vocabulary, weighted by word frequency; top-50 by
+    * (count desc, pair). The corpus-touching half of tokenizer training —
+    * see Vocab.bpePairCounts for why the pair aggregate runs over word
+    * TYPES, not tokens. */
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    Vocab.bpePairCounts(Tables.documents(s, dir), "text", topK = 50)
+
+  /** q_profile — per-column dataset profile of `orders`: row/null/exact
+    * distinct counts + min/max (numeric as double, timestamp pinned to an
+    * explicit format). One single-column aggregate branch per column,
+    * unioned — each branch reads exactly one parquet column. */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.columnProfile(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> Profile.Num,
+        "o_custkey" -> Profile.Num,
+        "o_orderstatus" -> Profile.Str,
+        "o_totalprice" -> Profile.Num,
+        "o_orderdate" -> Profile.Ts,
+        "o_orderpriority" -> Profile.Str))
+      .orderBy("col_name")
+
+  /** q_dedup_incr_near — incremental near-dedup: odd doc_ids are tonight's
+    * batch, even doc_ids the already-ingested store; every batch document is
+    * flagged novel or paired with its closest store near-duplicate
+    * (md5-banded MinHash candidates batch×store only, exact Jaccard ≤ 0.5,
+    * ties to the lowest store id). Like q_dedup_near_md5 the hash family is
+    * algorithm-defined, so candidate recall itself is oracle-checked. */
+  def qDedupIncrNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNear(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", maxDistance = 0.5)
+      .orderBy("doc_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_profile" -> (qProfile _),
+    "q_dedup_incr_near" -> (qDedupIncrNear _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, i, 2) AS pair, freq, w
+        |  FROM words, unnest(range(1, length(w))) AS u(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt,
+        |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*),
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+        |    NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*),
+        |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT o_orderstatus), NULL, NULL,
+        |    MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*),
+        |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT o_totalprice),
+        |    MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*),
+        |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT o_orderdate), NULL, NULL,
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*),
+        |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT o_orderpriority), NULL, NULL,
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  min_num, max_num, min_str, max_str
+        |FROM p ORDER BY col_name""".stripMargin,
+    "q_dedup_incr_near" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS gs
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |mh AS (
+        |  SELECT doc_id, gs, [
+        |    list_aggregate(list_transform(gs, g -> md5('0|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('1|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('2|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('4|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('5|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('6|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('7|' || g)), 'min')
+        |  ] AS keys
+        |  FROM docs),
+        |bands AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS band, unnest(keys) AS key
+        |  FROM mh),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS b_doc, s.doc_id AS s_doc
+        |  FROM bands b JOIN bands s ON b.band = s.band AND b.key = s.key
+        |  WHERE b.doc_id % 2 = 1 AND s.doc_id % 2 = 0),
+        |ver AS (
+        |  SELECT b_doc, s_doc,
+        |    round(1.0 - CAST(len(list_intersect(db.gs, ds.gs)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(db.gs, ds.gs))), 6) AS dist
+        |  FROM cand
+        |  JOIN docs db ON b_doc = db.doc_id
+        |  JOIN docs ds ON s_doc = ds.doc_id),
+        |best AS (
+        |  SELECT b_doc, s_doc, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY dist, s_doc) AS rn
+        |  FROM ver WHERE dist <= 0.5)
+        |SELECT d.doc_id, best.s_doc AS near_store_id, best.dist AS dist,
+        |  best.s_doc IS NULL AS is_novel
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) best
+        |  ON d.doc_id = best.b_doc
+        |ORDER BY d.doc_id""".stripMargin)
+}

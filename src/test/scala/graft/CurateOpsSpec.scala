@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Profile, Vocab}
+
+/** Round-4 curation operators: BPE pair statistics, per-column profiling,
+  * incremental near-dedup. */
+class CurateOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpePairCounts weights by word frequency and keeps in-word multiplicity") {
+    // "ab ab aaa" + "ab" → freq(ab)=3, freq(aaa)=1
+    // pairs: "ab"×3 (from ab), "aa"×2 (from aaa, multiplicity 2)
+    val df = Seq("ab ab aaa", "ab").toDF("text")
+    val out = Vocab.bpePairCounts(df, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("ab") === (3L, 1L))
+    assert(out("aa") === (2L, 1L))
+    assert(out.size === 2)
+  }
+
+  test("bpePairCounts drops one-char words from pairs, ranks by count then pair") {
+    val df = Seq("a a a a zz yy zz").toDF("text")
+    val rows = Vocab.bpePairCounts(df, "text", topK = 10).collect()
+    // "a" has no pair; zz (freq 2) ranks above yy (freq 1)
+    assert(rows.map(_.getString(0)).toSeq === Seq("zz", "yy"))
+    assert(rows.head.getLong(1) === 2L)
+  }
+
+  test("columnProfile counts nulls/distincts and types min/max by kind") {
+    val df = Seq[(java.lang.Long, String)]((1L, "b"), (3L, null), (3L, "a"))
+      .toDF("n", "s")
+    val out = Profile.columnProfile(df,
+        Seq("n" -> Profile.Num, "s" -> Profile.Str))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = out("n")
+    assert(n.getAs[Long]("n_rows") === 3L && n.getAs[Long]("n_nulls") === 0L)
+    assert(n.getAs[Long]("n_distinct") === 2L)
+    assert(n.getAs[Double]("min_num") === 1.0 &&
+      n.getAs[Double]("max_num") === 3.0)
+    assert(n.isNullAt(n.fieldIndex("min_str")))
+    val s = out("s")
+    assert(s.getAs[Long]("n_nulls") === 1L)
+    assert(s.getAs[Long]("n_distinct") === 2L)   // nulls not distinct-counted
+    assert(s.getAs[String]("min_str") === "a" &&
+      s.getAs[String]("max_str") === "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+  }
+
+  test("incrementalNear flags near-dups of the store, keeps novel and short docs") {
+    val store = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated store content about engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (3L, "completely novel batch document with fresh words"),
+      (5L, "too short")                                     // no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNear(batch, store, "text", "doc_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 3L, 5L))
+    val dup = out(1L)
+    assert(!dup.getAs[Boolean]("is_novel"))
+    assert(dup.getAs[Long]("near_store_id") === 0L)
+    assert(dup.getAs[Double]("dist") > 0.0 && dup.getAs[Double]("dist") <= 0.5)
+    assert(out(3L).getAs[Boolean]("is_novel"))
+    assert(out(5L).getAs[Boolean]("is_novel"))
+  }
+
+  test("incrementalNear breaks distance ties to the lowest store id") {
+    val text = "one two three four five six seven eight"
+    val store = Seq((10L, text), (4L, text)).toDF("doc_id", "text")
+    val batch = Seq((7L, text)).toDF("doc_id", "text")
+    val r = Dedup.incrementalNear(batch, store, "text", "doc_id", 0.5).head()
+    assert(r.getAs[Double]("dist") === 0.0)
+    assert(r.getAs[Long]("near_store_id") === 4L)
+  }
+
+  test("incrementalNear never pairs batch with batch or store with store") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    // two identical docs in the batch, none in the store: both must be novel
+    val batch = Seq((1L, text), (3L, text)).toDF("doc_id", "text")
+    val store = Seq((0L, "entirely different seen content here okay fine"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNear(batch, store, "text", "doc_id", 0.5)
+    assert(out.collect().forall(_.getAs[Boolean]("is_novel")))
+  }
+}

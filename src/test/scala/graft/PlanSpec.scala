@@ -180,6 +180,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("substr-dedup plans hash-keyed aggregates and windows, no products") {
+    val p = planString(graft.queries.TrainOps.qSubstrDedup(spark, sf))
+    // the duplicated-window mark-back must stay a semi-join on the hash,
+    // the islands window must partition by doc, and nothing may degenerate
+    // into an all-pairs product or a single-task window
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("mixture plan broadcasts both one-row totals; sources never shuffle to them") {
+    val p = planString(graft.queries.TrainOps.qMixturePlan(spark, sf))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("quality gate windows per source, never a global single-task window") {
+    val p = planString(graft.queries.TrainOps.qQualityGate(spark, sf))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("PII redaction and hash sampling plan zero exchanges beyond the dump sort") {
     for (df <- Seq(graft.queries.CorpusOps.qPiiRedact(spark, sf),
         graft.queries.CorpusOps.qSampleHash(spark, sf))) {
