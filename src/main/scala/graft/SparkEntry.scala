@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.PipelineOps,
     graft.queries.TrainOps,
     graft.queries.CurateOps,
+    graft.queries.StatOps,
     graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

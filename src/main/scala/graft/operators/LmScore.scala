@@ -59,4 +59,61 @@ object LmScore {
         sum("nll_u").as("nll_micro"))
       .withColumn("ce_micro", expr("nll_micro DIV n_tokens"))
   }
+
+  /** Per-document BIGRAM cross-entropy in integer micro-nats — the
+    * conditional-probability upgrade of [[unigramCrossEntropy]] (the
+    * KenLM-shaped CCNet filter scores with exactly this quantity, one order
+    * higher): each adjacent token pair (a b) costs −ln p(b|a) where
+    * p(b|a) = c(a b) / Σ_x c(a x) is the corpus's own bigram MLE. The
+    * lookup table keeps the top-`vocabSize` bigrams (with their exact
+    * context totals — computed over ALL bigrams, the cap only bounds the
+    * broadcast table); out-of-vocabulary pairs are floored at 1/total like
+    * the unigram model.
+    *
+    * Scale shape mirrors the unigram operator: bigram counts are one
+    * shuffle with map-side partial combine, the context totals and top-V
+    * table derive from that (vocabulary-sized) count table, the lookup
+    * BROADCASTS, and the corpus stream shuffles only for the per-document
+    * aggregate. Documents with fewer than 2 tokens have no bigrams and
+    * report (0, 0, 0, null) rather than silently vanishing. */
+  def bigramCrossEntropy(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    val bigrams = docs.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
+    // feeds the context totals, the top-V table, and the one-row total
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false)
+    val total = c2.agg(sum("c2").as("total2"))
+    // exact context totals c1(a) = Σ_x c2(a x), from the count table — a
+    // vocabulary-sized aggregate, never a second corpus pass
+    val ctx = c2.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val vocab = c2
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .orderBy(desc("c2"), asc("bg")).limit(vocabSize)
+      .select("bg", "c2", "c1")
+    val scored = bigrams
+      .join(broadcast(vocab), Seq("bg"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        col("c2").isNull.cast("long").as("oov"),
+        round(-log(
+          when(col("c2").isNotNull,
+            col("c2").cast("double") / col("c1"))
+            .otherwise(lit(1.0) / col("total2"))) * lit(1000000.0), 0)
+          .cast("long").as("nll_u"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("oov").as("n_oov"),
+        sum("nll_u").as("nll_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+      .withColumn("ce_micro",
+        when(col("n_bigrams") > 0, expr("nll_micro DIV n_bigrams")))
+  }
 }

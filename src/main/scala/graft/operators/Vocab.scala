@@ -45,4 +45,60 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Pointwise-mutual-information co-occurrence pairs — the counting step
+    * of GloVe/word2vec-style embedding training: unordered token pairs
+    * within a ±`window` token distance, scored by
+    * PMI = ln(p(a,b) / (p(a)·p(b))) with p(a,b) = c_ab/T (T = total pair
+    * occurrences) and p(a) = c_a/N (N = total tokens). Pairs rarer than
+    * `minCount` are dropped (PMI is notoriously noisy at low counts), and
+    * the `topK` survivors are returned by (pmi desc, pair).
+    *
+    * Determinism: PMI is a single ln of a ratio of exact integer counts,
+    * rounded to micro-nats — no sum of floats anywhere, so both engines
+    * agree to the last digit.
+    *
+    * Scale shape: pair generation is a zero-shuffle per-row transform
+    * (shifted-array zips, exactly like `wordShingles`); the pair aggregate
+    * is one shuffle with map-side combine (hot pairs are hot COUNTERS);
+    * the unigram-count attach joins are vocabulary-sized equi-joins (AQE
+    * broadcasts them when small); top-k lands in TakeOrderedAndProject. */
+  def pmiPairs(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    val ws = TextFunctions.tokens(col(textCol))
+    val pairCols = (1 to window).map { s =>
+      when(size(ws) > s,
+        transform(
+          arrays_zip(
+            slice(ws, lit(1), size(ws) - s).as("x"),
+            slice(ws, lit(s + 1), size(ws) - s).as("y")),
+          p => struct(
+            least(p.getField("x"), p.getField("y")).as("lo"),
+            greatest(p.getField("x"), p.getField("y")).as("hi"))))
+        .otherwise(array().cast("array<struct<lo:string,hi:string>>"))
+    }
+    val toks = df.select(explode(ws).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val nTotal = counts.agg(sum("c").as("n"))
+    val pairs = df
+      .select(explode(flatten(array(pairCols: _*))).as("p"))
+      .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(eager = false)
+    val tTotal = pairs.agg(sum("c_ab").as("t"))
+    pairs
+      .filter(col("c_ab") >= minCount)
+      .join(counts.select(col("tok").as("lo"), col("c").as("c_lo")), "lo")
+      .join(counts.select(col("tok").as("hi"), col("c").as("c_hi")), "hi")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(tTotal))
+      .select(col("lo"), col("hi"), col("c_ab"),
+        round(log(
+          col("c_ab").cast("double") * col("n") * col("n") /
+            (col("t").cast("double") * col("c_lo") * col("c_hi"))) *
+          lit(1000000.0), 0).cast("long").as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("lo"), col("hi"))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{SketchFunctions, TextFunctions => T}
+import graft.operators.{LmScore, Signals, Vocab}
+
+/** Round-5 corpus-statistics operators: bigram language-model scoring, PMI
+  * co-occurrence (the embedding-training counting step), hashed-feature
+  * linear classification, character-entropy screening, deterministic
+  * weighted sampling, and sketch-based heavy hitters. Oracle discipline as
+  * everywhere: integer micro-unit quantization before aggregates/ranks, the
+  * cross-engine FNV-1a-32 expression as the only "randomness", total-order
+  * sorts.
+  */
+object StatOps extends QueryFamily {
+
+  /** q_bigram_lm — per-document bigram cross-entropy (micro-nats) under the
+    * corpus's own conditional bigram MLE, top-500 bigram lookup, OOV floored
+    * at 1/total: the KenLM-shaped upgrade of q_unigram_lm. */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    LmScore.bigramCrossEntropy(Tables.documents(s, dir), "text", "doc_id",
+        vocabSize = 500)
+      .orderBy("doc_id")
+
+  /** q_cooccur_pmi — top-100 PMI token pairs within a ±2 window, min pair
+    * count 5: the co-occurrence statistics GloVe/word2vec training reads. */
+  def qCooccurPmi(s: SparkSession, dir: String): DataFrame =
+    Vocab.pmiPairs(Tables.documents(s, dir), "text", window = 2,
+      minCount = 5L, topK = 100)
+
+  /** q_classify_linear — hashed-feature (64-bucket FNV) linear scorer with
+    * a broadcast weight table: the fastText-style model-based quality
+    * filter's plan shape, integer-exact end to end. */
+  def qClassifyLinear(s: SparkSession, dir: String): DataFrame =
+    Signals.linearScore(Tables.documents(s, dir), "text", "doc_id",
+        nBuckets = 64)
+      .orderBy("doc_id")
+
+  /** q_char_entropy — per-document character-distribution Shannon entropy
+    * (micro-nats) + distinct-char count: the cheap gibberish screen. */
+  def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    Signals.charEntropy(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** q_sample_weighted — 50-document weighted sample without replacement
+    * (Efraimidis–Spirakis keys, weight = n_chars), content-hash
+    * deterministic so the sample is reproducible and cross-engine exact. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Signals.weightedSample(Tables.documents(s, dir), "text", "doc_id",
+        col("n_chars"), k = 50)
+      .select("doc_id", "source", "w", "key_nano")
+      .orderBy(desc("key_nano"), col("doc_id"))
+
+  /** q_heavy_hitters — exact heavy hitters (tokens with frequency >
+    * total/29) via the two-pass sketch pattern: one Misra–Gries pass yields
+    * a ≤29-entry candidate list whose completeness is GUARANTEED regardless
+    * of partitioning/merge order; an exact recount of candidates only (the
+    * corpus stream is semi-joined against the broadcast candidate list)
+    * yields the final answer, which is therefore deterministic and fully
+    * oracle-checkable even though sketch counters themselves are not. The
+    * capacity (29) is deliberately SMALLER than this corpus's distinct-token
+    * count, so the sketch genuinely evicts. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(T.tokens(col("text"))).as("tok"))
+      .localCheckpoint(eager = false)
+    val cands = toks
+      .agg(SketchFunctions.misraGriesCandidates(col("tok"), 29).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * 29 > col("total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> (qBigramLm _),
+    "q_cooccur_pmi" -> (qCooccurPmi _),
+    "q_classify_linear" -> (qClassifyLinear _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      """WITH arr AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg
+        |  FROM arr, unnest(range(1, len(a))) AS r(i)
+        |  WHERE len(a) >= 2),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+        |tot AS (SELECT SUM(c2) AS total2 FROM c2),
+        |ctx AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1
+        |  FROM c2 GROUP BY 1),
+        |vocab AS (
+        |  SELECT bg, c2, c1 FROM c2
+        |  JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
+        |  ORDER BY c2 DESC, bg LIMIT 500),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CASE WHEN v.bg IS NULL THEN 1 ELSE 0 END AS oov,
+        |    CAST(round(-ln(CASE WHEN v.bg IS NOT NULL
+        |      THEN CAST(v.c2 AS DOUBLE) / v.c1
+        |      ELSE 1.0 / total2 END) * 1000000.0, 0) AS BIGINT) AS nll_u
+        |  FROM bg b LEFT JOIN vocab v USING (bg) CROSS JOIN tot),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(oov) AS n_oov,
+        |    SUM(nll_u) AS nll_micro
+        |  FROM nll GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(nll_micro, 0) AS BIGINT) AS nll_micro,
+        |  CASE WHEN n_bigrams > 0
+        |    THEN CAST(nll_micro // n_bigrams AS BIGINT) END AS ce_micro
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_cooccur_pmi" ->
+      """WITH arr AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |cnt AS (
+        |  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(a) AS tok FROM arr)
+        |  GROUP BY tok),
+        |n AS (SELECT SUM(c) AS n FROM cnt),
+        |pr AS (
+        |  SELECT least(a[i], a[i+s]) AS lo, greatest(a[i], a[i+s]) AS hi
+        |  FROM arr, unnest(range(1, len(a) + 1)) AS r(i),
+        |    unnest([1, 2]) AS sh(s)
+        |  WHERE i + s <= len(a)),
+        |pairs AS (SELECT lo, hi, COUNT(*) AS c_ab FROM pr GROUP BY lo, hi),
+        |t AS (SELECT SUM(c_ab) AS t FROM pairs)
+        |SELECT lo, hi, c_ab,
+        |  CAST(round(ln((CAST(c_ab AS DOUBLE) * n * n) /
+        |    (CAST(t AS DOUBLE) * cl.c * ch.c)) * 1000000.0, 0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM pairs
+        |JOIN cnt cl ON lo = cl.tok
+        |JOIN cnt ch ON hi = ch.tok
+        |CROSS JOIN n CROSS JOIN t
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_micro DESC, lo, hi LIMIT 100""".stripMargin,
+    "q_classify_linear" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(2166136261::BIGINT,
+        |      list_transform(range(1, length(tok) + 1),
+        |        i -> ord(substr(tok, i, 1))::BIGINT)),
+        |    (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS hu
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN hs < 0 THEN -hs ELSE hs END) % 64 AS bucket
+        |  FROM (SELECT doc_id, CASE WHEN hu >= 2147483648
+        |    THEN hu - 4294967296 ELSE hu END AS hs FROM h)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM((bucket * 2654435761) % 2000001 - 1000000) AS w_sum_micro
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(w_sum_micro AS BIGINT) AS w_sum_micro,
+        |  CAST(floor(CAST(w_sum_micro AS DOUBLE) / n_tokens) AS BIGINT)
+        |    AS score_micro,
+        |  floor(CAST(w_sum_micro AS DOUBLE) / n_tokens) > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS r(i)
+        |  WHERE length(text) > 0),
+        |pc AS (SELECT doc_id, n, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |term AS (
+        |  SELECT doc_id, n,
+        |    CAST(round((-(CAST(c AS DOUBLE) / n)) *
+        |      ln(CAST(c AS DOUBLE) / n) * 1000000.0, 0) AS BIGINT) AS term_u
+        |  FROM pc),
+        |agg AS (
+        |  SELECT doc_id, n, COUNT(*) AS n_unique_chars,
+        |    SUM(term_u) AS entropy_micro
+        |  FROM term GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_chars_text,
+        |  CAST(coalesce(n_unique_chars, 0) AS BIGINT) AS n_unique_chars,
+        |  CAST(coalesce(entropy_micro, 0) AS BIGINT) AS entropy_micro
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars, list_reduce(
+        |    list_prepend(2166136261::BIGINT,
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> ord(substr(text, i, 1))::BIGINT)),
+        |    (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS hu
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS hs
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(round(
+        |      ln((CAST(CASE WHEN hs < 0 THEN -hs ELSE hs END AS DOUBLE)
+        |        + 0.5) / 2147483648.0) / CAST(n_chars AS DOUBLE)
+        |      * 1000000000.0, 0) AS BIGINT) AS key_nano
+        |  FROM s)
+        |SELECT doc_id, source, w, key_nano FROM k
+        |ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH cnt AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS total FROM cnt)
+        |SELECT tok, CAST(cnt AS BIGINT) AS cnt
+        |FROM cnt CROSS JOIN tot
+        |WHERE cnt * 29 > total
+        |ORDER BY cnt DESC, tok""".stripMargin)
+}

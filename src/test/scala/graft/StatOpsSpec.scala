@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LmScore, Signals, Vocab}
+import graft.functions.SketchFunctions
+
+/** Round-5 statistics operators: bigram LM, PMI co-occurrence, hashed linear
+  * scoring, char entropy, weighted sampling, Misra–Gries heavy hitters. */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- bigram LM ----
+
+  test("bigramCrossEntropy scores conditional MLE, floors OOV, keeps short docs") {
+    // corpus: "a b" ×2, "a c" ×1 → p(b|a)=2/3, p(c|a)=1/3, total2=3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = LmScore.bigramCrossEntropy(df, "text", "doc_id", vocabSize = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") === 1L)
+    assert(d1.getAs[Long]("n_oov") === 0L)
+    // -ln(2/3) ≈ 0.405465 → 405465 micro-nats
+    assert(d1.getAs[Long]("nll_micro") === 405465L)
+    assert(out(3L).getAs[Long]("nll_micro") === 1098612L) // -ln(1/3)
+    // 1-token doc: no bigrams, kept with zeros and null ce
+    val d4 = out(4L)
+    assert(d4.getAs[Long]("n_bigrams") === 0L)
+    assert(d4.isNullAt(d4.fieldIndex("ce_micro")))
+  }
+
+  test("bigramCrossEntropy marks bigrams outside the top-V as OOV at the floor") {
+    // vocabSize=1 keeps only "a b" (count 2); "a c" becomes OOV, floored at
+    // 1/total2 = 1/3
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = LmScore.bigramCrossEntropy(df, "text", "doc_id", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getAs[Long]("n_oov") === 1L)
+    assert(out(3L).getAs[Long]("nll_micro") === 1098612L) // -ln(1/3)
+    assert(out(1L).getAs[Long]("n_oov") === 0L)
+  }
+
+  // ---- PMI ----
+
+  test("pmiPairs counts within-window unordered pairs and ranks by PMI") {
+    // "x y" always adjacent, "x z" never co-occurs within the window
+    val df = Seq.fill(5)("x y q w e r t u i o").toDF("text")
+    val out = Vocab.pmiPairs(df, "text", window = 2, minCount = 5L,
+      topK = 100).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("x", "y")))   // adjacent in every doc
+    assert(pairs.contains(("q", "x")))   // distance 2 → in window
+    assert(!pairs.contains(("w", "x")))  // distance 3 → outside window
+    // counts: each pair occurs 5× (once per doc)
+    val xy = out.find(r => (r.getString(0), r.getString(1)) == ("x", "y")).get
+    assert(xy.getAs[Long]("c_ab") === 5L)
+  }
+
+  test("pmiPairs drops pairs below minCount and short docs produce no pairs") {
+    val df = Seq("a b", "a b", "c").toDF("text")
+    val out = Vocab.pmiPairs(df, "text", window = 2, minCount = 2L, topK = 10)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("a", "b")))
+    assert(out.head.getAs[Long]("c_ab") === 2L)
+  }
+
+  // ---- linear classifier ----
+
+  test("linearScore is deterministic, integer-exact, and keeps sign semantics") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val a = Signals.linearScore(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val b = Signals.linearScore(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(a(id).getAs[Long]("score_micro") ===
+        b(id).getAs[Long]("score_micro"))
+      assert(a(id).getAs[Boolean]("keep") ===
+        (a(id).getAs[Long]("score_micro") > 0))
+    }
+    assert(a(1L).getAs[Long]("n_tokens") === 3L)
+    // mean in micro units stays within the weight ramp's bounds
+    assert(math.abs(a(1L).getAs[Long]("score_micro")) <= 1000000L)
+  }
+
+  test("linearScore floor-divides negative sums like SQL //") {
+    // floor(-7/2) = -4, NOT trunc(-7/2) = -3; build a doc whose sum is
+    // negative and odd vs token count to exercise the boundary
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = Signals.linearScore(df, "text", "doc_id").head()
+    val sum = r.getAs[Long]("w_sum_micro")
+    val n = r.getAs[Long]("n_tokens")
+    assert(r.getAs[Long]("score_micro") ===
+      math.floorDiv(sum, n))
+  }
+
+  // ---- char entropy ----
+
+  test("charEntropy: uniform text hits ln(k), single-char text hits zero") {
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = Signals.charEntropy(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // 4 distinct chars, p=1/4 each → H = ln(4) ≈ 1.386294 nats; each of the
+    // 4 terms rounds to 346574 micro-nats (0.25·ln4 = 0.346574)
+    assert(out(1L).getAs[Long]("entropy_micro") === 4 * 346574L)
+    assert(out(1L).getAs[Long]("n_unique_chars") === 4L)
+    assert(out(2L).getAs[Long]("entropy_micro") === 0L)
+    assert(out(2L).getAs[Long]("n_unique_chars") === 1L)
+    // empty text keeps its row with zeros (no descending-sequence ghost rows)
+    assert(out(3L).getAs[Long]("n_chars_text") === 0L)
+    assert(out(3L).getAs[Long]("entropy_micro") === 0L)
+  }
+
+  // ---- weighted sample ----
+
+  test("weightedSample takes the k largest ES keys deterministically") {
+    val docs = (1L to 20L).map(i => (i, s"document number $i content", i * 10))
+      .toDF("doc_id", "text", "n_chars")
+    val s1 = Signals.weightedSample(docs, "text", "doc_id", col("n_chars"), 5)
+      .select("doc_id", "key_nano").as[(Long, Long)].collect()
+    val s2 = Signals.weightedSample(docs, "text", "doc_id", col("n_chars"), 5)
+      .select("doc_id", "key_nano").as[(Long, Long)].collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.length === 5)
+    // the selected keys are exactly the 5 largest over the full population
+    val all = Signals.weightedSample(docs, "text", "doc_id", col("n_chars"), 20)
+      .select("key_nano").as[Long].collect().sorted(Ordering[Long].reverse)
+    assert(s1.map(_._2).toSeq === all.take(5).toSeq)
+  }
+
+  test("weightedSample favors heavy weights on identical content odds") {
+    // same text duplicated with weight ratio 1000:1 — the heavy row's key
+    // ln(u)/w is 1000× closer to zero, so it must rank first
+    val docs = Seq((1L, "same text here", 1L), (2L, "same text here", 1000L))
+      .toDF("doc_id", "text", "n_chars")
+    val top = Signals.weightedSample(docs, "text", "doc_id", col("n_chars"), 1)
+      .head()
+    assert(top.getAs[Long]("doc_id") === 2L)
+  }
+
+  // ---- Misra–Gries ----
+
+  test("misraGries candidates always include every item above N/(cap+1)") {
+    // 60× "hot", 40 singletons → N=100; with capacity 4, any f > 20 must
+    // survive no matter the partitioning
+    val data = Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i")
+    for (parts <- Seq(1, 3, 7)) {
+      val df = spark.sparkContext.parallelize(data, parts).toDF("tok")
+      val cands = df
+        .agg(SketchFunctions.misraGriesCandidates(col("tok"), 4).as("c"))
+        .head().getSeq[String](0)
+      assert(cands.contains("hot"), s"parts=$parts: $cands")
+      assert(cands.size <= 4)
+    }
+  }
+
+  test("misraGries two-pass recount equals the brute-force heavy hitters") {
+    val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++
+      (1 to 5).map(i => s"x$i")
+    val df = spark.sparkContext.parallelize(data, 5).toDF("tok")
+      .localCheckpoint(true)
+    val cap = 6 // threshold N/6 = 16.67 → exactly {a, b}
+    val cands = df
+      .agg(SketchFunctions.misraGriesCandidates(col("tok"), cap).as("c"))
+      .select(explode(col("c")).as("tok"))
+    val total = df.count()
+    val got = df.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * cap > lit(total))
+      .orderBy(desc("cnt"), asc("tok"))
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 50L), ("b", 30L)))
+  }
+
+  test("misraGries handles nulls and serialization round-trips through shuffle") {
+    val df = (Seq.fill(10)(Some("k")) ++ Seq(None, None) ++
+      Seq.fill(3)(Some("j"))).toDF("tok").repartition(4)
+    val cands = df
+      .agg(SketchFunctions.misraGriesCandidates(col("tok"), 3).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.contains("k"))
+    assert(!cands.contains(null))
+  }
+}
