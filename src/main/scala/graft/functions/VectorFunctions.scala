@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.Bridge
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, RpBucketKeys}
 
 /** Dense-vector math over `array<float>` embedding columns — the
   * similarity-search building blocks (SURVEY.md §2 B-10).
@@ -34,6 +34,14 @@ object VectorFunctions {
   /** Cosine similarity, one codegen'd pass: dot/(√Σa²·√Σb²). */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Euclidean-LSH bucket ids on the L2-normalized vector, one per hash
+    * table: `floor(dot(v, g_t) / (‖v‖·w))` over deterministic seeded
+    * Gaussian directions — normalization, dots and flooring in ONE kernel
+    * pass, no ML-vector conversion. See [[graft.expressions.RpBucketKeys]]. */
+  def rpBucketKeys(emb: Column, nTables: Int, bucketLength: Double,
+      seed: Long = 42L): Column =
+    Bridge.column(RpBucketKeys(Bridge.expression(emb), nTables, bucketLength, seed))
 
   /** Euclidean distance in double. */
   def l2Distance(a: Column, b: Column): Column =

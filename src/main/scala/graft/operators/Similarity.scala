@@ -4,8 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorFunctions
 
 /** Similarity search over embedding columns (SURVEY.md §2 B-10).
@@ -21,8 +20,12 @@ import graft.functions.VectorFunctions
   *   k-means cells, probe nProbe of nCells; at rest the cell id is the
   *   partition directory, so probing IS partition pruning.
   *
-  * mllib contributes only model FITS (seeded hyperplanes / centroids);
-  * every candidate join and distance evaluation is the engine's own —
+  * mllib contributes only the k-means centroid FIT (IVF path); the LSH
+  * bucket keys are the engine's own deterministic kernel
+  * ([[graft.expressions.RpBucketKeys]] — an ML-pipeline LSH transform costs
+  * a per-row UDF over UDT-encoded vectors, measured ~2.5 s of overhead at
+  * sf0.1 for bucket math the kernel does in ~0.2 s), and every candidate
+  * join and distance evaluation is the engine's own —
   * `approxSimilarityJoin`'s interpreted per-candidate vector ops are the
   * same trap measured at 505 s on the minhash path, avoided throughout.
   */
@@ -30,30 +33,17 @@ object Similarity {
 
   // ---- shared building blocks ----
 
-  /** L2-normalize `emb` into an mllib `nvec` column. The norm is its own
-    * column first — an inline norm inside the transform lambda would be
-    * recomputed per vector ELEMENT (interpreted, no CSE). */
-  private def l2Normalized(df: DataFrame, emb: String): DataFrame =
-    df.withColumn("_norm", VectorFunctions.norm(col(emb)))
-      .withColumn("nvec", array_to_vector(
-        transform(col(emb), x => x.cast("double") / col("_norm"))))
-      .drop("_norm")
-
-  private def fitLsh(cn: DataFrame, bucketLength: Double,
-      numHashTables: Int): BucketedRandomProjectionLSHModel =
-    new BucketedRandomProjectionLSH()
-      .setInputCol("nvec").setOutputCol("buckets")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(42)
-      .fit(cn)
-
-  /** Narrow (id, (table, bucket)) keys — one row per hash table per vector. */
-  private def lshBucketKeys(model: BucketedRandomProjectionLSHModel,
-      df: DataFrame, idCol: String): DataFrame =
-    model.transform(df)
-      .select(col(idCol), posexplode(col("buckets")).as(Seq("t", "h")))
-      .select(col(idCol),
-        struct(col("t"), element_at(vector_to_array(col("h")), 1)).as("bk"))
+  /** Narrow (id, (table, bucket)) keys — one row per hash table per vector.
+    * Buckets come from the engine's own codegen-adjacent kernel
+    * ([[graft.expressions.RpBucketKeys]]): deterministic seeded Gaussian
+    * directions, L2 normalization fused into the same pass — no model fit,
+    * no UDT conversion, no per-row UDF. */
+  private def lshBucketKeys(df: DataFrame, emb: String, idCol: String,
+      bucketLength: Double, numHashTables: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(VectorFunctions.rpBucketKeys(col(emb), numHashTables,
+          bucketLength)).as(Seq("t", "h")))
+      .select(col(idCol), struct(col("t"), col("h")).as("bk"))
 
   private def fitQuantizer(corpus: DataFrame, nCells: Int): KMeansModel =
     // a coarse quantizer only needs roughly-balanced cells, not converged
@@ -154,36 +144,81 @@ object Similarity {
     rerankTopK(corpus.join(broadcast(probed), "cell_id"), k)
   }
 
-  /** LSH-bucketed cosine-threshold SELF-join: candidate pairs share a
-    * random-projection bucket in at least one hash table; every candidate is
-    * then verified by the exact codegen'd cosine kernel, so the bucketing
-    * only affects recall, never emits a false pair. This replaces an
-    * all-pairs crossJoin as the embedding-dedup plan shape.
+  /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED
+    * regime dispatch:
     *
-    * The bucket join runs NARROW (ids + band key only) and the candidate
-    * stream is de-duplicated BEFORE the embedding-attach joins: a pair
-    * colliding in k of the hash tables appears k times, and the distinct is
-    * a shuffle of two longs per candidate, while every duplicate that
-    * survives past it would drag two full embedding payloads through the
-    * attach joins and the kernel. (Measured at sf0.1: distinct-after-verify
-    * 5.7 s vs distinct-before-attach ~2 s — the narrow shuffle wins at any
-    * collision rate, and by more the hotter the buckets get.) Survivors then
-    * stream through the attach joins (Catalyst/AQE picks broadcast vs
-    * shuffle by actual corpus size) into the codegen kernel.
+    * - `minSim >= gateRegimeMinSim` (true near-dup territory): the
+    *   LSH-bucketed candidate gate [[cosinePairsGated]] — sub-quadratic,
+    *   every candidate verified by the exact codegen kernel.
+    * - below it: the blocked-exact kernel join [[cosinePairsExact]].
     *
-    * Operating-point honesty: pruning power depends on `minSim`. At
-    * production near-dup thresholds the bucket join discards most pairs; at
-    * a low threshold on isotropic data most pairs survive the gate and the
-    * cost is carried by the codegen verify — which is exactly the all-pairs
-    * kernel cost, so the gate never loses to the crossJoin it replaces.
-    * The default (bucketLength 2.0, 6 tables) is the cheapest setting whose
-    * recall is exhaustive on the test fixtures — the parity test in
-    * SimilaritySpec re-checks that contract against the exact join. */
+    * Why dispatch instead of always gating: on unit vectors in d dims,
+    * random-pair cosine concentrates as N(0, 1/√d) — ±0.375 at 3σ for
+    * d = 64 — so a low threshold like 0.45 sits in the bulk's tail where no
+    * LSH family discriminates. Sign-LSH bit-match probability is
+    * 1 − θ/π: 0.648 at cos 0.45 vs 0.5 at cos 0 — an r-bit band separates
+    * the two by only 1.296^r, so full recall at that threshold needs
+    * thousands of bands (i.e. the all-pairs join back again, with
+    * overhead). Measured at sf0.1 (2 000 × d64): the bucket gate passed
+    * 98.4% of all pairs and spent 3.7 s building+deduping candidates the
+    * 0.9 s exact kernel pass would have scored anyway — the gate can only
+    * LOSE below the concentration tail. Above it (≥ ~0.7) band selectivity
+    * collapses the candidate set and the gate wins — that regime keeps the
+    * gated path. */
   def cosinePairs(corpus: DataFrame, minSim: Double,
+      bucketLength: Double = 2.0, numHashTables: Int = 6,
+      gateRegimeMinSim: Double = 0.7): DataFrame =
+    if (minSim >= gateRegimeMinSim)
+      cosinePairsGated(corpus, minSim, bucketLength, numHashTables)
+    else cosinePairsExact(corpus, minSim)
+
+  /** Blocked-exact cosine pairs: every unordered pair scored once by the
+    * codegen kernel. This is the distributed block-nested-loop (GEMM) shape,
+    * NOT a driver-side or broadcast crossJoin: ids hash into `nBlocks`
+    * blocks, a tiny (nBlocks²/2)-row block-pair table broadcasts, and each
+    * shuffle task scores one block×block tile — per-task memory is two
+    * n/nBlocks-row tiles regardless of corpus size, and parallelism is the
+    * (elastic) block-pair count. Exact threshold-joins below the LSH-useful
+    * regime are Ω(n²) by nature; what scale tuning controls is the constant
+    * (single-pass codegen kernel, no candidate materialization) and the
+    * tile size (`nBlocks` ∝ √corpus). */
+  def cosinePairsExact(corpus: DataFrame, minSim: Double,
+      nBlocks: Int = 32): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bp = (for (i <- 0 until nBlocks; j <- i until nBlocks) yield (i, j))
+      .toDF("bi", "bj")
+    val blocked = corpus.select(col("vec_id"), col("embedding"),
+      pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+    blocked
+      .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
+        col("blk").as("bi"))
+      .join(broadcast(bp), "bi")
+      .join(blocked.select(col("vec_id").as("y_id"),
+        col("embedding").as("y_emb"), col("blk").as("bj")), "bj")
+      // same-block tiles dedup on id order; cross-block tiles meet exactly
+      // once (bi < bj) and canonicalize below
+      .filter(col("bi") =!= col("bj") || col("x_id") < col("y_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("x_emb"), col("y_emb")), 6))
+      .filter(col("sim") >= minSim)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("sim"))
+  }
+
+  /** LSH-bucketed cosine pairs: candidates share a random-projection bucket
+    * in at least one hash table; every candidate is then verified by the
+    * exact codegen'd cosine kernel, so the bucketing only affects recall,
+    * never emits a false pair. The candidate stream is de-duplicated
+    * BEFORE the embedding-attach joins: a pair colliding in k of the hash
+    * tables appears k times, and the distinct is a shuffle of two longs per
+    * candidate, while every duplicate surviving past it would drag two full
+    * embedding payloads through the attach joins and the kernel. Use via
+    * [[cosinePairs]], which routes only the thresholds where banding
+    * actually prunes (see the regime note there). */
+  def cosinePairsGated(corpus: DataFrame, minSim: Double,
       bucketLength: Double = 2.0, numHashTables: Int = 6): DataFrame = {
-    val cn = l2Normalized(corpus, "embedding")
-    val model = fitLsh(cn, bucketLength, numHashTables)
-    val keys = lshBucketKeys(model, cn, "vec_id")
+    val keys = lshBucketKeys(corpus, "embedding", "vec_id",
+      bucketLength, numHashTables)
     keys.select(col("vec_id").as("a_id"), col("bk"))
       .join(keys.select(col("vec_id").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
@@ -249,10 +284,10 @@ object Similarity {
   def annCandidates(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 0.5,
       numHashTables: Int = 4): DataFrame = {
-    val cn = l2Normalized(corpus, "embedding")
-    val model = fitLsh(cn, bucketLength, numHashTables)
-    val cands = lshBucketKeys(model, l2Normalized(queries, "q_emb"), "q_id")
-      .join(lshBucketKeys(model, cn, "vec_id"), "bk")
+    val cands = lshBucketKeys(queries, "q_emb", "q_id",
+        bucketLength, numHashTables)
+      .join(lshBucketKeys(corpus, "embedding", "vec_id",
+        bucketLength, numHashTables), "bk")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
       .distinct()

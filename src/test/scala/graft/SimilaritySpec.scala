@@ -43,24 +43,53 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.subsetOf(topkSet(Similarity.sq8TopK(queries, corpus, 100))))
   }
 
-  test("LSH-gated cosine pairs equal the exact all-pairs join (100% recall)") {
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("a_id").cast("long"), col("b_id").cast("long"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def exactPairSet(minSim: Double): Set[(Long, Long, Double)] = {
     import graft.functions.VectorFunctions
-    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
-      df.select(col("a_id").cast("long"), col("b_id").cast("long"), col("sim"))
-        .as[(Long, Long, Double)].collect().toSet
     val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    pairSet(broadcast(a).crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("sim") >= minSim)
+      .select("a_id", "b_id", "sim"))
+  }
+
+  test("blocked-exact cosine pairs equal the reference crossJoin (every tile, both orders)") {
+    // nBlocks chosen so blocks are tiny relative to the corpus: exercises
+    // same-block dedup AND cross-block canonicalization (a_id > b_id pairs
+    // landing in a (bi < bj) tile must still come out once, least-first)
+    for (minSim <- Seq(0.45, 0.40); nBlocks <- Seq(1, 7)) {
+      val exact = exactPairSet(minSim)
+      val blocked = pairSet(Similarity.cosinePairsExact(corpus, minSim, nBlocks))
+      assert(exact.nonEmpty, s"vacuous parity fixture at minSim=$minSim")
+      assert(blocked === exact,
+        s"minSim=$minSim nBlocks=$nBlocks diff=${exact diff blocked}")
+    }
+  }
+
+  test("LSH-gated cosine pairs equal the exact all-pairs join (100% recall)") {
     for (minSim <- Seq(0.45, 0.40)) {
-      val exact = pairSet(broadcast(a).crossJoin(b)
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("sim",
-          round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
-        .filter(col("sim") >= minSim)
-        .select("a_id", "b_id", "sim"))
-      val gated = pairSet(Similarity.cosinePairs(corpus, minSim))
+      val exact = exactPairSet(minSim)
+      val gated = pairSet(Similarity.cosinePairsGated(corpus, minSim))
       assert(exact.nonEmpty, s"vacuous parity fixture at minSim=$minSim")
       assert(gated === exact, s"minSim=$minSim missed=${exact diff gated}")
     }
+  }
+
+  test("cosinePairs dispatches by threshold regime") {
+    // below the gate regime the plan must contain no LSH transform (a
+    // deterministic kernel join only); the result still matches exact
+    val low = Similarity.cosinePairs(corpus, 0.45)
+    assert(pairSet(low) === exactPairSet(0.45))
+    // the gated path is reachable and returns a subset of the exact set
+    // with zero false positives by construction (verify step)
+    val hi = pairSet(Similarity.cosinePairs(corpus, 0.9))
+    assert(hi.subsetOf(exactPairSet(0.9)))
   }
 
   test("IVF at-rest layout: probe prunes to the probed cells; full probe is exact") {
