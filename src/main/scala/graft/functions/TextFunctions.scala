@@ -87,18 +87,29 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** One MinHash band: min over shingles of md5(band|shingle). md5 as the
-    * hash family keeps the signature engine-independent (oracle-checkable),
-    * unlike Spark's Murmur3 `hash`. A b-band signature == b calls with
-    * different band ids. */
+  /** All MinHash values [firstHash, firstHash + numHashes) in one kernel
+    * pass: element h+1 (1-based) = min over shingles of
+    * md5((firstHash+h)|shingle). md5 as the hash family keeps the signature
+    * engine-independent (oracle-checkable), unlike Spark's Murmur3 `hash`.
+    * See [[graft.expressions.MinhashMd5]] for why this is a kernel and the
+    * bit-compat contract with the HOF formulation. */
+  def minhashSignature(shingles: Column, firstHash: Int,
+      numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.expressions.MinhashMd5(
+      Bridge.expression(shingles), firstHash, numHashes))
+  }
+
+  /** One MinHash band: min over shingles of md5(band|shingle). */
   def minhashBand(shingles: Column, band: Int): Column =
-    array_min(transform(shingles, g => md5(concat(lit(s"$band|"), g))))
+    element_at(minhashSignature(shingles, band, 1), 1)
 
   /** Rolling-hash document fingerprint: the b-band MinHash signature of the
-    * word n-gram set, as a struct of hex strings. */
+    * word n-gram set, as a struct of hex strings — one kernel pass for all
+    * bands. */
   def fingerprint(text: Column, n: Int, bands: Int): Column = {
-    val sh = wordShingles(text, n)
-    struct((0 until bands).map(b => minhashBand(sh, b).as(s"mh$b")): _*)
+    val sig = minhashSignature(wordShingles(text, n), 0, bands)
+    struct((0 until bands).map(b => element_at(sig, b + 1).as(s"mh$b")): _*)
   }
 
   /** PII patterns shared by the redactor, the match counters, and the DuckDB

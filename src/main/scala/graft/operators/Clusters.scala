@@ -32,13 +32,66 @@ object Clusters {
     * (`aCol`, `bCol`): returns (id, comp) with `comp` = the minimum vertex
     * id reachable from `id`. Only vertices that appear in `edges` are
     * returned — isolated documents are their own (implicit) cluster and are
-    * reattached by the caller with a left join + coalesce. */
+    * reattached by the caller with a left join + coalesce.
+    *
+    * Size dispatch (same discipline as `Similarity.cosinePairs`): the edge
+    * set of a dedup pass is the NEAR-DUP RATE times the corpus, orders of
+    * magnitude smaller than the corpus itself, and the iterative loop costs
+    * O(log diameter) rounds of full-graph shuffles plus per-round driver
+    * scheduling REGARDLESS of size. Below `maxSingleTaskEdges` (sized like
+    * a broadcast threshold: 4M edges ≈ 64 MB of longs) the exact union-find
+    * runs inside ONE task via mapPartitions over a coalesced edge list —
+    * one job, no rounds. Above it, the label-propagation loop is the scale
+    * path. Both produce identical (id, min-reachable-id) output. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges
+      maxIter: Int = 25, maxSingleTaskEdges: Long = 4000000L): DataFrame = {
+    val e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint(eager = false)
+    if (e.count() <= maxSingleTaskEdges) singleTask(e)
+    else iterative(e, maxIter)
+  }
+
+  /** Exact union-find (path halving + union-by-min) over the whole edge
+    * list in one task. Not a driver collect: the work runs inside an
+    * executor task and returns a distributed result — the same shape as any
+    * single-partition aggregate, reserved for inputs that fit one task. */
+  private def singleTask(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id — the min IS the component label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.map(v => (v, find(v))).toArray.iterator
+    }.toDF("id", "comp").repartition(col("id"))
+  }
+
+  /** Iterative min-label propagation with path compression — the
+    * any-size scale path. Each round: neighbour-min join + one-hop
+    * compression (`comp := comp(comp)`, the pointer-halving step that turns
+    * O(diameter) convergence into O(log diameter) rounds), each a
+    * hash-partitioned join on vertex id — no single-partition step. The
+    * round result is checkpointed ONCE with its change flag, so the
+    * convergence probe reads cached blocks instead of re-running the
+    * compression join (and the next round re-running it again — Spark has
+    * no plan-level CSE). */
+  private def iterative(e: DataFrame, maxIter: Int): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = false) // joined every round — materialize once
     var labels = sym.select(col("src").as("id")).distinct()
@@ -61,18 +114,16 @@ object Clusters {
         .localCheckpoint(eager = true)
       // path compression: comp := comp(comp) — labels only ever decrease,
       // so following the label's own label one hop is always sound and
-      // halves the remaining pointer-chain depth. No checkpoint needed:
-      // `next` is one shallow join over the checkpointed `propagated`, so
-      // per-round lineage stays bounded either way.
+      // halves the remaining pointer-chain depth
       val next = propagated
         .join(propagated.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
-      converged = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"),
+          (coalesce(col("comp2"), col("comp")) =!= col("prev")).as("changed"))
+        .localCheckpoint(eager = true)
+      converged = next.filter(col("changed")).isEmpty // cached blocks only
+      labels = next.select("id", "comp")
       iter += 1
     }
     // exhausting the round budget would silently return labels that are NOT

@@ -233,16 +233,21 @@ object Dedup {
       .localCheckpoint(eager = false)
 
   /** One (doc, band-key) row per band: the key concatenates `rowsPerBand`
-    * md5 minhashes (AND-amplification within the band). */
+    * md5 minhashes (AND-amplification within the band). The FULL
+    * numBands × rowsPerBand signature is one kernel column evaluated once
+    * per document ([[graft.functions.TextFunctions.minhashSignature]]);
+    * band keys are plain array slices of it. */
   private def md5Bands(docs: DataFrame, numBands: Int,
       rowsPerBand: Int): DataFrame = {
+    val sigd = docs.select(col("doc"),
+      TextFunctions.minhashSignature(col("shingles"), 0,
+        numBands * rowsPerBand).as("sig"))
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until rowsPerBand).map(r =>
-          TextFunctions.minhashBand(col("shingles"), b * rowsPerBand + r)): _*)
-          .as("key"))
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))
     }
-    docs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    sigd.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
   }
 
   /** Incremental (batch-vs-store) NEAR-dup — the nightly-ingest twin of

@@ -117,17 +117,17 @@ object LlmOps extends QueryFamily {
 
   /** q_fingerprint — 4-band MinHash signature (md5 family) of word
     * 3-gram shingles: the deterministic document fingerprint. */
-  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = T.wordShingles(col("text"), 3)
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"),
+        T.minhashSignature(T.wordShingles(col("text"), 3), 0, 4).as("sig"))
       .select(
         col("doc_id"),
-        T.minhashBand(sh, 0).as("mh0"),
-        T.minhashBand(sh, 1).as("mh1"),
-        T.minhashBand(sh, 2).as("mh2"),
-        T.minhashBand(sh, 3).as("mh3"))
+        element_at(col("sig"), 1).as("mh0"),
+        element_at(col("sig"), 2).as("mh1"),
+        element_at(col("sig"), 3).as("mh2"),
+        element_at(col("sig"), 4).as("mh3"))
       .orderBy("doc_id")
-  }
 
   /** q_ngram_jaccard — exact near-dup pairs by word-3-gram Jaccard ≥ 0.05
     * (the corpus has planted near-duplicates up to J≈0.99), with the

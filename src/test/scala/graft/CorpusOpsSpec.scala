@@ -25,11 +25,30 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("connected components converge on a long path (compression bound)") {
     // a 64-vertex path needs pointer compression to finish inside the
-    // 25-round budget: plain min-propagation would need 63 rounds
+    // 25-round budget: plain min-propagation would need 63 rounds.
+    // maxSingleTaskEdges = -1 forces the ITERATIVE scale path — the
+    // single-task union-find would trivialize the bound being tested
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = Clusters.connectedComponents(edges, "a_id", "b_id")
+    val comp = Clusters.connectedComponents(edges, "a_id", "b_id",
+        maxSingleTaskEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
+
+  test("single-task and iterative components agree on a random graph") {
+    // deterministic pseudo-random edge set: multiplicative-hash endpoints
+    // over 300 vertices, ~200 edges — chains, triangles, islands included
+    val edges = (0L until 200L)
+      .map(i => ((i * 2654435761L) % 300L, (i * 40503L + 7L) % 300L))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val fast = Clusters.connectedComponents(edges, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val iter = Clusters.connectedComponents(edges, "a_id", "b_id",
+        maxSingleTaskEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === iter)
+    assert(fast.nonEmpty)
   }
 
   // ---- PII redaction ----
