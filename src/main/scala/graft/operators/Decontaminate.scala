@@ -29,4 +29,83 @@ object Decontaminate {
       .join(broadcast(evalShingles), "g")
       .select(idCol).distinct()
   }
+
+  /** [[contaminatedIds]] with a BLOOM GATE for eval sets too big to
+    * broadcast exactly: a Bloom filter over the eval shingle set (xxhash64
+    * keys; ~1.2 bytes/item at 1% fpp vs tens of bytes per shingle string)
+    * broadcasts in place of the set itself, every train shingle probes it
+    * locally, and only the survivors — true matches plus the fpp-sized
+    * false-positive trickle — enter the EXACT verify semi-join. Bloom
+    * filters have no false negatives, so the output is bit-identical to
+    * [[contaminatedIds]]: the sketch changes bandwidth, never the answer.
+    *
+    * 100 TB shape: decontaminating against a large benchmark union (10⁸+
+    * shingles) makes the exact broadcast the bottleneck — the bloom is
+    * ~100× smaller at 1% fpp, the probe is a per-row no-shuffle filter on
+    * the full train stream, and the verify join shuffles only ~fpp of the
+    * corpus' shingles. */
+  def contaminatedIdsBloom(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, n: Int, expectedItems: Long = 1000000L,
+      numBits: Long = 8000000L): DataFrame = {
+    val evalShingles = eval
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+        .as("g"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds both the sketch and the verify
+    // the sketch rides into every probe as a SCALAR SUBQUERY (evaluated
+    // once, inlined as a constant) — the same mechanism Spark's runtime
+    // bloom-filter injection uses, and what might_contain requires
+    val bloom = graft.functions.SketchFunctions.scalarOf(
+      evalShingles.agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(xxhash64(col("g")), expectedItems, numBits).as("bf")))
+    train
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+          .as("g"))
+      .filter(graft.functions.SketchFunctions
+        .mightContain(bloom, xxhash64(col("g"))))
+      .join(evalShingles, Seq("g"), "left_semi") // exact verify of survivors
+      .select(idCol).distinct()
+  }
+
+  /** Per-document n-gram NOVELTY against a reference corpus: of each train
+    * document's distinct word n-grams, how many already occur anywhere in
+    * `reference` — the distribution-shift / memorization-risk profile of an
+    * incoming source (contaminatedIds answers "does it overlap AT ALL";
+    * this answers "how much"). Returns
+    * (id, n_shingles, n_known, novelty_micro = ⌊(1 − known/total)·10⁶⌋ as
+    * an integer micro-ratio, null for shingle-less documents — no evidence
+    * either way).
+    *
+    * Scale shape: identical to decontamination — the reference shingle set
+    * broadcasts (bloom-gate it via [[contaminatedIdsBloom]]'s pattern past
+    * broadcast size), the train corpus contributes one narrow shingle
+    * stream, and both aggregates key on the document id. */
+  def noveltyStats(train: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val refShingles = reference
+      .select(explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+        .as("g"))
+      .distinct()
+    val trainShingles = train
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+          .as("g"))
+      .localCheckpoint(eager = false)
+    val totals = trainShingles.groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"))
+    val known = trainShingles
+      .join(broadcast(refShingles), Seq("g"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_known"))
+    train.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(known, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_shingles") > 0,
+          floor((lit(1.0) - coalesce(col("n_known"), lit(0L)).cast("double") /
+            col("n_shingles")) * lit(1000000.0)).cast("long"))
+          .as("novelty_micro"))
+  }
 }

@@ -101,4 +101,58 @@ object Vocab {
       .orderBy(desc("pmi_micro"), col("lo"), col("hi"))
       .limit(topK)
   }
+
+  /** Dunning log-likelihood (G²) keyness: per corpus slice (`srcCol`), the
+    * `topK` tokens most OVER-represented in that slice against the rest of
+    * the corpus — the statistically-grounded upgrade of raw TF-IDF keyword
+    * extraction (log-likelihood keyness per Dunning 1993, the standard
+    * corpus-comparison statistic: source drift, contamination fingerprints,
+    * domain signatures). For token t in slice s:
+    * `G² = 2·(a·ln(a·N/(n1·t)) + b·ln(b·N/(n2·t)))` with a = count in s,
+    * b = count elsewhere, n1/n2 = slice/rest token totals, t = a + b,
+    * N = n1 + n2; zero-count terms contribute 0; only enriched tokens
+    * (a/n1 > b/n2) are keyness candidates. G² is computed in double from
+    * EXACT integer counts in one fixed formula shape, quantized to
+    * micro-units before ranking — cross-engine deterministic.
+    *
+    * Scale shape: the (source, token) aggregate has map-side combine (hot
+    * tokens are hot counters); the token-total attach is a vocabulary-sized
+    * self-aggregate + equi-join, never a corpus shuffle; slice totals are a
+    * tiny broadcast; per-slice top-k is a window over vocabulary-sized
+    * input. */
+  def keyness(df: DataFrame, textCol: String, srcCol: String,
+      topK: Int = 20, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = df.select(col(srcCol).as("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val a = st.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+      .localCheckpoint(eager = false)
+    val tokTot = a.groupBy("tok").agg(sum("a").as("t"))
+    val srcTot = a.groupBy("source").agg(sum("a").as("n1"))
+    val grand = srcTot.agg(sum("n1").as("nn"))
+    val g2 = a
+      .join(tokTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("n2", col("nn") - col("n1"))
+      .filter(col("a") >= minCount &&
+        col("a") * col("n2") > col("b") * col("n1")) // enriched only (exact)
+      .withColumn("term_a",
+        col("a") * log(col("a").cast("double") * col("nn") /
+          (col("n1").cast("double") * col("t"))))
+      .withColumn("term_b",
+        when(col("b") > 0,
+          col("b") * log(col("b").cast("double") * col("nn") /
+            (col("n2").cast("double") * col("t")))).otherwise(lit(0.0)))
+      .withColumn("g2_micro",
+        round((col("term_a") + col("term_b")) * lit(2000000.0), 0)
+          .cast("long"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("g2_micro"), col("tok"))
+    g2.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("rnk").cast("long").as("rnk"), col("tok"),
+        col("a"), col("b"), col("g2_micro"))
+  }
 }

@@ -78,13 +78,57 @@ object StatOps extends QueryFamily {
       .orderBy(desc("cnt"), asc("tok"))
   }
 
+  /** q_keyness — Dunning G² log-likelihood keyness: per source, the top-20
+    * tokens most over-represented against the rest of the corpus (the
+    * corpus-comparison statistic behind source drift and domain-signature
+    * monitoring). */
+  def qKeyness(s: SparkSession, dir: String): DataFrame =
+    Vocab.keyness(Tables.documents(s, dir), "text", "source",
+        topK = 20, minCount = 5L)
+      .orderBy("source", "rnk")
+
+  /** q_decontaminate_bloom — decontamination through a Bloom gate: the eval
+    * 5-gram set broadcasts as a ~1.2-byte/item sketch instead of the set
+    * itself; probe survivors are verified EXACTLY, so the output is
+    * bit-identical to a plain exact decontamination (the oracle is exactly
+    * that) — no false negatives by construction, false positives killed by
+    * the verify join. The scale path when the benchmark union outgrows an
+    * exact broadcast. */
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 40 =!= 0)
+    val contaminated = graft.operators.Decontaminate
+      .contaminatedIdsBloom(train, docs.filter(col("doc_id") % 40 === 0),
+        "text", "doc_id", n = 5)
+      .withColumn("contaminated", lit(true))
+    train.join(broadcast(contaminated), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q_novelty — per-document 3-gram novelty against the doc_id % 25 == 0
+    * reference slice: how much of each remaining document is already-seen
+    * text (novelty_micro = ⌊(1 − known/total)·10⁶⌋). */
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.noveltyStats(
+        docs.filter(col("doc_id") % 25 =!= 0),
+        docs.filter(col("doc_id") % 25 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_lm" -> (qBigramLm _),
     "q_cooccur_pmi" -> (qCooccurPmi _),
     "q_classify_linear" -> (qClassifyLinear _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_sample_weighted" -> (qSampleWeighted _),
-    "q_heavy_hitters" -> (qHeavyHitters _))
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_keyness" -> (qKeyness _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_novelty" -> (qNovelty _))
 
   override val oracle: Map[String, String] = Map(
     "q_bigram_lm" ->
@@ -222,5 +266,71 @@ object StatOps extends QueryFamily {
         |SELECT tok, CAST(cnt AS BIGINT) AS cnt
         |FROM cnt CROSS JOIN tot
         |WHERE cnt * 29 > total
-        |ORDER BY cnt DESC, tok""".stripMargin)
+        |ORDER BY cnt DESC, tok""".stripMargin,
+    "q_keyness" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |a AS (SELECT source, tok, COUNT(*) AS a FROM st GROUP BY 1, 2),
+        |tt AS (SELECT tok, SUM(a) AS t FROM a GROUP BY 1),
+        |s1 AS (SELECT source, SUM(a) AS n1 FROM a GROUP BY 1),
+        |g AS (SELECT SUM(n1) AS nn FROM s1),
+        |k AS (
+        |  SELECT source, tok, a, t - a AS b,
+        |    a * ln(CAST(a AS DOUBLE) * nn / (CAST(n1 AS DOUBLE) * t))
+        |      AS term_a,
+        |    CASE WHEN t - a > 0 THEN (t - a) *
+        |      ln(CAST(t - a AS DOUBLE) * nn / (CAST(nn - n1 AS DOUBLE) * t))
+        |      ELSE 0.0 END AS term_b
+        |  FROM a JOIN tt USING (tok) JOIN s1 USING (source) CROSS JOIN g
+        |  WHERE a >= 5 AND a * (nn - n1) > (t - a) * n1),
+        |r AS (
+        |  SELECT source, tok, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |    CAST(round((term_a + term_b) * 2000000.0, 0) AS BIGINT)
+        |      AS g2_micro
+        |  FROM k)
+        |SELECT source, rnk, tok, a, b, g2_micro FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY g2_micro DESC, tok) AS BIGINT) AS rnk
+        |  FROM r)
+        |WHERE rnk <= 20
+        |ORDER BY source, rnk""".stripMargin,
+    "q_decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))) AS g
+        |    FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 40 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 40 <> 0 AND g IN (SELECT g FROM ev))
+        |SELECT d.doc_id,
+        |  d.doc_id IN (SELECT doc_id FROM bad) AS contaminated
+        |FROM documents d WHERE d.doc_id % 40 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_novelty" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 25 = 0),
+        |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 25 <> 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+        |kn AS (
+        |  SELECT doc_id, COUNT(*) AS n_known FROM tr
+        |  WHERE g IN (SELECT g FROM ref) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(n_known, 0) AS BIGINT) AS n_known,
+        |  CASE WHEN n_shingles > 0 THEN
+        |    CAST(floor((1.0 - CAST(coalesce(n_known, 0) AS DOUBLE) /
+        |      n_shingles) * 1000000.0) AS BIGINT) END AS novelty_micro
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+        |LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN kn USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -174,6 +174,66 @@ class StatOpsSpec extends SparkSpec {
     assert(got === Seq(("a", 50L), ("b", 30L)))
   }
 
+  // ---- bloom decontamination ----
+
+  test("bloom-gated decontamination equals the exact path, even undersized") {
+    import graft.operators.Decontaminate
+    val docs = ((1L to 30L).map(i => (i, s"unique text number $i with padding tokens")) ++
+      Seq((31L, "shared overlap phrase one two"), (32L, "shared overlap phrase one two")))
+      .toDF("doc_id", "text")
+    val train = docs.filter($"doc_id" =!= 31L)
+    val eval = docs.filter($"doc_id" === 31L)
+    val exact = Decontaminate.contaminatedIds(train, eval, "text", "doc_id", 3)
+      .as[Long].collect().toSet
+    // a generously-sized sketch and a DELIBERATELY tiny one (high fpp —
+    // nearly every probe passes the gate): the exact verify join must kill
+    // every false positive either way
+    for (bits <- Seq(800000L, 64L)) {
+      val bloom = Decontaminate.contaminatedIdsBloom(train, eval, "text",
+        "doc_id", 3, expectedItems = 8L, numBits = bits)
+        .as[Long].collect().toSet
+      assert(bloom === exact, s"numBits=$bits")
+    }
+    assert(exact === Set(32L))
+  }
+
+  // ---- keyness ----
+
+  test("keyness ranks a source-exclusive hot token first and skips uniform ones") {
+    // "special" appears only in source a (hot); "common" is uniform across
+    // both sources (not enriched anywhere); filler differs per doc
+    val docs = ((1L to 10L).map(i => ("a", s"special common filler$i")) ++
+      (11L to 20L).map(i => ("b", s"plainword common filler$i")))
+      .toDF("source", "text")
+    val out = graft.operators.Vocab.keyness(docs, "text", "source",
+      topK = 5, minCount = 5L).collect()
+    val aTop = out.filter(_.getString(0) == "a").minBy(_.getLong(1))
+    assert(aTop.getAs[String]("tok") === "special")
+    assert(aTop.getAs[Long]("b") === 0L) // exclusive to source a
+    // perfectly uniform tokens are never enriched in either source
+    assert(!out.exists(_.getAs[String]("tok") == "common"))
+    // G² must be positive for every reported key token
+    assert(out.forall(_.getAs[Long]("g2_micro") > 0L))
+  }
+
+  // ---- novelty ----
+
+  test("noveltyStats spans the whole range: all-known, all-novel, shingle-less") {
+    import graft.operators.Decontaminate
+    val reference = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // every 3-gram known -> novelty 0
+      (2L, "zeta eta theta iota"),      // no 3-gram known -> novelty 1e6
+      (3L, "alpha beta"))               // < 3 tokens -> no shingles, null
+      .toDF("doc_id", "text")
+    val out = Decontaminate.noveltyStats(train, reference, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("novelty_micro") === 0L)
+    assert(out(2L).getAs[Long]("novelty_micro") === 1000000L)
+    assert(out(3L).getAs[Long]("n_shingles") === 0L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("novelty_micro")))
+  }
+
   test("misraGries handles nulls and serialization round-trips through shuffle") {
     val df = (Seq.fill(10)(Some("k")) ++ Seq(None, None) ++
       Seq.fill(3)(Some("j"))).toDF("tok").repartition(4)
