@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.TrainOps,
     graft.queries.CurateOps,
     graft.queries.StatOps,
+    graft.queries.DriftOps,
     graft.queries.Sinks)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

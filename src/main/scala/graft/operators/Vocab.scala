@@ -102,6 +102,112 @@ object Vocab {
       .limit(topK)
   }
 
+  /** Zipf-law fit per corpus slice: the least-squares slope of
+    * ln(frequency) against ln(rank) over each slice's `topK` most frequent
+    * tokens — natural text sits near −1; a flat slope flags templated or
+    * machine-generated sources, a steep one flags degenerate/repetitive
+    * ones. The distribution-health check a data card reports per source.
+    *
+    * Determinism: ranks and counts are exact integers; ln values are
+    * quantized to micro-nat LONGS before any summation, so every aggregate
+    * (Σx, Σy, Σxy, Σx²) is exact integer arithmetic — float-order-immune —
+    * and the slope is ONE double division of two exact longs, rounded to
+    * micro-units. Overflow headroom: |x|,|y| ≤ ~2·10⁷ micro-nats, so
+    * n·Σxy ≤ ~10¹⁸ < 2⁶³ at topK = 100.
+    *
+    * Scale shape: token counting is classic wordcount (map-side combine —
+    * hot tokens are hot counters); ranking is a window over the
+    * vocabulary-sized count table; the regression aggregate emits one row
+    * per slice. */
+  def zipfSlope(df: DataFrame, textCol: String, srcCol: String,
+      topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy(desc("c"), col("tok"))
+    val ranked = cnt.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"),
+        round(log(col("rnk").cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("x"),
+        round(log(col("c").cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("y"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_ranks"),
+        when(col("n_ranks") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_ranks") * col("sxx") - col("sx") * col("sx")) *
+            lit(1000000.0), 0).cast("long"))
+          .as("slope_micro"))
+  }
+
+  /** Jensen–Shannon divergence between every unordered pair of corpus
+    * slices' unigram distributions — the symmetric, bounded (≤ ln 2)
+    * corpus-drift distance ([[keyness]] names WHICH tokens drive a drift;
+    * this scores HOW FAR two sources sit apart — the monitoring number).
+    *
+    * JSD(P,Q) = ½ΣP ln(P/M) + ½ΣQ ln(Q/M), M = (P+Q)/2. Tokens present in
+    * both slices contribute through the pair join; each slice's EXCLUSIVE
+    * probability mass contributes exactly ½·ln2·(1 − Σ_both p) — a closed
+    * form on exact integer totals, which removes any need for an outer
+    * join over the union vocabulary. Per-token terms are quantized to
+    * pico-nat longs before summation (terms are ≤ ½ln2·p — micro would
+    * truncate the tail), so the cross-engine sum is exact integer
+    * arithmetic; the closed-form exclusive term is one double expression
+    * of exact longs.
+    *
+    * Scale shape: one wordcount aggregate; the pair join is
+    * vocabulary-sized per slice pair (slices² × shared vocabulary — slices
+    * are few by construction); output is one row per slice pair. */
+  def jsDivergence(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val cnt = df.select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val a = cnt.select(col("source").as("source_lo"), col("tok"),
+      col("c").as("ca"))
+    val b = cnt.select(col("source").as("source_hi"), col("tok"),
+      col("c").as("cb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / lit(2.0)
+    val both = a.join(b, "tok")
+      .filter(col("source_lo") < col("source_hi"))
+      .join(broadcast(tot.select(col("source").as("source_lo"),
+        col("n").as("na"))), "source_lo")
+      .join(broadcast(tot.select(col("source").as("source_hi"),
+        col("n").as("nb"))), "source_hi")
+      .select(col("source_lo"), col("source_hi"), col("ca"), col("cb"),
+        round((p * log(p / m) + q * log(q / m)) * lit(0.5) *
+          lit(1000000000000.0), 0).cast("long").as("term_pico"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_common"), sum("ca").as("sa"),
+        sum("cb").as("sb"), sum("term_pico").as("tp"))
+    // every unordered slice pair, so disjoint-vocabulary pairs (JSD = ln 2)
+    // still appear; the tiny totals table provides the frame
+    val frame = tot.select(col("source").as("source_lo"), col("n").as("na"))
+      .crossJoin(tot.select(col("source").as("source_hi"), col("n").as("nb")))
+      .filter(col("source_lo") < col("source_hi"))
+    frame.join(both, Seq("source_lo", "source_hi"), "left")
+      .select(col("source_lo"), col("source_hi"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round((coalesce(col("tp"), lit(0L)).cast("double") /
+          lit(1000000000000.0) +
+          lit(0.5 * math.log(2.0)) *
+            ((lit(1.0) - coalesce(col("sa"), lit(0L)).cast("double") /
+              col("na")) +
+             (lit(1.0) - coalesce(col("sb"), lit(0L)).cast("double") /
+              col("nb")))) * lit(1000000.0), 0).cast("long")
+          .as("jsd_micro"))
+  }
+
   /** Dunning log-likelihood (G²) keyness: per corpus slice (`srcCol`), the
     * `topK` tokens most OVER-represented in that slice against the rest of
     * the corpus — the statistically-grounded upgrade of raw TF-IDF keyword

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{UrlOps, Vocab, Winnow}
+
+/** Round-6 corpus-governance operators: winnowing fingerprints (guaranteed-
+  * recall overlap detection), corpus-drift statistics (Zipf fit, Jensen-
+  * Shannon divergence), and URL-canonicalization dedup. Oracle discipline
+  * as everywhere: md5 hash family for anything an independent engine must
+  * reproduce, integer micro/pico-unit quantization before any float
+  * aggregate, total-order sorts.
+  */
+object DriftOps extends QueryFamily {
+
+  /** q_winnow — winnowing (MOSS) fingerprints of every document: 3-gram
+    * hashes thinned by the window-minimum rule (w = 4), giving the
+    * guarantee that any 6-token shared run between two documents produces
+    * at least one shared fingerprint. */
+  def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Winnow.fingerprints(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, w = 4)
+      .withColumnRenamed("doc", "doc_id")
+      .orderBy("doc_id", "fp_pos", "fp_hash")
+
+  /** q_winnow_pairs — document pairs sharing ≥ 2 winnowing fingerprint
+    * hashes (df-guarded: fingerprints in > 10 documents are boilerplate and
+    * excluded) — the guaranteed-recall overlap candidate generator. */
+  def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Winnow.sharedFingerprintPairs(Tables.documents(s, dir), "text", "doc_id",
+        k = 3, w = 4, minShared = 2L, maxDf = 10L)
+      .orderBy("a_id", "b_id")
+
+  /** q_zipf_slope — per-source Zipf-law fit: least-squares slope of
+    * ln(freq) vs ln(rank) over the top-100 tokens. Natural text ≈ −1;
+    * drift toward 0 flags templated sources, steeper flags degenerate
+    * repetition. */
+  def qZipfSlope(s: SparkSession, dir: String): DataFrame =
+    Vocab.zipfSlope(Tables.documents(s, dir), "text", "source", topK = 100)
+      .orderBy("source")
+
+  /** q_js_divergence — Jensen–Shannon divergence between every unordered
+    * pair of sources' unigram distributions: the bounded corpus-drift
+    * distance (0 = identical, ln 2 = disjoint). */
+  def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    Vocab.jsDivergence(Tables.documents(s, dir), "text", "source")
+      .orderBy("source_lo", "source_hi")
+
+  /** q_url_dedup — URL-canonicalization dedup over a deterministic noisy
+    * URL per document (case-varied host/scheme, explicit :443, tracking
+    * params, shuffled param order, fragments, trailing slash — each keyed
+    * to doc_id residues so both engines build identical inputs). Documents
+    * sharing (source, doc_id mod 20) collapse to one canonical URL; the
+    * lowest doc_id is the keeper. */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val host0 = concat(lit("www."), col("source"), lit(".example.com"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://"))
+        .otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(2)) === 0, upper(host0)).otherwise(host0),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), pmod(col("doc_id"), lit(20)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("?b=2&a=1"))
+        .otherwise(lit("?a=1&b=2")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("&utm_source=feed&ref=search"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("#sec2")).otherwise(lit("")))
+    UrlOps.dedupByUrl(
+        Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+      .select(col("doc_id"), col("canon_url"), col("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_zipf_slope" -> (qZipfSlope _),
+    "q_js_divergence" -> (qJsDivergence _),
+    "q_url_dedup" -> (qUrlDedup _))
+
+  override val oracle: Map[String, String] = Map(
+    "q_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    substr(md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')), 1, 15)
+        |      || lpad(CAST(i - 1 AS VARCHAR), 4, '0') AS hp
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS r(i)),
+        |wnd AS (
+        |  SELECT doc_id,
+        |    min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM g),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM wnd WHERE cnt = least(4, m))
+        |SELECT doc_id, CAST(substr(wmin, 16, 4) AS BIGINT) AS fp_pos,
+        |  substr(wmin, 1, 15) AS fp_hash
+        |FROM sel
+        |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+    "q_winnow_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    substr(md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')), 1, 15)
+        |      || lpad(CAST(i - 1 AS VARCHAR), 4, '0') AS hp
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS r(i)),
+        |wnd AS (
+        |  SELECT doc_id,
+        |    min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt,
+        |    count(*) OVER (PARTITION BY doc_id) AS m
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, substr(wmin, 1, 15) AS fp_hash
+        |  FROM wnd WHERE cnt = least(4, m)),
+        |hot AS (SELECT fp_hash FROM fps GROUP BY 1 HAVING count(*) > 10),
+        |kept AS (SELECT * FROM fps
+        |  WHERE fp_hash NOT IN (SELECT fp_hash FROM hot))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b USING (fp_hash)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+        |  FROM (
+        |    SELECT source, c,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, tok)
+        |        AS rnk
+        |    FROM c)
+        |  WHERE rnk <= 100),
+        |a AS (
+        |  SELECT source, count(*) AS n_ranks, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(n_ranks AS BIGINT) AS n_ranks,
+        |  CASE WHEN n_ranks * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n_ranks * sxx - sx * sx AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) END AS slope_micro
+        |FROM a ORDER BY source""".stripMargin,
+    "q_js_divergence" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT source_lo, source_hi, ca, cb,
+        |    CAST(round((p * ln(p / m) + q * ln(q / m)) * 0.5
+        |      * 1000000000000.0, 0) AS BIGINT) AS term_pico
+        |  FROM (
+        |    SELECT a.source AS source_lo, b.source AS source_hi,
+        |      a.c AS ca, b.c AS cb,
+        |      CAST(a.c AS DOUBLE) / ta.n AS p, CAST(b.c AS DOUBLE) / tb.n AS q,
+        |      (CAST(a.c AS DOUBLE) / ta.n + CAST(b.c AS DOUBLE) / tb.n) / 2.0
+        |        AS m
+        |    FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+        |    JOIN tot ta ON ta.source = a.source
+        |    JOIN tot tb ON tb.source = b.source)),
+        |g AS (
+        |  SELECT source_lo, source_hi, count(*) AS n_common, sum(ca) AS sa,
+        |    sum(cb) AS sb, sum(term_pico) AS tp
+        |  FROM terms GROUP BY 1, 2),
+        |frame AS (
+        |  SELECT a.source AS source_lo, a.n AS na, b.source AS source_hi,
+        |    b.n AS nb
+        |  FROM tot a, tot b WHERE a.source < b.source)
+        |SELECT source_lo, source_hi,
+        |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(round((CAST(coalesce(tp, 0) AS DOUBLE) / 1000000000000.0 +
+        |    0.5 * ln(2) * ((1.0 - CAST(coalesce(sa, 0) AS DOUBLE) / na) +
+        |      (1.0 - CAST(coalesce(sb, 0) AS DOUBLE) / nb)))
+        |    * 1000000.0, 0) AS BIGINT) AS jsd_micro
+        |FROM frame LEFT JOIN g USING (source_lo, source_hi)
+        |ORDER BY source_lo, source_hi""".stripMargin,
+    "q_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |        THEN upper('www.' || source || '.example.com')
+        |        ELSE 'www.' || source || '.example.com' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |    || '/page/' || CAST(doc_id % 20 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed&ref=search'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(url,
+        |        '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)), ':443$', '')
+        |    || regexp_replace(regexp_extract(url,
+        |        '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/$', '')
+        |    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canon_url
+        |  FROM (
+        |    SELECT doc_id, url,
+        |      array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        p -> NOT regexp_matches(p, '^(utm_[^=]*|ref)=')
+        |          AND p <> '')), '&') AS qs
+        |    FROM u))
+        |SELECT doc_id, canon_url,
+        |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
+        |    AS is_canonical
+        |FROM canon
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{UrlOps, Vocab, Winnow}
+
+/** Round-6 governance operators: winnowing fingerprints, Zipf fit,
+  * Jensen–Shannon drift, URL canonicalization. */
+class DriftOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- winnowing ----
+
+  test("winnowing guarantee: a shared w+k-1 token run always yields a shared fingerprint") {
+    // docs 1 and 2 share an 8-token run (> w+k-1 = 6); doc 3 is unrelated
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten"),
+      (3L, "red orange yellow green blue indigo violet umber"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(df, "text", "doc_id", k = 3, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(2)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnowing density and edges: short docs, sub-window docs, no grams") {
+    val df = Seq(
+      (1L, "a b"),                  // < k tokens: no grams, no rows
+      (2L, "a b c d"),              // 2 grams < w: single global min
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13"))
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(df, "text", "doc_id", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(!fps.contains(1L))
+    assert(fps(2L).length === 1)
+    // 11 grams, 8 complete windows: between 1 and 8 selections, and every
+    // selected position must be a real gram position
+    val sel3 = fps(3L).map(_.getLong(1))
+    assert(sel3.length >= 1 && sel3.length <= 8)
+    assert(sel3.forall(p => p >= 0 && p <= 10))
+  }
+
+  test("sharedFingerprintPairs finds the planted overlap and honors the df guard") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 20L).map(i =>
+      (i, s"filler${i}a filler${i}b filler${i}c filler${i}d filler${i}e")) ++
+      Seq((21L, s"$shared pad21"), (22L, s"pad22 $shared"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = Winnow.sharedFingerprintPairs(df, "text", "doc_id",
+      k = 3, w = 4, minShared = 2L, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((21L, 22L)))
+    // boilerplate: the same run in 12 docs (> maxDf) must produce NO pairs
+    val boiler = (1L to 12L).map(i => (i, s"$shared tail$i")).toDF("doc_id", "text")
+    assert(Winnow.sharedFingerprintPairs(boiler, "text", "doc_id",
+      k = 3, w = 4, minShared = 2L, maxDf = 10L).count() === 0L)
+  }
+
+  // ---- zipf ----
+
+  test("zipfSlope: uniform counts give slope 0, geometric decay gives ~ -1 in log2 base") {
+    // geometric: counts 16,8,4,2 at ranks 1..4 → y = c - x·(ln2-basis slope);
+    // slope of ln c vs ln r is not constant, so just check sign and a
+    // closed-form two-point case: ranks 1,2 with counts 4,2 →
+    // slope = (ln2-ln4)/(ln2-ln1) = -1
+    val uniform = (1 to 4).flatMap(i => Seq.fill(5)((s"u", s"tok$i")))
+      .toDF("source", "text")
+    val u = Vocab.zipfSlope(uniform, "text", "source").collect().head
+    assert(u.getAs[Long]("slope_micro") === 0L)
+    val twoPoint = (Seq.fill(4)(("g", "aa")) ++ Seq.fill(2)(("g", "bb")))
+      .toDF("source", "text")
+    val g = Vocab.zipfSlope(twoPoint, "text", "source").collect().head
+    assert(g.getAs[Long]("n_ranks") === 2L)
+    assert(math.abs(g.getAs[Long]("slope_micro") + 1000000L) <= 2L)
+  }
+
+  // ---- jensen-shannon ----
+
+  test("jsDivergence: identical slices are 0, disjoint slices are ln 2") {
+    val df = (Seq.fill(10)(("a", "x y z")) ++ Seq.fill(10)(("b", "x y z")) ++
+      Seq.fill(10)(("c", "p q r"))).toDF("source", "text")
+    val out = Vocab.jsDivergence(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "b")).getAs[Long]("jsd_micro") === 0L)
+    // ln 2 = 0.693147... → 693147 micro-nats
+    assert(out(("a", "c")).getAs[Long]("jsd_micro") === 693147L)
+    assert(out(("a", "c")).getAs[Long]("n_common") === 0L)
+    assert(out.size === 3)
+  }
+
+  test("jsDivergence is symmetric-by-construction and bounded") {
+    val df = (Seq.fill(6)(("a", "x y")) ++ Seq.fill(3)(("b", "x z")))
+      .toDF("source", "text")
+    val r = Vocab.jsDivergence(df, "text", "source").collect().head
+    val v = r.getAs[Long]("jsd_micro")
+    assert(v > 0L && v <= 693148L)
+  }
+
+  // ---- url canonicalization ----
+
+  test("urlCanonicalize normalizes case, port, params, fragment, trailing slash") {
+    val urls = Seq(
+      "HTTPS://WWW.News.Example.COM:443/page/7/?b=2&a=1&utm_source=feed#s",
+      "https://www.news.example.com/page/7?a=1&ref=search&b=2").toDF("url")
+    val got = urls.select(UrlOps.canonicalize(col("url"))).as[String].collect()
+    assert(got.toSet ===
+      Set("https://www.news.example.com/page/7?a=1&b=2"))
+    // canonicalization is idempotent
+    val again = urls.select(UrlOps.canonicalize(UrlOps.canonicalize(col("url"))))
+      .as[String].collect()
+    assert(again.toSet === got.toSet)
+  }
+
+  test("dedupByUrl keeps the lowest id per canonical url") {
+    val df = Seq(
+      (5L, "https://a.example.com/x?p=1"),
+      (3L, "HTTPS://A.EXAMPLE.COM:443/x?p=1"),
+      (9L, "https://a.example.com/y")).toDF("doc_id", "url")
+    val out = UrlOps.dedupByUrl(df, "url", "doc_id")
+      .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(3L -> true, 5L -> false, 9L -> true))
+  }
+}
