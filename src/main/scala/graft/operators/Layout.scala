@@ -87,6 +87,24 @@ object Layout {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** Snapshot diff — the nightly data-governance report between two corpus
+    * versions: each id is `added` (new only), `removed` (old only),
+    * `changed` (both, content digest differs) or `unchanged`. The full
+    * outer join moves (id, 32-byte digest) pairs only — at 100 TB the
+    * documents themselves never shuffle, and the sha256 key is uniform by
+    * construction (no skew). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("h_old"))
+    val n = newDf.select(col(idCol).as("id"), sha2(col(textCol), 256).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Equal-width bin id in [0, nbins) for `x` given column-level min/max
     * (typically from a one-row broadcast aggregate). The expression shape
     * (`(x − mn) / (mx − mn) * nbins`, floor, clamp) is mirrored verbatim in

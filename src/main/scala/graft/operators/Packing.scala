@@ -59,4 +59,35 @@ object Packing {
       .withColumn("chunk_idx", expr(s"start_tok div $stride"))
       .withColumn("n_chunk_tokens", col("end_tok") - col("start_tok"))
   }
+
+  /** Curriculum ordering: score-quantile bucket + deterministic in-bucket
+    * shuffle position — the data-ordering step of curriculum training
+    * (easy→hard by any per-document score: length, LM perplexity, model
+    * quality score). Returns (id, score, bucket ∈ [0, nBuckets), pos =
+    * 1-based position within bucket in seeded-md5 order).
+    *
+    * Bucketing uses exact interpolated percentile BOUNDARIES from a one-row
+    * broadcast aggregate — NOT a global ntile window, which would funnel
+    * the corpus through one sorting reducer; ties at a boundary land in the
+    * lower bucket deterministically. In-bucket positions come from one
+    * window per bucket (same per-shard discipline as [[packChunks]] — no
+    * global sort ever materializes; `approx_percentile` is the documented
+    * 100 TB swap for the boundary aggregate). */
+  def curriculumOrder(df: DataFrame, scoreCol: String, idCol: String,
+      nBuckets: Int, seed: String = "cur"): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val bounds = df.agg(array((1 until nBuckets).map(i =>
+      percentile(col(scoreCol), lit(i.toDouble / nBuckets))): _*).as("bs"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), col(scoreCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("bs"), b => b < col(scoreCol).cast("double")))
+          .cast("long"))
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), col(idCol).cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("bs", "shuffle_key")
+  }
 }

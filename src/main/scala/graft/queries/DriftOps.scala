@@ -74,12 +74,44 @@ object DriftOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_snapshot_diff — corpus-version diff (added / removed / changed /
+    * unchanged by content digest) between two deterministic snapshot views
+    * of the documents table: old = doc_id % 7 ≠ 0, new = doc_id % 10 ≠ 0
+    * with doc_id % 13 = 0 texts edited — the nightly data-governance
+    * report. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.operators.Layout.snapshotDiff(oldV, newV, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** q_curriculum — curriculum data ordering: decile bucket by token count
+    * (the classic short→long curriculum) + deterministic seeded-md5
+    * shuffle position within each bucket. Broadcast percentile boundaries,
+    * never a global ntile sort. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("score"))
+    graft.operators.Packing.curriculumOrder(scored, "score", "doc_id",
+        nBuckets = 10)
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_js_divergence" -> (qJsDivergence _),
-    "q_url_dedup" -> (qUrlDedup _))
+    "q_url_dedup" -> (qUrlDedup _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_curriculum" -> (qCurriculum _))
 
   override val oracle: Map[String, String] = Map(
     "q_winnow" ->
@@ -223,5 +255,39 @@ object DriftOps extends QueryFamily {
         |  row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) = 1
         |    AS is_canonical
         |FROM canon
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT quantile_cont(score,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, score,
+        |    CAST(len(list_filter(bs, x -> x < score)) AS BIGINT) AS bucket
+        |  FROM s CROSS JOIN b)
+        |SELECT doc_id, score, bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket
+        |    ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM g ORDER BY doc_id""".stripMargin)
 }

@@ -114,6 +114,42 @@ class DriftOpsSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
   }
 
+  // ---- snapshot diff ----
+
+  test("snapshotDiff labels added, removed, changed and unchanged") {
+    import graft.operators.Layout
+    val oldV = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newV = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Layout.snapshotDiff(oldV, newV, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  // ---- curriculum ----
+
+  test("curriculumOrder buckets by score quantile with dense per-bucket positions") {
+    import graft.operators.Packing
+    // scores 1..20 → quartiles at 5.75/10.5/15.25; ties impossible here
+    val df = (1L to 20L).map(i => (i, i)).toDF("doc_id", "score")
+    val out = Packing.curriculumOrder(df, "score", "doc_id", nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byBucket = out.groupBy(_._2)
+    assert(byBucket.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byBucket(0L).map(_._1).toSet === (1L to 5L).toSet)
+    assert(byBucket(3L).map(_._1).toSet === (16L to 20L).toSet)
+    // positions are a dense 1..n permutation inside every bucket
+    byBucket.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // deterministic across runs
+    val again = Packing.curriculumOrder(df, "score", "doc_id", nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("dedupByUrl keeps the lowest id per canonical url") {
     val df = Seq(
       (5L, "https://a.example.com/x?p=1"),
