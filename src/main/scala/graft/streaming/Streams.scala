@@ -19,6 +19,10 @@ case class TaskEvent(slaveId: String, taskId: String, status: String,
 /** Document-ingest record for the continuous dedup operator (S9). */
 case class DocIngest(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** Source-attributed document-ingest record for the quality monitor (S10). */
+case class DocSourced(doc_id: Long, ts: java.sql.Timestamp, text: String,
+  source: String)
+
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
@@ -208,6 +212,27 @@ object Streams {
       // Dedup.digests
       .join(graft.operators.Dedup.digests(store, textCol),
         Seq("content_hash"), "left_anti")
+
+  /** S10 — windowed quality-drift monitor: the streaming twin of the batch
+    * quality gate. Arriving documents are scored by the SAME composite
+    * quality formula as q_quality_score (one definition — if the recipe
+    * changes, batch and stream change together), aggregated per (tumbling
+    * window, source), and each closed window carries an alert flag when its
+    * mean score sinks below `alertBelow` — the "source went bad mid-crawl"
+    * pager signal. Watermark-bounded state, one shuffle on (window,
+    * source); the scoring projection is stateless and codegen'd. */
+  def qualityMonitor(docs: DataFrame, window_ : String = "10 seconds",
+      watermark: String = "30 seconds",
+      alertBelow: Double = 0.45): DataFrame =
+    docs
+      .withColumn("q", graft.functions.TextFunctions.qualityScore(col("text")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("source"))
+      .agg(count(lit(1)).as("n_docs"), avg("q").as("mean_q"),
+        min("q").as("min_q"))
+      .select(col("window.start").as("w_start"), col("source"),
+        col("n_docs"), col("mean_q"), col("min_q"),
+        (col("mean_q") < alertBelow).as("alert"))
 
   /** S7 — foreachBatch envelope sink: serialize the micro-batch through the
     * envelope path and commit it as one parquet batch directory (idempotent

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{Streams, TaskEvent, Tick}
+import graft.streaming.{DocSourced, Streams, TaskEvent, Tick}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
   * MemoryStream harness: windows close as the watermark advances, late data
@@ -234,6 +234,26 @@ class StreamingSpec extends SparkSpec {
       .selectExpr("cast(key as string) k")
     assert(rows.count() === 2) // no duplicate emission of the first batch
     assert(rows.as[String].collect().toSet === Set("s0", "s1"))
+  }
+
+  test("S10 quality monitor alerts on the degraded source, not the healthy one") {
+    val in = MemoryStream[DocSourced]
+    val out = runQuery(
+      Streams.qualityMonitor(in.toDF(), "10 seconds", "10 seconds"),
+      OutputMode.Append, "s10") { step =>
+      // "good": stopwords + distinct tokens -> score ~0.60; "junk": one
+      // repeated single-char token -> score ~0.09 (alert threshold 0.45)
+      in.addData(
+        DocSourced(1L, t(1), "the cat sat on a mat", "good"),
+        DocSourced(2L, t(2), "x x x x x x", "junk"),
+        DocSourced(3L, t(4), "the dog ran to a tree", "good"))
+      step()
+      in.addData(DocSourced(9L, t(60), "filler", "good")) // close [0,10)
+    }
+    val closed = out.filter(_.getAs[Timestamp]("w_start") === t(0))
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Boolean]("alert"))).toMap
+    assert(closed === Map("good" -> ((2L, false)), "junk" -> ((1L, true))))
   }
 
   test("S7 foreachBatch envelope sink commits per-batch parquet") {
