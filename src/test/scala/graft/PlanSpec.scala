@@ -216,4 +216,45 @@ class PlanSpec extends SparkSpec {
       assert(exchanges == 1 && p.contains("rangepartitioning"), p.take(2000))
     }
   }
+
+  test("winnowing fingerprints plan one doc-keyed window and no joins") {
+    val p = planString(graft.operators.Winnow.fingerprints(
+      Tables.documents(spark, sf), "text", "doc_id", k = 3, w = 4))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
+  test("url canonicalization adds zero exchanges before the keeper window") {
+    val p = planString(graft.operators.UrlOps.dedupByUrl(
+      Tables.documents(spark, sf)
+        .selectExpr("doc_id", "concat('https://h.example.com/p?a=', doc_id) AS url"),
+      "url", "doc_id"))
+    // exactly the one hash exchange for the canonical-url window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("curriculum ordering broadcasts its boundary row — no global ntile sort") {
+    val p = planString(graft.queries.DriftOps.qCurriculum(spark, sf))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the in-bucket window partitions by bucket, never a single partition
+    // (the only allowed SinglePartition is the one-row boundary aggregate)
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("snapshot diff shuffles digests, not documents (projection before join)") {
+    val df = graft.operators.Layout.snapshotDiff(
+      Tables.documents(spark, sf), Tables.documents(spark, sf),
+      "doc_id", "text")
+    val p = planString(df)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // text must be pruned away before the exchange: the shuffled schema
+    // carries only id + digest
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      p.take(2000))
+  }
 }
