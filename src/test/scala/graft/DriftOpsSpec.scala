@@ -150,6 +150,52 @@ class DriftOpsSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  // ---- pagerank ----
+
+  test("pageRankWeighted: star graph concentrates rank in the hub, mass bounded") {
+    import graft.operators.Clusters
+    // 4 spokes all pointing at the hub; the hub redistributes to all 4
+    // (symmetric star — fixpoint r_hub ≈ 2.38, r_spoke ≈ 0.655)
+    val e = (Seq("s1", "s2", "s3", "s4").map(s => (s, "hub", 1L)) ++
+      Seq("s1", "s2", "s3", "s4").map(s => ("hub", s, 1L)))
+      .toDF("src", "dst", "w")
+    val r = Clusters.pageRankWeighted(e, "src", "dst", "w", iterations = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("hub") > 2L * r("s1"))
+    assert(Seq("s2", "s3", "s4").forall(s => r(s) === r("s1")))
+    // every rank at least the teleport floor, none above total start mass
+    assert(r.values.forall(v => v >= 150000L && v <= 5000000L))
+  }
+
+  test("pageRankWeighted is deterministic across runs and honors weights") {
+    import graft.operators.Clusters
+    val e = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val run1 = Clusters.pageRankWeighted(e, "src", "dst", "w")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val run2 = Clusters.pageRankWeighted(e, "src", "dst", "w")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(run1 === run2)
+    assert(run1("b") > run1("c")) // 9:1 out-weight split favors b
+  }
+
+  // ---- incremental aggregate maintenance ----
+
+  test("mergePartialAggs equals the from-scratch aggregate, disjoint keys included") {
+    import graft.operators.Layout
+    val base = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0)).toDF("k", "v")
+    val delta = Seq(("x", 2.0), ("z", 7.0)).toDF("k", "v") // z: new key
+    val merged = Layout.mergePartialAggs(
+      Layout.partialAgg(base, Seq("k"), "v"),
+      Layout.partialAgg(delta, Seq("k"), "v"), Seq("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = base.union(delta).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged === direct)
+    assert(merged("z") === ((1L, 7.0)))
+  }
+
   test("dedupByUrl keeps the lowest id per canonical url") {
     val df = Seq(
       (5L, "https://a.example.com/x?p=1"),
