@@ -31,6 +31,10 @@ object Multimodal {
   private def magic(bin: Column, pos: Int, len: Int): Column =
     hex(substring(bin, pos, len))
 
+  /** Big-endian sibling of [[leUInt]] — PNG's network byte order. */
+  private def beUInt(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
+
   /** Magic-byte MIME sniffing over the payload prefix (BMP/WAV/AVI/PNG/
     * JPEG), with a caller-chosen fallback for unrecognized bytes. Hex-string
     * comparison sidesteps binary-literal encoding pitfalls (0x89 is not
@@ -54,6 +58,20 @@ object Multimodal {
         leUInt(payload, 19, 4).as("width"),
         leUInt(payload, 23, 4).as("height"),
         leUInt(payload, 29, 2).as("bpp")))
+
+  /** REAL (not stubbed) PNG IHDR parse: (width, height, bit_depth,
+    * color_type) from the mandatory first chunk — PNG is big-endian
+    * (network order), and IHDR must open the chunk stream at offset 9
+    * (8-byte signature + 4-byte length), so the fields sit at fixed
+    * offsets. Null for non-PNG payloads. */
+  def parsePng(payload: Column): Column =
+    when(magic(payload, 1, 4) === "89504E47" &&
+      magic(payload, 13, 4) === "49484452" && length(payload) >= 26,
+      struct(
+        beUInt(payload, 17, 4).as("width"),
+        beUInt(payload, 21, 4).as("height"),
+        beUInt(payload, 25, 1).as("bit_depth"),
+        beUInt(payload, 26, 1).as("color_type")))
 
   /** REAL (not stubbed) WAV/RIFF header parse: (n_channels, sample_rate,
     * bits_per_sample) from the canonical fmt chunk — null for non-WAV. */

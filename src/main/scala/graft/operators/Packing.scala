@@ -60,6 +60,34 @@ object Packing {
       .withColumn("n_chunk_tokens", col("end_tok") - col("start_tok"))
   }
 
+  /** Content-defined chunking (CDC): token-level Rabin-style cut points —
+    * a token opens a new chunk when its md5 starts with hex '0'
+    * (p = 1/16 → ~16-token expected chunks). Because boundaries depend
+    * only on LOCAL content, an insertion early in a document re-chunks
+    * nothing downstream of the next boundary — the shift-invariance that
+    * makes chunk-level storage dedup work, and that fixed-width windows
+    * ([[chunkOverlap]]) fundamentally lack. Returns one row per chunk:
+    * (id, chunk_id, n_chunk_tokens, chunk_digest).
+    *
+    * Scale shape: boundary flags are a zero-shuffle projection; chunk ids
+    * are one doc-keyed running-sum window; digests aggregate per
+    * (doc, chunk) — all keyed on the document, no corpus-wide movement. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("boundary",
+        when(substring(md5(col("tok")), 1, 1) === "0", 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("boundary")).over(byDoc))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_digest"))
+  }
+
   /** Curriculum ordering: score-quantile bucket + deterministic in-bucket
     * shuffle position — the data-ordering step of curriculum training
     * (easy→hard by any per-document score: length, LM perplexity, model

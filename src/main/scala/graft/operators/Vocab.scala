@@ -102,6 +102,41 @@ object Vocab {
       .limit(topK)
   }
 
+  /** Corpus → token-id encoding: the final step between a cleaned corpus
+    * and a pretraining dataloader. The vocabulary is the corpus's own
+    * top-`vocabSize` tokens by (count desc, token) — rank IS the id
+    * (1-based; 0 is reserved for OOV/UNK) — and every document becomes its
+    * id sequence in token order, serialized as canonical JSON. Returns
+    * (id, n_tokens, n_oov, ids_json).
+    *
+    * Scale shape: the vocabulary build is one wordcount aggregate +
+    * TakeOrdered (bounded by `vocabSize` regardless of corpus size); the
+    * encode pass explodes tokens WITH positions, left-joins the broadcast
+    * vocabulary, and re-assembles per document — one doc-keyed shuffle,
+    * with the sort-by-position inside the collected array, never a global
+    * sort. */
+  def encodeIds(df: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("tok")).limit(vocabSize)
+      .select(col("tok"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("c"), col("tok"))).cast("long").as("tid"))
+    df.select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        to_json(transform(
+          sort_array(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid"))).as("ids_json"))
+  }
+
   /** Zipf-law fit per corpus slice: the least-squares slope of
     * ln(frequency) against ln(rank) over each slice's `topK` most frequent
     * tokens — natural text sits near −1; a flat slope flags templated or

@@ -147,6 +147,50 @@ object DriftOps extends QueryFamily {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q_tokenize_ids — corpus → token-id encoding against the corpus's own
+    * top-20 vocabulary (rank = id, 0 = OOV): the final cleaned-corpus →
+    * dataloader step, ids serialized as canonical JSON per document. */
+  def qTokenizeIds(s: SparkSession, dir: String): DataFrame =
+    Vocab.encodeIds(Tables.documents(s, dir), "text", "doc_id",
+        vocabSize = 20)
+      .orderBy("doc_id")
+
+  /** q_cdc_chunks — content-defined chunking dedup stats: Rabin-style
+    * token-level cut points (md5 hex prefix '0', ~16-token chunks), chunk
+    * digests aggregated corpus-wide, duplicated chunks reported. The
+    * chunk-level storage-dedup view exact whole-doc dedup cannot see. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.cdcChunks(Tables.documents(s, dir), "text",
+        "doc_id")
+      .groupBy("chunk_digest")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("n_chunk_tokens").as("n_tokens"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(desc("n_occurrences"), col("chunk_digest"))
+
+  /** q_json_quarantine — dead-letter routing for schema-on-read decode:
+    * events with doc-id-keyed deterministic corruption appended are parsed
+    * PERMISSIVE; malformed payloads quarantine (count per type) instead of
+    * failing the job — the bad-record posture every 100 TB ingest needs
+    * (one corrupt record must never kill a 6-hour pipeline). */
+  def qJsonQuarantine(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // corruption is PREPENDED: Jackson tolerates trailing garbage after
+      // a complete object, so an appended brace would not quarantine
+      .withColumn("props2",
+        when(pmod(col("event_id"), lit(11)) === 0,
+          concat(lit("{"), col("props"))).otherwise(col("props")))
+      .withColumn("parsed",
+        from_json(col("props2"), "map<string,string>",
+          Map.empty[String, String]))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("parsed").isNotNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("parsed").isNull, 1L).otherwise(0L))
+          .as("n_quarantined"))
+      .orderBy("event_type")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -156,7 +200,10 @@ object DriftOps extends QueryFamily {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_curriculum" -> (qCurriculum _),
     "q_pagerank" -> (qPagerank _),
-    "q_agg_merge" -> (qAggMerge _))
+    "q_agg_merge" -> (qAggMerge _),
+    "q_tokenize_ids" -> (qTokenizeIds _),
+    "q_cdc_chunks" -> (qCdcChunks _),
+    "q_json_quarantine" -> (qJsonQuarantine _))
 
   /** The unrolled-iteration DuckDB oracle for [[qPagerank]] — generated, so
     * oracle and engine agree on the round count by construction. */
@@ -377,5 +424,57 @@ object DriftOps extends QueryFamily {
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_qty
         |FROM lineitem
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)),
+        |vocab AS (
+        |  SELECT tok,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS tid
+        |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+        |  QUALIFY tid <= 20),
+        |e AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  '[' || string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) || ']'
+        |    AS ids_json
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, chunk_id, count(*) AS n_chunk_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+        |  FROM c GROUP BY 1, 2),
+        |d AS (
+        |  SELECT chunk_digest, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    min(n_chunk_tokens) AS n_tokens
+        |  FROM ch GROUP BY 1 HAVING count(*) > 1)
+        |SELECT chunk_digest, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM d ORDER BY n_occurrences DESC, chunk_digest""".stripMargin,
+    "q_json_quarantine" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 11 = 0 THEN '{' || props ELSE props END
+        |      AS props2
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN json_valid(props2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN json_valid(props2) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_quarantined
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -242,6 +242,23 @@ class CorpusOpsSpec extends SparkSpec {
       out(2).getString(3) == "text/plain")
   }
 
+  test("PNG IHDR parses width/height/depth/color in network byte order") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ be(13, 4) ++ "IHDR".getBytes ++
+      be(1920, 4) ++ be(1080, 4) ++ Array(8.toByte, 6.toByte)
+    val out = Seq((0L, png), (1L, "not a png".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), graft.operators.Multimodal.parsePng(col("payload"))
+        .as("png"))
+      .orderBy("id").collect()
+    val p = out(0).getStruct(1)
+    assert(p.getLong(0) == 1920 && p.getLong(1) == 1080)
+    assert(p.getLong(2) == 8 && p.getLong(3) == 6) // 8-bit RGBA
+    assert(out(1).isNullAt(1))
+  }
+
   test("PNG and JPEG magic bytes sniff their mime types") {
     val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     val jpg = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)

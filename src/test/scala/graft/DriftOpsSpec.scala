@@ -196,6 +196,43 @@ class DriftOpsSpec extends SparkSpec {
     assert(merged("z") === ((1L, 7.0)))
   }
 
+  // ---- token-id encoding ----
+
+  test("encodeIds ranks the vocabulary by count and zeroes OOV, order preserved") {
+    import graft.operators.Vocab
+    // counts: b=4, a=3, c=1 → vocab(2): b=1, a=2; c is OOV
+    val df = Seq((1L, "a b b a"), (2L, "b b a c")).toDF("doc_id", "text")
+    val out = Vocab.encodeIds(df, "text", "doc_id", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("ids_json") === "[2,1,1,2]")
+    assert(out(1L).getAs[Long]("n_oov") === 0L)
+    assert(out(2L).getAs[String]("ids_json") === "[1,1,2,0]")
+    assert(out(2L).getAs[Long]("n_oov") === 1L)
+  }
+
+  // ---- content-defined chunking ----
+
+  test("cdcChunks cut points are content-local: a prefix edit never re-chunks the tail") {
+    import graft.operators.Packing
+    val tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq((1L, s"intro $tail"), (2L, s"different start words $tail"))
+      .toDF("doc_id", "text")
+    val chunks = Packing.cdcChunks(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("chunk_digest")).toSet }
+    // every chunk strictly after each doc's first boundary is identical —
+    // the two fingerprint sets overlap except for the differing heads
+    val shared = chunks(1L) intersect chunks(2L)
+    assert(shared.nonEmpty,
+      s"no shared chunks despite identical tails: ${chunks(1L)} vs ${chunks(2L)}")
+    // determinism: same text, same chunking
+    val again = Packing.cdcChunks(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("chunk_digest")).toSet }
+    assert(again === chunks)
+  }
+
   test("dedupByUrl keeps the lowest id per canonical url") {
     val df = Seq(
       (5L, "https://a.example.com/x?p=1"),
