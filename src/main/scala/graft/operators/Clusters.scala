@@ -168,13 +168,18 @@ object Clusters {
     val base = 1000000L - dampingMilli * 1000L
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iterations) {
+      // decimal(38,0) products before the integral divide: rank mass on an
+      // N-node graph reaches N·10⁶, so r·w in plain long arithmetic wraps
+      // at hub nodes of a 10⁹-node graph (ANSI off = silent garbage);
+      // `div` on decimals is Spark's exact IntegralDivide → BIGINT
       val contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
+        .select(col("dst").as("node"),
+          expr("(CAST(r AS DECIMAL(20,0)) * w) div ow").as("c"))
         .groupBy("node").agg(sum("c").as("sc"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(
-            s"($dampingMilli * coalesce(sc, CAST(0 AS BIGINT))) div 1000"))
+            s"($dampingMilli * CAST(coalesce(sc, 0) AS DECIMAL(20,0))) div 1000"))
             .as("r"))
         .localCheckpoint(eager = false)
     }

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Canonical URL form of an https URL column (see object doc for the
-    * normalization steps). Malformed inputs degrade gracefully: the regexes
-    * extract empty host/path/query and the result is a bare scheme —
-    * garbage stays garbage instead of throwing mid-pipeline. */
+    * normalization steps). Non-https / malformed inputs pass through
+    * UNCHANGED: an unparseable URL must stay its own dedup key — mapping
+    * every piece of garbage to one canonical string would silently merge
+    * distinct pages into a single "duplicate" group. */
   def canonicalize(url: Column): Column = {
     val host = regexp_replace(
       lower(regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)", 1)),
@@ -34,12 +35,16 @@ object UrlOps {
     val path = regexp_replace(
       regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)", 1),
       "/$", "")
+    // query = between the first '?' BEFORE any '#' and the fragment: the
+    // leading [^#]* anchor keeps a legal '?' inside the fragment from
+    // being promoted into the canonical query string
     val params = filter(
-      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      split(regexp_extract(url, "^[^#]*?\\?([^#]*)", 1), "&"),
       p => !(p.rlike("^(utm_[^=]*|ref)=") || p === ""))
     val qs = concat_ws("&", sort_array(params))
-    concat(lit("https://"), host, path,
-      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+    when(host === "", url) // not https / no host: pass through verbatim
+      .otherwise(concat(lit("https://"), host, path,
+        when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
   }
 
   /** URL-keyed dedup: one row per input row with its canonical URL and a

@@ -277,8 +277,12 @@ object Vocab {
       .crossJoin(broadcast(grand))
       .withColumn("b", col("t") - col("a"))
       .withColumn("n2", col("nn") - col("n1"))
+      // enriched only — EXACT cross-multiplication in decimal(38,0):
+      // long×long would overflow at real corpus scale (a ~ 10^7 × n2 ~
+      // 10^13 > 2^63) and, with ANSI off, silently flip the comparison
       .filter(col("a") >= minCount &&
-        col("a") * col("n2") > col("b") * col("n1")) // enriched only (exact)
+        col("a").cast("decimal(18,0)") * col("n2").cast("decimal(19,0)") >
+          col("b").cast("decimal(18,0)") * col("n1").cast("decimal(19,0)"))
       .withColumn("term_a",
         col("a") * log(col("a").cast("double") * col("nn") /
           (col("n1").cast("double") * col("t"))))

@@ -47,10 +47,19 @@ object Winnow {
     val grams = df
       .select(col(idCol).as("doc"),
         posexplode(TextFunctions.wordShingles(col(textCol), k)))
-      // fixed-width md5-prefix + position key: string min == (hash, pos) min
+      // fixed-width md5-prefix + position key: string min == (hash, pos)
+      // min. Position is 7 digits — lpad TRUNCATES beyond its width, which
+      // would silently corrupt the ordering, so the width must exceed any
+      // real document's gram count (10^7 tokens ≈ 40 MB of text; the
+      // explicit guard below turns the corruption into an error instead)
       .select(col("doc"), col("pos"),
         concat(substring(md5(col("col")), 1, 15),
-          lpad(col("pos").cast("string"), 4, "0")).as("hp"))
+          lpad(col("pos").cast("string"), 7, "0")).as("hp"))
+      .withColumn("hp",
+        when(col("pos") < 10000000, col("hp"))
+          .otherwise(raise_error(concat(lit(
+            "winnow: document with >= 10^7 grams exceeds the positional " +
+              "key width, doc="), col("doc").cast("string")))))
     val byDoc = Window.partitionBy("doc").orderBy("pos")
     val frame = byDoc.rowsBetween(-(w - 1), 0)
     val all = Window.partitionBy("doc")
@@ -63,7 +72,7 @@ object Winnow {
       .filter(col("cnt") === least(lit(w), col("m")))
       .select(col("doc"), col("wmin")).distinct()
       .select(col("doc"),
-        substring(col("wmin"), 16, 4).cast("long").as("fp_pos"),
+        substring(col("wmin"), 16, 7).cast("long").as("fp_pos"),
         substring(col("wmin"), 1, 15).as("fp_hash"))
   }
 

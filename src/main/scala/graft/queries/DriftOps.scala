@@ -231,7 +231,8 @@ object DriftOps extends QueryFamily {
          |  SELECT n.node,
          |    CAST(150000 + (850 * coalesce(s.sc, 0)) // 1000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
-         |    SELECT ew.dst AS node, sum((r.r * ew.w) // ew.ow) AS sc
+         |    SELECT ew.dst AS node,
+         |      sum((CAST(r.r AS HUGEINT) * ew.w) // ew.ow) AS sc
          |    FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY 1) s
          |  USING (node))""".stripMargin
     }
@@ -244,7 +245,7 @@ object DriftOps extends QueryFamily {
       """WITH g AS (
         |  SELECT doc_id, i - 1 AS pos,
         |    substr(md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')), 1, 15)
-        |      || lpad(CAST(i - 1 AS VARCHAR), 4, '0') AS hp
+        |      || lpad(CAST(i - 1 AS VARCHAR), 7, '0') AS hp
         |  FROM documents,
         |    UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS r(i)),
         |wnd AS (
@@ -256,7 +257,7 @@ object DriftOps extends QueryFamily {
         |    count(*) OVER (PARTITION BY doc_id) AS m
         |  FROM g),
         |sel AS (SELECT DISTINCT doc_id, wmin FROM wnd WHERE cnt = least(4, m))
-        |SELECT doc_id, CAST(substr(wmin, 16, 4) AS BIGINT) AS fp_pos,
+        |SELECT doc_id, CAST(substr(wmin, 16, 7) AS BIGINT) AS fp_pos,
         |  substr(wmin, 1, 15) AS fp_hash
         |FROM sel
         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
@@ -264,7 +265,7 @@ object DriftOps extends QueryFamily {
       """WITH g AS (
         |  SELECT doc_id, i - 1 AS pos,
         |    substr(md5(array_to_string((string_split(text, ' '))[i:i+2], ' ')), 1, 15)
-        |      || lpad(CAST(i - 1 AS VARCHAR), 4, '0') AS hp
+        |      || lpad(CAST(i - 1 AS VARCHAR), 7, '0') AS hp
         |  FROM documents,
         |    UNNEST(range(1, len(string_split(text, ' ')) - 1)) AS r(i)),
         |wnd AS (
@@ -364,16 +365,18 @@ object DriftOps extends QueryFamily {
         |  FROM documents),
         |canon AS (
         |  SELECT doc_id,
-        |    'https://'
-        |    || regexp_replace(lower(regexp_extract(url,
-        |        '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)), ':443$', '')
-        |    || regexp_replace(regexp_extract(url,
-        |        '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/$', '')
-        |    || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canon_url
+        |    CASE WHEN host = '' THEN url ELSE
+        |      'https://' || host
+        |      || regexp_replace(regexp_extract(url,
+        |          '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/$', '')
+        |      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+        |    END AS canon_url
         |  FROM (
         |    SELECT doc_id, url,
+        |      regexp_replace(lower(regexp_extract(url,
+        |        '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)), ':443$', '') AS host,
         |      array_to_string(list_sort(list_filter(
-        |        string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |        string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
         |        p -> NOT regexp_matches(p, '^(utm_[^=]*|ref)=')
         |          AND p <> '')), '&') AS qs
         |    FROM u))
@@ -472,9 +475,9 @@ object DriftOps extends QueryFamily {
         |      AS props2
         |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
-        |  CAST(sum(CASE WHEN json_valid(props2) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_valid,
-        |  CAST(sum(CASE WHEN json_valid(props2) THEN 0 ELSE 1 END)
-        |    AS BIGINT) AS n_quarantined
+        |  CAST(sum(CASE WHEN json_type(TRY_CAST(props2 AS JSON)) = 'OBJECT'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN json_type(TRY_CAST(props2 AS JSON)) = 'OBJECT'
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -283,7 +283,8 @@ object StatOps extends QueryFamily {
         |      ln(CAST(t - a AS DOUBLE) * nn / (CAST(nn - n1 AS DOUBLE) * t))
         |      ELSE 0.0 END AS term_b
         |  FROM a JOIN tt USING (tok) JOIN s1 USING (source) CROSS JOIN g
-        |  WHERE a >= 5 AND a * (nn - n1) > (t - a) * n1),
+        |  WHERE a >= 5 AND CAST(a AS HUGEINT) * (nn - n1) >
+        |    CAST(t - a AS HUGEINT) * n1),
         |r AS (
         |  SELECT source, tok, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
         |    CAST(round((term_a + term_b) * 2000000.0, 0) AS BIGINT)

@@ -114,6 +114,24 @@ class DriftOpsSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
   }
 
+  test("urlCanonicalize passes non-https through verbatim and ignores '?' in fragments") {
+    val cases = Seq(
+      "http://siteA.com/page1",          // non-https: verbatim, NOT merged
+      "ftp://siteB.com/other",
+      "not a url at all",
+      "https://a.example.com/p#sec?x=1", // '?' inside fragment is NOT a query
+      "https://a.example.com/p?x=1#sec") // real query before fragment
+      .toDF("url")
+    val got = cases.select(col("url"), UrlOps.canonicalize(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    assert(got("http://siteA.com/page1") === "http://siteA.com/page1")
+    assert(got("ftp://siteB.com/other") === "ftp://siteB.com/other")
+    assert(got("not a url at all") === "not a url at all")
+    assert(got("https://a.example.com/p#sec?x=1") === "https://a.example.com/p")
+    assert(got("https://a.example.com/p?x=1#sec") ===
+      "https://a.example.com/p?x=1")
+  }
+
   // ---- snapshot diff ----
 
   test("snapshotDiff labels added, removed, changed and unchanged") {
