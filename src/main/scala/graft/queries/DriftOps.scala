@@ -191,7 +191,30 @@ object DriftOps extends QueryFamily {
           .as("n_quarantined"))
       .orderBy("event_type")
 
+  /** q_frame_dedup — frame-level dedup across multimodal payloads: the
+    * byte-window "frames" of every payload (`Multimodal.sampleFrames`, the
+    * video→frames explode with a stubbed codec) are content-digested and
+    * duplicated frames reported corpus-wide — near-identical media shares
+    * frames even when whole-payload digests differ. The oracle frames the
+    * text column at the same offsets (the payload IS the UTF-8 text bytes,
+    * and the corpus is ASCII, so byte and char windows coincide — asserted
+    * by the hash match itself). */
+  def qFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withPayload(Tables.documents(s, dir), "text"),
+      frameBytes = 16, stride = 4)
+    frames
+      .select(col("doc_id"), md5(col("frame_bytes")).as("frame_digest"))
+      .groupBy("frame_digest")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(desc("n_occurrences"), col("frame_digest"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frame_dedup" -> (qFrameDedup _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_zipf_slope" -> (qZipfSlope _),
@@ -479,5 +502,20 @@ object DriftOps extends QueryFamily {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         |  CAST(sum(CASE WHEN json_type(TRY_CAST(props2 AS JSON)) = 'OBJECT'
         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
-        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(substr(text, i * 64 + 1, 16)) AS frame_digest
+        |  FROM documents,
+        |    UNNEST(range(0,
+        |      CASE WHEN length(text) >= 16
+        |        THEN (length(text) - 16) // 64 + 1 ELSE 0 END)) AS r(i)),
+        |d AS (
+        |  SELECT frame_digest, count(*) AS n_occurrences,
+        |    count(DISTINCT doc_id) AS n_docs
+        |  FROM f GROUP BY 1 HAVING count(*) > 1)
+        |SELECT frame_digest, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |  CAST(n_docs AS BIGINT) AS n_docs
+        |FROM d ORDER BY n_occurrences DESC, frame_digest""".stripMargin)
 }
