@@ -32,9 +32,11 @@ object UrlOps {
     val host = regexp_replace(
       lower(regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)", 1)),
       ":443$", "")
+    // ALL trailing slashes (not just one): '/p//' must reach '/p' in a
+    // single pass or canonicalization is not idempotent
     val path = regexp_replace(
       regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)", 1),
-      "/$", "")
+      "/+$", "")
     // query = between the first '?' BEFORE any '#' and the fragment: the
     // leading [^#]* anchor keeps a legal '?' inside the fragment from
     // being promoted into the canonical query string

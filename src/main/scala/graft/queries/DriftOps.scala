@@ -391,7 +391,7 @@ object DriftOps extends QueryFamily {
         |    CASE WHEN host = '' THEN url ELSE
         |      'https://' || host
         |      || regexp_replace(regexp_extract(url,
-        |          '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/$', '')
+        |          '^[Hh][Tt][Tt][Pp][Ss]://[^/?#]+([^?#]*)', 1), '/+$', '')
         |      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
         |    END AS canon_url
         |  FROM (
