@@ -234,6 +234,28 @@ object Streams {
         col("n_docs"), col("mean_q"), col("min_q"),
         (col("mean_q") < alertBelow).as("alert"))
 
+  /** S11 — windowed trending tokens: the Misra–Gries heavy-hitter sketch
+    * (the engine's custom merge-safe `TypedImperativeAggregate`) running
+    * INSIDE a watermarked tumbling window — per closed window, the ≤
+    * `capacity` candidate tokens guaranteed to include everything above
+    * the 1/(capacity+1) frequency bound. Fixed sketch memory per open
+    * window regardless of token cardinality — the "what is trending this
+    * minute" monitor a 100 TB/day ingest can actually afford (an exact
+    * per-window wordcount would hold the window's whole vocabulary in
+    * state). */
+  def trendingTokens(docs: DataFrame, window_ : String = "10 seconds",
+      watermark: String = "30 seconds", capacity: Int = 5): DataFrame =
+    docs
+      .select(col("ts"), explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.SketchFunctions
+          .misraGriesCandidates(col("tok"), capacity).as("candidates"))
+      .select(col("window.start").as("w_start"), col("n_tokens"),
+        col("candidates"))
+
   /** S7 — foreachBatch envelope sink: serialize the micro-batch through the
     * envelope path and commit it as one parquet batch directory (idempotent
     * per batchId — re-delivered batches overwrite their own directory,

@@ -256,6 +256,25 @@ class StreamingSpec extends SparkSpec {
     assert(closed === Map("good" -> ((2L, false)), "junk" -> ((1L, true))))
   }
 
+  test("S11 trending tokens: the MG sketch surfaces the hot token per closed window") {
+    val in = MemoryStream[DocSourced]
+    val out = runQuery(
+      Streams.trendingTokens(in.toDF(), "10 seconds", "10 seconds",
+        capacity = 3),
+      OutputMode.Append, "s11") { step =>
+      // "hot" dominates the window (>1/4 of tokens -> guaranteed candidate)
+      in.addData(
+        DocSourced(1L, t(1), "hot hot hot hot cold warm", "a"),
+        DocSourced(2L, t(3), "hot hot mild damp", "a"))
+      step()
+      in.addData(DocSourced(9L, t(60), "later", "a")) // close [0,10)
+    }
+    val closed = out.filter(_.getAs[Timestamp]("w_start") === t(0))
+    assert(closed.length === 1)
+    assert(closed.head.getAs[Long]("n_tokens") === 10L)
+    assert(closed.head.getSeq[String](2).contains("hot"))
+  }
+
   test("S7 foreachBatch envelope sink commits per-batch parquet") {
     val dir = java.nio.file.Files.createTempDirectory("s7_sink").toString
     val in = MemoryStream[Tick]
