@@ -29,9 +29,12 @@ object UrlOps {
     * every piece of garbage to one canonical string would silently merge
     * distinct pages into a single "duplicate" group. */
   def canonicalize(url: Column): Column = {
+    // (:443)+ not :443: a host ending in a REPEATED default-port suffix
+    // must reach its fixpoint in one pass, same idempotence argument as
+    // the trailing-slash strip below
     val host = regexp_replace(
       lower(regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)", 1)),
-      ":443$", "")
+      "(:443)+$", "")
     // ALL trailing slashes (not just one): '/p//' must reach '/p' in a
     // single pass or canonicalization is not idempotent
     val path = regexp_replace(

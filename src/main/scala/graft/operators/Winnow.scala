@@ -24,7 +24,7 @@ import graft.functions.TextFunctions
   * Cross-engine determinism: the gram hash is the md5 family (like the
   * MinHash/fingerprint operators — Spark's Murmur3 `hash` is
   * engine-defined), truncated to 15 hex chars and concatenated with the
-  * 4-digit zero-padded gram position. On that fixed-width string,
+  * 7-digit zero-padded gram position. On that fixed-width string,
   * LEXICOGRAPHIC order == (hash, position) order, so a single window `min`
   * over trailing-`w` frames implements min-hash-then-leftmost exactly, in
   * any engine with window functions.

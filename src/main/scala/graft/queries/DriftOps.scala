@@ -397,7 +397,7 @@ object DriftOps extends QueryFamily {
         |  FROM (
         |    SELECT doc_id, url,
         |      regexp_replace(lower(regexp_extract(url,
-        |        '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)), ':443$', '') AS host,
+        |        '^[Hh][Tt][Tt][Pp][Ss]://([^/?#]+)', 1)), '(:443)+$', '') AS host,
         |      array_to_string(list_sort(list_filter(
         |        string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
         |        p -> NOT regexp_matches(p, '^(utm_[^=]*|ref)=')

@@ -11,22 +11,27 @@ import scala.util.Random
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new Random(20260813L)
+  // one Random PER TEST (fresh stream each call): a single shared stream
+  // would make each test's inputs depend on suite execution order, so a
+  // failure seen under `testOnly -z` would not reproduce in a full run
+  private def freshRandom(testIndex: Int) = new Random(20260813L + testIndex)
 
-  private def randTokens(n: Int, vocab: IndexedSeq[String]): Seq[String] =
+  private def randTokens(rnd: Random, n: Int,
+      vocab: IndexedSeq[String]): Seq[String] =
     Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
 
   test("PROPERTY winnow: every shared w+k-1 run yields a shared fingerprint (20 random corpora)") {
+    val rnd = freshRandom(1)
     val (k, w) = (3, 4)
     for (caseIdx <- 1 to 20) {
       val vocab = IndexedSeq.tabulate(40)(i => s"t${caseIdx}_$i")
       // shared run strictly longer than the guarantee bound
       val runLen = w + k - 1 + rnd.nextInt(6)
-      val shared = randTokens(runLen, vocab).mkString(" ")
-      val d1 = (randTokens(rnd.nextInt(12), vocab) :+ shared) ++
-        randTokens(rnd.nextInt(12), vocab)
-      val d2 = (randTokens(rnd.nextInt(12), vocab) :+ shared) ++
-        randTokens(rnd.nextInt(12), vocab)
+      val shared = randTokens(rnd, runLen, vocab).mkString(" ")
+      val d1 = (randTokens(rnd, rnd.nextInt(12), vocab) :+ shared) ++
+        randTokens(rnd, rnd.nextInt(12), vocab)
+      val d2 = (randTokens(rnd, rnd.nextInt(12), vocab) :+ shared) ++
+        randTokens(rnd, rnd.nextInt(12), vocab)
       val df = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
         .toDF("doc_id", "text")
       val fps = graft.operators.Winnow.fingerprints(df, "text", "doc_id", k, w)
@@ -38,6 +43,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("PROPERTY url canonicalize is idempotent over random noisy urls") {
+    val rnd = freshRandom(2)
     val hosts = Seq("A.Example.COM", "b.example.com", "WWW.C.EX.io")
     val urls = (1 to 60).map { _ =>
       val scheme = if (rnd.nextBoolean()) "https://" else "HTTPS://"
@@ -64,6 +70,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("PROPERTY merged partials equal the from-scratch aggregate (10 random splits)") {
+    val rnd = freshRandom(3)
     import graft.operators.Layout
     for (caseIdx <- 1 to 10) {
       val rows = Seq.fill(60 + rnd.nextInt(60))(
@@ -83,6 +90,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("PROPERTY pagerank: teleport floor and mass bound hold on random graphs") {
+    val rnd = freshRandom(4)
     import graft.operators.Clusters
     for (caseIdx <- 1 to 8) {
       val n = 4 + rnd.nextInt(5)
