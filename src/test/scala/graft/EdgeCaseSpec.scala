@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus robustness: every governance operator must return an
+  * EMPTY (or well-defined) result on empty / single-row / pair-less inputs
+  * rather than throwing — at 100 TB an empty partition, a source with one
+  * document, or a day with no delta are routine, and an operator that NPEs
+  * on them kills the whole job. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("winnow, CDC, encode, URL dedup and snapshot diff accept an empty corpus") {
+    assert(graft.operators.Winnow
+      .fingerprints(emptyDocs, "text", "doc_id", 3, 4).count() === 0L)
+    assert(graft.operators.Winnow
+      .sharedFingerprintPairs(emptyDocs, "text", "doc_id", 3, 4, 2L, 10L)
+      .count() === 0L)
+    assert(graft.operators.Packing
+      .cdcChunks(emptyDocs, "text", "doc_id").count() === 0L)
+    assert(graft.operators.Vocab
+      .encodeIds(emptyDocs, "text", "doc_id", 10).count() === 0L)
+    assert(graft.operators.UrlOps
+      .dedupByUrl(emptyDocs.withColumnRenamed("text", "url"), "url", "doc_id")
+      .count() === 0L)
+    assert(graft.operators.Layout
+      .snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").count() === 0L)
+  }
+
+  test("drift statistics degrade cleanly: one source, one token, no pairs") {
+    val one = Seq(("solo", "only only only")).toDF("source", "text")
+    // a single source has no unordered pair: JSD output is empty, not a crash
+    assert(graft.operators.Vocab.jsDivergence(one, "text", "source")
+      .count() === 0L)
+    // one distinct token -> one rank -> zero regression denominator -> null
+    val z = graft.operators.Vocab.zipfSlope(one, "text", "source").collect()
+    assert(z.length === 1 && z.head.isNullAt(z.head.fieldIndex("slope_micro")))
+    // keyness with a single slice: nothing is enriched vs an empty rest
+    assert(graft.operators.Vocab.keyness(one, "text", "source", 5, 1L)
+      .count() === 0L)
+  }
+
+  test("bloom decontamination with an EMPTY eval set flags nothing") {
+    val train = Seq((1L, "some ordinary training text here okay"))
+      .toDF("doc_id", "text")
+    val eval = emptyDocs
+    assert(graft.operators.Decontaminate
+      .contaminatedIdsBloom(train, eval, "text", "doc_id", 3).count() === 0L)
+    assert(graft.operators.Decontaminate
+      .contaminatedIds(train, eval, "text", "doc_id", 3).count() === 0L)
+  }
+
+  test("pagerank and aggregate merge accept empty inputs") {
+    val noEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(graft.operators.Clusters
+      .pageRankWeighted(noEdges, "src", "dst", "w", iterations = 2)
+      .count() === 0L)
+    val noPartials = Seq.empty[(String, Long, Long)].toDF("k", "cnt", "total")
+    assert(graft.operators.Layout
+      .mergePartialAggs(noPartials, noPartials, Seq("k")).count() === 0L)
+  }
+}
