@@ -57,4 +57,27 @@ object Profile {
     }
     branches.reduce(_ unionByName _)
   }
+
+  /** Profile DRIFT between two snapshot versions — the data-card diff a
+    * nightly ingest gate reads: per column, old vs new row/null/distinct
+    * counts, deltas, and a cardinality-drift flag (distinct count moved by
+    * more than 10% of the old value — integer cross-multiplication, no
+    * float ratio). Cost is two [[columnProfile]] runs plus a
+    * columns-count-sized join: the gate that catches "the crawler started
+    * emitting null languages" BEFORE the corpus ships. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+      spec: Seq[(String, Kind)]): DataFrame = {
+    val o = columnProfile(oldDf, spec).select(col("col_name"),
+      col("n_rows").as("n_rows_old"), col("n_nulls").as("n_nulls_old"),
+      col("n_distinct").as("n_distinct_old"))
+    val n = columnProfile(newDf, spec).select(col("col_name"),
+      col("n_rows").as("n_rows_new"), col("n_nulls").as("n_nulls_new"),
+      col("n_distinct").as("n_distinct_new"))
+    o.join(n, "col_name")
+      .withColumn("d_rows", col("n_rows_new") - col("n_rows_old"))
+      .withColumn("d_distinct",
+        col("n_distinct_new") - col("n_distinct_old"))
+      .withColumn("distinct_drift",
+        abs(col("d_distinct")) * 10 > col("n_distinct_old"))
+  }
 }

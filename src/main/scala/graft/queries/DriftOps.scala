@@ -213,8 +213,27 @@ object DriftOps extends QueryFamily {
       .orderBy(desc("n_occurrences"), col("frame_digest"))
   }
 
+  /** q_profile_drift — the data-card diff between the q_snapshot_diff
+    * snapshot views: per column, old vs new row/null/distinct counts,
+    * deltas, and the >10% cardinality-drift flag — the nightly ingest gate
+    * that catches schema/content regressions before the corpus ships. */
+  def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profile
+    val docs = Tables.documents(s, dir)
+    val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    Profile.profileDrift(oldV, newV,
+        Seq(("doc_id", Profile.Num), ("text", Profile.Str),
+          ("source", Profile.Str)))
+      .orderBy("col_name")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frame_dedup" -> (qFrameDedup _),
+    "q_profile_drift" -> (qProfileDrift _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_zipf_slope" -> (qZipfSlope _),
@@ -517,5 +536,49 @@ object DriftOps extends QueryFamily {
         |  FROM f GROUP BY 1 HAVING count(*) > 1)
         |SELECT frame_digest, CAST(n_occurrences AS BIGINT) AS n_occurrences,
         |  CAST(n_docs AS BIGINT) AS n_docs
-        |FROM d ORDER BY n_occurrences DESC, frame_digest""".stripMargin)
+        |FROM d ORDER BY n_occurrences DESC, frame_digest""".stripMargin,
+    "q_profile_drift" ->
+      """WITH o AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |      AS text, source
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |po AS (
+        |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows_old,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls_old,
+        |    COUNT(DISTINCT doc_id) AS n_distinct_old FROM o
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT text) FROM o
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT source) FROM o),
+        |pn AS (
+        |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows_new,
+        |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls_new,
+        |    COUNT(DISTINCT doc_id) AS n_distinct_new FROM n
+        |  UNION ALL
+        |  SELECT 'text', COUNT(*),
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT text) FROM n
+        |  UNION ALL
+        |  SELECT 'source', COUNT(*),
+        |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT source) FROM n)
+        |SELECT col_name,
+        |  CAST(n_rows_old AS BIGINT) AS n_rows_old,
+        |  CAST(n_nulls_old AS BIGINT) AS n_nulls_old,
+        |  CAST(n_distinct_old AS BIGINT) AS n_distinct_old,
+        |  CAST(n_rows_new AS BIGINT) AS n_rows_new,
+        |  CAST(n_nulls_new AS BIGINT) AS n_nulls_new,
+        |  CAST(n_distinct_new AS BIGINT) AS n_distinct_new,
+        |  CAST(n_rows_new - n_rows_old AS BIGINT) AS d_rows,
+        |  CAST(n_distinct_new - n_distinct_old AS BIGINT) AS d_distinct,
+        |  abs(n_distinct_new - n_distinct_old) * 10 > n_distinct_old
+        |    AS distinct_drift
+        |FROM po JOIN pn USING (col_name)
+        |ORDER BY col_name""".stripMargin)
 }
