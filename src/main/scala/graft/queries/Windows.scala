@@ -187,7 +187,10 @@ object Windows extends QueryFamily {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3_sum,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+        |  -- floor(epoch), not CAST: Spark's unix_timestamp FLOORS to the
+        |  -- second while a double->bigint CAST ROUNDS — sub-second rows at
+        |  -- a 3600s frame edge would anchor one second apart (seen at sf0.1)
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
         |FROM events ORDER BY event_id""".stripMargin,
     "q_window_dist" ->
