@@ -60,11 +60,12 @@ object Profile {
 
   /** Profile DRIFT between two snapshot versions — the data-card diff a
     * nightly ingest gate reads: per column, old vs new row/null/distinct
-    * counts, deltas, and a cardinality-drift flag (distinct count moved by
-    * more than 10% of the old value — integer cross-multiplication, no
-    * float ratio). Cost is two [[columnProfile]] runs plus a
-    * columns-count-sized join: the gate that catches "the crawler started
-    * emitting null languages" BEFORE the corpus ships. */
+    * counts, deltas, a cardinality-drift flag (distinct count moved by
+    * more than 10% of the old value) and a null-drift flag (null RATIO
+    * rose by more than 5 percentage points — the "crawler started emitting
+    * null languages" catch). Both flags are integer/decimal
+    * cross-multiplications, never float ratios; cost is two
+    * [[columnProfile]] runs plus a columns-count-sized join. */
   def profileDrift(oldDf: DataFrame, newDf: DataFrame,
       spec: Seq[(String, Kind)]): DataFrame = {
     val o = columnProfile(oldDf, spec).select(col("col_name"),
@@ -73,11 +74,19 @@ object Profile {
     val n = columnProfile(newDf, spec).select(col("col_name"),
       col("n_rows").as("n_rows_new"), col("n_nulls").as("n_nulls_new"),
       col("n_distinct").as("n_distinct_new"))
+    def dec(c: String) = col(c).cast("decimal(19,0)")
     o.join(n, "col_name")
       .withColumn("d_rows", col("n_rows_new") - col("n_rows_old"))
+      .withColumn("d_nulls", col("n_nulls_new") - col("n_nulls_old"))
       .withColumn("d_distinct",
         col("n_distinct_new") - col("n_distinct_old"))
       .withColumn("distinct_drift",
         abs(col("d_distinct")) * 10 > col("n_distinct_old"))
+      // null ratio rose > 5pp: (nn/rn − no/ro) > 1/20, cross-multiplied in
+      // decimal(38,0) — long×long would overflow at 10¹³-row snapshots
+      .withColumn("null_drift",
+        (dec("n_nulls_new") * dec("n_rows_old") -
+          dec("n_nulls_old") * dec("n_rows_new")) * lit(20) >
+          dec("n_rows_new") * dec("n_rows_old"))
   }
 }

@@ -74,18 +74,36 @@ object DriftOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  /** q_snapshot_diff — corpus-version diff (added / removed / changed /
-    * unchanged by content digest) between two deterministic snapshot views
-    * of the documents table: old = doc_id % 7 ≠ 0, new = doc_id % 10 ≠ 0
-    * with doc_id % 13 = 0 texts edited — the nightly data-governance
-    * report. */
-  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** The ONE deterministic pair of snapshot views the governance queries
+    * diff: old = doc_id % 7 ≠ 0, new = doc_id % 10 ≠ 0 with doc_id % 13 = 0
+    * texts edited. Shared by q_snapshot_diff and q_profile_drift (and
+    * mirrored ONCE in [[snapshotViewCtes]] for their oracles) so the view
+    * definition cannot silently diverge between the two gates. */
+  private def snapshotViews(docs: DataFrame): (DataFrame, DataFrame) = {
     val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
     val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .withColumn("text",
         when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
+    (oldV, newV)
+  }
+
+  /** The DuckDB twin of [[snapshotViews]] — prepended to both consumers'
+    * oracle SQL. */
+  private val snapshotViewCtes: String =
+    """WITH ov AS (
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id % 7 <> 0),
+      |nv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+      |    source
+      |  FROM documents WHERE doc_id % 10 <> 0)""".stripMargin
+
+  /** q_snapshot_diff — corpus-version diff (added / removed / changed /
+    * unchanged by content digest) between the [[snapshotViews]] pair — the
+    * nightly data-governance report. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (oldV, newV) = snapshotViews(Tables.documents(s, dir))
     graft.operators.Layout.snapshotDiff(oldV, newV, "doc_id", "text")
       .orderBy("doc_id")
   }
@@ -213,18 +231,14 @@ object DriftOps extends QueryFamily {
       .orderBy(desc("n_occurrences"), col("frame_digest"))
   }
 
-  /** q_profile_drift — the data-card diff between the q_snapshot_diff
-    * snapshot views: per column, old vs new row/null/distinct counts,
-    * deltas, and the >10% cardinality-drift flag — the nightly ingest gate
-    * that catches schema/content regressions before the corpus ships. */
+  /** q_profile_drift — the data-card diff between the [[snapshotViews]]
+    * pair: per column, old vs new row/null/distinct counts, deltas, the
+    * >10% cardinality-drift flag AND the >5-point null-ratio-drift flag —
+    * the nightly ingest gate that catches schema/content regressions before
+    * the corpus ships. */
   def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Profile
-    val docs = Tables.documents(s, dir)
-    val oldV = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-    val newV = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      .withColumn("text",
-        when(pmod(col("doc_id"), lit(13)) === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val (oldV, newV) = snapshotViews(Tables.documents(s, dir))
     Profile.profileDrift(oldV, newV,
         Seq(("doc_id", Profile.Num), ("text", Profile.Str),
           ("source", Profile.Str)))
@@ -427,22 +441,16 @@ object DriftOps extends QueryFamily {
         |    AS is_canonical
         |FROM canon
         |ORDER BY doc_id""".stripMargin,
-    "q_snapshot_diff" ->
-      """WITH o AS (
-        |  SELECT doc_id, md5(text) AS h_old FROM documents
-        |  WHERE doc_id % 7 <> 0),
-        |n AS (
-        |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
-        |      AS h_new
-        |  FROM documents WHERE doc_id % 10 <> 0)
+    "q_snapshot_diff" -> (snapshotViewCtes + """,
+        |o AS (SELECT doc_id, md5(text) AS h_old FROM ov),
+        |n AS (SELECT doc_id, md5(text) AS h_new FROM nv)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
         |       WHEN h_old <> h_new THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
     "q_curriculum" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -537,37 +545,31 @@ object DriftOps extends QueryFamily {
         |SELECT frame_digest, CAST(n_occurrences AS BIGINT) AS n_occurrences,
         |  CAST(n_docs AS BIGINT) AS n_docs
         |FROM d ORDER BY n_occurrences DESC, frame_digest""".stripMargin,
-    "q_profile_drift" ->
-      """WITH o AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
-        |n AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
-        |      AS text, source
-        |  FROM documents WHERE doc_id % 10 <> 0),
+    "q_profile_drift" -> (snapshotViewCtes + """,
         |po AS (
         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows_old,
         |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls_old,
-        |    COUNT(DISTINCT doc_id) AS n_distinct_old FROM o
+        |    COUNT(DISTINCT doc_id) AS n_distinct_old FROM ov
         |  UNION ALL
         |  SELECT 'text', COUNT(*),
         |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
-        |    COUNT(DISTINCT text) FROM o
+        |    COUNT(DISTINCT text) FROM ov
         |  UNION ALL
         |  SELECT 'source', COUNT(*),
         |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
-        |    COUNT(DISTINCT source) FROM o),
+        |    COUNT(DISTINCT source) FROM ov),
         |pn AS (
         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows_new,
         |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls_new,
-        |    COUNT(DISTINCT doc_id) AS n_distinct_new FROM n
+        |    COUNT(DISTINCT doc_id) AS n_distinct_new FROM nv
         |  UNION ALL
         |  SELECT 'text', COUNT(*),
         |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
-        |    COUNT(DISTINCT text) FROM n
+        |    COUNT(DISTINCT text) FROM nv
         |  UNION ALL
         |  SELECT 'source', COUNT(*),
         |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
-        |    COUNT(DISTINCT source) FROM n)
+        |    COUNT(DISTINCT source) FROM nv)
         |SELECT col_name,
         |  CAST(n_rows_old AS BIGINT) AS n_rows_old,
         |  CAST(n_nulls_old AS BIGINT) AS n_nulls_old,
@@ -576,9 +578,13 @@ object DriftOps extends QueryFamily {
         |  CAST(n_nulls_new AS BIGINT) AS n_nulls_new,
         |  CAST(n_distinct_new AS BIGINT) AS n_distinct_new,
         |  CAST(n_rows_new - n_rows_old AS BIGINT) AS d_rows,
+        |  CAST(n_nulls_new - n_nulls_old AS BIGINT) AS d_nulls,
         |  CAST(n_distinct_new - n_distinct_old AS BIGINT) AS d_distinct,
         |  abs(n_distinct_new - n_distinct_old) * 10 > n_distinct_old
-        |    AS distinct_drift
+        |    AS distinct_drift,
+        |  (CAST(n_nulls_new AS HUGEINT) * n_rows_old -
+        |   CAST(n_nulls_old AS HUGEINT) * n_rows_new) * 20 >
+        |    CAST(n_rows_new AS HUGEINT) * n_rows_old AS null_drift
         |FROM po JOIN pn USING (col_name)
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin))
 }

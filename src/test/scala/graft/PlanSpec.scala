@@ -246,18 +246,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no round-6 query plans a cartesian product; corpus-scale paths avoid SinglePartition") {
-    // every DriftOps query: a cartesian product anywhere is a scale bug
-    for ((name, fn) <- graft.queries.DriftOps.queries) {
-      val p = planString(fn(spark, sf))
-      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    // plan each query ONCE, assert both conditions from the same string
+    val plans = graft.queries.DriftOps.queries.map { case (name, fn) =>
+      name -> planString(fn(spark, sf))
     }
+    // every DriftOps query: a cartesian product anywhere is a scale bug
+    for ((name, p) <- plans)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     // the pure corpus-pipeline paths must also never funnel the corpus
     // through one partition (one-row broadcast aggregates and bounded
     // vocab/limit stages elsewhere are legitimate SinglePartition users)
-    for (name <- Seq("q_winnow", "q_cdc_chunks", "q_frame_dedup")) {
-      val p = planString(graft.queries.DriftOps.queries(name)(spark, sf))
-      assert(!p.contains("SinglePartition"), s"$name:\n${p.take(2000)}")
-    }
+    for (name <- Seq("q_winnow", "q_cdc_chunks", "q_frame_dedup"))
+      assert(!plans(name).contains("SinglePartition"),
+        s"$name:\n${plans(name).take(2000)}")
   }
 
   test("snapshot diff shuffles digests, not documents (projection before join)") {
