@@ -245,9 +245,36 @@ object DriftOps extends QueryFamily {
       .orderBy("col_name")
   }
 
+  /** q_dedup_cdc — near-dup candidate pairs from shared content-defined
+    * chunks: documents sharing ≥ 2 CDC chunk digests (chunks in > 10 docs
+    * are boilerplate, df-guarded out). Because CDC boundaries REALIGN after
+    * an insertion, this catches shifted near-duplicates that position-
+    * aligned frame/window comparison structurally misses — the third
+    * candidate mechanism beside MinHash banding (probabilistic) and
+    * winnowing (positional selection). */
+  def qDedupCdc(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.operators.Packing
+      .cdcChunks(Tables.documents(s, dir), "text", "doc_id")
+      .filter(col("n_chunk_tokens") >= 4) // tiny chunks carry no signal
+      .select(col("doc_id"), col("chunk_digest")).distinct()
+      .localCheckpoint(eager = false)
+    val hot = chunks.groupBy("chunk_digest")
+      .agg(count(lit(1)).as("df")).filter(col("df") > 10)
+      .select("chunk_digest")
+    val kept = chunks.join(broadcast(hot), Seq("chunk_digest"), "left_anti")
+    kept.select(col("doc_id").as("a_id"), col("chunk_digest"))
+      .join(kept.select(col("doc_id").as("b_id"), col("chunk_digest")),
+        "chunk_digest")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frame_dedup" -> (qFrameDedup _),
     "q_profile_drift" -> (qProfileDrift _),
+    "q_dedup_cdc" -> (qDedupCdc _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_zipf_slope" -> (qZipfSlope _),
@@ -545,6 +572,34 @@ object DriftOps extends QueryFamily {
         |SELECT frame_digest, CAST(n_occurrences AS BIGINT) AS n_occurrences,
         |  CAST(n_docs AS BIGINT) AS n_docs
         |FROM d ORDER BY n_occurrences DESC, frame_digest""".stripMargin,
+    "q_dedup_cdc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+        |  FROM documents,
+        |    UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS r(i)),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        |  FROM toks),
+        |ch AS (
+        |  SELECT doc_id, chunk_id, count(*) AS n_chunk_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_digest
+        |  FROM c GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT DISTINCT doc_id, chunk_digest FROM ch
+        |  WHERE n_chunk_tokens >= 4),
+        |hot AS (
+        |  SELECT chunk_digest FROM cd GROUP BY 1 HAVING count(*) > 10),
+        |kept AS (
+        |  SELECT * FROM cd WHERE chunk_digest NOT IN
+        |    (SELECT chunk_digest FROM hot))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM kept a JOIN kept b USING (chunk_digest)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_profile_drift" -> (snapshotViewCtes + """,
         |po AS (
         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows_old,
