@@ -157,8 +157,12 @@ object TextFunctions {
     * put a real DOM parser behind the same column contract; this is the
     * deterministic, testable regex fallback. */
   def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", " ")
+    // (?s): `.` must cross newlines or a multi-line <script>/<style> body
+    // (the common real-world case) survives the block drop — only its tags
+    // are removed by the later `<[^>]+>` pass and the JS/CSS leaks into the
+    // "clean" text. Supported identically by Java regex and DuckDB RE2.
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",

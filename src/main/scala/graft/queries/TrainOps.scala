@@ -306,8 +306,8 @@ object TrainOps extends QueryFamily {
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |          regexp_replace(html,
-        |          '<script[^>]*>.*?</script>', ' ', 'g'),
-        |          '<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |          '<[^>]+>', ' ', 'g'),
         |          '&lt;', '<', 'g'),
         |          '&gt;', '>', 'g'),
