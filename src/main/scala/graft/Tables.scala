@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -22,18 +22,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 has no
-    * default mapping for ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    * the legacy conf, then normalize to TimestampType at micro precision with
-    * integer division (`div` — a double division would lose precision above
-    * 2^53, and ns epochs are ~1.7e18). DuckDB oracles see the same value via
-    * CAST(ts AS TIMESTAMP), which also truncates ns→µs. */
+  /** `events.ts` has been generated in multiple parquet encodings across
+    * driver runs; this loader normalizes every one of them to TimestampType
+    * (micros, UTC session) so downstream `unix_micros(ts)` sites never care:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 has no default mapping
+    *    ([PARQUET_TYPE_ILLEGAL]); read as raw nanos via the legacy conf, then
+    *    integer-divide to micros (`div` — double division loses precision
+    *    above 2^53, and ns epochs are ~1.7e18).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ by default; cast to TimestampType. Sessions are pinned
+    *    to UTC (build.sbt / Verify / Bench), so the cast is value-exact and
+    *    matches what DuckDB reads for the oracle.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType — pass through.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
