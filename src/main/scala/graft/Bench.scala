@@ -63,7 +63,11 @@ object Bench {
       ++ badFilter.map(n => s"${q(n)}:${q("unknown query name in filter")}"))
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val nErrors = timed.count(_._3.isDefined) + badFilter.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // A bench with erroring queries must fail loudly: BENCH_r05 reported
+    // rc=0 with 5 broken queries and nobody noticed until the verdict.
+    if (nErrors > 0) sys.exit(1)
   }
 }
