@@ -67,8 +67,17 @@ object Dedup {
     * shingle guard — at corpus scale a shingle present in 1% of documents
     * would otherwise dominate the join). The guard is either the absolute
     * `maxShingleDf`, or — when `maxShingleDfFraction` is set — the relative
-    * max(5, ⌈fraction × corpus row count⌉), computed INSIDE the plan (a
-    * broadcast one-row aggregate, no driver-side action). */
+    * max(5, ⌈fraction × corpus row count⌉) CAPPED at an absolute 10 000,
+    * computed INSIDE the plan (a broadcast one-row aggregate, no driver-side
+    * action). The absolute cap is the scale-safety valve: pair blowup per
+    * surviving shingle is O(df²), so a purely relative cap grows linearly
+    * with corpus size — at 10¹⁰ docs a shingle in 10⁸ of them would survive
+    * a 1% guard and the self-join would emit ~10¹⁶ pairs from that one key.
+    * Capping df at 10⁴ bounds any shingle's pair contribution at ~5×10⁷
+    * regardless of corpus size; at test scale (≤10⁵ docs) the cap never
+    * binds, so results are unchanged. Corpora where the cap bites should use
+    * banded MinHash (`minhashPairs`) as the candidate generator instead —
+    * its cost is corpus-linear by construction. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue,
@@ -101,7 +110,8 @@ object Dedup {
         val total = df.agg(count(lit(1)).as("_n"))
         guarded(_.crossJoin(broadcast(total))
           .filter(col("df") >
-            greatest(lit(5L), ceil(col("_n") * frac).cast("long"))))
+            least(greatest(lit(5L), ceil(col("_n") * frac).cast("long")),
+              lit(10000L))))
       case None if maxShingleDf == Long.MaxValue => sh0
       case None => guarded(_.filter(col("df") > maxShingleDf))
     }

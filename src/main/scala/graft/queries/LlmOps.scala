@@ -398,7 +398,7 @@ object LlmOps extends QueryFamily {
         |sh AS (
         |  SELECT doc_id, g FROM sh0
         |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
-        |    greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT))),
+        |    least(greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT)), 10000)),
         |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
