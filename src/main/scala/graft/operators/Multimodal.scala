@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with a typed metadata struct, and run
   * feature extraction as a columnar batch transform.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * libraries — with a deterministic digest-derived feature vector, so the
-  * Spark-side contract (schema, partitioning, batch shape, null posture) is
-  * real and testable while the decoder body is swappable. In production the
-  * decode step would be an `mapInArrow`/Pandas-UDF batch calling the codec;
-  * everything downstream of the `features` column is unchanged.
+  * Decode status: uncompressed 24bpp BMP pixel decode ([[bmpPixelStats]])
+  * and 16-bit PCM WAV sample decode ([[wavPcmStats]]) are REAL — header-
+  * driven byte arithmetic over the binary column (data offset, row stride,
+  * padding skip, two's-complement samples), no media library. Only
+  * compressed codecs (PNG's deflate stream, JPEG entropy coding) remain
+  * STUBBED with a deterministic digest-derived feature vector: inflating a
+  * DEFLATE stream is not expressible as a columnar expression, and this
+  * container ships no codec libs. In production those formats run as an
+  * `mapInArrow`/Pandas-UDF batch calling the codec; everything downstream
+  * of the `features` column is unchanged.
   *
   * Scale posture: payloads stay opaque bytes end-to-end (no row-level JVM
   * object churn); metadata extraction is codegen'd; feature extraction is
@@ -82,6 +86,113 @@ object Multimodal {
         leUInt(payload, 23, 2).as("n_channels"),
         leUInt(payload, 25, 4).as("sample_rate"),
         leUInt(payload, 35, 2).as("bits_per_sample")))
+
+  /** Unsigned byte value at a DYNAMIC 1-based position (Column, not
+    * literal) — hex of the 1-byte slice, then base-16 parse. Everything
+    * stays inside codegen'd built-ins. */
+  private def byteAt(bin: Column, pos: Column): Column =
+    conv(hex(bin.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+
+  /** REAL 24bpp BMP pixel decode: per-channel (B,G,R) byte sums over the
+    * pixel array, driven entirely by the file's own header — bfOffBits data
+    * offset (bytes 11-14), width/height (19-26), and the 4-byte-aligned row
+    * stride whose padding bytes are skipped. Null unless the payload is an
+    * uncompressed (BI_RGB) 24bpp BMP with a complete pixel array.
+    *
+    * Shape: one `aggregate` over a `sequence` of pixel ordinals — a narrow
+    * per-row expression, no shuffle, no UDF. Sums are order-invariant, so
+    * BMP's bottom-up row order needs no special handling. Posture: right
+    * for thumbnail/icon-scale assets (the sequence materializes one long
+    * per pixel); megapixel media would move to the documented
+    * `mapInArrow` codec batch path with this expression as its oracle. */
+  def bmpPixelStats(payload: Column): Column = {
+    val off    = leUInt(payload, 11, 4)
+    val w      = leUInt(payload, 19, 4)
+    val h      = leUInt(payload, 23, 4)
+    val bpp    = leUInt(payload, 29, 2)
+    val comp   = leUInt(payload, 31, 4)
+    val stride = floor((w * 3 + 3) / 4).cast("long") * 4
+    val sums = aggregate(
+      sequence(lit(0L), w * h - 1),
+      struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r")),
+      (acc, i) => {
+        val x = pmod(i, w)
+        val y = floor((i - x) / w).cast("long")
+        val p = off + y * stride + x * 3 + 1 // 1-based byte position
+        struct(
+          (acc.getField("b") + byteAt(payload, p)).as("b"),
+          (acc.getField("g") + byteAt(payload, p + 1)).as("g"),
+          (acc.getField("r") + byteAt(payload, p + 2)).as("r"))
+      })
+    when(magic(payload, 1, 2) === "424D" && bpp === 24 && comp === 0 &&
+      w > 0 && h > 0 && length(payload) >= off + h * stride,
+      struct(
+        w.as("width"), h.as("height"), (w * h).as("n_px"),
+        sums.getField("b").as("sum_b"),
+        sums.getField("g").as("sum_g"),
+        sums.getField("r").as("sum_r")))
+  }
+
+  /** REAL 16-bit PCM WAV sample decode: count / sum / sum-of-squares over
+    * the data chunk's little-endian two's-complement samples (canonical
+    * 44-byte header layout, data chunk at offset 37). Null unless the
+    * payload is PCM (fmt 1), 16-bit, with a complete data chunk. Same
+    * narrow aggregate shape and scale posture as [[bmpPixelStats]]. */
+  def wavPcmStats(payload: Column): Column = {
+    val fmt      = leUInt(payload, 21, 2)
+    val bits     = leUInt(payload, 35, 2)
+    val dataSize = leUInt(payload, 41, 4)
+    val n        = floor(dataSize / 2).cast("long")
+    val sums = aggregate(
+      sequence(lit(0L), n - 1),
+      struct(lit(0L).as("s"), lit(0L).as("sq")),
+      (acc, i) => {
+        val p = lit(45L) + i * 2
+        val u = byteAt(payload, p) + byteAt(payload, p + 1) * 256
+        val sv = when(u < 32768, u).otherwise(u - 65536)
+        struct(
+          (acc.getField("s") + sv).as("s"),
+          (acc.getField("sq") + sv * sv).as("sq"))
+      })
+    when(magic(payload, 1, 4) === "52494646" &&
+      magic(payload, 9, 4) === "57415645" &&
+      magic(payload, 37, 4) === "64617461" &&
+      fmt === 1 && bits === 16 && dataSize > 0 &&
+      length(payload) >= dataSize + 44,
+      struct(
+        n.as("n_samples"),
+        sums.getField("s").as("sum_samples"),
+        sums.getField("sq").as("sum_sq")))
+  }
+
+  /** 54-byte header of a 3×3 24bpp BI_RGB BMP (stride 12 → 3 padding bytes
+    * per row, so the decoder's padding skip is actually exercised). */
+  private val Bmp3x3HeaderHex: String =
+    "424D" + "5A000000" + "00000000" + "36000000" +          // file header
+    "28000000" + "03000000" + "03000000" + "0100" + "1800" + // w, h, planes, bpp
+    "00000000" + "24000000" + "00000000" + "00000000" +      // BI_RGB, 36-byte image
+    "00000000" + "00000000"
+
+  /** 44-byte canonical header of a mono 8 kHz 16-bit PCM WAV with a 32-byte
+    * (16-sample) data chunk. */
+  private val Wav16HeaderHex: String =
+    "52494646" + "44000000" + "57415645" +          // RIFF size 68, WAVE
+    "666D7420" + "10000000" + "0100" + "0100" +     // fmt, PCM, mono
+    "401F0000" + "803E0000" + "0200" + "1000" +     // 8000 Hz, 16000 B/s, 16-bit
+    "64617461" + "20000000"                         // data, 32 bytes
+
+  /** Wrap the first 36 bytes of `pixelSource` as a valid 3×3 24bpp BMP —
+    * the deterministic container builder behind `q_multimodal_decode`'s
+    * full oracle (the oracle recomputes stats from the same source bytes
+    * without parsing the container, so decode arithmetic is cross-checked
+    * engine-vs-DuckDB). */
+  def syntheticBmp3x3(pixelSource: Column): Column =
+    concat(unhex(lit(Bmp3x3HeaderHex)), pixelSource.substr(lit(1), lit(36)))
+
+  /** Wrap the first 32 bytes of `sampleSource` as a valid 16-sample PCM
+    * WAV; sibling of [[syntheticBmp3x3]]. */
+  def syntheticWav16(sampleSource: Column): Column =
+    concat(unhex(lit(Wav16HeaderHex)), sampleSource.substr(lit(1), lit(32)))
 
   /** Attach a binary payload column + typed metadata struct. The payload
     * here is the UTF-8 encoding of the text column (the test corpus has no

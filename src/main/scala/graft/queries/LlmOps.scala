@@ -294,14 +294,30 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
-  /** q_multimodal_decode — stubbed media decode → feature vector (schema +
-    * batch shape are the real contract; decode body is the documented stub).
-    * The vector is emitted as its canonical JSON string so the driver's
-    * checker (pandas sort) can hash the rows — array cells are unhashable. */
-  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extract(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), to_json(col("features")).as("features_json"))
+  /** q_multimodal_decode — REAL container decode, oracle-checked end to
+    * end: wrap deterministic bytes (sha256‖md5 of the text) in a valid 3×3
+    * 24bpp BMP and a 16-sample PCM WAV, decode both back through the
+    * header-driven decoders, and emit integer channel/sample stats. The
+    * DuckDB oracle recomputes the stats straight from the hex digests —
+    * it never parses a container — so any decoder arithmetic error (data
+    * offset, row stride, padding skip, sample signedness) hash-mismatches.
+    * Integer stats rather than float features keep the compare exact. */
+  def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.bmpPixelStats(Multimodal.syntheticBmp3x3(src)).as("img"),
+        Multimodal.wavPcmStats(Multimodal.syntheticWav16(src)).as("aud"))
+      .select(col("doc_id"),
+        col("img.n_px").as("n_px"),
+        col("img.sum_b").as("sum_b"),
+        col("img.sum_g").as("sum_g"),
+        col("img.sum_r").as("sum_r"),
+        col("aud.n_samples").as("n_samples"),
+        col("aud.sum_samples").as("sum_samples"),
+        col("aud.sum_sq").as("sum_sq"))
       .orderBy("doc_id")
+  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -327,6 +343,35 @@ object LlmOps extends QueryFamily {
     "q_multimodal_decode" -> (qMultimodalDecode _))
 
   override val oracle: Map[String, String] = Map(
+    // Recomputes q_multimodal_decode's stats directly from the digest hex —
+    // independent of the BMP/WAV container framing the engine decodes
+    // through. Byte i of the pixel/sample stream is hex pair (2i, 2i+1);
+    // BMP rows are 12 bytes with bytes 9-11 padding (i%12 < 9 keeps
+    // pixels; channel = i%3 since the 12-byte stride is divisible by 3);
+    // WAV samples are the first 32 bytes as little-endian int16.
+    "q_multimodal_decode" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, i,
+        |        CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
+        |             (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS BIGINT) AS v
+        |      FROM h CROSS JOIN (SELECT unnest(range(0, 36)) AS i)),
+        |img AS (SELECT doc_id,
+        |          CAST(9 AS BIGINT) AS n_px,
+        |          CAST(SUM(CASE WHEN i%12 < 9 AND i%3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |          CAST(SUM(CASE WHEN i%12 < 9 AND i%3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |          CAST(SUM(CASE WHEN i%12 < 9 AND i%3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |        FROM b GROUP BY doc_id),
+        |w AS (SELECT doc_id, i // 2 AS si,
+        |        SUM(CASE WHEN i%2 = 0 THEN v ELSE 256*v END) AS u
+        |      FROM b WHERE i < 32 GROUP BY doc_id, i // 2),
+        |sv AS (SELECT doc_id, CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS s FROM w),
+        |aud AS (SELECT doc_id,
+        |          CAST(16 AS BIGINT) AS n_samples,
+        |          CAST(SUM(s) AS BIGINT) AS sum_samples,
+        |          CAST(SUM(s*s) AS BIGINT) AS sum_sq
+        |        FROM sv GROUP BY doc_id)
+        |SELECT doc_id, n_px, sum_b, sum_g, sum_r, n_samples, sum_samples, sum_sq
+        |FROM img JOIN aud USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, sha256(text) AS content_hash,

@@ -96,6 +96,74 @@ class TextVectorSpec extends SparkSpec {
     assert(r === ((8.0, 3L)))
   }
 
+  test("BMP pixel decode: header-driven offsets, stride padding skipped") {
+    // 3×3 pixels (stride 12): rows carry 9 pixel bytes + 3 padding bytes
+    // (AA/BB/CC) that a correct decoder must skip.
+    val pixHex =
+      "010203" + "040506" + "070809" + "AAAAAA" +
+      "0A0B0C" + "0D0E0F" + "101112" + "BBBBBB" +
+      "131415" + "161718" + "191A1B" + "CCCCCC"
+    val r = Seq(1).toDF("id")
+      .select(graft.operators.Multimodal
+        .syntheticBmp3x3(unhex(lit(pixHex))).as("p"))
+      .select(graft.operators.Multimodal.bmpPixelStats(col("p")).as("s"))
+      .selectExpr("s.width", "s.height", "s.n_px", "s.sum_b", "s.sum_g",
+        "s.sum_r")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // B = 1+4+7+10+13+16+19+22+25, G = B+9, R = B+18 (hand-computed)
+    assert(r === ((3L, 3L, 9L, 117L, 126L, 135L)))
+  }
+
+  test("BMP pixel decode: 2x2 stride-8 layout and non-BMP rejection") {
+    // Hand-built header (NOT the synthetic builder): w=2 → row bytes 6,
+    // stride 8 — decode must honor the 4-byte alignment for a different
+    // width than the builder's.
+    val hdr = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+      "00000000" + "10000000" + "00000000" + "00000000" +
+      "00000000" + "00000000"
+    val pix = "010203" + "040506" + "FFFF" + "070809" + "0A0B0C" + "EEEE"
+    val df = Seq(
+      (1L, hdr + pix),    // valid 2×2 BMP
+      (2L, "00112233")    // not a BMP → null
+    ).toDF("id", "hex")
+      .select(col("id"),
+        graft.operators.Multimodal.bmpPixelStats(unhex(col("hex"))).as("s"))
+    val rows = df.selectExpr("id", "s.n_px", "s.sum_b", "s.sum_g", "s.sum_r")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows(0) === ((1L, Some(4L), Some(22L), Some(26L), Some(30L))))
+    assert(rows(1) === ((2L, None, None, None, None)))
+  }
+
+  test("WAV PCM decode: signed 16-bit samples, exact sums") {
+    // Samples 1, -1, -32768, 32767, then twelve zeros (little-endian).
+    val sampHex = "0100" + "FFFF" + "0080" + "FF7F" + ("0000" * 12)
+    val r = Seq(1).toDF("id")
+      .select(graft.operators.Multimodal
+        .syntheticWav16(unhex(lit(sampHex))).as("p"))
+      .select(graft.operators.Multimodal.wavPcmStats(col("p")).as("s"))
+      .selectExpr("s.n_samples", "s.sum_samples", "s.sum_sq")
+      .as[(Long, Long, Long)].head()
+    // sum = 1-1-32768+32767 = -1; sumsq = 1+1+32768²+32767² (two's
+    // complement extremes prove the signedness handling)
+    assert(r === ((16L, -1L, 2147418115L)))
+  }
+
+  test("WAV PCM decode rejects truncated and non-PCM payloads") {
+    val good = graft.operators.Multimodal.syntheticWav16(
+      unhex(lit("00" * 32)))
+    val rows = Seq(1).toDF("id")
+      .select(
+        // truncate below 44+dataSize → guard must null out
+        graft.operators.Multimodal.wavPcmStats(good.substr(lit(1), lit(60)))
+          .as("t"),
+        graft.operators.Multimodal.wavPcmStats(unhex(lit("52494646")))
+          .as("n"))
+      .selectExpr("t is null", "n is null").as[(Boolean, Boolean)].head()
+    assert(rows === ((true, true)))
+  }
+
   test("multimodal frame sampling: offsets, strides, and frame bytes") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ-_!?"))
       .toDF("doc_id", "text")
