@@ -115,4 +115,48 @@ class SimilaritySpec extends SparkSpec {
       nCells = 4, nProbe = 4))
     assert(full === exact)
   }
+
+  test("q_sim_ann registered config: recall >= 0.9 vs exact euclidean set") {
+    // Ground truth: every (query, vector) pair within euclidean 1.3,
+    // brute-forced. The registered q_sim_ann config (bucketLength 0.5,
+    // 4 hash tables, OR-amplified) must recover >= 90% of them; and since
+    // annCandidates verifies candidates with the exact distance, it can
+    // never emit a false positive — assert the subset relation too.
+    val exact = broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("q_emb"), col("embedding"),
+          (x, y) => ((x - y) * (x - y)).cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+      .filter(col("dist") <= 1.3)
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val ann = topkSet(Similarity.annCandidates(queries, corpus, 1.3))
+    assert(exact.nonEmpty, "vacuous recall fixture")
+    assert(ann.subsetOf(exact), s"false positives: ${ann diff exact}")
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ann=${ann.size}")
+  }
+
+  test("q_sim_ivf registered config: recall >= 0.9 on clustered embeddings") {
+    // The sf fixture is uniform random — IVF's adversarial case, where
+    // recall ≈ probe fraction by construction (asserted above). Real
+    // embedding corpora are clustered, which is the case IVF exists for:
+    // on a seeded 8-cluster fixture the registered q_sim_ivf config
+    // (nCells 16, nProbe 4) must put >= 90% of each query's exact top-10
+    // into the probed cells.
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    val centers = Array.fill(8, d)(rnd.nextGaussian() * 4.0)
+    val rows = for (c <- 0 until 8; j <- 0 until 100) yield
+      ((c * 100 + j).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    val cl = rows.toDF("vec_id", "embedding")
+    val qs = cl.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = topkSet(Similarity.cosineTopK(qs, cl, 10))
+    val ivf = topkSet(Similarity.ivfTopK(qs, cl, 10, nCells = 16, nProbe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ivf=${ivf.size}")
+  }
 }
