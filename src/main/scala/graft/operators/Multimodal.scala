@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with a typed metadata struct, and run
   * feature extraction as a columnar batch transform.
   *
-  * Decode status: uncompressed 24bpp BMP pixel decode ([[bmpPixelStats]])
-  * and 16-bit PCM WAV sample decode ([[wavPcmStats]]) are REAL — header-
-  * driven byte arithmetic over the binary column (data offset, row stride,
-  * padding skip, two's-complement samples), no media library. Only
-  * compressed codecs (PNG's deflate stream, JPEG entropy coding) remain
-  * STUBBED with a deterministic digest-derived feature vector: inflating a
-  * DEFLATE stream is not expressible as a columnar expression, and this
-  * container ships no codec libs. In production those formats run as an
+  * Decode status: uncompressed 24bpp BMP pixel decode ([[bmpPixelStats]]),
+  * 16-bit PCM WAV sample decode ([[wavPcmStats]]), and stored-block RGB8
+  * PNG decode ([[pngPixelStats]] — the zlib BTYPE=00 case every encoder
+  * emits at compression level 0) are REAL — header-driven byte arithmetic
+  * over the binary column (data offsets, row stride, padding/filter-byte
+  * skip, two's-complement samples, chunk walking), no media library. Only
+  * entropy-coded streams (DEFLATE Huffman blocks, JPEG) remain STUBBED
+  * with a deterministic digest-derived feature vector: an entropy decode
+  * is not expressible as a columnar expression, and this container ships
+  * no codec libs. In production those formats run as an
   * `mapInArrow`/Pandas-UDF batch calling the codec; everything downstream
   * of the `features` column is unchanged.
   *
@@ -165,6 +167,78 @@ object Multimodal {
         sums.getField("sq").as("sum_sq")))
   }
 
+  /** Big-endian sibling of [[byteAt]]'s dynamic-position read, `len` bytes
+    * wide — PNG chunk lengths live at data-dependent offsets. */
+  private def beUIntAt(bin: Column, pos: Column, len: Int): Column =
+    conv(hex(bin.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+
+  /** Walk the chunk list (len·4 type·4 data crc·4) from 1-based position
+    * `p`, returning the start of the first IDAT chunk within `depth`
+    * chunks, else null. Unrolled to a nested CASE — chunk offsets are
+    * data-dependent, but the minimal-PNG contract bounds the walk. */
+  private def findIdat(bin: Column, p: Column, depth: Int): Column =
+    // out-of-range substr yields empty binary → null arithmetic → the walk
+    // falls through to the depth-0 null, so no explicit bounds check needed
+    if (depth == 0) lit(null).cast("long")
+    else when(hex(bin.substr(p.cast("int") + 4, lit(4))) === "49444154", p)
+      .otherwise(findIdat(bin, p + 12 + beUIntAt(bin, p, 4), depth - 1))
+
+  /** REAL PNG pixel decode for the STORED-block case: an RGB8 (bit depth
+    * 8, color type 2, no interlace) PNG whose single IDAT carries a zlib
+    * stream with one uncompressed DEFLATE block (BTYPE=00 — what every
+    * encoder emits at compression level 0) and all-None (0) scanline
+    * filters decodes with pure byte arithmetic: sig → IHDR → chunk walk to
+    * IDAT (up to 2 ancillary chunks tolerated) → zlib header (dict-free) →
+    * stored-block LEN → scanlines of 1 filter byte + 3·width pixel bytes.
+    * Returns per-channel (R,G,B) pixel sums; null for anything else —
+    * including Huffman-coded DEFLATE blocks, which genuinely need an
+    * inflater and stay behind the documented `mapInArrow` codec seam (an
+    * entropy decode is not a columnar expression). Checksums (CRC32,
+    * Adler-32) are not verified — standard for a fast-path decoder.
+    * Work is bounded by the 16-bit stored-block LEN (≤ 64 KiB of pixels),
+    * so the guard also caps the aggregate. */
+  def pngPixelStats(payload: Column): Column = {
+    val w          = beUInt(payload, 17, 4)
+    val h          = beUInt(payload, 21, 4)
+    val depth      = beUInt(payload, 25, 1)
+    val ctype      = beUInt(payload, 26, 1)
+    val interlace  = beUInt(payload, 29, 1)
+    val idat       = findIdat(payload, lit(34L), 3)
+    val d          = idat + 8          // 1-based IDAT data start
+    val rowBytes   = w * 3 + 1         // filter byte + RGB pixels
+    val storedLen  = byteAt(payload, d + 3) + byteAt(payload, d + 4) * 256
+    val r0         = d + 7             // first scanline (filter byte)
+    val maxFilter = aggregate(
+      sequence(lit(0L), h - 1), lit(0L),
+      (acc, y) => greatest(acc, byteAt(payload, r0 + y * rowBytes)))
+    val sums = aggregate(
+      sequence(lit(0L), w * h - 1),
+      struct(lit(0L).as("r"), lit(0L).as("g"), lit(0L).as("b")),
+      (acc, i) => {
+        val x = pmod(i, w)
+        val y = floor((i - x) / w).cast("long")
+        val p = r0 + y * rowBytes + 1 + x * 3
+        struct(
+          (acc.getField("r") + byteAt(payload, p)).as("r"),
+          (acc.getField("g") + byteAt(payload, p + 1)).as("g"),
+          (acc.getField("b") + byteAt(payload, p + 2)).as("b"))
+      })
+    when(magic(payload, 1, 4) === "89504E47" &&
+      magic(payload, 13, 4) === "49484452" &&
+      depth === 8 && ctype === 2 && interlace === 0 &&
+      idat.isNotNull &&
+      byteAt(payload, d + 1).bitwiseAND(lit(32L)) === 0 && // no preset dict
+      byteAt(payload, d + 2) === 1 &&                      // BFINAL=1, BTYPE=00
+      storedLen === h * rowBytes &&                        // one block covers all
+      length(payload) >= r0 + h * rowBytes - 1 &&
+      maxFilter === 0,                                     // every filter is None
+      struct(
+        w.as("width"), h.as("height"), (w * h).as("n_px"),
+        sums.getField("r").as("sum_r"),
+        sums.getField("g").as("sum_g"),
+        sums.getField("b").as("sum_b")))
+  }
+
   /** 54-byte header of a 3×3 24bpp BI_RGB BMP (stride 12 → 3 padding bytes
     * per row, so the decoder's padding skip is actually exercised). */
   private val Bmp3x3HeaderHex: String =
@@ -193,6 +267,34 @@ object Multimodal {
     * WAV; sibling of [[syntheticBmp3x3]]. */
   def syntheticWav16(sampleSource: Column): Column =
     concat(unhex(lit(Wav16HeaderHex)), sampleSource.substr(lit(1), lit(32)))
+
+  /** Constant prefix of a 3×3 RGB8 stored-block PNG: signature, IHDR (with
+    * its true CRC32 — the IHDR bytes are fixed, so the checksum is a
+    * compile-time constant), IDAT length/type, zlib header, and the
+    * stored-block framing for the 30 raw bytes (3 scanlines × (1 filter +
+    * 9 pixel bytes)). Computed once on the driver; ships as a literal. */
+  private lazy val Png3x3PrefixHex: String = {
+    val ihdr = "49484452" + "00000003" + "00000003" + "08" + "02" + "00" + "00" + "00"
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    "89504E470D0A1A0A" + "0000000D" + ihdr + f"${crc.getValue}%08X" +
+      "00000029" + "49444154" + // IDAT, 41 data bytes (2+5+30+4)
+      "7801" +                  // zlib: 32K window, no dict, check-ok
+      "011E00E1FF"              // BFINAL=1 BTYPE=00, LEN=30, NLEN=~30
+  }
+
+  /** Wrap the first 27 bytes of `pixelSource` as a 3×3 RGB8 stored-block
+    * PNG (filter None on every scanline). The zlib Adler-32 and IDAT CRC
+    * trailers are zero-filled — [[pngPixelStats]] does not verify
+    * checksums, and the genuine-checksum case is covered by the spec's
+    * java.util.zip-built fixture. Third member of the synthetic-container
+    * family behind `q_multimodal_decode`'s oracle. */
+  def syntheticPng3x3(pixelSource: Column): Column =
+    concat(unhex(lit(Png3x3PrefixHex)),
+      unhex(lit("00")), pixelSource.substr(lit(1), lit(9)),
+      unhex(lit("00")), pixelSource.substr(lit(10), lit(9)),
+      unhex(lit("00")), pixelSource.substr(lit(19), lit(9)),
+      unhex(lit("0000000000000000"))) // Adler-32 + IDAT CRC placeholders
 
   /** Attach a binary payload column + typed metadata struct. The payload
     * here is the UTF-8 encoding of the text column (the test corpus has no

@@ -307,7 +307,8 @@ object LlmOps extends QueryFamily {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         Multimodal.bmpPixelStats(Multimodal.syntheticBmp3x3(src)).as("img"),
-        Multimodal.wavPcmStats(Multimodal.syntheticWav16(src)).as("aud"))
+        Multimodal.wavPcmStats(Multimodal.syntheticWav16(src)).as("aud"),
+        Multimodal.pngPixelStats(Multimodal.syntheticPng3x3(src)).as("png"))
       .select(col("doc_id"),
         col("img.n_px").as("n_px"),
         col("img.sum_b").as("sum_b"),
@@ -315,7 +316,11 @@ object LlmOps extends QueryFamily {
         col("img.sum_r").as("sum_r"),
         col("aud.n_samples").as("n_samples"),
         col("aud.sum_samples").as("sum_samples"),
-        col("aud.sum_sq").as("sum_sq"))
+        col("aud.sum_sq").as("sum_sq"),
+        col("png.n_px").as("png_n_px"),
+        col("png.sum_r").as("sum_png_r"),
+        col("png.sum_g").as("sum_png_g"),
+        col("png.sum_b").as("sum_png_b"))
       .orderBy("doc_id")
   }
 
@@ -344,11 +349,13 @@ object LlmOps extends QueryFamily {
 
   override val oracle: Map[String, String] = Map(
     // Recomputes q_multimodal_decode's stats directly from the digest hex —
-    // independent of the BMP/WAV container framing the engine decodes
+    // independent of the BMP/WAV/PNG container framing the engine decodes
     // through. Byte i of the pixel/sample stream is hex pair (2i, 2i+1);
     // BMP rows are 12 bytes with bytes 9-11 padding (i%12 < 9 keeps
     // pixels; channel = i%3 since the 12-byte stride is divisible by 3);
-    // WAV samples are the first 32 bytes as little-endian int16.
+    // WAV samples are the first 32 bytes as little-endian int16; PNG
+    // pixels are the first 27 bytes RGB-interleaved (scanline filter
+    // bytes exist only inside the container, which the oracle never sees).
     "q_multimodal_decode" ->
       """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
         |b AS (SELECT doc_id, i,
@@ -369,9 +376,17 @@ object LlmOps extends QueryFamily {
         |          CAST(16 AS BIGINT) AS n_samples,
         |          CAST(SUM(s) AS BIGINT) AS sum_samples,
         |          CAST(SUM(s*s) AS BIGINT) AS sum_sq
-        |        FROM sv GROUP BY doc_id)
-        |SELECT doc_id, n_px, sum_b, sum_g, sum_r, n_samples, sum_samples, sum_sq
-        |FROM img JOIN aud USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |        FROM sv GROUP BY doc_id),
+        |png AS (SELECT doc_id,
+        |          CAST(9 AS BIGINT) AS png_n_px,
+        |          CAST(SUM(CASE WHEN i%3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_png_r,
+        |          CAST(SUM(CASE WHEN i%3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_png_g,
+        |          CAST(SUM(CASE WHEN i%3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_png_b
+        |        FROM b WHERE i < 27 GROUP BY doc_id)
+        |SELECT doc_id, n_px, sum_b, sum_g, sum_r, n_samples, sum_samples, sum_sq,
+        |       png_n_px, sum_png_r, sum_png_g, sum_png_b
+        |FROM img JOIN aud USING (doc_id) JOIN png USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, sha256(text) AS content_hash,

@@ -136,6 +136,62 @@ class TextVectorSpec extends SparkSpec {
     assert(rows(1) === ((2L, None, None, None, None)))
   }
 
+  test("PNG stored-block decode: genuine level-0 PNG built with java.util.zip") {
+    import java.util.zip.{CRC32, Deflater}
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length); bb.put(tpe.getBytes("ASCII")); bb.put(data)
+      val c = new CRC32(); c.update(tpe.getBytes("ASCII")); c.update(data)
+      bb.putInt(c.getValue.toInt); bb.array()
+    }
+    def deflate(raw: Array[Byte], level: Int): Array[Byte] = {
+      val d = new Deflater(level); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end(); buf.take(n)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val (w, h) = (2, 2)
+    val pixels = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30).map(_.toByte)
+    val raw = (0 until h).toArray.flatMap(y =>
+      0.toByte +: pixels.slice(y * 3 * w, (y + 1) * 3 * w))
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    // level 0 → one stored DEFLATE block; real CRC32s and Adler-32
+    val png0 = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(raw, 0)) ++ chunk("IEND", Array.empty)
+    // an ancillary chunk before IDAT exercises the chunk walk
+    val pngA = sig ++ chunk("IHDR", ihdr) ++ chunk("sRGB", Array(0.toByte)) ++
+      chunk("IDAT", deflate(raw, 0)) ++ chunk("IEND", Array.empty)
+    // level 6 → Huffman-coded blocks → decoder must decline, not misread
+    val png6 = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(raw, 6)) ++ chunk("IEND", Array.empty)
+    val rows = Seq((1L, png0), (2L, pngA), (3L, png6))
+      .toDF("id", "payload")
+      .select(col("id"),
+        graft.operators.Multimodal.pngPixelStats(col("payload")).as("s"))
+      .selectExpr("id", "s.n_px", "s.sum_r", "s.sum_g", "s.sum_b")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows(0) === ((1L, Some(4L), Some(265L), Some(275L), Some(285L))))
+    assert(rows(1) === ((2L, Some(4L), Some(265L), Some(275L), Some(285L))))
+    assert(rows(2) === ((3L, None, None, None, None)))
+  }
+
+  test("synthetic PNG builder round-trips through the stored-block decoder") {
+    val pixHex = "010203" + "040506" + "070809" +
+      "0A0B0C" + "0D0E0F" + "101112" +
+      "131415" + "161718" + "191A1B"
+    val r = Seq(1).toDF("id")
+      .select(graft.operators.Multimodal
+        .syntheticPng3x3(unhex(lit(pixHex))).as("p"))
+      .select(graft.operators.Multimodal.pngPixelStats(col("p")).as("s"))
+      .selectExpr("s.n_px", "s.sum_r", "s.sum_g", "s.sum_b")
+      .as[(Long, Long, Long, Long)].head()
+    // R = 1+4+7+10+13+16+19+22+25 = 117 (PNG is RGB, so R leads)
+    assert(r === ((9L, 117L, 126L, 135L)))
+  }
+
   test("WAV PCM decode: signed 16-bit samples, exact sums") {
     // Samples 1, -1, -32768, 32767, then twelve zeros (little-endian).
     val sampHex = "0100" + "FFFF" + "0080" + "FF7F" + ("0000" * 12)
