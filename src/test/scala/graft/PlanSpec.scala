@@ -273,4 +273,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
       p.take(2000))
   }
+
+  test("multimodal decode is a narrow projection: no shuffle before the dump sort") {
+    // build → decode for all three containers must stay embarrassingly
+    // parallel: at 100 TB the media decode inherits the scan partitioning,
+    // and the only Exchange allowed is the final total-order range exchange
+    // every registered query carries for oracle determinism.
+    val p = planString(graft.queries.LlmOps.qMultimodalDecode(spark, sf))
+    assert(!p.contains("hashpartitioning"), p.take(3000))
+    assert(!p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    // and only text + doc_id are read from the documents table
+    assert(!p.contains("url") && !p.contains("lang:"), p.take(3000))
+  }
 }
