@@ -89,11 +89,28 @@ object Multimodal {
         leUInt(payload, 25, 4).as("sample_rate"),
         leUInt(payload, 35, 2).as("bits_per_sample")))
 
-  /** Unsigned byte value at a DYNAMIC 1-based position (Column, not
-    * literal) — hex of the 1-byte slice, then base-16 parse. Everything
-    * stays inside codegen'd built-ins. */
-  private def byteAt(bin: Column, pos: Column): Column =
-    conv(hex(bin.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+  /** Big-endian unsigned int at a DYNAMIC 1-based position (Column, not
+    * literal), `len` bytes wide — PNG chunk fields and pixel offsets live
+    * at data-dependent positions. Everything stays inside codegen'd
+    * built-ins. Callers must bound `pos` (see the decoder guards): ANSI
+    * mode makes an overflowing int cast THROW, and a corrupt record must
+    * decode to null, never kill the query. */
+  private def beUIntAt(bin: Column, pos: Column, len: Int): Column =
+    conv(hex(bin.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
+
+  /** Unsigned byte value at a dynamic 1-based position (single-byte
+    * [[beUIntAt]] — endianness is moot at width 1). */
+  private def byteAt(bin: Column, pos: Column): Column = beUIntAt(bin, pos, 1)
+
+  /** Dimension sanity bound shared by the decoder guards: fields parsed
+    * out of untrusted headers are capped BEFORE any multiplication so the
+    * guard arithmetic itself cannot overflow under ANSI mode (a crafted
+    * 0xFFFFFFFF width×height otherwise throws ARITHMETIC_OVERFLOW instead
+    * of declining to null — one corrupt record must never kill a 6-hour
+    * pipeline). 2^20 ≫ any thumbnail this expression path is for; `&&`
+    * short-circuits left-to-right in both interpreted and codegen eval,
+    * so bounds conjuncts listed first protect the arithmetic after them. */
+  private val DimBound = 1L << 20
 
   /** REAL 24bpp BMP pixel decode: per-channel (B,G,R) byte sums over the
     * pixel array, driven entirely by the file's own header — bfOffBits data
@@ -127,7 +144,8 @@ object Multimodal {
           (acc.getField("r") + byteAt(payload, p + 2)).as("r"))
       })
     when(magic(payload, 1, 2) === "424D" && bpp === 24 && comp === 0 &&
-      w > 0 && h > 0 && length(payload) >= off + h * stride,
+      w > 0 && h > 0 && w <= DimBound && h <= DimBound && off <= DimBound &&
+      length(payload) >= off + h * stride,
       struct(
         w.as("width"), h.as("height"), (w * h).as("n_px"),
         sums.getField("b").as("sum_b"),
@@ -167,20 +185,18 @@ object Multimodal {
         sums.getField("sq").as("sum_sq")))
   }
 
-  /** Big-endian sibling of [[byteAt]]'s dynamic-position read, `len` bytes
-    * wide — PNG chunk lengths live at data-dependent offsets. */
-  private def beUIntAt(bin: Column, pos: Column, len: Int): Column =
-    conv(hex(bin.substr(pos.cast("int"), lit(len))), 16, 10).cast("long")
-
   /** Walk the chunk list (len·4 type·4 data crc·4) from 1-based position
     * `p`, returning the start of the first IDAT chunk within `depth`
     * chunks, else null. Unrolled to a nested CASE — chunk offsets are
-    * data-dependent, but the minimal-PNG contract bounds the walk. */
+    * data-dependent, but the minimal-PNG contract bounds the walk. The
+    * in-bounds branch is checked FIRST (CASE arms evaluate in order), so a
+    * corrupt chunk length that walks `p` past the payload — or past int
+    * range — nulls out instead of throwing on the ANSI int cast. */
   private def findIdat(bin: Column, p: Column, depth: Int): Column =
-    // out-of-range substr yields empty binary → null arithmetic → the walk
-    // falls through to the depth-0 null, so no explicit bounds check needed
     if (depth == 0) lit(null).cast("long")
-    else when(hex(bin.substr(p.cast("int") + 4, lit(4))) === "49444154", p)
+    else when(p.isNull || p < 1 || p + 7 > length(bin).cast("long") + 1,
+        lit(null).cast("long"))
+      .when(hex(bin.substr(p.cast("int") + 4, lit(4))) === "49444154", p)
       .otherwise(findIdat(bin, p + 12 + beUIntAt(bin, p, 4), depth - 1))
 
   /** REAL PNG pixel decode for the STORED-block case: an RGB8 (bit depth
@@ -226,6 +242,10 @@ object Multimodal {
     when(magic(payload, 1, 4) === "89504E47" &&
       magic(payload, 13, 4) === "49484452" &&
       depth === 8 && ctype === 2 && interlace === 0 &&
+      // a 16-bit stored-block LEN caps real pixels at 64 KiB anyway; the
+      // explicit w/h bound keeps the h·rowBytes products below from ANSI-
+      // overflowing on a crafted 0xFFFFFFFF-dims IHDR before LEN can veto
+      w > 0 && h > 0 && w <= lit(65535L) && h <= lit(65535L) &&
       idat.isNotNull &&
       byteAt(payload, d + 1).bitwiseAND(lit(32L)) === 0 && // no preset dict
       byteAt(payload, d + 2) === 1 &&                      // BFINAL=1, BTYPE=00

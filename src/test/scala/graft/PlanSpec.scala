@@ -284,6 +284,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"), p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
     // and only text + doc_id are read from the documents table
-    assert(!p.contains("url") && !p.contains("lang:"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(3000))
   }
 }

@@ -118,8 +118,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("q_sim_ann registered config: recall >= 0.9 vs exact euclidean set") {
     // Ground truth: every (query, vector) pair within euclidean 1.3,
-    // brute-forced. The registered q_sim_ann config (bucketLength 0.5,
-    // 4 hash tables, OR-amplified) must recover >= 90% of them; and since
+    // brute-forced. The registered q_sim_ann config (bucketLength 1.5,
+    // 8 hash tables, OR-amplified) must recover >= 90% of them; and since
     // annCandidates verifies candidates with the exact distance, it can
     // never emit a false positive — assert the subset relation too.
     val exact = broadcast(queries).crossJoin(corpus)

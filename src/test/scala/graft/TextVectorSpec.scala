@@ -192,6 +192,34 @@ class TextVectorSpec extends SparkSpec {
     assert(r === ((9L, 117L, 126L, 135L)))
   }
 
+  test("corrupt headers decode to null, never throw (ANSI overflow hardening)") {
+    // Crafted hostile headers: 0xFFFFFFFF BMP dims (guard product would
+    // overflow a long), a PNG IHDR with 0xFFFFFFFF dims, and a PNG whose
+    // pre-IDAT chunk declares a ~2^31 length (the chunk walk would cast
+    // past int range). Under Spark's default ANSI mode each of these threw
+    // before the bounds guards existed; the decode contract is null.
+    val evilBmp = "424D" + "46000000" + "00000000" + "36000000" +
+      "28000000" + "FFFFFFFF" + "FFFFFFFF" + "0100" + "1800" +
+      "00000000" + "10000000" + ("00000000" * 4) + ("00" * 32)
+    val pngSig = "89504E470D0A1A0A"
+    val evilPngDims = pngSig + "0000000D" + "49484452" +
+      "FFFFFFFF" + "FFFFFFFF" + "08" + "02" + "00" + "00" + "00" +
+      "00000000" + "00000029" + "49444154" + "7801" + "011E00E1FF" +
+      ("00" * 38)
+    val evilChunkLen = pngSig + "0000000D" + "49484452" +
+      "00000003" + "00000003" + "08" + "02" + "00" + "00" + "00" +
+      "00000000" + "7FFFFFF0" + "73524742" + ("00" * 16)
+    val rows = Seq((1L, evilBmp), (2L, evilPngDims), (3L, evilChunkLen))
+      .toDF("id", "hex")
+      .select(col("id"),
+        graft.operators.Multimodal.bmpPixelStats(unhex(col("hex"))).as("b"),
+        graft.operators.Multimodal.pngPixelStats(unhex(col("hex"))).as("p"),
+        graft.operators.Multimodal.wavPcmStats(unhex(col("hex"))).as("w"))
+      .selectExpr("id", "b is null", "p is null", "w is null")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows.forall { case (_, b, p, w) => b && p && w }, rows.toSeq)
+  }
+
   test("WAV PCM decode: signed 16-bit samples, exact sums") {
     // Samples 1, -1, -32768, 32767, then twelve zeros (little-endian).
     val sampHex = "0100" + "FFFF" + "0080" + "FF7F" + ("0000" * 12)
