@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   * PNG decode ([[pngPixelStats]] — the zlib BTYPE=00 case every encoder
   * emits at compression level 0) are REAL — header-driven byte arithmetic
   * over the binary column (data offsets, row stride, padding/filter-byte
-  * skip, two's-complement samples, chunk walking), no media library. Only
-  * entropy-coded streams (DEFLATE Huffman blocks, JPEG) remain STUBBED
-  * with a deterministic digest-derived feature vector: an entropy decode
-  * is not expressible as a columnar expression, and this container ships
-  * no codec libs. In production those formats run as an
-  * `mapInArrow`/Pandas-UDF batch calling the codec; everything downstream
-  * of the `features` column is unchanged.
+  * skip, two's-complement samples, chunk walking), no media library.
+  * Entropy-coded streams are ALSO real, via the JDK-only kernels in
+  * `expressions.MediaCodec`: `PngDecodeStats` (java.util.zip Inflater +
+  * all five scanline filters — any compression level, gray/RGB/RGBA,
+  * multi-IDAT) and `ImageDecodeStats` (javax.imageio — the JPEG path),
+  * both oracle-checked end-to-end in `q_multimodal_inflate`. The
+  * digest-derived feature vector below remains only as the generic
+  * "embed anything" fallback seam for formats with no JDK codec
+  * (video codecs etc.), which production routes through an
+  * `mapInArrow` batch; everything downstream of the `features` column
+  * is unchanged either way.
   *
   * Scale posture: payloads stay opaque bytes end-to-end (no row-level JVM
   * object churn); metadata extraction is codegen'd; feature extraction is
@@ -315,6 +319,17 @@ object Multimodal {
       unhex(lit("00")), pixelSource.substr(lit(10), lit(9)),
       unhex(lit("00")), pixelSource.substr(lit(19), lit(9)),
       unhex(lit("0000000000000000"))) // Adler-32 + IDAT CRC placeholders
+
+  /** Sum of unsigned byte values of a binary column — pure codegen'd
+    * built-ins, the cheap content witness for frame/payload comparisons
+    * (DuckDB can recompute it from hex without a binary hash function).
+    * Empty input sums to 0 (the unguarded sequence would DESCEND 1→0). */
+  def byteSum(bin: Column): Column =
+    when(length(bin) > 0,
+      aggregate(sequence(lit(1L), length(bin).cast("long")), lit(0L),
+        (acc, i) => acc + conv(hex(bin.substr(i.cast("int"), lit(1))), 16, 10)
+          .cast("long")))
+      .otherwise(lit(0L))
 
   /** Attach a binary payload column + typed metadata struct. The payload
     * here is the UTF-8 encoding of the text column (the test corpus has no

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{TextFunctions => T}
+import graft.functions.{MediaFunctions => MC, TextFunctions => T}
 import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** B-10 LLM-data-pipeline operators (SURVEY.md §2) — the training-data
@@ -332,6 +332,62 @@ object LlmOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_multimodal_inflate — ENTROPY-CODED container decode, oracle-checked:
+    * per-row source bytes (sha256‖md5 of the text, 48 bytes) become a 4×4
+    * RGB8 PNG through the real encoder (rotating Sub/Up/Average/Paeth
+    * filters, default-compression DEFLATE, true CRC32/Adler-32), then
+    * decode twice — once through the engine's Inflater+unfilter kernel,
+    * once through the JDK's independent imageio PNG plugin — plus a JPEG
+    * round-trip for the lossless facts (dimensions). The DuckDB oracle
+    * recomputes every channel sum straight from the digest hex without any
+    * container, so BOTH decoders' arithmetic (and the encoder's filter
+    * math they must invert) is cross-checked engine-vs-DuckDB, and the two
+    * engine decoders are pinned to each other. Completes the stored-block
+    * story of `q_multimodal_decode` at real compression levels. */
+  def qMultimodalInflate(s: SparkSession, dir: String): DataFrame = {
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    val png = MC.pngEncodeRgb8(src, 4, 4)
+    val jpg = MC.jpegEncodeRgb8(src, 4, 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        MC.pngDecodeStats(png).as("p"),
+        MC.imageDecodeStats(png).as("x"),
+        MC.imageDecodeStats(jpg).as("j"))
+      .select(col("doc_id"),
+        col("p.n_px").as("n_px"),
+        col("p.sum_r").as("sum_r"),
+        col("p.sum_g").as("sum_g"),
+        col("p.sum_b").as("sum_b"),
+        col("x.sum_r").as("xdec_sum_r"),
+        col("x.sum_g").as("xdec_sum_g"),
+        col("x.sum_b").as("xdec_sum_b"),
+        col("j.n_px").as("jpeg_n_px"))
+      .orderBy("doc_id")
+  }
+
+  /** q_multimodal_avi — REAL video-container parse, oracle-checked: per-row
+    * source bytes become a genuine AVI (RIFF framing, hdrl main header,
+    * JUNK chunk, LIST movi with one 00db chunk per frame), and the frame
+    * walker must skip the non-movi structure, honor chunk sizes, and
+    * recover every frame at its true absolute byte offset. The oracle
+    * recomputes frame index/offset/length/byte-sum straight from the digest
+    * hex and the closed-form container layout — any walk error (padding,
+    * LIST nesting, offset arithmetic) hash-mismatches. Null text ⇒ null
+    * container ⇒ zero frames (explode drops the row), mirrored by the
+    * oracle's text filter. */
+  def qMultimodalAvi(s: SparkSession, dir: String): DataFrame = {
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(MC.aviFrames(MC.aviEncodeFrames(src, 12, 4))).as("f"))
+      .select(col("doc_id"),
+        col("f.frame_idx").as("frame_idx"),
+        col("f.byte_offset").as("byte_offset"),
+        length(col("f.frame_bytes")).cast("long").as("frame_len"),
+        Multimodal.byteSum(col("f.frame_bytes")).as("frame_sum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_stats" -> (qTextStats _),
@@ -353,7 +409,9 @@ object LlmOps extends QueryFamily {
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
-    "q_multimodal_decode" -> (qMultimodalDecode _))
+    "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_multimodal_inflate" -> (qMultimodalInflate _),
+    "q_multimodal_avi" -> (qMultimodalAvi _))
 
   override val oracle: Map[String, String] = Map(
     // Recomputes q_multimodal_decode's stats directly from the digest hex —
@@ -401,6 +459,48 @@ object LlmOps extends QueryFamily {
         |FROM img JOIN aud USING (doc_id) JOIN png USING (doc_id)
         |  JOIN stub USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q_multimodal_inflate: the engine round-trips source bytes through a
+    // REAL compressed PNG (filter → DEFLATE → chunk framing) and back via
+    // two independent decoders; the oracle never sees a container — it sums
+    // the first 48 digest bytes RGB-interleaved (i%3), so any filter/
+    // inflate/chunk-walk error on either decoder hash-mismatches. JPEG is
+    // lossy, so only its lossless fact (16 pixels) is compared. NULL text ⇒
+    // NULL digest ⇒ all-NULL stats, reproduced by COUNT-guarded CASEs.
+    "q_multimodal_inflate" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, i,
+        |        CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
+        |             (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS BIGINT) AS v
+        |      FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS i)),
+        |png AS (SELECT doc_id,
+        |          CAST(CASE WHEN COUNT(v) > 0 THEN 16 END AS BIGINT) AS n_px,
+        |          CAST(SUM(CASE WHEN i%3 = 0 THEN v END) AS BIGINT) AS sum_r,
+        |          CAST(SUM(CASE WHEN i%3 = 1 THEN v END) AS BIGINT) AS sum_g,
+        |          CAST(SUM(CASE WHEN i%3 = 2 THEN v END) AS BIGINT) AS sum_b
+        |        FROM b GROUP BY doc_id)
+        |SELECT doc_id, n_px, sum_r, sum_g, sum_b,
+        |       sum_r AS xdec_sum_r, sum_g AS xdec_sum_g, sum_b AS xdec_sum_b,
+        |       n_px AS jpeg_n_px
+        |FROM png ORDER BY doc_id""".stripMargin,
+    // q_multimodal_avi: the engine walks a real AVI it built around the
+    // digest bytes; the oracle never sees the container — frame k is digest
+    // bytes [12k, 12k+12), its absolute data offset is the closed-form
+    // 120 + 20k of the deterministic layout (12 RIFF + 76 hdrl LIST +
+    // 12 JUNK + 12 movi LIST header + k·(8+12) + 8), and frame_sum is the
+    // plain byte-value sum DuckDB gets by GROUP BY i//12.
+    "q_multimodal_avi" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, i,
+        |        CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
+        |             (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS BIGINT) AS v
+        |      FROM h CROSS JOIN (SELECT unnest(range(0, 48)) AS i))
+        |SELECT doc_id, CAST(i // 12 AS INT) AS frame_idx,
+        |       CAST(120 + (i // 12) * 20 AS BIGINT) AS byte_offset,
+        |       CAST(12 AS BIGINT) AS frame_len,
+        |       CAST(SUM(v) AS BIGINT) AS frame_sum
+        |FROM b GROUP BY doc_id, i // 12
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, content_hash FROM (
         |  SELECT doc_id, sha256(text) AS content_hash,

@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.expressions.MediaCodec
+import graft.functions.MediaFunctions
+import graft.queries.LlmOps
+
+/** The JDK-backed entropy codec kernels (MediaCodec.scala): PNG
+  * encode/decode round-trips at real compression levels, independence
+  * cross-checks against the JDK's own imageio decoder, hostile-input
+  * robustness, and the registered q_multimodal_inflate query. */
+class MediaCodecSpec extends SparkSpec {
+
+  /** Deterministic pseudo-random pixel buffer (no Math.random in tests —
+    * seeded streams keep every failure reproducible). */
+  private def pixels(n: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Byte](n)
+    r.nextBytes(a)
+    a
+  }
+
+  private def sums(px: Array[Byte], w: Int, h: Int): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < w * h * 3) {
+      (i % 3) match {
+        case 0 => sr += px(i) & 0xff
+        case 1 => sg += px(i) & 0xff
+        case 2 => sb += px(i) & 0xff
+      }
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
+  private def statsOf(row: org.apache.spark.sql.catalyst.InternalRow) =
+    (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+
+  test("PNG round-trip is exact across sizes and every filter type") {
+    // Heights ≥ 4 exercise all of Sub/Up/Average/Paeth (rotating filter);
+    // 1×1 and 5×3 cover the no-left/no-up boundary columns and rows.
+    for (((w, h), seed) <- Seq((1, 1), (4, 4), (5, 3), (3, 7), (16, 16), (33, 9)).zipWithIndex) {
+      val px = pixels(w * h * 3, 1000 + seed)
+      val png = MediaCodec.encodePngRgb8(px, w, h)
+      val dec = MediaCodec.decodePngStats(png)
+      assert(dec != null, s"decode failed for ${w}x$h")
+      val (sr, sg, sb) = sums(px, w, h)
+      assert(statsOf(dec) === ((w.toLong, h.toLong, w.toLong * h, sr, sg, sb)))
+      // Independent decoder must agree byte-for-byte on the same container.
+      assert(statsOf(MediaCodec.decodeImageStats(png)) === statsOf(dec))
+    }
+  }
+
+  test("decodes PNGs written by the independent JDK encoder (RGB, RGBA, gray)") {
+    import java.awt.image.BufferedImage
+    def write(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rgb = new BufferedImage(6, 5, BufferedImage.TYPE_INT_RGB)
+    val argb = new BufferedImage(6, 5, BufferedImage.TYPE_INT_ARGB)
+    val gray = new BufferedImage(6, 5, BufferedImage.TYPE_BYTE_GRAY)
+    var sr = 0L; var sg = 0L; var sb = 0L; var sy = 0L
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val (r, g, b) = ((x * 37 + y * 11) % 256, (x * 101 + y) % 256, (x + y * 53) % 256)
+      sr += r; sg += g; sb += b
+      rgb.setRGB(x, y, (r << 16) | (g << 8) | b)
+      argb.setRGB(x, y, (0x80 << 24) | (r << 16) | (g << 8) | b)
+      val v = (x * 29 + y * 7) % 256
+      sy += v
+      gray.getRaster.setSample(x, y, 0, v)
+    }
+    assert(statsOf(MediaCodec.decodePngStats(write(rgb))) ===
+      ((6L, 5L, 30L, sr, sg, sb)))
+    // RGBA: alpha ignored, color channels exact.
+    assert(statsOf(MediaCodec.decodePngStats(write(argb))) ===
+      ((6L, 5L, 30L, sr, sg, sb)))
+    // Gray: the single channel lands in all three sums.
+    assert(statsOf(MediaCodec.decodePngStats(write(gray))) ===
+      ((6L, 5L, 30L, sy, sy, sy)))
+  }
+
+  test("concatenates IDAT data split across multiple chunks") {
+    val px = pixels(4 * 4 * 3, 7)
+    val whole = MediaCodec.encodePngRgb8(px, 4, 4)
+    // Surgery: split the single IDAT into two chunks with fresh lengths and
+    // CRCs. Layout: sig(8) + IHDR chunk(25) = 33, then IDAT.
+    val idatLen = ((whole(33) & 0xff) << 24) | ((whole(34) & 0xff) << 16) |
+      ((whole(35) & 0xff) << 8) | (whole(36) & 0xff)
+    val data = java.util.Arrays.copyOfRange(whole, 41, 41 + idatLen)
+    val cut = idatLen / 2
+    def mkChunk(d: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + d.length)
+      out.putInt(d.length).put("IDAT".getBytes("US-ASCII")).put(d)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out.array(), 4, 4 + d.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val split = java.util.Arrays.copyOfRange(whole, 0, 33) ++
+      mkChunk(java.util.Arrays.copyOfRange(data, 0, cut)) ++
+      mkChunk(java.util.Arrays.copyOfRange(data, cut, idatLen)) ++
+      java.util.Arrays.copyOfRange(whole, 41 + idatLen + 4, whole.length)
+    val (sr, sg, sb) = sums(px, 4, 4)
+    assert(statsOf(MediaCodec.decodePngStats(split)) ===
+      ((4L, 4L, 16L, sr, sg, sb)))
+  }
+
+  test("hostile inputs decode to null, never throw") {
+    val good = MediaCodec.encodePngRgb8(pixels(48, 3), 4, 4)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "empty" -> Array.emptyByteArray,
+      "junk" -> pixels(64, 4),
+      "truncated" -> java.util.Arrays.copyOf(good, good.length - 9),
+      "bad signature" -> patched(b => b(1) = 'Q'),
+      // IHDR height lies small: inflated stream has surplus scanlines.
+      "height understated" -> patched(b => b(23) = 2),
+      // IHDR height lies big: stream truncates short of the declared volume.
+      "height overstated" -> patched(b => b(23) = 9),
+      // Dimensions beyond the bound must refuse before allocating.
+      "bomb dims" -> patched { b => b(16) = 0x7f; b(20) = 0x7f },
+      // A chunk length pointing past the buffer must not walk out of bounds.
+      "chunk length escape" -> patched(b => b(33) = 0x7f.toByte),
+      // Corrupt the zlib stream body.
+      "garbled deflate" -> patched(b => b(45) = (b(45) ^ 0x55).toByte),
+      "interlaced" -> patched(b => b(28) = 1),
+      "palette color type" -> patched(b => b(25) = 3),
+      "16-bit depth" -> patched(b => b(24) = 16))
+    for ((name, bytes) <- cases)
+      assert(MediaCodec.decodePngStats(bytes) == null, s"case: $name")
+    for ((name, bytes) <- cases)
+      // imageio may itself reject or decode a tampered container; the
+      // contract under test is only that OUR wrapper never throws.
+      MediaCodec.decodeImageStats(bytes)
+  }
+
+  test("JPEG round-trip: dimensions exact, channel means within codec error") {
+    val px = new Array[Byte](8 * 8 * 3)
+    java.util.Arrays.fill(px, 100.toByte)
+    val jpg = MediaCodec.encodeJpegRgb8(px, 8, 8)
+    // Magic bytes prove it really is entropy-coded JPEG, not a disguised copy.
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val dec = MediaCodec.decodeImageStats(jpg)
+    assert(dec != null)
+    assert((dec.getLong(0), dec.getLong(1), dec.getLong(2)) === ((8L, 8L, 64L)))
+    // A solid-color plane survives DCT quantization almost exactly.
+    for (c <- 3 to 5)
+      assert(math.abs(dec.getLong(c) - 64L * 100) <= 64 * 2, s"channel $c")
+  }
+
+  test("q_multimodal_inflate: engine decoders agree and nulls propagate") {
+    val df = LlmOps.qMultimodalInflate(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.length > 0)
+    val withText = rows.filter(r => !r.isNullAt(1))
+    assert(withText.length > 0)
+    for (r <- withText) {
+      assert(r.getLong(1) == 16L) // 4x4
+      // Inflater kernel vs imageio plugin: identical sums per row.
+      assert(r.getLong(2) == r.getLong(5) && r.getLong(3) == r.getLong(6) &&
+        r.getLong(4) == r.getLong(7), s"decoder disagreement: $r")
+      assert(r.getLong(8) == 16L) // JPEG lossless fact
+    }
+    df.unpersist()
+  }
+
+  test("column-level null propagation") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), None).toDF("t")
+      .select(MediaFunctions.pngDecodeStats(
+        MediaFunctions.pngEncodeRgb8(
+          unhex(concat(sha2(col("t"), 256), md5(col("t")))), 4, 4)).as("s"))
+    val out = df.select(col("s.n_px")).as[Option[Long]].collect()
+    assert(out(0).contains(16L) && out(1).isEmpty)
+  }
+}
