@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Profile, Vocab}
+import graft.operators.{Boilerplate, Dedup, Profile, Vocab}
 
 /** Corpus-curation operators, round 4: tokenizer-training pair statistics
   * (the counting step of BPE), per-column dataset profiling (the data-card /
@@ -50,12 +50,60 @@ object CurateOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_boilerplate — line-level boilerplate strip (the CCNet/RefinedWeb
+    * repeated-line removal). The corpus has single-line texts, so the query
+    * assembles deterministic multi-line "pages" in-query — same discipline
+    * as the synthetic media containers: per-source NAV/COPYRIGHT lines
+    * (shared by every doc of a source), a PROMO line on every 5th doc
+    * (repeated but sparser), and a PAIR line shared by exactly two docs
+    * (must survive: df = 2 < minDf = 3) around the unique prose line. The
+    * oracle rebuilds the same pages and recomputes df/strip/reassembly
+    * independently, so the whole operator — df counting, threshold,
+    * anti-join, position-ordered reassembly — is hash-checked. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("NAV "), col("source"), lit("\n"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("PROMO "), col("source"), lit("\n"))).otherwise(lit("")),
+      lit("PAIR "), floor(col("doc_id") / 2).cast("long").cast("string"), lit("\n"),
+      col("text"), lit("\n"),
+      lit("COPYRIGHT "), col("source"))
+    Boilerplate.strip(
+        Tables.documents(s, dir).withColumn("page", page),
+        "page", "doc_id", "source", minDf = 3)
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> (qBpePairs _),
     "q_profile" -> (qProfile _),
-    "q_dedup_incr_near" -> (qDedupIncrNear _))
+    "q_dedup_incr_near" -> (qDedupIncrNear _),
+    "q_boilerplate" -> (qBoilerplate _))
 
   override val oracle: Map[String, String] = Map(
+    "q_boilerplate" ->
+      """WITH pages AS (
+        |  SELECT doc_id, source,
+        |    'NAV ' || source || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'PROMO ' || source || chr(10) ELSE '' END ||
+        |    'PAIR ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) ||
+        |    text || chr(10) ||
+        |    'COPYRIGHT ' || source AS page
+        |  FROM documents WHERE text IS NOT NULL),
+        |ls AS (SELECT doc_id, source, string_split(page, chr(10)) AS lines FROM pages),
+        |l AS (SELECT doc_id, source, i AS pos, lines[CAST(i AS INT)] AS line
+        |      FROM ls, unnest(range(1, len(lines) + 1)) AS u(i)),
+        |hot AS (SELECT source, line FROM l GROUP BY source, line
+        |        HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+        |         WHERE NOT EXISTS (SELECT 1 FROM hot
+        |                           WHERE hot.source = l.source AND hot.line = l.line)),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |               md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines, a.n_kept, a.clean_md5
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
