@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Boilerplate, Dedup, Profile, Vocab}
+import graft.operators.{Boilerplate, Bpe, Dedup, Profile, Vocab}
 
 /** Corpus-curation operators, round 4: tokenizer-training pair statistics
   * (the counting step of BPE), per-column dataset profiling (the data-card /
@@ -74,13 +74,37 @@ object CurateOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_bpe_train — FULL iterative BPE tokenizer training (the loop
+    * q_bpe_pairs only measures one round of): 8 Sennrich merge rounds over
+    * the word-type vocabulary, single-char private-alphabet symbols so the
+    * merge rewrite is a plain `replace` with identical semantics in both
+    * engines — an ITERATIVE distributed algorithm whose every round is
+    * cross-engine hash-checked (the oracle unrolls the same 8 rounds). */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(Tables.documents(s, dir), "text", nMerges = 8)
+      .orderBy("merge_rank")
+
+  /** q_bpe_encode — encode the corpus with the 8-merge vocabulary: the
+    * final vocab's `sym` IS each word type's encoding, so corpus encoding
+    * is one broadcast join + a doc-keyed aggregate (words, chars, subword
+    * counts) — the compression-ratio report of tokenizer training. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, vocab) = Bpe.trainVocab(docs, "text", nMerges = 8)
+    Bpe.encode(docs, "text", "doc_id", vocab).orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> (qBpePairs _),
     "q_profile" -> (qProfile _),
     "q_dedup_incr_near" -> (qDedupIncrNear _),
-    "q_boilerplate" -> (qBoilerplate _))
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _))
 
   override val oracle: Map[String, String] = Map(
+    "q_bpe_train" -> Bpe.trainOracleSql(8),
+    "q_bpe_encode" -> Bpe.encodeOracleSql(8),
     "q_boilerplate" ->
       """WITH pages AS (
         |  SELECT doc_id, source,

@@ -287,4 +287,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       p.take(3000))
   }
+
+  test("entropy-codec queries stay narrow: no shuffle before the dump sort") {
+    // Inflater/imageio/AVI kernels are per-row leaves: encode → decode →
+    // stats (and the frame explode) must inherit the scan partitioning.
+    for (q <- Seq(graft.queries.LlmOps.qMultimodalInflate(spark, sf),
+        graft.queries.LlmOps.qMultimodalAvi(spark, sf))) {
+      val p = planString(q)
+      assert(!p.contains("hashpartitioning"), p.take(3000))
+      assert(!p.contains("Join"), p.take(3000))
+    }
+  }
+
+  test("boilerplate strip filters lines via broadcast anti-join") {
+    val p = planString(graft.queries.CurateOps.qBoilerplate(spark, sf))
+    // The hot-line set broadcasts; the corpus-sized line table must NOT be
+    // reshuffled for the filter (LeftAnti on a BroadcastExchange build).
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("BPE encode joins the trained vocab by broadcast; corpus never shuffles to it") {
+    val docs = Tables.documents(spark, sf)
+    val (_, vocab) = graft.operators.Bpe.trainVocab(docs, "text", nMerges = 2)
+    val p = planString(graft.operators.Bpe.encode(docs, "text", "doc_id", vocab))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
