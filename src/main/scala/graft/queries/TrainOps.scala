@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T}
-import graft.operators.{Dedup, Outliers}
+import graft.operators.{Dedup, Dsir, Outliers}
 
 /** Round-5 training-data operators: the web-corpus preparation steps that
   * sit around the dedup/quality core — HTML boilerplate stripping, URL
@@ -212,7 +212,19 @@ object TrainOps extends QueryFamily {
       .orderBy("source")
   }
 
+  /** q_dsir — DSIR-style importance resampling (hashed-bigram log-ratio
+    * scoring against a target subset + deterministic top-K selection).
+    * English documents stand in as the "trusted target domain"; the score
+    * measures how en-like each document's hashed bigram profile is. Every
+    * stage — md5 bucketing, Laplace-smoothed distributions, micro-nat
+    * quantization, ≥-threshold selection — is recomputed by the oracle. */
+  def qDsir(s: SparkSession, dir: String): DataFrame =
+    Dsir.select(Tables.documents(s, dir), "text", "doc_id",
+        targetPred = col("lang") === "en", nBuckets = 64, topK = 100)
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> (qDsir _),
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
     "q_emb_centroid" -> (qEmbCentroid _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -225,6 +237,8 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    "q_dsir" -> Dsir.oracleSql(targetPredSql = "lang = 'en'",
+      nBuckets = 64, topK = 100),
     "q_dedup_near_md5" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -26,10 +26,32 @@ case class SnapshotTarget(slaveId: String, hostname: String, port: Int)
   */
 object HttpSnapshotScan {
 
+  /** Production fetcher: a plain `HttpURLConnection` GET with bounded
+    * connect/read timeouts — JDK-only, one connection per call, closed on
+    * every path. Lives here (not inline in a lambda) so the task closure
+    * captures two ints, and so the timeout posture is part of the
+    * operator's contract: an unresponsive slave costs one bounded wait,
+    * never a hung task (the reference's client has the same role,
+    * /root/reference/syscol/metrics_reporter.go:117-131). */
+  def httpGet(connectTimeoutMs: Int = 2000, readTimeoutMs: Int = 5000)(
+      url: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    try {
+      val is = conn.getInputStream
+      try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally is.close()
+    } finally conn.disconnect()
+  }
+
   /** Fetch each target's snapshot and decode the JSON body to a typed map.
-    * `fetch` maps a URL to the raw body; failures yield the empty object. */
+    * `fetch` maps a URL to the raw body (default: [[httpGet]] over a real
+    * socket); failures yield the empty object. */
   def scan(targets: Dataset[SnapshotTarget],
-      fetch: String => String): DataFrame = {
+      fetch: String => String = httpGet()): DataFrame = {
     import targets.sparkSession.implicits._
     val fetched = targets.mapPartitions { it =>
       it.map { t =>

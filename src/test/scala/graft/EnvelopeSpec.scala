@@ -97,6 +97,42 @@ class EnvelopeSpec extends SparkSpec {
     assert(out("s1") === Map.empty[String, Double]) // error → empty, tick kept
   }
 
+  test("HTTP snapshot scan end-to-end over a REAL loopback socket") {
+    import graft.sources.{HttpSnapshotScan, SnapshotTarget}
+    // A genuine HTTP server (JDK com.sun.net.httpserver) on an ephemeral
+    // loopback port: executor tasks fetch through the DEFAULT httpGet
+    // fetcher — real URL, real socket, real timeout posture — not an
+    // injected fake. The second target points at the just-closed port to
+    // exercise the connection-refused -> empty-payload path for real.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics/snapshot",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = """{"slave/cpus_total": 8.0, "slave/mem_total": 1024.0}"""
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val targets = Seq(SnapshotTarget("s0", "127.0.0.1", port)).toDS()
+      val out = HttpSnapshotScan.scan(targets)
+        .select(col("slaveId"), col("metrics"))
+        .as[(String, Map[String, Double])].collect().toMap
+      assert(out("s0") ===
+        Map("slave/cpus_total" -> 8.0, "slave/mem_total" -> 1024.0))
+    } finally server.stop(0)
+    // Port now closed: the same default fetcher must yield the empty
+    // payload (tick kept), not a task failure.
+    val dead = Seq(SnapshotTarget("s1", "127.0.0.1", port)).toDS()
+    val deadOut = HttpSnapshotScan.scan(dead)
+      .select(col("slaveId"), col("metrics"))
+      .as[(String, Map[String, Double])].collect().toMap
+    assert(deadOut("s1") === Map.empty[String, Double])
+  }
+
   test("topic-like sink: every key's rows land in its hash partition") {
     import org.apache.spark.sql.functions.{col, hash, pmod, lit}
     val events = Tables.events(spark, sf)
