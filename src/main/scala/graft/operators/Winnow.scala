@@ -94,8 +94,17 @@ object Winnow {
       .filter(col("df") > maxDf)
       .select("fp_hash")
     val kept = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
-    kept.select(col("doc").as("a_id"), col("fp_hash"))
-      .join(kept.select(col("doc").as("b_id"), col("fp_hash")), "fp_hash")
+    // Same singleton prune as the Jaccard pair join: a fingerprint in ONE
+    // document forms no pair, and the df-annotating window shuffles on
+    // fp_hash — the exact partitioning+sort the self-join reuses, so the
+    // prune adds no exchange. On a Zipf corpus the singleton tail is the
+    // bulk of the (already winnow-thinned) fingerprint vocabulary.
+    val paired = kept
+      .withColumn("kdf", count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("kdf") >= 2)
+      .select("doc", "fp_hash")
+    paired.select(col("doc").as("a_id"), col("fp_hash"))
+      .join(paired.select(col("doc").as("b_id"), col("fp_hash")), "fp_hash")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
