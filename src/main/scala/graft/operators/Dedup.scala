@@ -188,8 +188,9 @@ object Dedup {
           xxhash64((0 until rowsPerBand)
             .map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))): _*))
         .as("bk"))
-    val cands = bands.select(col("doc").as("a_id"), col("bk"))
-      .join(bands.select(col("doc").as("b_id"), col("bk")), "bk")
+    val cands = pairableBands(bands)
+      .select(col("doc").as("a_id"), col("bk"))
+      .join(pairableBands(bands).select(col("doc").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cands
@@ -227,8 +228,9 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     val docs = md5ShingleDocs(df, textCol, idCol, shingleN)
     val bands = md5Bands(docs, numBands, rowsPerBand)
-    val cands = bands.select(col("doc").as("a_id"), col("bk"))
-      .join(bands.select(col("doc").as("b_id"), col("bk")), "bk")
+    val cands = pairableBands(bands)
+      .select(col("doc").as("a_id"), col("bk"))
+      .join(pairableBands(bands).select(col("doc").as("b_id"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cands
@@ -242,6 +244,20 @@ object Dedup {
       .filter(col("dist") <= maxDistance)
       .select("a_id", "b_id", "dist")
   }
+
+  /** Band rows whose key occurs in ≥ 2 documents: a singleton band bucket
+    * cannot produce a candidate pair, and on a healthy LSH layout MOST
+    * buckets are singletons (that sparsity is exactly what makes LSH
+    * sub-quadratic), so the prune removes the bulk of the self-join
+    * input. The df-annotating window shuffles on the band key — the same
+    * partitioning+sort the sort-merge self-join needs, so no exchange is
+    * added; candidate sets are identical by construction. */
+  private def pairableBands(bands: DataFrame): DataFrame =
+    bands
+      .withColumn("kdf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bk")))
+      .filter(col("kdf") >= 2)
+      .drop("kdf")
 
   /** (doc, distinct-shingle-array) pairs for the md5-family LSH operators —
     * documents with zero shingles (< `shingleN` tokens) are excluded; the
