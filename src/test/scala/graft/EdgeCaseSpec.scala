@@ -29,6 +29,41 @@ class EdgeCaseSpec extends SparkSpec {
       .snapshotDiff(emptyDocs, emptyDocs, "doc_id", "text").count() === 0L)
   }
 
+  test("round-6 additions accept empty and degenerate corpora") {
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    // Boilerplate: empty corpus → empty result; single doc → nothing is
+    // boilerplate (df=1 everywhere), everything kept.
+    assert(graft.operators.Boilerplate
+      .strip(emptySrc, "text", "doc_id", "source", minDf = 3).count() === 0L)
+    val one = Seq((1L, "s", "a\nb")).toDF("doc_id", "source", "text")
+    val kept = graft.operators.Boilerplate
+      .strip(one, "text", "doc_id", "source", minDf = 3).collect()
+    assert(kept.length == 1 && kept(0).getLong(2) == 2L)
+    // BPE: empty corpus → zero merges, not an exception; a corpus of
+    // single-char words exhausts before nMerges and stops early.
+    assert(graft.operators.Bpe.train(emptyDocs, "text", nMerges = 3)
+      .count() === 0L)
+    val chars = Seq("ab ab").toDF("text")
+    val m = graft.operators.Bpe.train(chars, "text", nMerges = 5).collect()
+    assert(m.length == 1 && m.head.getString(1) == "ab") // then exhausted
+    // DSIR: empty corpus and all-short docs (no bigrams) → empty scores.
+    assert(graft.operators.Dsir.select(
+      emptyDocs.withColumn("t", lit(true)), "text", "doc_id", col("t"))
+      .count() === 0L)
+    val short = Seq((1L, true, "word")).toDF("doc_id", "t", "text")
+    assert(graft.operators.Dsir.select(short, "text", "doc_id", col("t"))
+      .count() === 0L)
+    // Codec expressions on empty binary: null, never a throw.
+    val nulls = Seq(Array.emptyByteArray).toDF("b")
+      .select(
+        graft.functions.MediaFunctions.pngDecodeStats(col("b")).as("p"),
+        graft.functions.MediaFunctions.imageDecodeStats(col("b")).as("i"),
+        graft.functions.MediaFunctions.aviFrames(col("b")).as("a"))
+      .collect()
+    assert(nulls(0).isNullAt(0) && nulls(0).isNullAt(1) && nulls(0).isNullAt(2))
+  }
+
   test("drift statistics degrade cleanly: one source, one token, no pairs") {
     val one = Seq(("solo", "only only only")).toDF("source", "text")
     // a single source has no unordered pair: JSD output is empty, not a crash
