@@ -117,6 +117,54 @@ object Similarity {
     rerankTopK(probed.join(assigned, "cell_id"), k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, public method): semantic deduplication
+    * by k-means clustering + within-cluster cosine pruning. For every
+    * near-dup pair (cosine ≥ `simThreshold`) inside one cluster, the
+    * member MORE similar to the cluster centroid is dropped (the paper's
+    * keep-farthest rule: the prototype-like redundant copy goes, the
+    * outlier that carries information survives); ties break to dropping
+    * the higher id. The survivor set provably contains no within-cell
+    * pair above the threshold: any such pair would itself have voted one
+    * member out (asserted in SimilaritySpec).
+    *
+    * Scale shape — the SemDeDup contract: pair scoring is confined WITHIN
+    * cells, Σ|cell|² ≪ N², and the cell self-join shuffles on cell_id
+    * with the codegen cosine kernel doing the scoring. The quantizer fit
+    * runs on a sample at 100 TB (see [[fitQuantizer]]); assignment is the
+    * only full pass. Returns (vec_id, cell_id, c_sim, is_kept) for every
+    * corpus vector. Seeded k-means ⇒ engine-deterministic, not
+    * cross-engine oracle-checkable (property-tested instead, like the
+    * other mllib-fitted operators). */
+  def semDedup(corpus: DataFrame, simThreshold: Double,
+      nCells: Int = 16): DataFrame = {
+    val model = fitQuantizer(corpus, nCells)
+    val assigned = model.transform(
+      corpus.withColumn("fvec", array_to_vector(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val withCsim = assigned
+      .join(broadcast(centroidTable(model, corpus.sparkSession)), "cell_id")
+      .withColumn("c_sim",
+        round(VectorFunctions.cosine(col("embedding"), col("centroid")), 6))
+      .select("cell_id", "vec_id", "embedding", "c_sim")
+      .localCheckpoint(eager = false) // feeds both join sides + the output
+    val pairs = withCsim.select(col("cell_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("c_sim").as("a_cs"))
+      .join(withCsim.select(col("cell_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("c_sim").as("b_cs")), "cell_id")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        round(VectorFunctions.cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("sim") >= simThreshold)
+    val removed = pairs.select(
+      when(col("a_cs") > col("b_cs"), col("a_id"))
+        .when(col("a_cs") < col("b_cs"), col("b_id"))
+        .otherwise(col("b_id")).as("vec_id")).distinct()
+    withCsim
+      .join(removed.withColumn("gone", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("c_sim"),
+        col("gone").isNull.as("is_kept"))
+  }
+
   /** Materialize the IVF layout at rest: the corpus written partitioned by
     * its k-means cell id — one directory per cell. Returns the centroid
     * table (cell_id, centroid) that drives probes. At 100 TB this is the

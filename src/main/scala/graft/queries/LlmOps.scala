@@ -388,6 +388,19 @@ object LlmOps extends QueryFamily {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** q_dedup_semantic — SemDeDup (cluster-then-prune semantic dedup): the
+    * corpus clusters by k-means, near-dup pairs are scored ONLY within
+    * cells, and the more-centroid-like member of each pair is dropped.
+    * Seeded mllib quantizer ⇒ rows-only for the driver gate;
+    * SimilaritySpec asserts the survivor invariant (no kept within-cell
+    * pair above threshold), planted-duplicate resolution, and
+    * determinism. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        simThreshold = 0.5, nCells = 16)
+      .orderBy("vec_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_stats" -> (qTextStats _),
@@ -411,7 +424,8 @@ object LlmOps extends QueryFamily {
     "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_inflate" -> (qMultimodalInflate _),
-    "q_multimodal_avi" -> (qMultimodalAvi _))
+    "q_multimodal_avi" -> (qMultimodalAvi _),
+    "q_dedup_semantic" -> (qDedupSemantic _))
 
   override val oracle: Map[String, String] = Map(
     // Recomputes q_multimodal_decode's stats directly from the digest hex —

@@ -159,4 +159,46 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ivf=${ivf.size}")
   }
+
+  test("semDedup: survivor set has no within-cell pair above threshold") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, simThreshold = 0.45, nCells = 8)
+      .cache()
+    val n = out.count()
+    assert(n === emb.count()) // every vector classified, kept or not
+    val removedCnt = out.filter(!col("is_kept")).count()
+    assert(removedCnt > 0, "vacuous fixture: nothing was semantically dup")
+    // THE SemDeDup invariant: among survivors, no same-cell pair still
+    // meets the threshold (any such pair would have voted one member out).
+    val kept = out.filter(col("is_kept"))
+      .join(emb, "vec_id").select("cell_id", "vec_id", "embedding")
+    val bad = kept.select(col("cell_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(kept.select(col("cell_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), "cell_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(graft.functions.VectorFunctions.cosine(
+        col("a_emb"), col("b_emb")), 6) >= 0.45)
+      .count()
+    assert(bad === 0L)
+    out.unpersist()
+  }
+
+  test("semDedup: planted duplicate resolves to one survivor, deterministically") {
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    val base = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x * 0.995f + 0.005f)
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L until 40L).map(i => (i, Array.fill(d)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val run1 = Similarity.semDedup(emb, simThreshold = 0.9, nCells = 4)
+      .orderBy("vec_id").collect()
+    // Vectors 0 and 1 are near-identical: exactly one survives.
+    val dupKept = run1.filter(r => r.getLong(0) <= 1L).map(_.getBoolean(3))
+    assert(dupKept.count(identity) == 1, run1.take(2).mkString(","))
+    val run2 = Similarity.semDedup(emb, simThreshold = 0.9, nCells = 4)
+      .orderBy("vec_id").collect()
+    assert(run1.map(_.toString).toSeq === run2.map(_.toString).toSeq)
+  }
 }
