@@ -110,4 +110,98 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PROPERTY bpe: distributed merges match an independent reference trainer (8 random corpora)") {
+    val rnd = freshRandom(5)
+    // Reference Sennrich BPE over a word-frequency map, written against
+    // the algorithm (symbol lists, per-word pair scans), NOT the engine's
+    // single-char-replace representation — a genuinely independent path.
+    def refBpe(freqs: Map[String, Long], n: Int): Seq[(String, Long)] = {
+      var vocab = freqs.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      // The TIE-BREAK is part of the engine's contract: pairs compare as
+      // 2-char strings in the single-char symbol space (merge r's symbol
+      // is U+4E00+r). The reference emulates that ORDER (chr assignment
+      // below) but applies merges through an independent list-based scan —
+      // the mechanics under test never touch the replace representation.
+      val chrOf = scala.collection.mutable.Map.empty[String, Char]
+      def key(s: String): Char = chrOf.getOrElse(s, s.charAt(0))
+      var r = 0
+      var done = false
+      while (r < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val best = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, key(a), key(b)) }
+          chrOf(best._1._1 + best._1._2) = (0x4E00 + r).toChar
+          out += ((best._1._1 + best._1._2, best._2))
+          vocab = vocab.map { case (syms, f) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == best._1._1 &&
+                syms(i + 1) == best._1._2) {
+                merged += best._1._1 + best._1._2; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.toList, f)
+          }
+        }
+        r += 1
+      }
+      out.toSeq
+    }
+    for (caseIdx <- 1 to 8) {
+      val words = IndexedSeq("spark", "table", "scan", "join", "agg", "row")
+      val docs = (1 to 6).map(_ => randTokens(rnd, 4 + rnd.nextInt(12),
+        words).mkString(" ")).toDF("text")
+      val nMerges = 1 + rnd.nextInt(5)
+      val engine = graft.operators.Bpe.train(docs, "text", nMerges)
+        .orderBy("merge_rank").collect()
+        .map(x => (x.getString(1), x.getLong(2))).toSeq
+      val freqs = docs.collect().flatMap(_.getString(0).split(" "))
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      assert(engine === refBpe(freqs, nMerges), s"case $caseIdx")
+    }
+  }
+
+  test("PROPERTY boilerplate: matches an independent per-source line filter (10 random corpora)") {
+    val rnd = freshRandom(6)
+    for (caseIdx <- 1 to 10) {
+      val nDocs = 3 + rnd.nextInt(8)
+      val docs = (1 to nDocs).map { i =>
+        // small line vocabulary forces real cross-doc repeats
+        val lines = (0 to rnd.nextInt(5)).map(_ => s"line${rnd.nextInt(4)}")
+        (i.toLong, s"s${rnd.nextInt(2)}", lines.mkString("\n"))
+      }
+      val minDf = 2 + rnd.nextInt(2)
+      val out = graft.operators.Boilerplate
+        .strip(docs.toDF("doc_id", "source", "text"),
+          "text", "doc_id", "source", minDf)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3)))
+      // independent reference: Scala collections, per-source df over
+      // DISTINCT docs, position-preserving filter
+      val df = docs.groupBy(_._2).map { case (src, ds) =>
+        src -> ds.flatMap(d => d._3.split("\n", -1).distinct.map(l => (d._1, l)))
+          .groupBy(_._2).map { case (l, xs) => l -> xs.map(_._1).distinct.size }
+      }
+      val expect = docs.map { case (id, src, text) =>
+        val lines = text.split("\n", -1).toSeq
+        val kept = lines.filter(l => df(src)(l) < minDf)
+        (id, lines.size.toLong,
+          if (kept.isEmpty) -1L else kept.size.toLong,
+          if (kept.isEmpty) null
+          else java.security.MessageDigest.getInstance("MD5")
+            .digest(kept.mkString("\n").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }.sortBy(_._1)
+      assert(out.toSeq === expect, s"case $caseIdx")
+    }
+  }
 }
