@@ -361,8 +361,9 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sig"), offsets(b)).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
-    val cands = banded.select(col("doc").as("a_id"), col("sig").as("a_sig"), col("bk"))
-      .join(banded.select(col("doc").as("b_id"), col("sig").as("b_sig"), col("bk")), "bk")
+    val pb = pairableBands(banded) // singleton band buckets form no pair
+    val cands = pb.select(col("doc").as("a_id"), col("sig").as("a_sig"), col("bk"))
+      .join(pb.select(col("doc").as("b_id"), col("sig").as("b_sig"), col("bk")), "bk")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_sig", "b_sig").distinct()
     cands
