@@ -73,14 +73,61 @@ object Filters extends QueryFamily {
       .select("p_partkey", "p_name", "p_type")
       .orderBy("p_partkey")
 
+  /** q_scan_roundtrip — ORC and CSV source/sink fidelity: the lineitem
+    * fact rides parquet → ORC write/read → headered CSV write/read (schema
+    * supplied on read — never inferSchema) and must aggregate IDENTICALLY
+    * to the original parquet, which is exactly what the oracle computes.
+    * Exercises both built-in columnar sinks plus the text round-trip of
+    * doubles (Java shortest-round-trip repr) and timestamps (session-UTC
+    * ISO). Money/quantity sums quantize to integer cents BEFORE the
+    * distributed sum — same double bits on both engines, so the quantized
+    * sums are order-immune and exact. Scale: both writes are narrow
+    * per-partition sinks; the aggregate is the usual map-side-partial
+    * hash aggregate. */
+  def qScanRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity",
+        "l_extendedprice", "l_shipdate")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_roundtrip").toString
+    li.write.mode("overwrite").orc(s"$base/orc")
+    val orc = s.read.orc(s"$base/orc")
+    orc.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val csv = s.read.schema(li.schema).option("header", "true")
+      .csv(s"$base/csv")
+    csv.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (qScanParquet _),
     "q_scan_json" -> (qScanJson _),
     "q_project_envelope" -> (qProjectEnvelope _),
     "q_filter_pred" -> (qFilterPred _),
-    "q_filter_regex" -> (qFilterRegex _))
+    "q_filter_regex" -> (qFilterRegex _),
+    "q_scan_roundtrip" -> (qScanRoundtrip _))
 
   override val oracle: Map[String, String] = Map(
+    // q_scan_roundtrip's oracle reads the ORIGINAL parquet: the engine's
+    // parquet → ORC → CSV round-trip must lose nothing.
+    "q_scan_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c,
+        |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_quantity = 1.0
