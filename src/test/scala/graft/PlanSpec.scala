@@ -308,6 +308,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("DSIR scores via broadcast ratio table; corpus occurrences never re-shuffle to it") {
+    val p = planString(graft.queries.TrainOps.qDsir(spark, sf))
+    // the 64-row log-ratio table and the one-row K-th threshold both
+    // broadcast; the occurrence stream must never sort-merge to either
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("BPE encode joins the trained vocab by broadcast; corpus never shuffles to it") {
     val docs = Tables.documents(spark, sf)
     val (_, vocab) = graft.operators.Bpe.trainVocab(docs, "text", nMerges = 2)
