@@ -122,6 +122,10 @@ object Vocab {
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), col("tok")).limit(vocabSize)
       .select(col("tok"),
+        // global row_number AFTER the limit: the input is the already-
+        // bounded top-V vocabulary (same class as a one-row broadcast
+        // aggregate), so the WindowExec single-partition warning this
+        // emits is about ≤ vocabSize rows, never the corpus
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("c"), col("tok"))).cast("long").as("tid"))
     df.select(col(idCol),
