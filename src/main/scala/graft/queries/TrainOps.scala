@@ -223,7 +223,38 @@ object TrainOps extends QueryFamily {
         targetPred = col("lang") === "en", nBuckets = 64, topK = 100)
       .orderBy("doc_id")
 
+  /** q_length_buckets — length-bucketed batching analysis: documents bin
+    * into power-of-two token-length buckets (the standard dataloader
+    * bucketing that minimizes attention-mask padding), and each bucket
+    * reports its padding economics — tokens, the bucket's true max
+    * length, and the waste a batch padded to that max would carry. Pure
+    * integer arithmetic end to end (shifts, sums), so the whole report is
+    * oracle-exact; one bucket-keyed aggregate with map-side partials and
+    * bucket cardinality ~log(max_len). */
+  def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(T.tokenCount(col("text")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      // bucket upper bound = next power of two ≥ n_tok (min 16), via EXACT
+      // bit arithmetic — length(bin(n-1)) is the bit length, so
+      // 1 << bitlen(n-1) is the smallest 2^k ≥ n; a float ceil(log2(n))
+      // can land on either side of an exact power cross-engine
+      .withColumn("bucket_hi",
+        greatest(lit(16L),
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1)))")))
+      .groupBy("bucket_hi")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        (max(col("n_tok")) * count(lit(1)) - sum(col("n_tok")))
+          .as("waste_at_max"),
+        (col("bucket_hi") * count(lit(1)) - sum(col("n_tok")))
+          .as("waste_at_cap"))
+      .orderBy("bucket_hi")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_dsir" -> (qDsir _),
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
     "q_emb_centroid" -> (qEmbCentroid _),
@@ -237,6 +268,20 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0),
+        |b AS (SELECT n_tok,
+        |        GREATEST(16, 1 << length(bin(n_tok - 1))) AS bucket_hi
+        |      FROM t)
+        |SELECT CAST(bucket_hi AS BIGINT) AS bucket_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+        |  CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS waste_at_max,
+        |  CAST(bucket_hi * COUNT(*) - SUM(n_tok) AS BIGINT) AS waste_at_cap
+        |FROM b GROUP BY bucket_hi ORDER BY bucket_hi""".stripMargin,
     "q_dsir" -> Dsir.oracleSql(targetPredSql = "lang = 'en'",
       nBuckets = 64, topK = 100),
     "q_dedup_near_md5" ->
