@@ -288,6 +288,43 @@ object MediaCodec {
   }
 }
 
+/** `binary → bigint`: the zlib-compressed size of the input (default
+  * compression level), WITHOUT materializing the compressed bytes — the
+  * kernel counts Deflater output into a scratch buffer. The classic
+  * compression-ratio quality signal: highly repetitive machine-generated
+  * text compresses far below natural prose, and near-random bytes don't
+  * compress at all, so the ratio is a one-pass, language-agnostic
+  * repetition/entropy filter (used by public web-corpus pipelines as a
+  * cheap pre-filter before n-gram analysis). Deterministic for a given
+  * JDK zlib; no oracle (DuckDB has no deflate) — property-tested. */
+case class DeflatedSize(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflated_size"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    defl.setInput(bytes); defl.finish()
+    val scratch = new Array[Byte](8192)
+    var total = 0L
+    while (!defl.finished()) total += defl.deflate(scratch)
+    defl.end()
+    total
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflatedSize =
+    copy(child = newChild)
+}
+
 /** `binary (w*h*3 RGB bytes) → binary (complete zlib-compressed PNG)`. */
 case class PngEncodeRgb8(child: Expression, imgWidth: Int, imgHeight: Int)
   extends UnaryExpression with CodegenFallback {

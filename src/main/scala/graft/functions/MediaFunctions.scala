@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.Bridge
-import graft.expressions.{AviEncodeFrames, AviFrames, ImageDecodeStats, JpegEncodeRgb8, PngDecodeStats, PngEncodeRgb8}
+import graft.expressions.{AviEncodeFrames, AviFrames, DeflatedSize, ImageDecodeStats, JpegEncodeRgb8, PngDecodeStats, PngEncodeRgb8}
 
 /** Column wrappers for the JDK-backed media codec expressions (SURVEY.md §2
   * B-10 multimodal surface — the entropy-coded completion of
@@ -37,4 +37,9 @@ object MediaFunctions {
     * hdrl/JUNK framing a real parser must skip). */
   def aviEncodeFrames(src: Column, frameLen: Int, nFrames: Int): Column =
     Bridge.column(AviEncodeFrames(Bridge.expression(src), frameLen, nFrames))
+
+  /** zlib-compressed size of a binary column (no bytes materialized) —
+    * the compression-ratio repetition/entropy signal. */
+  def deflatedSize(bytes: Column): Column =
+    Bridge.column(DeflatedSize(Bridge.expression(bytes)))
 }

@@ -401,6 +401,27 @@ object LlmOps extends QueryFamily {
         simThreshold = 0.5, nCells = 16)
       .orderBy("vec_id")
 
+  /** q_compress_ratio — compression-ratio repetition/entropy screen: the
+    * zlib-compressed size of each document over its raw size, per mille.
+    * Machine-generated repetition compresses far below natural prose and
+    * near-random noise doesn't compress at all, so the ratio is a cheap
+    * one-pass, language-agnostic quality prefilter (the public web-corpus
+    * pipelines' classic trick) ahead of the n-gram analyses. Rows-only:
+    * DuckDB has no deflate; ordering/threshold properties are
+    * spec-tested. Narrow per-row kernel, zero shuffle. */
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val bytes = col("text").cast("binary")
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(bytes).cast("long").as("n_bytes"),
+        MC.deflatedSize(bytes).as("z_bytes"))
+      .withColumn("ratio_permille",
+        expr("z_bytes * 1000 DIV n_bytes"))
+      .withColumn("is_repetitive", col("ratio_permille") < 300)
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_stats" -> (qTextStats _),
@@ -425,7 +446,8 @@ object LlmOps extends QueryFamily {
     "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_inflate" -> (qMultimodalInflate _),
     "q_multimodal_avi" -> (qMultimodalAvi _),
-    "q_dedup_semantic" -> (qDedupSemantic _))
+    "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_compress_ratio" -> (qCompressRatio _))
 
   override val oracle: Map[String, String] = Map(
     // Recomputes q_multimodal_decode's stats directly from the digest hex —

@@ -171,6 +171,32 @@ class MediaCodecSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("compression ratio orders repetition < prose < noise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam " * 200),                                     // repetition
+      (2L, ("the quick brown fox jumps over the lazy dog " +
+        "while discussing spark shuffle partitioning at length ") * 10),
+      (3L, pixels(1000, 99).map(b => "%02x".format(b)).mkString)) // noise-ish
+      .toDF("doc_id", "text")
+    def ratios() = docs
+      .select(col("doc_id"), (MediaFunctions.deflatedSize(
+        col("text").cast("binary")) * 1000 /
+        length(col("text"))).cast("long").as("r"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val r = ratios()
+    assert(r(0) < r(1) && r(1) < r(2), r.mkString(","))
+    assert(r(0) < 100, s"pure repetition should crush: ${r(0)}")
+    assert(ratios().toSeq === r.toSeq) // deterministic
+    // registered query: every doc scored, flags consistent with ratio
+    val q = LlmOps.qCompressRatio(spark, sf).collect()
+    assert(q.nonEmpty)
+    for (row <- q) {
+      assert(row.getLong(2) > 0 && row.getLong(1) > 0)
+      assert(row.getBoolean(4) === (row.getLong(3) < 300))
+    }
+  }
+
   test("column-level null propagation") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")
