@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{ConfluentAvroEncode, CosineSimilarity, DotProduct, Fnv1a32, NfcNormalize, SimHash64}
+import graft.expressions.{AviFrames, ConfluentAvroEncode, CosineSimilarity, DeflatedSize, DotProduct, Fnv1a32, ImageDecodeStats, NfcNormalize, PngDecodeStats, SimHash64}
 import graft.operators.EnvelopeSink
 
 /** Session extensions installer: registers graft's custom SQL functions so
@@ -19,6 +19,12 @@ import graft.operators.EnvelopeSink
   * `simhash64(array<string>)` — the 64-bit SimHash signature (B-10).
   * `nfc_normalize(string)` — unicode NFC canonicalization (no Spark
   * built-in exists; digest-keyed operators need it).
+  * `png_decode_stats(binary)` / `image_decode_stats(binary)` — pixel
+  * stats via the Inflater kernel / the JDK imageio plugins (B-10
+  * multimodal decode).
+  * `avi_frames(binary)` — RIFF/AVI video-frame extraction.
+  * `deflated_size(binary)` — zlib-compressed size (the compression-ratio
+  * quality signal).
   * The DataFrame API paths (EnvelopeSink.toAvroValue,
   * HashFunctions.fnv1a32, VectorFunctions, TextFunctions.simhash64) do not
   * require the extension.
@@ -76,5 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "simhash64 expects exactly one array<string> argument")
       }))
+    def unary(name: String, clazz: Class[_], make: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => children match {
+          case Seq(child) => make(child)
+          case _ => throw new IllegalArgumentException(
+            s"$name expects exactly one binary argument")
+        }))
+    unary("png_decode_stats", classOf[PngDecodeStats], PngDecodeStats(_))
+    unary("image_decode_stats", classOf[ImageDecodeStats], ImageDecodeStats(_))
+    unary("avi_frames", classOf[AviFrames], AviFrames(_))
+    unary("deflated_size", classOf[DeflatedSize], DeflatedSize(_))
   }
 }

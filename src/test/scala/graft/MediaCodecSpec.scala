@@ -197,6 +197,16 @@ class MediaCodecSpec extends SparkSpec {
     }
   }
 
+  test("codec functions are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT deflated_size(CAST('aaaaaaaaaaaaaaaa' AS BINARY)) AS z, " +
+        "png_decode_stats(CAST('not a png' AS BINARY)) AS p, " +
+        "image_decode_stats(CAST('not an image' AS BINARY)) AS i, " +
+        "size(avi_frames(CAST('not an avi' AS BINARY))) AS a").collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("column-level null propagation") {
     import spark.implicits._
     val df = Seq(Some("abc"), None).toDF("t")
