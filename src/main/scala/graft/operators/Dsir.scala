@@ -43,10 +43,16 @@ object Dsir {
     * `(idCol, n_grams, score_micro, selected)`. */
   def select(docs: DataFrame, textCol: String, idCol: String,
       targetPred: Column, nBuckets: Int = 64, topK: Int = 100): DataFrame = {
+    // The occurrence table feeds FOUR consumers (raw counts, target
+    // counts, totals, the scoring join); Spark has no plan-level CSE, so
+    // materialize it once or the corpus explode + md5 run four times —
+    // same discipline as the Jaccard pair join's checkpointed shingles.
     val occ = docs
       .select(col(idCol), targetPred.as("is_target"),
         explode(TextFunctions.wordShingles(col(textCol), 2)).as("gram"))
       .withColumn("bucket", bucket(col("gram"), nBuckets))
+      .drop("gram")
+      .localCheckpoint(eager = false)
     val raw = occ.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
     val tgt = occ.filter(col("is_target"))
       .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
