@@ -35,9 +35,12 @@ object Boilerplate {
   def strip(docs: DataFrame, textCol: String, idCol: String,
       sourceCol: String, minDf: Int): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every line")
+    // Three consumers (df aggregate, anti-join side, totals) and no
+    // plan-level CSE in Spark: materialize the line explode once.
     val lines = docs
       .select(col(idCol), col(sourceCol),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .localCheckpoint(eager = false)
     val hot = lines
       .groupBy(col(sourceCol), col("line"))
       .agg(countDistinct(col(idCol)).as("line_df"))
