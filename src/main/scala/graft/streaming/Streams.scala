@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.operators.EnvelopeSink
+import graft.sources.{HttpSnapshotScan, SnapshotTarget}
 
 /** Metric tick record — the streaming shape of the reference's envelope
   * source (one record per reporting interval per slave,
@@ -269,6 +270,45 @@ object Streams {
       lit("prod").as("Namespace"),
       (unix_micros(col("ts")) * 1000).as("Timestamp"),
       col("props"))
+    val value = transform match {
+      case "none" => EnvelopeSink.toJsonValue.cast("binary")
+      case "avro" => EnvelopeSink.toAvroValue
+      case other =>
+        throw new IllegalArgumentException(s"unknown transform: $other")
+    }
+    env.select(col("SlaveID").cast("binary").as("key"), value.as("value"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** S12 — the reference's WHOLE core loop, live: each micro-batch of due
+    * ticks fans out one EXECUTOR-side HTTP fetch per distinct slave (the
+    * A1 poll cadence driving the A2 snapshot scan), the fetched JSON body
+    * rides the A4 envelope stamped with the tick's event time, serializes
+    * through the A5/A6 transform dispatch, and commits keyed bytes
+    * idempotently per batchId (A9/A10) — syscol's poll → envelope →
+    * produce loop (/root/reference/syscol/metrics_reporter.go:75-105)
+    * rebuilt on micro-batches. A failed fetch still ships its tick with
+    * the empty `{}` payload (the scan's error posture), so a dead slave
+    * never stalls the stream. `toTarget` maps a slaveId to its snapshot
+    * endpoint; `fetch` defaults to the real bounded-timeout HTTP GET, so
+    * the default pipeline touches real sockets. */
+  def pollEnvelopeSinkBatch(outDir: String,
+      toTarget: String => SnapshotTarget, transform: String = "none",
+      fetch: String => String = HttpSnapshotScan.httpGet())(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ticks = batch.select(col("slaveId"), col("ts"))
+    val targets = ticks.select("slaveId").distinct().as[String].map(toTarget)
+    val fetched = HttpSnapshotScan.scan(targets, fetch)
+      .select(col("slaveId"), col("hostname"), col("port"), col("body"))
+    val env = ticks.join(fetched, "slaveId").select(
+      col("slaveId").as("SlaveID"),
+      col("hostname").as("Hostname"),
+      col("port").as("Port"),
+      lit("prod").as("Namespace"),
+      (unix_micros(col("ts")) * 1000).as("Timestamp"),
+      col("body").as("props"))
     val value = transform match {
       case "none" => EnvelopeSink.toJsonValue.cast("binary")
       case "avro" => EnvelopeSink.toAvroValue

@@ -236,6 +236,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.as[String].collect().toSet === Set("s0", "s1"))
   }
 
+  test("S12 live poll loop: ticks -> REAL HTTP fetch -> envelope -> keyed sink") {
+    import graft.sources.SnapshotTarget
+    // A genuine loopback HTTP server plays the slave; the pipeline's
+    // DEFAULT fetcher does a real GET per distinct due slave per batch.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics/snapshot",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = """{"slave/cpus_total": 4}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    val port = server.getAddress.getPort
+    val dir = java.nio.file.Files.createTempDirectory("s12_sink").toString
+    try {
+      val in = MemoryStream[Tick]
+      val q = in.toDF().writeStream
+        .foreachBatch(Streams.pollEnvelopeSinkBatch(dir,
+          // slave-1 points at a dead port: its tick must still ship with
+          // the empty payload instead of stalling the stream
+          s => SnapshotTarget(s, "127.0.0.1",
+            if (s == "slave-1") 1 else port)) _)
+        .start()
+      try {
+        in.addData(
+          Tick("slave-0", t(1), 1.0, "ignored"),
+          Tick("slave-0", t(2), 2.0, "ignored"),
+          Tick("slave-1", t(2), 3.0, "ignored"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.read.parquet(s"$dir/batch=*")
+        .selectExpr("cast(key as string) k", "cast(value as string) v")
+        .collect()
+      assert(rows.length === 3) // one envelope per tick, not per slave
+      val bySlave = rows.groupBy(_.getString(0))
+      // live slave: the REAL fetched metrics are in the envelope
+      for (r <- bySlave("slave-0")) {
+        assert(r.getString(1).contains(""""Metrics":{"slave/cpus_total":4}"""),
+          r.getString(1))
+        assert(r.getString(1).contains(""""Hostname":"127.0.0.1""""))
+      }
+      // dead slave: tick kept, metrics empty (the scan's error posture)
+      for (r <- bySlave("slave-1"))
+        assert(r.getString(1).contains(""""Metrics":{}"""), r.getString(1))
+    } finally server.stop(0)
+  }
+
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(
