@@ -285,6 +285,48 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S12 poll loop recovers from checkpoint without refetching committed batches") {
+    import graft.sources.SnapshotTarget
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/metrics/snapshot",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val body = """{"m": 1}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    server.start()
+    val port = server.getAddress.getPort
+    val dir = java.nio.file.Files.createTempDirectory("s12_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s12_ckpt").toString
+    try {
+      val in = MemoryStream[Tick]
+      def start() = in.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(Streams.pollEnvelopeSinkBatch(dir,
+          s => SnapshotTarget(s, "127.0.0.1", port)) _)
+        .start()
+      val q1 = start()
+      try { in.addData(Tick("slave-0", t(1), 1.0, "x")); q1.processAllAvailable() }
+      finally q1.stop()
+      val fetchesAfterFirst = hits.get()
+      assert(fetchesAfterFirst >= 1)
+      val q2 = start()
+      try { in.addData(Tick("slave-1", t(2), 2.0, "x")); q2.processAllAvailable() }
+      finally q2.stop()
+      // committed batch not replayed: its rows exist once AND its slave was
+      // not re-polled on restart (no duplicate side effects, not just no
+      // duplicate rows)
+      val keys = spark.read.parquet(s"$dir/batch=*")
+        .selectExpr("cast(key as string) k").as[String].collect().toSeq
+      assert(keys.sorted === Seq("slave-0", "slave-1"))
+      assert(hits.get() === fetchesAfterFirst + 1, s"refetched: ${hits.get()}")
+    } finally server.stop(0)
+  }
+
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(
