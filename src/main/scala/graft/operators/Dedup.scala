@@ -308,15 +308,41 @@ object Dedup {
     * document (hash-partitioned equi-join — the store's documents
     * themselves never move), candidates ∝ true near-dup density, and the
     * final left join returns one row per batch document. */
+  /** The at-rest signature store for [[incrementalNear]]: per store
+    * document, its distinct shingle set and one band-key row per band —
+    * everything the nightly near-dup join needs from the store side.
+    * At 100 TB this is computed ONCE when a document enters the store and
+    * persisted (parquet partitioned however the store is); every nightly
+    * batch then reads signatures instead of re-minhashing the entire
+    * corpus — the md5 signature pass over the store is the single most
+    * expensive part of the from-scratch formulation, and it is pure
+    * function of content, so recomputing it nightly is pure waste.
+    * Schema: (doc, shingles, bk). */
+  def signatureStore(store: DataFrame, textCol: String, idCol: String,
+      numBands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val docs = md5ShingleDocs(store, textCol, idCol, shingleN)
+    md5Bands(docs, numBands, rowsPerBand).join(docs, "doc")
+      .select(col("doc"), col("shingles"), col("bk"))
+  }
+
   def incrementalNear(batch: DataFrame, store: DataFrame, textCol: String,
       idCol: String, maxDistance: Double, numBands: Int = 4,
-      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+      rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =
+    incrementalNearAgainst(batch,
+      signatureStore(store, textCol, idCol, numBands, rowsPerBand, shingleN),
+      textCol, idCol, maxDistance, numBands, rowsPerBand, shingleN)
+
+  /** [[incrementalNear]] against a PRECOMPUTED [[signatureStore]] — the
+    * nightly-pipeline form: only the (small) batch is shingled and
+    * minhashed tonight; the store contributes its at-rest signatures. */
+  def incrementalNearAgainst(batch: DataFrame, storeSigs: DataFrame,
+      textCol: String, idCol: String, maxDistance: Double,
+      numBands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
     val bDocs = md5ShingleDocs(batch, textCol, idCol, shingleN)
-    val sDocs = md5ShingleDocs(store, textCol, idCol, shingleN)
+    val sDocs = storeSigs.select(col("doc"), col("shingles")).distinct()
     val cands = md5Bands(bDocs, numBands, rowsPerBand)
       .select(col("doc").as("b_doc"), col("bk"))
-      .join(md5Bands(sDocs, numBands, rowsPerBand)
-        .select(col("doc").as("s_doc"), col("bk")), "bk")
+      .join(storeSigs.select(col("doc").as("s_doc"), col("bk")), "bk")
       .select("b_doc", "s_doc").distinct()
     val best = cands
       .join(bDocs.select(col("doc").as("b_doc"), col("shingles").as("b_sh")),

@@ -109,4 +109,24 @@ class DedupSpec extends SparkSpec {
     assert(fp(0L) === fp(1L))
     assert(fp(0L) !== fp(3L))
   }
+
+  test("incremental near-dedup against an AT-REST signature store matches from-scratch") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val store = docs.filter(col("doc_id") % 2 === 0)
+    // Persist the store signatures (the nightly-pipeline at-rest layout),
+    // read them back, and run the batch against the PARQUET round-trip:
+    // the result must be row-identical to shingling the store from scratch.
+    val dir = java.nio.file.Files.createTempDirectory("sig_store").toString
+    Dedup.signatureStore(store, "text", "doc_id").write.mode("overwrite")
+      .parquet(dir)
+    val viaStore = Dedup.incrementalNearAgainst(batch,
+        spark.read.parquet(dir), "text", "doc_id", maxDistance = 0.5)
+      .orderBy("doc_id").collect()
+    val scratch = Dedup.incrementalNear(batch, store, "text", "doc_id",
+        maxDistance = 0.5)
+      .orderBy("doc_id").collect()
+    assert(viaStore.length > 0)
+    assert(viaStore.map(_.toString).toSeq === scratch.map(_.toString).toSeq)
+  }
 }
