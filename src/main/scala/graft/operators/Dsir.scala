@@ -43,6 +43,9 @@ object Dsir {
     * `(idCol, n_grams, score_micro, selected)`. */
   def select(docs: DataFrame, textCol: String, idCol: String,
       targetPred: Column, nBuckets: Int = 64, topK: Int = 100): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 256,
+      s"nBuckets must be in [2, 256] (2-hex-char bucket source), got $nBuckets")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
     // The occurrence table feeds FOUR consumers (raw counts, target
     // counts, totals, the scoring join); Spark has no plan-level CSE, so
     // materialize it once or the corpus explode + md5 run four times —
