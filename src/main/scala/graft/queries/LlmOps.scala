@@ -294,6 +294,18 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_sim_pq — product-quantization ANN top-k (ADC scan over m=4/ks=16
+    * codes + exact shortlist rerank). Rows-only (seeded mllib codebooks);
+    * ADC exactness and recall ≥ 0.9 on the clustered fixture are
+    * spec-asserted in SimilaritySpec. */
+  def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
   /** q_multimodal_decode — REAL container decode, oracle-checked end to
     * end: wrap deterministic bytes (sha256‖md5 of the text) in a valid 3×3
     * 24bpp BMP and a 16-sample PCM WAV, decode both back through the
@@ -447,7 +459,8 @@ object LlmOps extends QueryFamily {
     "q_multimodal_inflate" -> (qMultimodalInflate _),
     "q_multimodal_avi" -> (qMultimodalAvi _),
     "q_dedup_semantic" -> (qDedupSemantic _),
-    "q_compress_ratio" -> (qCompressRatio _))
+    "q_compress_ratio" -> (qCompressRatio _),
+    "q_sim_pq" -> (qSimPq _))
 
   override val oracle: Map[String, String] = Map(
     // Recomputes q_multimodal_decode's stats directly from the digest hex —

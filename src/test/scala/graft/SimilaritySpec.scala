@@ -160,6 +160,49 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ivf=${ivf.size}")
   }
 
+  test("PQ ADC distance equals the true distance to the quantized reconstruction") {
+    import graft.expressions.{PqAdcDistances, PqEncode, PqExpressions}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // hand-built codebooks: 2 subspaces × 2 centroids × 2 dims
+    val books = Array(
+      Array(Array(0f, 0f), Array(1f, 1f)),
+      Array(Array(2f, 2f), Array(-1f, 0f)))
+    val v = new GenericArrayData(Array(0.9f, 1.1f, -0.8f, 0.1f))
+    val codes = PqEncode(org.apache.spark.sql.catalyst.expressions.Literal
+      .create(null, org.apache.spark.sql.types.NullType), books)
+      .nullSafeEval(v).asInstanceOf[GenericArrayData]
+    // subspace 0: (0.9,1.1) is nearer (1,1); subspace 1: (-0.8,0.1) nearer (-1,0)
+    assert(codes.getInt(0) == 1 && codes.getInt(1) == 1)
+    val q = Array(0.5, 0.5, 0.5, 0.5)
+    val tables = Array(Array.tabulate(2, 2) { (j, c) =>
+      val cent = books(j)(c)
+      (0 until 2).map(i => math.pow(q(j * 2 + i) - cent(i), 2)).sum
+    })
+    val adc = PqAdcDistances(org.apache.spark.sql.catalyst.expressions.Literal
+      .create(null, org.apache.spark.sql.types.NullType), tables)
+      .nullSafeEval(codes).asInstanceOf[GenericArrayData]
+    // ADC = exact distance from q to the RECONSTRUCTION (1,1,-1,0)
+    val recon = Array(1.0, 1.0, -1.0, 0.0)
+    val expect = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(math.abs(adc.getDouble(0) - expect) < 1e-12)
+  }
+
+  test("q_sim_pq registered config: recall >= 0.9 on clustered embeddings") {
+    val rnd = new scala.util.Random(43)
+    val d = 16
+    val centers = Array.fill(8, d)(rnd.nextGaussian() * 4.0)
+    val rows = for (c <- 0 until 8; j <- 0 until 100) yield
+      ((c * 100 + j).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    val cl = rows.toDF("vec_id", "embedding")
+    val qs = cl.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = topkSet(Similarity.cosineTopK(qs, cl, 10))
+    val pq = topkSet(Similarity.pqTopK(qs, cl, 10))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} pq=${pq.size}")
+  }
+
   test("semDedup: survivor set has no within-cell pair above threshold") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val out = Similarity.semDedup(emb, simThreshold = 0.45, nCells = 8)
