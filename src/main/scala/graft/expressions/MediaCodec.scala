@@ -181,17 +181,23 @@ object MediaCodec {
       if (rawLen > Int.MaxValue) return null
       val raw = new Array[Byte](rawLen.toInt)
       val inf = new Inflater()
-      inf.setInput(idat.toByteArray)
       var got = 0
-      while (got < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) { inf.end(); return null } // truncated
-        got += n
-      }
-      // The stream must carry EXACTLY the declared scanline volume: a short
-      // stream is truncation, surplus is a dimension lie / bomb — both null.
-      val surplus = !inf.finished() && inf.inflate(new Array[Byte](1)) > 0
-      inf.end()
+      var surplus = false
+      try {
+        inf.setInput(idat.toByteArray)
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          // Zero progress of ANY kind — truncated input, a preset-dictionary
+          // header (FDICT: needsDictionary() with needsInput() false), or any
+          // other stall — must bail, never spin: a crafted 2-byte zlib header
+          // would otherwise pin a task thread at 100% CPU forever.
+          if (n == 0) return null
+          got += n
+        }
+        // The stream must carry EXACTLY the declared scanline volume: a short
+        // stream is truncation, surplus is a dimension lie / bomb — both null.
+        surplus = !inf.finished() && inf.inflate(new Array[Byte](1)) > 0
+      } finally inf.end()
       if (got < raw.length || surplus) return null
       // Unfilter in place, then sum channels.
       var sr = 0L; var sg = 0L; var sb = 0L

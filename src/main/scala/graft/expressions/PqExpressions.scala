@@ -61,6 +61,13 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != m * dsub) return null
+    // A null element would read as 0.0f and quantize into silently-wrong
+    // codes; follow the codec convention: malformed input → null row.
+    var e = 0
+    while (e < v.numElements()) {
+      if (v.isNullAt(e)) return null
+      e += 1
+    }
     val codes = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -108,6 +115,14 @@ case class PqAdcDistances(child: Expression,
     val codes = input.asInstanceOf[ArrayData]
     val m = tables(0).length
     if (codes.numElements() != m) return null
+    // Null or out-of-range codes are corrupt input, not centroid 0 / a task
+    // kill — same malformed-input → null convention as PqEncode.
+    var e = 0
+    while (e < m) {
+      if (codes.isNullAt(e) || codes.getInt(e) < 0 ||
+        codes.getInt(e) >= tables(0)(e).length) return null
+      e += 1
+    }
     val out = new Array[Any](tables.length)
     var q = 0
     while (q < tables.length) {

@@ -36,6 +36,16 @@ object Bpe {
     * private-alphabet character, and the weighted pair count. */
   final case class Merge(rank: Int, token: String, ch: String, cnt: Long)
 
+  /** Every private symbol must stay a single well-formed BMP char: the
+    * one-char-per-symbol representation breaks silently (and Spark/DuckDB
+    * diverge on ill-formed strings) if `firstSymbol + nMerges` crosses into
+    * the UTF-16 surrogate range U+D800–U+DFFF, so fail fast instead. */
+  private def requireSymbolRange(nMerges: Int, firstSymbol: Int): Unit =
+    require(nMerges >= 0 && firstSymbol > 0 && firstSymbol + nMerges <= 0xD800,
+      s"BPE private alphabet [${firstSymbol.toHexString}, " +
+        s"${(firstSymbol + nMerges).toHexString}) must stay below the UTF-16 " +
+        "surrogate range 0xD800: lower firstSymbol or nMerges")
+
   /** Word-type vocabulary with frequencies and the initial symbol string
     * (= the word itself: every char is a base symbol). */
   def wordVocab(docs: DataFrame, textCol: String): DataFrame =
@@ -47,6 +57,7 @@ object Bpe {
     * side — O(nMerges) values) and the final encoded vocabulary. */
   def trainVocab(docs: DataFrame, textCol: String, nMerges: Int,
       firstSymbol: Int = 0x4E00): (Seq[Merge], DataFrame) = {
+    requireSymbolRange(nMerges, firstSymbol)
     var vocab = wordVocab(docs, textCol).localCheckpoint()
     val expansion = scala.collection.mutable.Map.empty[Char, String]
     def expand(c: Char): String = expansion.getOrElse(c, c.toString)
@@ -108,6 +119,7 @@ object Bpe {
     * private char back to text. Generated, not handwritten: the SQL is a
     * deterministic function of the round count. */
   def trainOracleSql(nMerges: Int, firstSymbol: Int = 0x4E00): String = {
+    requireSymbolRange(nMerges, firstSymbol)
     val rounds = (0 until nMerges).map { r =>
       val ch = s"chr(${firstSymbol + r})"
       s"""p$r AS MATERIALIZED (SELECT substr(sym, CAST(i AS INT), 2) AS pair,

@@ -148,6 +148,12 @@ object Similarity {
     * kernel projection; the ADC scan is one pass over codes with a
     * per-query-bounded window — no shuffle touches raw embeddings until
     * the shortlist join. */
+  /** Hard cap on the PQ serving batch: ADC tables live on the driver at
+    * m×ks doubles per query, so an unbounded queries DataFrame must fail
+    * fast instead of OOMing the driver mid-collect. 4096 queries × 4×16
+    * doubles ≈ 2 MB — generous for a serving batch, trivial for the heap. */
+  val MaxPqQueryBatch: Int = 4096
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ks: Int = 16, shortlistFactor: Int = 8): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
@@ -156,6 +162,11 @@ object Similarity {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by m=$m")
     val dsub = d / m
+    // Fail fast BEFORE collecting: count limit+1 rows, never the full batch.
+    val qProbe = queries.limit(MaxPqQueryBatch + 1).count()
+    require(qProbe <= MaxPqQueryBatch,
+      s"pqTopK query batch exceeds MaxPqQueryBatch=$MaxPqQueryBatch: ADC " +
+        "tables are driver-built per query; split the batch or use ivfTopK")
     val normC = l2normalize(corpus, "embedding")
       .localCheckpoint(eager = false) // feeds m fits + the encode pass
     // per-subspace codebooks: m seeded distributed fits on slices,
@@ -196,6 +207,15 @@ object Similarity {
     val qIndex = broadcast(
       qNorm.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) }
         .toSeq.toDF("qi", "q_id"))
+    // The shortlist window partitions by qi (≤ MaxPqQueryBatch partitions),
+    // but the scan does NOT funnel corpus-sized sorts into Q tasks: Spark's
+    // InferWindowGroupLimit plants a partial WindowGroupLimit BELOW the
+    // exchange, so every map task keeps only its local top-(k·shortlist)
+    // per qi and the exchange moves #mapTasks·Q·(k·shortlist) rows, never
+    // the corpus. That optimization is load-bearing at 100 TB, so PlanSpec
+    // pins it ("pq/topk shortlist windows keep a partial WindowGroupLimit
+    // below the exchange") — a Spark upgrade that dropped it would break a
+    // unit test instead of an at-scale job.
     val shortW = Window.partitionBy("qi").orderBy(asc("adc"), asc("vec_id"))
     val shortlist = codes
       .select(col("vec_id"), posexplode(Bridge.column(

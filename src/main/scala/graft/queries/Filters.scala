@@ -83,29 +83,48 @@ object Filters extends QueryFamily {
     * distributed sum — same double bits on both engines, so the quantized
     * sums are order-immune and exact. Scale: both writes are narrow
     * per-partition sinks; the aggregate is the usual map-side-partial
-    * hash aggregate. */
+    * hash aggregate. The scratch root comes from `SPARK_GRAFT_SCRATCH`
+    * when set (on a cluster this MUST be a shared filesystem — a bare
+    * /tmp would be per-node local and executors' shards invisible to the
+    * re-read), falling back to a driver-local temp dir which is correct
+    * under local[*]. The tiny grouped result (≤ #returnflags rows) is
+    * materialized via localCheckpoint so the scratch copies are deleted
+    * before the query returns — repeated harness runs accumulate nothing. */
   def qScanRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_roundtrip").toString
-    li.write.mode("overwrite").orc(s"$base/orc")
-    val orc = s.read.orc(s"$base/orc")
-    orc.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
-    val csv = s.read.schema(li.schema).option("header", "true")
-      .csv(s"$base/csv")
-    csv.groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
-        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
-        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
-          .as("min_ship"),
-        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
-          .as("max_ship"))
-      .orderBy("l_returnflag")
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(root) =>
+        s"$root/graft_roundtrip_${java.util.UUID.randomUUID().toString}"
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
+    }
+    try {
+      li.write.mode("overwrite").orc(s"$base/orc")
+      val orc = s.read.orc(s"$base/orc")
+      orc.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val csv = s.read.schema(li.schema).option("header", "true")
+        .csv(s"$base/csv")
+      csv.groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_c"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+            .as("min_ship"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+            .as("max_ship"))
+        .orderBy("l_returnflag")
+        .localCheckpoint() // eager: scratch is safe to delete after this
+    } finally {
+      // Hadoop Path delete handles local AND shared (hdfs/s3a) roots alike.
+      val hp = new org.apache.hadoop.fs.Path(base)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      ()
+    }
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

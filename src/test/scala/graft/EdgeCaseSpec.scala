@@ -96,4 +96,47 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Layout
       .mergePartialAggs(noPartials, noPartials, Seq("k")).count() === 0L)
   }
+
+  test("scan round-trip matches the original parquet and leaves no scratch behind") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def scratchDirs(): Set[String] =
+      Files.list(Paths.get(System.getProperty("java.io.tmpdir"))).iterator()
+        .asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_roundtrip")).toSet
+    val before = scratchDirs()
+    val rows = graft.queries.Filters.qScanRoundtrip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the eager localCheckpoint lets the query delete its ORC+CSV copies
+    // before returning — repeated harness runs must accumulate nothing
+    assert(scratchDirs() === before)
+  }
+
+  test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
+    // The ADC tables are driver-built per query; an unbounded queries
+    // DataFrame must be rejected BEFORE any collect, not OOM the driver.
+    val corpus = (0L until 8L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val tooMany = spark.range(graft.operators.Similarity.MaxPqQueryBatch + 1)
+      .selectExpr("id AS q_id",
+        "cast(array(1.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0) AS array<float>) AS q_emb")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqTopK(tooMany, corpus, k = 2, m = 2, ks = 2)
+    }
+    assert(e.getMessage.contains("MaxPqQueryBatch"))
+  }
+
+  test("BPE training rejects a private alphabet that would cross the surrogate range") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // 0x4E00 + 0x8A00 == 0xD800 exactly, so nMerges = 0x8A00 still keeps
+    // every allocated symbol (max firstSymbol + nMerges - 1) below the
+    // surrogates; one more crosses.
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.trainVocab(docs, "text",
+        nMerges = 0x8A01, firstSymbol = 0x4E00)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.trainOracleSql(nMerges = 0x8A01)
+    }
+  }
 }

@@ -132,7 +132,24 @@ class MediaCodecSpec extends SparkSpec {
       "garbled deflate" -> patched(b => b(45) = (b(45) ^ 0x55).toByte),
       "interlaced" -> patched(b => b(28) = 1),
       "palette color type" -> patched(b => b(25) = 3),
-      "16-bit depth" -> patched(b => b(24) = 16))
+      "16-bit depth" -> patched(b => b(24) = 16),
+      // zlib header 0x78 0x20 is checksum-valid (0x7820 % 31 == 0) with
+      // FDICT set: inflate() returns 0 with needsDictionary() true and
+      // needsInput() false — a decoder that only bails on needsInput()
+      // spins a task thread forever on these 6 bytes. A regression here
+      // manifests as this test hanging, not merely failing.
+      "preset-dictionary header (FDICT spin)" -> {
+        val payload = Array[Byte](0x78, 0x20, 0, 0, 0, 1)
+        val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+        out.putInt(payload.length).put("IDAT".getBytes("US-ASCII")).put(payload)
+        val crc = new java.util.zip.CRC32()
+        crc.update(out.array(), 4, 4 + payload.length)
+        out.putInt(crc.getValue.toInt)
+        val idatLen = ((good(33) & 0xff) << 24) | ((good(34) & 0xff) << 16) |
+          ((good(35) & 0xff) << 8) | (good(36) & 0xff)
+        java.util.Arrays.copyOfRange(good, 0, 33) ++ out.array() ++
+          java.util.Arrays.copyOfRange(good, 41 + idatLen + 4, good.length)
+      })
     for ((name, bytes) <- cases)
       assert(MediaCodec.decodePngStats(bytes) == null, s"case: $name")
     for ((name, bytes) <- cases)

@@ -326,4 +326,24 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("top-k rerank windows keep a partial WindowGroupLimit below the exchange") {
+    // rerankTopK (q_sim_topk) and the PQ ADC shortlist (q_sim_pq) partition
+    // their windows by query id, so each window partition is corpus-sized;
+    // what keeps map-side state bounded at 100 TB is InferWindowGroupLimit
+    // planting a PARTIAL WindowGroupLimit below the exchange — every map
+    // task keeps only its local top-k per query before any row moves. Pin
+    // it like the DPP and broadcast shapes: a Spark upgrade that silently
+    // dropped the rewrite must break this test, not an at-scale job.
+    for (df <- Seq(graft.queries.LlmOps.qSimTopk(spark, sf),
+        graft.queries.LlmOps.qSimPq(spark, sf))) {
+      val p = planString(df)
+      assert(p.contains("WindowGroupLimit"), p.take(3000))
+      assert(p.contains("Partial"), p.take(3000))
+      // and the partial limit must sit BELOW an exchange (map-side): the
+      // first WindowGroupLimit occurrence in the bottom-up printed tree
+      // appears after the last Exchange it feeds — assert both modes exist
+      assert(p.contains("Final"), p.take(3000))
+    }
+  }
 }

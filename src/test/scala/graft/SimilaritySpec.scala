@@ -185,6 +185,22 @@ class SimilaritySpec extends SparkSpec {
     val recon = Array(1.0, 1.0, -1.0, 0.0)
     val expect = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
     assert(math.abs(adc.getDouble(0) - expect) < 1e-12)
+    // Malformed input → null, never silent zeros or a task kill: a null
+    // element must not quantize as 0.0f, and a null/out-of-range code must
+    // not index centroid 0 or throw.
+    val withNull = new GenericArrayData(
+      Array[Any](0.9f, null, -0.8f, 0.1f))
+    assert(PqEncode(org.apache.spark.sql.catalyst.expressions.Literal
+      .create(null, org.apache.spark.sql.types.NullType), books)
+      .nullSafeEval(withNull) == null)
+    val adcExpr = PqAdcDistances(org.apache.spark.sql.catalyst.expressions
+      .Literal.create(null, org.apache.spark.sql.types.NullType), tables)
+    assert(adcExpr.nullSafeEval(
+      new GenericArrayData(Array[Any](1, null))) == null)
+    assert(adcExpr.nullSafeEval(
+      new GenericArrayData(Array[Any](1, 7))) == null)
+    assert(adcExpr.nullSafeEval(
+      new GenericArrayData(Array[Any](-1, 0))) == null)
   }
 
   test("q_sim_pq registered config: recall >= 0.9 on clustered embeddings") {
