@@ -142,6 +142,60 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² over `array<bigint>` micro-unit vectors, accumulated in
+  * 64-bit integer arithmetic — the deterministic-quantizer distance. Pure
+  * integer math means the value is BIT-IDENTICAL in any engine, which is
+  * the property the unrolled DuckDB k-means oracle depends on (same
+  * discipline as the PageRank integer rounds). Range: micro-unit
+  * embeddings |x| ≤ ~1e7 give per-dim squares ≤ 4e14; 64 dims stay ~2.6e16,
+  * far inside int64. Codegen'd: this runs corpus × k times per Lloyd round,
+  * the quantizer's hot path. */
+case class LongL2Sq(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left.dataType, right.dataType).forall {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> arguments, got " +
+        Seq(left.dataType, right.dataType).map(_.catalogString).mkString(", "))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, s, d, i) = (ctx.freshName("n"), ctx.freshName("s"),
+        ctx.freshName("d"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over a token array: per token, md5; bit i of the
   * signature (MSB-first over the first 8 digest bytes) votes ±1; the sign
   * vector packs into a long. Identical bit layout to the higher-order

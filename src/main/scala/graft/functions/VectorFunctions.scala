@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.Bridge
-import graft.expressions.{CosineSimilarity, DotProduct, RpBucketKeys}
+import graft.expressions.{CosineSimilarity, DotProduct, LongL2Sq, RpBucketKeys}
 
 /** Dense-vector math over `array<float>` embedding columns — the
   * similarity-search building blocks (SURVEY.md §2 B-10).
@@ -42,6 +42,12 @@ object VectorFunctions {
   def rpBucketKeys(emb: Column, nTables: Int, bucketLength: Double,
       seed: Long = 42L): Column =
     Bridge.column(RpBucketKeys(Bridge.expression(emb), nTables, bucketLength, seed))
+
+  /** Σ (aᵢ−bᵢ)² over `array<bigint>` micro-unit vectors in pure int64
+    * arithmetic — bit-identical cross-engine; the deterministic-quantizer
+    * distance (see [[graft.operators.DetQuantizer]]). */
+  def longL2Sq(a: Column, b: Column): Column =
+    Bridge.column(LongL2Sq(Bridge.expression(a), Bridge.expression(b)))
 
   /** Euclidean distance in double. */
   def l2Distance(a: Column, b: Column): Column =

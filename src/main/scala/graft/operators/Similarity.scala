@@ -21,7 +21,9 @@ import graft.functions.VectorFunctions
   *   k-means cells, probe nProbe of nCells; at rest the cell id is the
   *   partition directory, so probing IS partition pruning.
   *
-  * mllib contributes only the k-means centroid FIT (IVF path); the LSH
+  * mllib contributes only the k-means centroid FIT of the at-rest layout
+  * path (`writeIvfLayout`); the oracle-checked query paths (`ivfTopK`,
+  * `semDedup`) fit with the engine-independent [[DetQuantizer]]; the LSH
   * bucket keys are the engine's own deterministic kernel
   * ([[graft.expressions.RpBucketKeys]] — an ML-pipeline LSH transform costs
   * a per-row UDF over UDT-encoded vectors, measured ~2.5 s of overhead at
@@ -104,17 +106,20 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nCells` cells; each query probes only its
-    * `nProbe` nearest cells and reranks those candidates with the exact
-    * codegen'd cosine kernel. Seeded and deterministic given the corpus.
-    * The at-rest twin is `writeIvfLayout` + `probeIvfLayout`. */
+    * `nProbe` nearest cells (integer micro-unit L2, the same metric the
+    * cells were fit with) and reranks those candidates with the exact
+    * codegen'd cosine kernel. The quantizer is [[DetQuantizer]] — an
+    * engine-INDEPENDENT deterministic fit, so unlike the former seeded
+    * mllib version the whole query is DuckDB-oracle-checkable
+    * (rows+schema+hash), not merely recall-asserted. The at-rest twin is
+    * `writeIvfLayout` + `probeIvfLayout`. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val model = fitQuantizer(corpus, nCells)
-    val assigned = model.transform(
-      corpus.withColumn("fvec", array_to_vector(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-    val probed = probeCells(queries,
-      centroidTable(model, corpus.sparkSession), nProbe)
+    val cents = DetQuantizer.fit(corpus, "embedding", "vec_id", nCells)
+    val assigned = DetQuantizer.assign(corpus, "embedding", "vec_id", cents)
+    val probed = DetQuantizer.probe(
+      queries.select(col("q_id"), col("q_emb")), "q_emb", "q_id",
+      cents, nProbe)
     rerankTopK(probed.join(assigned, "cell_id"), k)
   }
 
@@ -256,21 +261,20 @@ object Similarity {
     * Scale shape — the SemDeDup contract: pair scoring is confined WITHIN
     * cells, Σ|cell|² ≪ N², and the cell self-join shuffles on cell_id
     * with the codegen cosine kernel doing the scoring. The quantizer fit
-    * runs on a sample at 100 TB (see [[fitQuantizer]]); assignment is the
-    * only full pass. Returns (vec_id, cell_id, c_sim, is_kept) for every
-    * corpus vector. Seeded k-means ⇒ engine-deterministic, not
-    * cross-engine oracle-checkable (property-tested instead, like the
-    * other mllib-fitted operators). */
+    * runs on a sample at 100 TB; assignment is the only full pass.
+    * Returns (vec_id, cell_id, c_sim, is_kept) for every corpus vector.
+    * The quantizer is [[DetQuantizer]], so the whole operator is
+    * DuckDB-oracle-checkable (the survivor-invariant property tests
+    * remain on top). */
   def semDedup(corpus: DataFrame, simThreshold: Double,
       nCells: Int = 16): DataFrame = {
-    val model = fitQuantizer(corpus, nCells)
-    val assigned = model.transform(
-      corpus.withColumn("fvec", array_to_vector(col("embedding"))))
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val cents = DetQuantizer.fit(corpus, "embedding", "vec_id", nCells)
+    val assigned = DetQuantizer.assign(corpus, "embedding", "vec_id", cents)
     val withCsim = assigned
-      .join(broadcast(centroidTable(model, corpus.sparkSession)), "cell_id")
+      .join(broadcast(cents), "cell_id")
       .withColumn("c_sim",
-        round(VectorFunctions.cosine(col("embedding"), col("centroid")), 6))
+        round(VectorFunctions.cosine(col("embedding"),
+          DetQuantizer.centToDouble(col("cent"))), 6))
       .select("cell_id", "vec_id", "embedding", "c_sim")
       .localCheckpoint(eager = false) // feeds both join sides + the output
     val pairs = withCsim.select(col("cell_id"), col("vec_id").as("a_id"),

@@ -272,8 +272,12 @@ object LlmOps extends QueryFamily {
   }
 
   /** q_sim_ivf — IVF ANN: k-means cells + probed exact rerank (the other
-    * classic sub-linear similarity layout next to LSH). Seeded k-means →
-    * rows-only check; recall vs exact top-k asserted in SimilaritySpec. */
+    * classic sub-linear similarity layout next to LSH). The cells come
+    * from the engine-independent [[graft.operators.DetQuantizer]]
+    * (md5-seeded, integer micro-unit Lloyd rounds), so the WHOLE query is
+    * full-oracle checked — the DuckDB oracle re-runs the identical fit as
+    * generated CTEs (the `Bpe.trainOracleSql` unrolled-iteration
+    * discipline); recall vs exact top-k stays asserted in SimilaritySpec. */
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 3)
@@ -403,10 +407,11 @@ object LlmOps extends QueryFamily {
   /** q_dedup_semantic — SemDeDup (cluster-then-prune semantic dedup): the
     * corpus clusters by k-means, near-dup pairs are scored ONLY within
     * cells, and the more-centroid-like member of each pair is dropped.
-    * Seeded mllib quantizer ⇒ rows-only for the driver gate;
-    * SimilaritySpec asserts the survivor invariant (no kept within-cell
-    * pair above threshold), planted-duplicate resolution, and
-    * determinism. */
+    * The quantizer is [[graft.operators.DetQuantizer]], so the full
+    * cluster→score→prune pipeline is DuckDB-oracle checked
+    * (rows+schema+hash); SimilaritySpec keeps the survivor invariant (no
+    * kept within-cell pair above threshold), planted-duplicate
+    * resolution, and determinism on top. */
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
@@ -462,7 +467,63 @@ object LlmOps extends QueryFamily {
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sim_pq" -> (qSimPq _))
 
+  /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
+    * generated deterministic-k-means CTE chain over the embeddings table
+    * (k=16 cells, 3 Lloyd rounds, d=64 — the registered configs). */
+  private def detFit: String =
+    graft.operators.DetQuantizer.fitSqlCtes(
+      "embeddings", "vec_id", "embedding", k = 16, rounds = 3, d = 64) +
+      ",\n" + graft.operators.DetQuantizer.assignSqlCte
+
   override val oracle: Map[String, String] = Map(
+    // The oracle re-runs the deterministic quantizer fit (generated CTEs
+    // c0..c3 — see DetQuantizer.fitSqlCtes), probes 4 cells per query by
+    // the same integer distance, and reranks with the shared rounded-
+    // cosine formula every other similarity oracle uses.
+    "q_sim_ivf" ->
+      s"""WITH $detFit,
+        |q AS (
+        |  SELECT emb.vec_id AS q_id, emb.embedding AS q_emb, e.v AS qv
+        |  FROM embeddings emb JOIN e ON emb.vec_id = e.vec_id
+        |  WHERE emb.vec_id < 3),
+        |probe AS (
+        |  SELECT q_id, cell_id FROM (
+        |    SELECT q.q_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.qv, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))),
+        |        c.cell_id) AS rn
+        |    FROM q, cfin c) WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.vec_id FROM probe p JOIN asg a USING (cell_id)),
+        |sims AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    round(list_cosine_similarity(q.q_emb::DOUBLE[], emb.embedding::DOUBLE[]), 6) AS sim
+        |  FROM cand c JOIN q USING (q_id) JOIN embeddings emb USING (vec_id)
+        |  WHERE c.vec_id <> c.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+    // Same fit + assignment, then the SemDeDup keep-farthest rule: every
+    // within-cell pair at rounded cosine >= 0.5 votes out its more-
+    // centroid-similar member (ties drop the higher id, which is always
+    // b_id since a_id < b_id).
+    "q_dedup_semantic" ->
+      s"""WITH $detFit,
+        |wc AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cell_id, emb.embedding,
+        |    round(list_cosine_similarity(emb.embedding::DOUBLE[],
+        |      list_transform(c.cent, x -> CAST(x AS DOUBLE) / 1000000.0)), 6) AS c_sim
+        |  FROM asg a JOIN embeddings emb USING (vec_id) JOIN cfin c USING (cell_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.c_sim AS a_cs, b.c_sim AS b_cs
+        |  FROM wc a JOIN wc b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5),
+        |rem AS (SELECT DISTINCT CASE WHEN a_cs > b_cs THEN a_id ELSE b_id END AS vec_id FROM pairs)
+        |SELECT w.vec_id, w.cell_id, w.c_sim, (r.vec_id IS NULL) AS is_kept
+        |FROM wc w LEFT JOIN rem r ON w.vec_id = r.vec_id
+        |ORDER BY w.vec_id""".stripMargin,
     // Recomputes q_multimodal_decode's stats directly from the digest hex —
     // independent of the BMP/WAV/PNG container framing the engine decodes
     // through. Byte i of the pixel/sample stream is hex pair (2i, 2i+1);
