@@ -145,47 +145,50 @@ object DetQuantizer {
     * handwritten — the SQL is a deterministic function of (k, rounds, d),
     * exactly like `Bpe.trainOracleSql`. */
   def fitSqlCtes(table: String, idCol: String, embCol: String, k: Int,
-      rounds: Int, d: Int): String = {
+      rounds: Int, d: Int, prefix: String = ""): String = {
+    val p = prefix
     val head =
-      s"""e AS MATERIALIZED (
+      s"""${p}e AS MATERIALIZED (
          |  SELECT $idCol AS vec_id,
          |    list_transform($embCol, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
          |  FROM $table),
-         |c0 AS MATERIALIZED (
+         |${p}c0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id,
          |    v AS cent
-         |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
+         |  FROM ${p}e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin
     val loop = (0 until rounds).map { r =>
-      s"""a$r AS MATERIALIZED (
+      s"""${p}a$r AS MATERIALIZED (
          |  SELECT vec_id, v, cell_id FROM (
          |    SELECT e.vec_id, e.v, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))),
          |        c.cell_id) AS rn
-         |    FROM e, c$r c) WHERE rn = 1),
-         |m$r AS MATERIALIZED (
+         |    FROM ${p}e e, ${p}c$r c) WHERE rn = 1),
+         |${p}m$r AS MATERIALIZED (
          |  SELECT cell_id,
          |    CAST(list((s - (((s % n) + n) % n)) // n ORDER BY i) AS BIGINT[]) AS cent
          |  FROM (SELECT cell_id, i, CAST(SUM(v[i]) AS BIGINT) AS s, COUNT(*) AS n
-         |        FROM a$r CROSS JOIN range(1, ${d + 1}) t(i)
+         |        FROM ${p}a$r CROSS JOIN range(1, ${d + 1}) t(i)
          |        GROUP BY cell_id, i)
          |  GROUP BY cell_id),
-         |c${r + 1} AS MATERIALIZED (
+         |${p}c${r + 1} AS MATERIALIZED (
          |  SELECT p.cell_id, coalesce(m.cent, p.cent) AS cent
-         |  FROM c$r p LEFT JOIN m$r m USING (cell_id))""".stripMargin
+         |  FROM ${p}c$r p LEFT JOIN ${p}m$r m USING (cell_id))""".stripMargin
     }
-    val fin = s"cfin AS (SELECT cell_id, cent FROM c$rounds)"
+    val fin = s"${p}cfin AS (SELECT cell_id, cent FROM ${p}c$rounds)"
     (head +: loop :+ fin).mkString(",\n")
   }
 
-  /** Final-assignment CTE (`asg AS (vec_id, cell_id)`) against `cfin` —
-    * the SQL mirror of [[assign]]. */
-  def assignSqlCte: String =
-    s"""asg AS MATERIALIZED (
+  /** Final-assignment CTE (`{prefix}asg AS (vec_id, cell_id)`) against
+    * `{prefix}cfin` — the SQL mirror of [[assign]]. */
+  def assignSqlCte(prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}asg AS MATERIALIZED (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT e.vec_id, c.cell_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))),
        |        c.cell_id) AS rn
-       |    FROM e, cfin c) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}e e, ${p}cfin c) WHERE rn = 1)""".stripMargin
+  }
 }

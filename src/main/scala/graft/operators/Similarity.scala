@@ -174,20 +174,26 @@ object Similarity {
         "tables are driver-built per query; split the batch or use ivfTopK")
     val normC = l2normalize(corpus, "embedding")
       .localCheckpoint(eager = false) // feeds m fits + the encode pass
-    // per-subspace codebooks: m seeded distributed fits on slices,
-    // submitted CONCURRENTLY — the fits are independent jobs and the
-    // scheduler interleaves them, so wall time is ~one fit, not m
-    // (measured 6.4 s -> ~2.5 s for the registered m=4 at sf0.1)
+    // per-subspace codebooks: m deterministic fits on slices
+    // ([[DetQuantizer]] — engine-independent, so the WHOLE PQ pipeline is
+    // DuckDB-oracle-checkable), submitted CONCURRENTLY — the fits are
+    // independent jobs and the scheduler interleaves them, so wall time is
+    // ~one fit, not m (measured 6.4 s -> ~2.5 s for the registered m=4 at
+    // sf0.1 back when these were mllib fits; the det fit is the same
+    // passes-over-slices shape). Centroids come back in micro-units; the
+    // float codebook value is CAST(cent/1e6 AS FLOAT), the exact two-step
+    // conversion the oracle mirrors.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val codebooks: Array[Array[Array[Float]]] = Await.result(
       Future.sequence((0 until m).map { j => Future {
-        new KMeans().setK(ks).setSeed(42 + j).setMaxIter(8)
-          .setFeaturesCol("sub").setPredictionCol("c")
-          .fit(normC.select(array_to_vector(
-            slice(col("embedding"), j * dsub + 1, dsub)).as("sub")))
-          .clusterCenters.map(_.toArray.map(_.toFloat))
+        DetQuantizer.fit(
+          normC.select(col("vec_id"),
+            slice(col("embedding"), j * dsub + 1, dsub).as("sub")),
+          "sub", "vec_id", ks)
+          .orderBy("cell_id").collect()
+          .map(_.getSeq[Long](1).map(c => (c.toDouble / 1e6).toFloat).toArray)
       } }), Duration.Inf).toArray
     val codes = normC.select(col("vec_id"),
       Bridge.column(PqEncode(Bridge.expression(col("embedding")), codebooks))

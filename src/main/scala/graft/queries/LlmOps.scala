@@ -473,9 +473,84 @@ object LlmOps extends QueryFamily {
   private def detFit: String =
     graft.operators.DetQuantizer.fitSqlCtes(
       "embeddings", "vec_id", "embedding", k = 16, rounds = 3, d = 64) +
-      ",\n" + graft.operators.DetQuantizer.assignSqlCte
+      ",\n" + graft.operators.DetQuantizer.assignSqlCte()
+
+  /** Generated q_sim_pq oracle: the full PQ pipeline in SQL — L2-normalize
+    * (float-cast exactly like the engine), m per-subspace deterministic
+    * codebook fits (generated CTEs, prefixes p0..p3), nearest-centroid
+    * encode, per-query ADC tables, the 80-wide ADC shortlist, and the
+    * exact rounded-cosine rerank. Every float/double step mirrors the
+    * engine's operation order (DuckDB list_sum is sequential
+    * left-to-right, like the codegen kernels' accumulation), so the
+    * shortlist and ranking are bit-identical. */
+  private def pqOracle: String = {
+    val (m, ks, d, k, shortlist, rounds) = (4, 16, 64, 10, 80, 3)
+    val dsub = d / m
+    val fits = (0 until m).map { j =>
+      s"""s$j AS (SELECT vec_id, nv[${j * dsub + 1}:${(j + 1) * dsub}] AS sub FROM nc),
+         |${graft.operators.DetQuantizer.fitSqlCtes(
+              s"s$j", "vec_id", "sub", ks, rounds, dsub, prefix = s"p$j")}""".stripMargin
+    }.mkString(",\n")
+    val cb = (0 until m).map { j =>
+      s"""SELECT $j AS j, cell_id,
+         |  CAST(list_transform(cent, c -> CAST(CAST(c AS DOUBLE)/1000000.0 AS FLOAT)) AS FLOAT[]) AS cb
+         |FROM p${j}cfin""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val sl = (0 until m).map { j =>
+      s"SELECT vec_id, $j AS j, nv[${j * dsub + 1}:${(j + 1) * dsub}] AS sub FROM nc"
+    }.mkString("\nUNION ALL ")
+    s"""WITH nc AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN nrm > 0
+       |      THEN CAST(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS FLOAT[])
+       |      ELSE embedding END AS nv
+       |  FROM (SELECT vec_id, embedding,
+       |          sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+       |        FROM embeddings)),
+       |$fits,
+       |cb AS MATERIALIZED ($cb),
+       |sl AS MATERIALIZED ($sl),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, j, cell_id AS code FROM (
+       |    SELECT sl.vec_id, sl.j, cb.cell_id,
+       |      row_number() OVER (PARTITION BY sl.vec_id, sl.j ORDER BY
+       |        list_sum(list_transform(list_zip(sl.sub, cb.cb),
+       |          p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))),
+       |        cb.cell_id) AS rn
+       |    FROM sl JOIN cb USING (j)) WHERE rn = 1),
+       |tbl AS MATERIALIZED (
+       |  SELECT sl.vec_id AS q_id, sl.j, cb.cell_id,
+       |    list_sum(list_transform(list_zip(sl.sub, cb.cb),
+       |      p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS t
+       |  FROM sl JOIN cb USING (j) WHERE sl.vec_id < 3),
+       |adc AS MATERIALIZED (
+       |  SELECT t.q_id, e.vec_id, list_sum(list(t.t ORDER BY t.j)) AS adc
+       |  FROM enc e JOIN tbl t ON t.j = e.j AND t.cell_id = e.code
+       |  GROUP BY t.q_id, e.vec_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srnk
+       |    FROM adc) WHERE srnk <= $shortlist),
+       |sims AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS sim
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.vec_id
+       |  WHERE s.vec_id <> s.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims)
+       |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
 
   override val oracle: Map[String, String] = Map(
+    // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
+    // fit → encode → table → shortlist → rerank) SQL-reproducible.
+    "q_sim_pq" -> pqOracle,
     // The oracle re-runs the deterministic quantizer fit (generated CTEs
     // c0..c3 — see DetQuantizer.fitSqlCtes), probes 4 cells per query by
     // the same integer distance, and reranks with the shared rounded-
