@@ -253,7 +253,11 @@ object LlmOps extends QueryFamily {
       .select(col("a_id"), col("b_id"), round(col("dist"), 6).as("dist"))
       .orderBy("a_id", "b_id")
 
-  /** q_dedup_simhash — 64-bit SimHash pairs within Hamming distance 6. */
+  /** q_dedup_simhash — 64-bit SimHash pairs within Hamming distance 6.
+    * The signature is md5-backed (engine-independent), so the whole
+    * band→join→verify pipeline is full-oracle checked: the DuckDB oracle
+    * recomputes per-token digests, per-bit majority votes, the packed
+    * signed signature, and the same 7-band pigeonhole keys. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir), "text", "doc_id",
         maxHamming = 6)
@@ -551,6 +555,45 @@ object LlmOps extends QueryFamily {
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // SimHash is md5-backed, so the 64-bit signature is SQL-reproducible:
+    // bit i of the signature (MSB-first over the first 8 digest bytes,
+    // packed into bit 63-i) is the majority vote over tokens. The signed
+    // bit-63 weight is the -2^63 literal (DuckDB's << overflows at 63);
+    // >> is arithmetic but every band key is masked, so sign-extension
+    // never reaches a key bit. Bands mirror maxHamming=6 → 7 bands of
+    // widths 10,9×6 (the pigeonhole guarantee); the singleton-bucket
+    // prune in the engine is a pure optimization — pairs are unaffected —
+    // so the oracle joins buckets directly.
+    "q_dedup_simhash" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, md5(t) AS hx FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |ones AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    SUM(((strpos('0123456789abcdef', substr(hx, CAST(i // 4 AS INT) + 1, 1)) - 1)
+        |         >> (3 - (i % 4))) & 1) AS o,
+        |    COUNT(*) AS n
+        |  FROM tok CROSS JOIN range(0, 64) t(i)
+        |  GROUP BY doc_id, i),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN 2 * o > n THEN
+        |      CASE WHEN i = 0 THEN -9223372036854775808
+        |           ELSE 1::BIGINT << CAST(63 - i AS INT) END
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM ones GROUP BY doc_id),
+        |banded AS MATERIALIZED (
+        |  SELECT doc_id, sig, b, (sig >> o) & m AS key
+        |  FROM sig CROSS JOIN (VALUES (0, 0, 1023), (1, 10, 511), (2, 19, 511),
+        |    (3, 28, 511), (4, 37, 511), (5, 46, 511), (6, 55, 511)) AS bands(b, o, m)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.sig AS a_sig, b.sig AS b_sig
+        |  FROM banded a JOIN banded b
+        |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, bit_count(xor(a_sig, b_sig)) AS hamming
+        |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 6
+        |ORDER BY a_id, b_id""".stripMargin,
     // The oracle re-runs the deterministic quantizer fit (generated CTEs
     // c0..c3 — see DetQuantizer.fitSqlCtes), probes 4 cells per query by
     // the same integer distance, and reranks with the shared rounded-
