@@ -64,7 +64,36 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val nErrors = timed.count(_._3.isDefined) + badFilter.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Perf-regression ledger: per-query sf0.1 seconds recorded in
+    // src/main/resources/bench_baseline.json. A query >1.5x its recorded
+    // time (and >0.25s absolute — sub-second queries are host-noise-bound)
+    // is flagged LOUDLY in the JSON line and on stderr, so drift is
+    // attributed the round it happens instead of rediscovered by a later
+    // verdict. New queries simply aren't in the ledger yet; refresh the
+    // fixture when intentionally changing a query's plan.
+    val baseline: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromInputStream(
+          getClass.getResourceAsStream("/bench_baseline.json"))
+        val text = try src.mkString finally src.close()
+        """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
+          .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Only the FULL suite compares apples-to-apples: a filtered run pays
+    // JVM/JIT warm-up on far fewer queries and reads hot where the
+    // recording read warm, inflating 2x+ on fit-heavy queries.
+    val regressions =
+      if (!sfDir.contains("sf0.1") || args.nonEmpty) Seq.empty
+      else timed.collect {
+        case (name, t, None) if baseline.get(name).exists(b =>
+          t > b * 1.5 && t - b > 0.25) => (name, t, baseline(name))
+      }
+    regressions.foreach { case (name, t, b) =>
+      System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx)")
+    }
+    val regs = regressions
+      .map { case (k, t, b) => s"${q(k)}:[$t,$b]" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with erroring queries must fail loudly: BENCH_r05 reported
     // rc=0 with 5 broken queries and nobody noticed until the verdict.

@@ -69,6 +69,34 @@ class DedupSpec extends SparkSpec {
     assert(found === expected) // all 10 planted pairs, zero false pairs
   }
 
+  test("registered xxhash64 minhash config: recall >= 0.9 vs exact Jaccard on sf0.01") {
+    // The md5 twin asserts end-to-end recall through its oracle; this
+    // pins the ENGINE-LOCAL hash family at the registered 8-band × 2-row
+    // config against brute-forced exact trigram-Jaccard ground truth on
+    // the real corpus — an xxhash64 regression (or a band-config change
+    // that quietly destroys recall) breaks here, not in production.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val sh = docs.select(col("doc_id"), array_distinct(
+      TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val exact = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", lit(1.0) -
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("dist") <= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty) // ground truth must be non-trivial
+    val found = Dedup.nearMinhashLsh(docs, "text", "doc_id", maxDistance = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect found).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exact.size} found=${found.size}")
+    // the exact-Jaccard verify step means banding can only LOSE pairs,
+    // never invent them
+    assert(found.subsetOf(exact), (found diff exact).take(5).toString)
+  }
+
   test("simhash: identical docs collide at hamming 0; distinct doc is far") {
     val sigs = docs.select(col("doc_id"),
       TextFunctions.simhash64(col("text")).as("sig"))
