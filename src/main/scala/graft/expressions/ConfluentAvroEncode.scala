@@ -21,6 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object SchemaRegistryStub {
   private val ids = TrieMap.empty[String, Int]
 
+  /** Value-side subject naming, byte-for-byte the reference encoder's
+    * `schema.GetName() + "-value"`
+    * (/root/reference/Godeps/_workspace/src/github.com/elodina/go-kafka-avro/avro_encoder_decoder.go:56):
+    * the subject derives from the Avro RECORD NAME, not the topic or the
+    * namespace-qualified full name. */
+  def subjectFor(schemaJson: String): String =
+    new Schema.Parser().parse(schemaJson).getName + "-value"
+
   /** Deterministic positive id derived from the canonical schema string —
     * stable across sessions and executors (no registry round-trip). */
   def register(subject: String, schemaJson: String): Int =

@@ -31,7 +31,8 @@ object EnvelopeSink {
       |{"name":"Timestamp","type":"long"},
       |{"name":"Metrics","type":"bytes"}]}""".stripMargin.replace("\n", "")
 
-  def schemaId: Int = SchemaRegistryStub.register("SlaveMetrics-value", schemaJson)
+  def schemaId: Int = SchemaRegistryStub.register(
+    SchemaRegistryStub.subjectFor(schemaJson), schemaJson)
 
   private val metricsType = MapType(StringType, LongType)
 

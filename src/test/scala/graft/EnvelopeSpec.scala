@@ -227,6 +227,27 @@ class EnvelopeSpec extends SparkSpec {
     assert(other !== a)
   }
 
+  test("registry subject is the record name + '-value'; id survives a fresh session") {
+    // Subject naming mirrors the reference encoder's register-on-first-use
+    // (schema.GetName() + "-value"): derived from the Avro RECORD NAME —
+    // not the namespace-qualified full name, not the topic.
+    val subject = SchemaRegistryStub.subjectFor(EnvelopeSink.schemaJson)
+    assert(subject === "SlaveMetrics-value")
+    assert(!subject.contains("graft.avro")) // namespace must not leak in
+    // Id stability ACROSS sessions: the stub id is a pure digest of
+    // (subject, schema), so a brand-new process derives the identical id —
+    // recompute it from first principles here and pin the encoder to it.
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((subject + "|" + EnvelopeSink.schemaJson).getBytes("UTF-8"))
+    val expected = ((d(0) & 0x7f) << 24) | ((d(1) & 0xff) << 16) |
+      ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    assert(EnvelopeSink.schemaId === expected)
+    // and a schema CHANGE under the same subject moves the id (the
+    // registry's version-bump behavior, not an id collision)
+    val changed = EnvelopeSink.schemaJson.replace("SlaveID", "SlaveId2")
+    assert(SchemaRegistryStub.register(subject, changed) !== expected)
+  }
+
   test("invalid transform fails fast at plan build") {
     intercept[IllegalArgumentException] {
       EnvelopeSink.kafkaRows(envelopeDf, "proto")

@@ -152,6 +152,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S6 chaos: transformWithState kill-and-resume loses/duplicates no transition") {
+    // Kill the query mid-lifecycle (slave occupied) and resume a NEW query
+    // from the same checkpoint with RocksDB CHANGELOG checkpointing: the
+    // recovered ValueState must still hold task-1 (its terminal event can
+    // only produce "removed" if state survived), committed batches must not
+    // re-emit, and the per-batchId-idempotent sink makes any replay
+    // invisible — the exactly-once recipe, asserted end-to-end.
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(provider, changelog).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("s6_chaos_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("s6_chaos_ckpt").toString
+      val in = MemoryStream[TaskEvent]
+      def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/batch=$id")
+      def start() = Streams.keyedLifecycleTws(in.toDS()).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(sink _)
+        .start()
+      val q1 = start()
+      try {
+        in.addData(
+          TaskEvent("s0", "task-1", "launch", 1),
+          TaskEvent("s0", "task-2", "launch", 2)) // occupied → rejected
+        q1.processAllAvailable()
+      } finally q1.stop() // kill with task-1 still occupying s0
+      val q2 = start()
+      try {
+        in.addData(
+          TaskEvent("s0", "task-1", "failed", 3),  // removed IFF state recovered
+          TaskEvent("s0", "task-3", "launch", 4))  // key free again after removal
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(s"$dir/batch=*")
+        .select("taskId", "action").as[(String, String)].collect().toSeq
+      // exact multiset across both incarnations: nothing lost, nothing doubled
+      assert(rows.sorted === Seq(
+        ("task-1", "launched"), ("task-1", "removed"),
+        ("task-2", "rejected_duplicate"), ("task-3", "launched")).sorted)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("S9 continuous-ingest dedup: store dups and stream repeats dropped, novel survives") {
     val store = Seq((10L, "seen before"), (11L, "also seen"))
       .toDF("doc_id", "text")
