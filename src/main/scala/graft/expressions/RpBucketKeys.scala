@@ -95,3 +95,83 @@ case class RpBucketKeys(child: Expression, nTables: Int,
   override protected def withNewChildInternal(newChild: Expression): RpBucketKeys =
     copy(child = newChild)
 }
+
+/** Deterministic per-(table, dim) Rademacher (±1) directions from md5 —
+  * engine-INDEPENDENT, unlike [[RpMatrix]]'s JVM Gaussian draws: the sign
+  * for (t, i) is the top bit of md5("t|i"), reproducible in any engine
+  * with an md5 (the same family trick as [[SimHash64]]). */
+private[expressions] object RadMatrix {
+  private val cache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def sign(t: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t|$i".getBytes("UTF-8"))
+    if ((d(0) & 0x80) != 0) 1.0 else -1.0
+  }
+
+  def get(nTables: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nTables, dim), { case (nt, d) =>
+      Array.tabulate(nt, d)((t, i) => sign(t, i))
+    })
+}
+
+/** Euclidean-LSH bucket keys like [[RpBucketKeys]], but over md5-derived
+  * RADEMACHER (±1) directions instead of seeded JVM Gaussians:
+  * `bucket[t] = floor( dot(v, r_t) / (||v|| · w) )` with
+  * `r_t[i] = sign(md5("t|i"))`. By CLT, `dot(v̂, r_t)` over a unit vector
+  * in d = 64 dims is as Gaussian as the p-stable theory needs (Achlioptas
+  * 2003 established ±1 projections for JL/LSH use — public method), so
+  * collision probabilities match the Gaussian family at the same bucket
+  * width — but every byte of the key derivation is now reproducible in
+  * SQL, which is what promotes the ANN candidate query from
+  * rows-only-checked to full-oracle. Accumulation is left-to-right in
+  * double, the repo-wide oracle discipline. */
+case class RadBucketKeys(child: Expression, nTables: Int,
+    bucketLength: Double)
+  extends UnaryExpression with CodegenFallback {
+
+  require(nTables >= 1, "rad_bucket_keys needs at least one hash table")
+  require(bucketLength > 0.0, "rad_bucket_keys bucketLength must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rad_bucket_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.numericArrays(prettyName, Seq(child.dataType))
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    val mat = RadMatrix.get(nTables, d)
+    var norm2 = 0.0
+    var i = 0
+    while (i < d) {
+      val x: Double = if (isFloat) v.getFloat(i) else v.getDouble(i)
+      norm2 += x * x
+      i += 1
+    }
+    val norm = math.sqrt(norm2)
+    val out = new Array[Any](nTables)
+    var t = 0
+    while (t < nTables) {
+      val g = mat(t)
+      var dot = 0.0
+      i = 0
+      while (i < d) {
+        dot += (if (isFloat) v.getFloat(i) else v.getDouble(i)) * g(i)
+        i += 1
+      }
+      out(t) =
+        if (norm == 0.0) 0L
+        else math.floor(dot / (norm * bucketLength)).toLong
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RadBucketKeys =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.graft.Bridge
-import graft.expressions.{CosineSimilarity, DotProduct, LongL2Sq, RpBucketKeys}
+import graft.expressions.{CosineSimilarity, DotProduct, LongL2Sq, RadBucketKeys, RpBucketKeys}
 
 /** Dense-vector math over `array<float>` embedding columns — the
   * similarity-search building blocks (SURVEY.md §2 B-10).
@@ -42,6 +42,12 @@ object VectorFunctions {
   def rpBucketKeys(emb: Column, nTables: Int, bucketLength: Double,
       seed: Long = 42L): Column =
     Bridge.column(RpBucketKeys(Bridge.expression(emb), nTables, bucketLength, seed))
+
+  /** Like [[rpBucketKeys]] but over md5-derived Rademacher (±1) directions —
+    * engine-independent, so consumers are DuckDB-oracle-checkable. See
+    * [[graft.expressions.RadBucketKeys]]. */
+  def radBucketKeys(emb: Column, nTables: Int, bucketLength: Double): Column =
+    Bridge.column(RadBucketKeys(Bridge.expression(emb), nTables, bucketLength))
 
   /** Σ (aᵢ−bᵢ)² over `array<bigint>` micro-unit vectors in pure int64
     * arithmetic — bit-identical cross-engine; the deterministic-quantizer

@@ -48,6 +48,16 @@ object Similarity {
           bucketLength)).as(Seq("t", "h")))
       .select(col(idCol), struct(col("t"), col("h")).as("bk"))
 
+  /** [[lshBucketKeys]] over the md5-derived Rademacher family
+    * ([[graft.expressions.RadBucketKeys]]) — same bucket semantics,
+    * engine-independent keys, used by the ORACLE-CHECKED ANN path. */
+  private def radLshBucketKeys(df: DataFrame, emb: String, idCol: String,
+      bucketLength: Double, numHashTables: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(VectorFunctions.radBucketKeys(col(emb), numHashTables,
+          bucketLength)).as(Seq("t", "h")))
+      .select(col(idCol), struct(col("t"), col("h")).as("bk"))
+
   private def fitQuantizer(corpus: DataFrame, nCells: Int): KMeansModel =
     // a coarse quantizer only needs roughly-balanced cells, not converged
     // centroids — 8 iterations is plenty (default 20 just burns fit passes;
@@ -478,9 +488,9 @@ object Similarity {
   def annCandidates(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 1.5,
       numHashTables: Int = 8): DataFrame = {
-    val cands = lshBucketKeys(queries, "q_emb", "q_id",
+    val cands = radLshBucketKeys(queries, "q_emb", "q_id",
         bucketLength, numHashTables)
-      .join(lshBucketKeys(corpus, "embedding", "vec_id",
+      .join(radLshBucketKeys(corpus, "embedding", "vec_id",
         bucketLength, numHashTables), "bk")
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")

@@ -265,7 +265,10 @@ object LlmOps extends QueryFamily {
 
   /** q_sim_ann — LSH-bucketed approximate nearest neighbours (the scale
     * path for q_sim_topk). Euclidean ≤ 1.3 on normalized vectors ≈ cosine
-    * ≥ 0.155. */
+    * ≥ 0.155. The bucket family is md5-derived Rademacher projections
+    * ([[graft.expressions.RadBucketKeys]]) — engine-independent, so the
+    * whole bucket→join→verify path is full-oracle checked; recall ≥ 0.9
+    * at this config stays asserted in SimilaritySpec. */
   def qSimAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 3)
@@ -555,6 +558,39 @@ object LlmOps extends QueryFamily {
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // ANN: the Rademacher bucket keys are md5-derived, so the oracle
+    // rebuilds the ±1 direction table (top bit of md5("t|i") — first hex
+    // nibble >= 8), the fused-normalization bucket floor, the (t, h)
+    // bucket join, and the exact verify — byte-for-byte the kernel.
+    "q_sim_ann" ->
+      """WITH gs AS MATERIALIZED (
+        |  SELECT t, list(CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5(CAST(t AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+        |    THEN 1.0 ELSE -1.0 END ORDER BY i) AS g
+        |  FROM range(0, 8) r1(t) CROSS JOIN range(0, 64) r2(i)
+        |  GROUP BY t),
+        |keys AS MATERIALIZED (
+        |  SELECT e.vec_id, g.t,
+        |    CASE WHEN e.nrm = 0 THEN 0
+        |         ELSE CAST(floor(
+        |           list_sum(list_transform(list_zip(e.embedding, g.g),
+        |             p -> CAST(p[1] AS DOUBLE) * p[2])) / (e.nrm * 1.5)) AS BIGINT) END AS h
+        |  FROM (SELECT vec_id, embedding,
+        |          sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+        |        FROM embeddings) e CROSS JOIN gs g),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id
+        |  FROM keys q JOIN keys k ON q.t = k.t AND q.h = k.h
+        |  WHERE q.vec_id < 3 AND k.vec_id <> q.vec_id),
+        |d AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    sqrt(greatest(0.0, 2.0 - 2.0 * list_cosine_similarity(
+        |      qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS dist
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.q_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id)
+        |SELECT q_id, vec_id, round(dist, 6) AS dist FROM d WHERE dist <= 1.3
+        |ORDER BY q_id, vec_id""".stripMargin,
     // SimHash is md5-backed, so the 64-bit signature is SQL-reproducible:
     // bit i of the signature (MSB-first over the first 8 digest bytes,
     // packed into bit 63-i) is the majority vote over tokens. The signed
