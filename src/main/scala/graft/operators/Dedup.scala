@@ -81,6 +81,42 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double,
       maxShingleDf: Long = Long.MaxValue,
+      maxShingleDfFraction: Option[Double] = None): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxShingleDf,
+      maxShingleDfFraction)
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+
+  /** Exact shingle CONTAINMENT pairs: `C = |A∩B| / min(|A|, |B|)` — the
+    * inclusion metric Jaccard structurally misses: a 50-shingle quote
+    * embedded verbatim in a 5000-shingle page has Jaccard ≈ 0.01 (union-
+    * normalized) but containment 1.0. For training corpora this is the
+    * boilerplate-inclusion / quotation / near-superset detector that
+    * union-normalized dedup leaves behind (the containment form of
+    * Broder's resemblance work — public method). Same guarded
+    * sub-quadratic machinery as [[ngramJaccardPairs]]: stop-shingle df
+    * guard, singleton prune, hashed 8-byte join keys. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxShingleDf: Long = Long.MaxValue,
+      maxShingleDfFraction: Option[Double] = None): DataFrame =
+    shinglePairCounts(df, textCol, idCol, n, maxShingleDf,
+      maxShingleDfFraction)
+      .withColumn("containment",
+        col("i").cast("double") / least(col("ca"), col("cb")))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+
+  /** The shared guarded pair-generation tail of the exact shingle-overlap
+    * family: `(a_id, b_id, i, ca, cb)` — intersection size plus both
+    * distinct-shingle counts — for every co-shingled pair. All the scale
+    * machinery lives here once: df guard, singleton prune, xxhash64 keys,
+    * exchange-reusing self-join. */
+  private def shinglePairCounts(df: DataFrame, textCol: String, idCol: String,
+      n: Int,
+      maxShingleDf: Long = Long.MaxValue,
       maxShingleDfFraction: Option[Double] = None): DataFrame = {
     // Every consumer below uses the shingle only through EQUALITY, so hash
     // it once to a 64-bit key at explode time: the df-group, hot anti-join
@@ -143,10 +179,6 @@ object Dedup {
     inter
       .join(counts.select(col("doc").as("a_id"), col("c").as("ca")), "a_id")
       .join(counts.select(col("doc").as("b_id"), col("c").as("cb")), "b_id")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("ca") + col("cb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
   }
 
   /** Near-duplicate pairs via banded MinHash LSH, composed from codegen'd

@@ -252,6 +252,204 @@ object Similarity {
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id"), k)
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998 — public
+    * method) diversified top-k: greedily select the candidate maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)` from a bounded exact-top-N
+    * pool per query. The training-data angle: a plain top-k near a dense
+    * mode returns k near-duplicates of each other; MMR's redundancy
+    * penalty returns a DIVERSE representative set (eval-set retrieval,
+    * seed selection, dedup-aware sampling).
+    *
+    * Scale shape: the pool is `poolSize` rows per query — corpus-
+    * independent after the exact top-N scan — so the k greedy rounds run
+    * on bounded data (the rounds-on-bounded-vocabulary discipline of the
+    * BPE trainer).
+    *
+    * λ is expressed as INTEGER weights `wSim/(wSim+wDiv)` (default 7/3 =
+    * 0.7) and similarities enter the greedy as 6-dp-rounded micro-unit
+    * INTEGERS, so the MMR score `wSim·simᵢ − wDiv·maxselᵢ` is pure int64
+    * — no float rounding anywhere in the trajectory. This is not
+    * gold-plating: the float formulation `round(0.7·sim − 0.3·max, 6)`
+    * lands EXACTLY on 6-dp half-way points whenever sim is a 6-dp value
+    * (0.7·0.371485 = 0.2600395), and engines disagree on those ties —
+    * measured divergence on the real corpus. Ties break on vec_id;
+    * full-oracle via unrolled rounds ([[mmrOracleSql]]). Returns
+    * (q_id, rnk, vec_id, mmr_e7) — the score in 10⁻⁷ units
+    * (wSim·sim·10⁶, exact). */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      poolSize: Int = 30, wSim: Int = 7, wDiv: Int = 3): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    require(wSim > 0 && wDiv >= 0, s"need wSim>0, wDiv>=0, got $wSim/$wDiv")
+    def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
+    val pool = cosineTopK(queries, corpus, poolSize)
+      .select(col("q_id"), col("vec_id"), micro(col("sim")).as("si"))
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint() // bounded: queries × poolSize rows, feeds k rounds
+    val pairs = pool
+      .select(col("q_id"), col("vec_id").as("x_id"), col("embedding").as("x_emb"))
+      .join(pool.select(col("q_id"), col("vec_id").as("y_id"),
+        col("embedding").as("y_emb")), "q_id")
+      .filter(col("x_id") =!= col("y_id"))
+      .select(col("q_id"), col("x_id"), col("y_id"),
+        micro(round(VectorFunctions.cosine(col("x_emb"), col("y_emb")), 6))
+          .as("pi"))
+      .localCheckpoint() // poolSize² per query, still bounded
+    val w = Window.partitionBy("q_id").orderBy(desc("mmr_e7"), asc("vec_id"))
+    var rem = pool.select("q_id", "vec_id", "si")
+      .withColumn("msi", lit(null).cast("long"))
+    var out: DataFrame = null
+    var r = 1
+    while (r <= k) {
+      val pick = rem
+        .withColumn("mmr_e7",
+          lit(wSim.toLong) * col("si") -
+            lit(wDiv.toLong) * coalesce(col("msi"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), lit(r).as("rnk"), col("vec_id"), col("mmr_e7"))
+        .localCheckpoint() // one row per query
+      out = if (out == null) pick else out.union(pick)
+      // Spark's greatest() skips nulls, so the first update replaces the
+      // null msi with pi — the oracle mirrors this with an explicit CASE.
+      rem = rem
+        .join(pick.select(col("q_id"), col("vec_id").as("sel_id")), Seq("q_id"))
+        .filter(col("vec_id") =!= col("sel_id"))
+        .join(pairs
+          .withColumnRenamed("x_id", "vec_id")
+          .withColumnRenamed("y_id", "sel_id"),
+          Seq("q_id", "vec_id", "sel_id"))
+        .withColumn("msi", greatest(col("msi"), col("pi")))
+        .select("q_id", "vec_id", "si", "msi")
+        .localCheckpoint()
+      r += 1
+    }
+    out
+  }
+
+  /** DuckDB mirror of [[mmrTopK]] over the embeddings table (queries =
+    * vec_id < `nQueries`): the k greedy rounds unrolled as CTE pairs —
+    * generated, a deterministic function of the parameters, exactly like
+    * `Bpe.trainOracleSql`. All scores are int64. */
+  def mmrOracleSql(k: Int, poolSize: Int = 30, wSim: Int = 7, wDiv: Int = 3,
+      nQueries: Int = 3): String = {
+    val rounds = (1 to k).map { r =>
+      s"""pick$r AS (SELECT q_id, $r AS rnk, vec_id, mmr_e7 FROM (
+         |  SELECT q_id, vec_id, mmr_e7,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY mmr_e7 DESC, vec_id) AS rn
+         |  FROM (SELECT q_id, vec_id,
+         |          $wSim * si - $wDiv * coalesce(msi, 0) AS mmr_e7
+         |        FROM rem$r)) WHERE rn = 1),
+         |rem${r + 1} AS MATERIALIZED (
+         |  SELECT r.q_id, r.vec_id, r.si,
+         |    CASE WHEN r.msi IS NULL THEN p.pi
+         |         ELSE greatest(r.msi, p.pi) END AS msi
+         |  FROM rem$r r
+         |  JOIN pick$r s ON s.q_id = r.q_id AND r.vec_id <> s.vec_id
+         |  JOIN pairs p ON p.q_id = r.q_id AND p.x_id = r.vec_id
+         |    AND p.y_id = s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(r => s"SELECT * FROM pick$r").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $nQueries),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, vec_id,
+       |    CAST(round(sim * 1000000.0) AS BIGINT) AS si, embedding FROM (
+       |    SELECT q_id, vec_id, sim, embedding,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+       |    FROM (SELECT q.q_id, e.vec_id, e.embedding,
+       |            round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+       |          FROM q, embeddings e WHERE e.vec_id <> q.q_id))
+       |  WHERE rn <= $poolSize),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS x_id, b.vec_id AS y_id,
+       |    CAST(round(round(list_cosine_similarity(
+       |      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) * 1000000.0) AS BIGINT) AS pi
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |rem1 AS (SELECT q_id, vec_id, si, NULL::BIGINT AS msi FROM pool),
+       |$rounds
+       |SELECT q_id, rnk, vec_id, mmr_e7 FROM ($unionAll)
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Farthest-point sampling (k-center greedy, Gonzalez 1985 — public
+    * method): pick the vector maximizing the minimum distance to
+    * everything picked so far; seed = smallest (md5(vec_id), vec_id).
+    * The coverage-maximizing coreset selector — the diversity-first
+    * complement to similarity-first [[mmrTopK]] — with the classic
+    * 2-approximation guarantee for the k-center radius. Distances are
+    * integer micro-unit squared L2 ([[graft.expressions.LongL2Sq]]) and
+    * ties break to the lowest vec_id, so the greedy trajectory is
+    * engine-exact and oracle-checkable via unrolled rounds.
+    *
+    * Scale shape: k sequential corpus passes (inherent to the greedy) —
+    * each is one broadcast of the single picked row + a narrow min-update
+    * + TakeOrdered(1); the corpus itself never shuffles. At 100 TB FPS
+    * runs on a uniform sample first (standard practice), then the passes
+    * are sample-sized. Returns (rnk, vec_id, gap) where gap is the
+    * max-min squared distance at selection time (0 for the seed). */
+  def farthestPointSample(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val e = corpus.select(col("vec_id"),
+      DetQuantizer.microQuantize(col("embedding")).as("v"))
+      .localCheckpoint(eager = false)
+    var pick = e.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(1)
+      .select(col("vec_id"), col("v"), lit(0L).as("gap"))
+      .localCheckpoint()
+    var out = pick.select(col("vec_id"), lit(1).as("rnk"), col("gap"))
+    var rem = e.join(pick.select("vec_id"), Seq("vec_id"), "left_anti")
+      .withColumn("mind", lit(null).cast("long"))
+    var r = 2
+    while (r <= k) {
+      val upd = rem
+        .crossJoin(broadcast(pick.select(col("v").as("pv"))))
+        .withColumn("mind", least(
+          coalesce(col("mind"), lit(Long.MaxValue)),
+          VectorFunctions.longL2Sq(col("v"), col("pv"))))
+        .drop("pv")
+        .localCheckpoint()
+      pick = upd.orderBy(desc("mind"), asc("vec_id")).limit(1)
+        .select(col("vec_id"), col("v"), col("mind").as("gap"))
+        .localCheckpoint()
+      out = out.union(pick.select(col("vec_id"), lit(r).as("rnk"), col("gap")))
+      rem = upd.join(pick.select("vec_id"), Seq("vec_id"), "left_anti")
+      r += 1
+    }
+    out.select(col("rnk"), col("vec_id"), col("gap"))
+  }
+
+  /** DuckDB mirror of [[farthestPointSample]] — unrolled rounds, pure
+    * integer arithmetic. */
+  def fpsOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""upd$r AS MATERIALIZED (
+         |  SELECT r.vec_id, r.v,
+         |    CAST(least(coalesce(r.mind, 9223372036854775807),
+         |      list_sum(list_transform(list_zip(r.v, p.v),
+         |        q -> (q[1]-q[2])*(q[1]-q[2])))) AS BIGINT) AS mind
+         |  FROM rem${r - 1} r CROSS JOIN pick${r - 1} p),
+         |pick$r AS MATERIALIZED (
+         |  SELECT vec_id, v, mind FROM upd$r ORDER BY mind DESC, vec_id LIMIT 1),
+         |o$r AS (SELECT $r AS rnk, vec_id, mind AS gap FROM pick$r),
+         |rem$r AS (SELECT u.vec_id, u.v, u.mind FROM upd$r u
+         |  WHERE u.vec_id <> (SELECT vec_id FROM pick$r))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(r => s"SELECT * FROM o$r").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |pick1 AS MATERIALIZED (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |o1 AS (SELECT 1 AS rnk, vec_id, 0::BIGINT AS gap FROM pick1),
+       |rem1 AS (SELECT e.vec_id, e.v, NULL::BIGINT AS mind FROM e
+       |  WHERE e.vec_id <> (SELECT vec_id FROM pick1)),
+       |$rounds
+       |SELECT rnk, vec_id, gap FROM ($unionAll)
+       |ORDER BY rnk""".stripMargin
+  }
+
   /** L2-normalize an embedding column in place (zero vectors pass
     * through). The divisor is a plain column attribute, so the transform
     * lambda does NOT re-evaluate the norm per element (the interpreted-

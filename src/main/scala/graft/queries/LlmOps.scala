@@ -293,6 +293,31 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_sim_mmr — MMR-diversified top-10 per query over an exact top-30
+    * pool (λ = 0.7): the redundancy-penalized retrieval that returns a
+    * DIVERSE representative set instead of k near-duplicates of the
+    * nearest mode. Greedy rounds on rounded similarities with id
+    * tie-breaks ⇒ engine-exact ⇒ full-oracle via unrolled rounds
+    * (`Similarity.mmrOracleSql`). */
+  def qSimMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.mmrTopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q_containment — exact shingle-containment pairs
+    * (C = |A∩B| / min(|A|,|B|) ≥ 0.6): the inclusion detector Jaccard
+    * structurally misses (a short doc quoted verbatim inside a long one
+    * has tiny Jaccard but containment ~1). Same guarded machinery as
+    * q_ngram_jaccard, full-oracle. */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+        Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.6,
+        maxShingleDfFraction = Some(0.01))
+      .orderBy("a_id", "b_id")
+
   /** q_sim_sq8 — scalar-quantized (8-bit) cosine top-10: the compressed
     * at-rest similarity path (4× less IO than float32), deterministic
     * arithmetic end-to-end so — unlike LSH/IVF — the WHOLE compressed path
@@ -465,6 +490,8 @@ object LlmOps extends QueryFamily {
     "q_dedup_near" -> (qDedupNear _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_ann" -> (qSimAnn _),
+    "q_sim_mmr" -> (qSimMmr _),
+    "q_containment" -> (qContainment _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -558,6 +585,33 @@ object LlmOps extends QueryFamily {
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // MMR: unrolled greedy rounds (see Similarity.mmrOracleSql).
+    "q_sim_mmr" -> Similarity.mmrOracleSql(10),
+    // Containment: q_ngram_jaccard's machinery with the min-normalized
+    // inclusion metric.
+    "q_containment" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    least(greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT)), 10000)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  CAST(i AS DOUBLE) / least(ca.c, cb.c) AS containment
+        |FROM inter
+        |JOIN cnt ca ON a_id = ca.doc_id
+        |JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(i AS DOUBLE) / least(ca.c, cb.c) >= 0.6
+        |ORDER BY a_id, b_id""".stripMargin,
     // ANN: the Rademacher bucket keys are md5-derived, so the oracle
     // rebuilds the ±1 direction table (top bit of md5("t|i") — first hex
     // nibble >= 8), the fused-normalization bucket floor, the (t, h)

@@ -253,7 +253,18 @@ object TrainOps extends QueryFamily {
           .as("waste_at_cap"))
       .orderBy("bucket_hi")
 
+  /** q_sample_fps — farthest-point (k-center greedy) coreset sampling over
+    * the embedding corpus: 8 coverage-maximizing representatives with
+    * their max-min squared micro-unit distances. Engine-exact integer
+    * greedy ⇒ full-oracle via unrolled rounds
+    * (`Similarity.fpsOracleSql`). */
+  def qSampleFps(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.farthestPointSample(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 8)
+      .orderBy("rnk")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_fps" -> (qSampleFps _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_dsir" -> (qDsir _),
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
@@ -268,6 +279,7 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    "q_sample_fps" -> graft.operators.Similarity.fpsOracleSql(8),
     "q_length_buckets" ->
       """WITH t AS (
         |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents

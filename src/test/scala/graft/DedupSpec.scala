@@ -129,6 +129,25 @@ class DedupSpec extends SparkSpec {
     assert(all.contains((0L, 2L)) && g3.subsetOf(all))
   }
 
+  test("containment finds the embedded quote Jaccard misses") {
+    // A short doc quoted VERBATIM inside a long one: Jaccard is diluted by
+    // the long doc's union, containment is ~1 — exactly the inclusion case
+    // the metric exists for.
+    val quote = (0 until 12).map(i => s"q$i").mkString(" ")
+    val filler = (0 until 300).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote"),
+      (3L, (0 until 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "text", "doc_id", 3, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(cont === Set((1L, 2L)))
+    val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L))) // union-normalized metric dilutes it away
+  }
+
   test("fingerprint is deterministic and equal for identical docs") {
     val fp = docs.select(col("doc_id"),
       TextFunctions.minhashBand(TextFunctions.wordShingles(col("text"), 3), 0)

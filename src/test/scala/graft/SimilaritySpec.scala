@@ -219,6 +219,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} pq=${pq.size}")
   }
 
+  test("MMR: first pick is the top-1; diversified set spans both near modes") {
+    // Two tight modes near the query, one slightly nearer: plain top-k
+    // fills with the nearer mode's members; MMR's redundancy penalty must
+    // cross over and cover both modes.
+    val rnd = new scala.util.Random(7)
+    val d = 8
+    def around(center: Array[Double], n: Int, base: Long) =
+      (0 until n).map(j => (base + j,
+        center.map(x => (x + rnd.nextGaussian() * 0.01).toFloat)))
+    // separation math: with weights 7/3 mode 2 wins round 2 iff
+    // 7·(s1−s2) < 3·(within − cross); here s1−s2 ≈ 0.017 and
+    // within−cross ≈ 0.165, so the penalty dominates with margin
+    val m1 = Array(1.0, 0.3, 0, 0, 0, 0, 0, 0)
+    val m2 = Array(1.0, -0.3, 0, 0, 0, 0, 0, 0)
+    val q = Array(1.0, 0.03, 0, 0, 0, 0, 0, 0) // slightly nearer m1
+    val corpus = (around(m1, 10, 100L) ++ around(m2, 10, 200L))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, q.map(_.toFloat))).toDF("q_id", "q_emb")
+    val top = Similarity.cosineTopK(queries, corpus, 6)
+      .select("vec_id").as[Long].collect()
+    assert(top.forall(_ < 200L)) // plain top-k: all from the nearer mode
+    val mmr = Similarity.mmrTopK(queries, corpus, 6, poolSize = 20)
+      .orderBy("rnk").select("rnk", "vec_id").as[(Int, Long)].collect()
+    // first pick IS the exact top-1 (no diversity penalty yet)
+    assert(mmr.head._2 === top.head)
+    // and the diversified set covers the second mode too
+    assert(mmr.exists(_._2 >= 200L), mmr.mkString(","))
+  }
+
+  test("FPS covers every cluster: k=8 picks land one-per-mode") {
+    val rnd = new scala.util.Random(11)
+    val d = 16
+    val centers = Array.fill(8, d)(rnd.nextGaussian() * 4.0)
+    val rows = for (c <- 0 until 8; j <- 0 until 50) yield
+      ((c * 50 + j).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val picks = Similarity.farthestPointSample(corpus, 8)
+      .select("vec_id").as[Long].collect()
+    // max-min greedy on well-separated modes must take one from each
+    assert(picks.map(_ / 50).toSet.size === 8, picks.mkString(","))
+    // deterministic: identical trajectory on a re-run
+    val again = Similarity.farthestPointSample(corpus, 8)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    assert(again.toSeq === Similarity.farthestPointSample(corpus, 8)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq)
+  }
+
   test("semDedup: survivor set has no within-cell pair above threshold") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val out = Similarity.semDedup(emb, simThreshold = 0.45, nCells = 8)
