@@ -92,4 +92,62 @@ object Ranking {
       .select(col(idCol), col("tok"), col("tf"), col("df"), col("score_u"),
         col("rk"))
   }
+
+  /** Sparse TF-IDF cosine k-NN: text-only similarity search — the
+    * embedding-free twin of `Similarity.cosineTopK`. Each document becomes
+    * a sparse TF-IDF vector (w = tf · ln(N/df), quantized to integer
+    * MILLI-units); dot products run as a posting-list equi-join on the
+    * term key, so cost is postings × query-postings on SHARED terms —
+    * never an all-pairs product, and the zero-information df = N terms
+    * drop out (w = 0) before the join. Integer weights make the dot and
+    * norm accumulators exact under ANY aggregation order — the float-sum
+    * nondeterminism a SQL SUM would otherwise inject — so the whole
+    * operator is oracle-checkable; the only float steps are the final
+    * per-candidate division and 6-dp round. Milli (not micro) units on
+    * purpose: |w| ≲ tf·idf ≈ 2·10⁵ milli, squares ≤ 4·10¹⁰, a 10⁴-term
+    * document's norm ≤ 4·10¹⁴ — int64-safe where micro units would
+    * overflow the accumulator.
+    *
+    * Scale shape: one token explode + per-(doc, term) map-side-partial
+    * aggregate; df via a window on the term key; the query postings are a
+    * bounded broadcast (queries × their vocabulary); the per-query top-k
+    * window gets the partial WindowGroupLimit treatment. Returns
+    * (q_id, rnk, doc_id, sim). */
+  def sparseKnn(docs: DataFrame, idCol: String, textCol: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty && k >= 1, "need query ids and k >= 1")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")) *
+          lit(1000.0), 0).cast("long"))
+      .filter(col("w") =!= 0)
+      .select("doc", "tok", "w")
+      .localCheckpoint(eager = false) // feeds norms + both join sides
+    val norms = weighted.groupBy("doc")
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val qp = weighted.filter(col("doc").isin(queryIds: _*))
+      .select(col("doc").as("q_id"), col("tok"), col("w").as("qw"))
+    val dots = weighted.join(broadcast(qp), "tok")
+      .filter(col("doc") =!= col("q_id"))
+      .groupBy("q_id", "doc").agg(sum(col("w") * col("qw")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("doc").as("q_id"), col("n2").as("qn2")), "q_id")
+      .join(norms, "doc")
+      .withColumn("sim", round(
+        col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))),
+        6))
+    val wk = Window.partitionBy("q_id").orderBy(desc("sim"), asc("doc"))
+    sims.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc").as("doc_id"), col("sim"))
+  }
 }

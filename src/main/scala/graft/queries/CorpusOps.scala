@@ -291,7 +291,17 @@ object CorpusOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_sparse_knn — sparse TF-IDF cosine top-10 for query docs 0-2:
+    * text-only similarity search via a posting-list join with integer
+    * milli-unit weights (order-immune accumulators ⇒ full-oracle). The
+    * embedding-free twin of q_sim_topk. */
+  def qSparseKnn(s: SparkSession, dir: String): DataFrame =
+    Ranking.sparseKnn(Tables.documents(s, dir), "doc_id", "text",
+        queryIds = Seq(0L, 1L, 2L), k = 10)
+      .orderBy("q_id", "rnk")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sparse_knn" -> (qSparseKnn _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_bm25" -> (qBm25 _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -308,6 +318,38 @@ object CorpusOps extends QueryFamily {
     "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
+    "q_sparse_knn" ->
+      """WITH tf AS (
+        |  SELECT doc, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc, tok),
+        |wt AS MATERIALIZED (
+        |  SELECT doc, tok, w FROM (
+        |    SELECT doc, tok,
+        |      CAST(round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df) * 1000.0) AS BIGINT) AS w
+        |    FROM (SELECT doc, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df
+        |          FROM tf))
+        |  WHERE w <> 0),
+        |norms AS (SELECT doc, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc),
+        |qp AS (SELECT doc AS q_id, tok, w AS qw FROM wt WHERE doc IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.q_id, w.doc, CAST(SUM(w.w * q.qw) AS BIGINT) AS dot
+        |  FROM wt w JOIN qp q USING (tok) WHERE w.doc <> q.q_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT d.q_id, d.doc,
+        |    round(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE))), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms qn ON qn.doc = d.q_id
+        |  JOIN norms dn ON dn.doc = d.doc),
+        |ranked AS (
+        |  SELECT q_id, doc, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, doc) AS rnk
+        |  FROM sims)
+        |SELECT q_id, rnk, doc AS doc_id, sim FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
     "q_dup_clusters" ->
       """WITH RECURSIVE sh0 AS (
         |  SELECT DISTINCT doc_id, g FROM (

@@ -27,6 +27,12 @@ case class DocSourced(doc_id: Long, ts: java.sql.Timestamp, text: String,
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
+/** S13 input: a digest-keyed document sighting. */
+case class SeenDoc(doc_id: Long, digest: String)
+
+/** S13 output: pass/drop decision per sighting. */
+case class DedupDecision(digest: String, doc_id: Long, action: String)
+
 /** B-9 Structured Streaming operators (SURVEY.md §2 S1–S7). Every function
   * is a pure stream→stream transform usable on both streaming and batch
   * DataFrames, verified with MemoryStream in StreamingSpec.
@@ -138,6 +144,22 @@ object Streams {
     events.groupByKey(_.slaveId)
       .transformWithState(new LifecycleProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** S13 — continuous-ingest dedup with a TTL'd seen-set: the production
+    * posture when the seen-store must not grow without bound. First sight
+    * of a digest passes; repeats within `ttlMs` of processing time drop;
+    * the state store EVICTS the mark after the TTL, so a repeat after
+    * expiry passes again. That eviction is the at-scale memory contract —
+    * state size is O(unique keys per TTL window), not O(all history) —
+    * and it is the store's job (transformWithState `TTLConfig` on the
+    * RocksDB provider), not a hand-rolled timer per key. Complements S9,
+    * whose at-rest store is meant to remember forever. */
+  def dedupTtl(docs: Dataset[SeenDoc], ttlMs: Long): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.digest)
+      .transformWithState(new TtlDedupProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** A1 — fixed-interval tick source: the streaming analog of the
@@ -327,6 +349,30 @@ case class TaskState(slaveId: String, taskId: String)
   * per slave key in a `ValueState`, duplicate launches rejected, terminal
   * statuses clear the key (same contract as `Streams.keyedLifecycle`,
   * roots /root/reference/syscol/cluster.go:35-78 and scheduler.go:150-193). */
+/** S13's TTL'd seen-mark (see `Streams.dedupTtl`): one `ValueState[Long]`
+  * per digest holding the first-seen doc_id, with store-level TTL
+  * eviction. Rows inside a batch replay in doc_id order so the
+  * first/dup split is deterministic. */
+class TtlDedupProcessor(ttlMs: Long)
+  extends StatefulProcessor[String, SeenDoc, DedupDecision] {
+
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+  override def handleInputRows(key: String, rows: Iterator[SeenDoc],
+      timers: TimerValues): Iterator[DedupDecision] =
+    rows.toSeq.sortBy(_.doc_id).map { d =>
+      if (seen.exists()) DedupDecision(key, d.doc_id, "dup")
+      else {
+        seen.update(d.doc_id)
+        DedupDecision(key, d.doc_id, "first")
+      }
+    }.iterator
+}
+
 class LifecycleProcessor
   extends StatefulProcessor[String, TaskEvent, TaskTransition] {
 

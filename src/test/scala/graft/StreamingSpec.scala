@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{DocSourced, Streams, TaskEvent, Tick}
+import graft.streaming.{DocSourced, SeenDoc, Streams, TaskEvent, Tick}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
   * MemoryStream harness: windows close as the watermark advances, late data
@@ -201,6 +201,48 @@ class StreamingSpec extends SparkSpec {
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("S13 TTL dedup: repeats drop within the TTL, pass again after eviction") {
+    // ProcessingTime time-mode keeps the query triggering (empty) batches
+    // continuously, so processAllAvailable never settles — drive ONE
+    // long-lived query and poll the memory sink for the expected row
+    // count instead. The 10 s TTL dwarfs the sub-second steady-state
+    // batch latency (the dup check is safe) while one sleep crosses it.
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[SeenDoc]
+      val q = Streams.dedupTtl(in.toDS(), ttlMs = 10000L).toDF()
+        .writeStream.format("memory").queryName("s13")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s13").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s13").count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        in.addData(SeenDoc(1L, "dA"), SeenDoc(2L, "dA"), SeenDoc(3L, "dB"))
+        await(3) // dA: first + in-batch dup; dB: first
+        in.addData(SeenDoc(4L, "dA"))
+        await(4) // well inside the TTL: dup
+        Thread.sleep(12000L) // cross the 10 s TTL; the store evicts dA's mark
+        in.addData(SeenDoc(5L, "dA"))
+        await(5) // post-eviction repeat passes again
+      } finally q.stop()
+      val got = spark.table("s13")
+        .select("doc_id", "action").as[(Long, String)].collect().toSet
+      assert(got === Set(
+        (1L, "first"), (2L, "dup"), (3L, "first"),
+        (4L, "dup"),
+        (5L, "first")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
     }
   }
 
