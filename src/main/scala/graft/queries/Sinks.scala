@@ -24,9 +24,13 @@ object Sinks extends QueryFamily {
 
   /** q_sink_envelope_avro — Confluent-framed Avro transform over the same
     * envelope: magic 0x00 + BE schema id + Avro body with the payload as
-    * opaque JSON bytes. Bytes are asserted against an independent
-    * spec-level encoder in ConfluentAvroSpec; rows-only here (DuckDB has no
-    * Avro). */
+    * opaque JSON bytes. FULL-oracle: Avro binary is a deterministic byte
+    * layout (zigzag varints + length-prefixed utf8), so the oracle
+    * rebuilds the frame byte-for-byte in SQL — varints via an inline
+    * HUGEINT 7-bit-group generator (the ns timestamp's zigzag doubles past
+    * int64), the schema id as the generated literal the registry fixture
+    * independently pins. The spec-level encoder cross-check in
+    * ConfluentAvroSpec stays on top. */
   def qSinkEnvelopeAvro(s: SparkSession, dir: String): DataFrame =
     EnvelopeSink.kafkaRows(Tables.events(s, dir), "avro")
       .select(col("event_id"), col("key"), col("value"),
@@ -37,7 +41,42 @@ object Sinks extends QueryFamily {
     "q_sink_envelope" -> (qSinkEnvelope _),
     "q_sink_envelope_avro" -> (qSinkEnvelopeAvro _))
 
+  /** Inline DuckDB varint-hex generator: the 7-bit little-endian groups of
+    * `zz` (an unsigned zigzag value as HUGEINT expression) with
+    * continuation bits, as a hex string. */
+  private def vi(zz: String): String =
+    s"""(SELECT string_agg(lpad(to_hex(CAST(((($zz) >> (7*i)) & 127) +
+       |      CASE WHEN (($zz) >> (7*(i+1))) > 0 THEN 128 ELSE 0 END AS INTEGER)), 2, '0'),
+       |    '' ORDER BY i)
+       |  FROM range(0, 10) t(i) WHERE i = 0 OR (($zz) >> (7*i)) > 0)""".stripMargin
+
+  private def avroOracle: String = {
+    val idHex = f"${EnvelopeSink.schemaId}%08x"
+    s"""WITH enc AS (
+       |  SELECT event_id,
+       |    'slave-' || CAST(user_id AS VARCHAR) AS sid,
+       |    'host-' || CAST(user_id % 5 AS VARCHAR) AS host,
+       |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT) AS ts_ns,
+       |    CAST(json_extract(props, '$$') AS VARCHAR) AS mjson
+       |  FROM events),
+       |hexed AS (
+       |  SELECT event_id, sid,
+       |    '00' || '$idHex'
+       |    || ${vi("CAST(2*octet_length(CAST(sid AS BLOB)) AS HUGEINT)")} || hex(sid)
+       |    || ${vi("CAST(2*octet_length(CAST(host AS BLOB)) AS HUGEINT)")} || hex(host)
+       |    || ${vi("CAST(10102 AS HUGEINT)")}
+       |    || ${vi("CAST(8 AS HUGEINT)")} || hex('prod')
+       |    || ${vi("CAST(ts_ns AS HUGEINT) * 2")}
+       |    || ${vi("CAST(2*octet_length(CAST(mjson AS BLOB)) AS HUGEINT)")} || hex(mjson)
+       |    AS vhex
+       |  FROM enc)
+       |SELECT event_id, CAST(sid AS BLOB) AS key, unhex(vhex) AS value,
+       |  CAST(octet_length(unhex(vhex)) AS BIGINT) AS n_bytes
+       |FROM hexed ORDER BY event_id""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q_sink_envelope_avro" -> avroOracle,
     "q_sink_envelope" ->
       """SELECT event_id,
         |  'slave-' || CAST(user_id AS VARCHAR) AS kafka_key,
