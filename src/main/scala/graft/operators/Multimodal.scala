@@ -320,6 +320,16 @@ object Multimodal {
       unhex(lit("00")), pixelSource.substr(lit(19), lit(9)),
       unhex(lit("0000000000000000"))) // Adler-32 + IDAT CRC placeholders
 
+  /** Perceptual average-hash over a 24bpp BMP payload: gw×gh block-mean
+    * gray bits vs the global mean, packed MSB-first — the image twin of
+    * SimHash (near-identical images differ in few bits; a Hamming band
+    * join finds them). Integer-exact (cross-multiplied comparisons) so
+    * the hash is engine-independent. See
+    * [[graft.expressions.BmpAHash]]. */
+  def aHashBmp(payload: Column, gw: Int, gh: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(graft.expressions.BmpAHash(
+      org.apache.spark.sql.graft.Bridge.expression(payload), gw, gh))
+
   /** Sum of unsigned byte values of a binary column — pure codegen'd
     * built-ins, the cheap content witness for frame/payload comparisons
     * (DuckDB can recompute it from hex without a binary hash function).

@@ -318,6 +318,24 @@ object LlmOps extends QueryFamily {
         maxShingleDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
+  /** q_phash — perceptual image hash (aHash) over the synthetic BMP
+    * corpus: per image the 3×3 block-mean-vs-global-mean bit grid packed
+    * into a hash, plus the corpus-wide count of images sharing it
+    * (Hamming-0 perceptual dup groups). Integer-exact block comparisons ⇒
+    * the hash — and therefore the dup grouping — is full-oracle from the
+    * same digest-derived pixel bytes the other multimodal oracles read. */
+  def qPhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.aHashBmp(Multimodal.syntheticBmp3x3(src), 3, 3)
+          .as("ahash"))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ahash")))
+      .orderBy("doc_id")
+  }
+
   /** q_sim_sq8 — scalar-quantized (8-bit) cosine top-10: the compressed
     * at-rest similarity path (4× less IO than float32), deterministic
     * arithmetic end-to-end so — unlike LSH/IVF — the WHOLE compressed path
@@ -492,6 +510,7 @@ object LlmOps extends QueryFamily {
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_mmr" -> (qSimMmr _),
     "q_containment" -> (qContainment _),
+    "q_phash" -> (qPhash _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -585,6 +604,30 @@ object LlmOps extends QueryFamily {
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // Perceptual hash: pixel bytes come off the digest hex exactly like
+    // q_multimodal_decode's oracle (BMP stride 12, 3 channels per pixel);
+    // the bit rule is the cross-multiplied block-vs-global mean compare.
+    "q_phash" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    CAST((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS v
+        |  FROM h CROSS JOIN range(1, 37) t(i)),
+        |px AS (
+        |  SELECT b.doc_id, p.pi, CAST(SUM(b.v) AS BIGINT) AS gray
+        |  FROM range(0, 9) p(pi) CROSS JOIN b
+        |  WHERE b.i BETWEEN (p.pi // 3) * 12 + (p.pi % 3) * 3 + 1
+        |                AND (p.pi // 3) * 12 + (p.pi % 3) * 3 + 3
+        |  GROUP BY b.doc_id, p.pi),
+        |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS ts FROM px GROUP BY doc_id),
+        |hsh AS (
+        |  SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN px.gray * 9 > t.ts
+        |      THEN 1::BIGINT << CAST(8 - px.pi AS INT) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id)
+        |SELECT doc_id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
+        |FROM hsh ORDER BY doc_id""".stripMargin,
     // MMR: unrolled greedy rounds (see Similarity.mmrOracleSql).
     "q_sim_mmr" -> Similarity.mmrOracleSql(10),
     // Containment: q_ngram_jaccard's machinery with the min-normalized

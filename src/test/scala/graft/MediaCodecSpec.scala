@@ -188,6 +188,57 @@ class MediaCodecSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("perceptual aHash: stable under tiny edits, flips under inversion, null on junk") {
+    def bmp(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val size = 54 + h * stride
+      val b = java.nio.ByteBuffer.allocate(size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(h * stride).putInt(2835).putInt(2835)
+      b.putInt(0).putInt(0)
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          val (bb, gg, rr) = px(x, y)
+          b.put(bb.toByte).put(gg.toByte).put(rr.toByte)
+        }
+        b.position(b.position() + stride - w * 3)
+      }
+      b.array()
+    }
+    import graft.expressions.BmpAHash
+    val nul = org.apache.spark.sql.catalyst.expressions.Literal
+      .create(null, org.apache.spark.sql.types.BinaryType)
+    def hash(img: Array[Byte], gw: Int, gh: Int): Any =
+      BmpAHash(nul, gw, gh).nullSafeEval(img)
+    // left half dark, right half bright → 2×1 grid bits 01
+    val split = bmp(8, 8, (x, _) => if (x < 4) (10, 10, 10) else (200, 200, 200))
+    assert(hash(split, 2, 1) === 1L)
+    // one-pixel tweak: perceptual hash must NOT move (the whole point)
+    val tweaked = bmp(8, 8, (x, y) =>
+      if (x == 0 && y == 0) (14, 12, 11)
+      else if (x < 4) (10, 10, 10) else (200, 200, 200))
+    assert(hash(tweaked, 2, 1) === hash(split, 2, 1))
+    // inversion flips every bit: Hamming distance = grid size
+    val inverted = bmp(8, 8, (x, _) => if (x < 4) (200, 200, 200) else (10, 10, 10))
+    assert(hash(inverted, 2, 1) === 2L)
+    assert(java.lang.Long.bitCount(
+      hash(split, 2, 1).asInstanceOf[Long] ^
+        hash(inverted, 2, 1).asInstanceOf[Long]) === 2)
+    // finer grid stays engine-exact and in-range
+    val h33 = hash(split, 3, 3).asInstanceOf[Long]
+    assert(h33 >= 0L && h33 < 512L)
+    // malformed inputs → null, never throw
+    assert(hash(Array.emptyByteArray, 2, 1) == null)
+    assert(hash(Array.fill[Byte](54)(0x42), 2, 1) == null)
+    assert(hash(java.util.Arrays.copyOf(split, 60), 2, 1) == null) // truncated
+    // grid finer than the image → null (8×8 grid over a 3×3 image)
+    assert(hash(bmp(3, 3, (_, _) => (5, 5, 5)), 8, 8) == null)
+    // an impossible 64-bit-plus grid is a caller bug → constructor rejects
+    intercept[IllegalArgumentException] { BmpAHash(nul, 9, 9) }
+  }
+
   test("compression ratio orders repetition < prose < noise") {
     import spark.implicits._
     val docs = Seq(
