@@ -112,6 +112,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(scratchDirs() === before)
   }
 
+  test("round-7 operators accept empty and undersized corpora") {
+    val noDocs = emptyDocs
+    assert(graft.operators.Dedup
+      .containmentPairs(noDocs, "text", "doc_id", 3, 0.5).count() === 0L)
+    assert(graft.operators.Ranking
+      .sparseKnn(noDocs, "doc_id", "text", Seq(0L), 10).count() === 0L)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noQs = Seq.empty[(Long, Array[Float])].toDF("q_id", "q_emb")
+    assert(graft.operators.Similarity.mmrTopK(noQs, noVecs, 3, poolSize = 5)
+      .count() === 0L)
+    assert(graft.operators.Similarity.farthestPointSample(noVecs, 3)
+      .count() === 0L)
+    // FPS with k larger than the corpus returns every vector once, ranked
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val fps = graft.operators.Similarity.farthestPointSample(tiny, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fps === Set(1L, 2L))
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

@@ -327,6 +327,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("sparse knn broadcasts the query postings; corpus postings never sort-merge to them") {
+    val p = planString(graft.queries.CorpusOps.qSparseKnn(spark, sf))
+    // the bounded query-postings side must arrive as a broadcast — a
+    // sort-merge there would reshuffle the whole corpus posting table
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // and the per-query top-k keeps the partial WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("containment reuses the guarded shingle machinery (no products, partial aggs)") {
+    // The stop-shingle anti-join itself sits BEHIND the (doc, shingle)
+    // localCheckpoint so it cannot appear in this plan; what must hold
+    // downstream: equi-join pair generation (never a product) and
+    // map-side-partial intersection counting.
+    val p = planString(graft.queries.LlmOps.qContainment(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("phash plans a narrow shuffle-free projection plus one hash-keyed window") {
+    val p = planString(graft.queries.LlmOps.qPhash(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
   test("top-k rerank windows keep a partial WindowGroupLimit below the exchange") {
     // rerankTopK (q_sim_topk) and the PQ ADC shortlist (q_sim_pq) partition
     // their windows by query id, so each window partition is corpus-sized;
