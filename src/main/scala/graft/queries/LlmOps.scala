@@ -336,6 +336,25 @@ object LlmOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_audio_windows — windowed audio analysis over the synthetic PCM
+    * corpus: per 4-sample window the count, integer energy (Σ sample²)
+    * and peak |sample| — the silence-detection / loudness-segmentation
+    * primitive. Integer outputs ⇒ full-oracle from the digest-derived
+    * sample bytes (LE int16 two's complement), like the other multimodal
+    * oracles. */
+  def qAudioWindows(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Multimodal.wavWindows(Multimodal.syntheticWav16(src), 4))
+          .as("w"))
+      .select(col("doc_id"), col("w.win_idx").as("win_idx"),
+        col("w.n_samples").as("n_samples"), col("w.sum_sq").as("sum_sq"),
+        col("w.max_abs").as("max_abs"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   /** q_sim_sq8 — scalar-quantized (8-bit) cosine top-10: the compressed
     * at-rest similarity path (4× less IO than float32), deterministic
     * arithmetic end-to-end so — unlike LSH/IVF — the WHOLE compressed path
@@ -511,6 +530,7 @@ object LlmOps extends QueryFamily {
     "q_sim_mmr" -> (qSimMmr _),
     "q_containment" -> (qContainment _),
     "q_phash" -> (qPhash _),
+    "q_audio_windows" -> (qAudioWindows _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
@@ -604,6 +624,27 @@ object LlmOps extends QueryFamily {
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // Audio windows: LE int16 samples come off the digest hex (bytes
+    // 2i+1, 2i+2), grouped into 4-sample windows; all outputs integer.
+    "q_audio_windows" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    CAST((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS v
+        |  FROM h CROSS JOIN range(1, 33) t(i)),
+        |s AS (
+        |  SELECT lo.doc_id, t.si,
+        |    CASE WHEN lo.v + 256 * hi.v < 32768 THEN lo.v + 256 * hi.v
+        |         ELSE lo.v + 256 * hi.v - 65536 END AS sv
+        |  FROM range(0, 16) t(si)
+        |  JOIN b lo ON lo.i = 2 * t.si + 1
+        |  JOIN b hi ON hi.i = 2 * t.si + 2 AND hi.doc_id = lo.doc_id)
+        |SELECT doc_id, si // 4 AS win_idx, COUNT(*) AS n_samples,
+        |  CAST(SUM(sv * sv) AS BIGINT) AS sum_sq,
+        |  CAST(MAX(abs(sv)) AS BIGINT) AS max_abs
+        |FROM s GROUP BY doc_id, si // 4
+        |ORDER BY doc_id, win_idx""".stripMargin,
     // Perceptual hash: pixel bytes come off the digest hex exactly like
     // q_multimodal_decode's oracle (BMP stride 12, 3 channels per pixel);
     // the bit rule is the cross-multiplied block-vs-global mean compare.
