@@ -99,3 +99,80 @@ case class BmpAHash(child: Expression, gw: Int, gh: Int)
   override protected def withNewChildInternal(newChild: Expression): BmpAHash =
     copy(child = newChild)
 }
+
+/** Windowed 16-bit PCM WAV stats: per `windowSamples`-wide window the
+  * sample count, integer energy (Σ sample²) and peak |sample| — one array
+  * element per window. The kernel sibling of [[BmpAHash]]: the
+  * higher-order-column formulation (aggregate nested inside transform)
+  * was measured at 6.5 s over the sf0.1 corpus — interpreted per sample
+  * with hex-string byte access — where this eval is a plain byte loop.
+  * Null unless the payload is a complete canonical-layout PCM-16 WAV
+  * (same header contract as `Multimodal.wavPcmStats`); malformed input
+  * can never throw. */
+case class WavWindowStats(child: Expression, windowSamples: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(windowSamples >= 1, "windowSamples must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("win_idx", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "wav_window_stats"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary WAV payload, got ${other.catalogString}")
+  }
+
+  private def leUInt(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try {
+      if (b.length < 45 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E' || b(36) != 'd' || b(37) != 'a' || b(38) != 't' ||
+        b(39) != 'a') return null
+      val fmt = leUInt(b, 20, 2)
+      val bits = leUInt(b, 34, 2)
+      val dataSize = leUInt(b, 40, 4)
+      if (fmt != 1 || bits != 16 || dataSize <= 0 ||
+        b.length < dataSize + 44) return null
+      val n = (dataSize / 2).toInt
+      val nWin = (n + windowSamples - 1) / windowSamples
+      val rows = new Array[Any](nWin)
+      var w = 0
+      while (w < nWin) {
+        val lo = w * windowSamples
+        val hi = math.min(lo + windowSamples, n) - 1
+        var sq = 0L
+        var pk = 0L
+        var i = lo
+        while (i <= hi) {
+          val u = (b(44 + 2 * i) & 0xff) | ((b(45 + 2 * i) & 0xff) << 8)
+          val sv = if (u < 32768) u.toLong else u - 65536L
+          sq += sv * sv
+          if (math.abs(sv) > pk) pk = math.abs(sv)
+          i += 1
+        }
+        rows(w) = org.apache.spark.sql.catalyst.InternalRow(
+          w.toLong, (hi - lo + 1).toLong, sq, pk)
+        w += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WavWindowStats = copy(child = newChild)
+}

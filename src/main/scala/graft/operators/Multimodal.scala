@@ -196,40 +196,16 @@ object Multimodal {
     * is the classic voice-activity gate; keeping the INTEGER energy
     * rather than a float RMS is what makes the output engine-exact).
     * Emits one array element per window; callers explode it. Null under
-    * the same header contract as [[wavPcmStats]]. Same narrow
-    * per-row-expression shape — no shuffle, no UDF; the per-window
-    * arrays explode into (doc, window) rows downstream. */
-  def wavWindows(payload: Column, windowSamples: Int): Column = {
-    require(windowSamples >= 1, s"windowSamples must be >= 1")
-    val fmt      = leUInt(payload, 21, 2)
-    val bits     = leUInt(payload, 35, 2)
-    val dataSize = leUInt(payload, 41, 4)
-    val n        = floor(dataSize / 2).cast("long")
-    val nWin     = ceil(n.cast("double") / windowSamples).cast("long")
-    val wins = transform(sequence(lit(0L), nWin - 1), w => {
-      val lo = w * windowSamples
-      val hi = least(lo + windowSamples, n) - 1
-      val agg = aggregate(
-        sequence(lo, hi),
-        struct(lit(0L).as("sq"), lit(0L).as("pk")),
-        (acc, i) => {
-          val p = lit(45L) + i * 2
-          val u = byteAt(payload, p) + byteAt(payload, p + 1) * 256
-          val sv = when(u < 32768, u).otherwise(u - 65536)
-          struct(
-            (acc.getField("sq") + sv * sv).as("sq"),
-            greatest(acc.getField("pk"), abs(sv)).as("pk"))
-        })
-      struct(w.as("win_idx"), (hi - lo + 1).as("n_samples"),
-        agg.getField("sq").as("sum_sq"), agg.getField("pk").as("max_abs"))
-    })
-    when(magic(payload, 1, 4) === "52494646" &&
-      magic(payload, 9, 4) === "57415645" &&
-      magic(payload, 37, 4) === "64617461" &&
-      fmt === 1 && bits === 16 && dataSize > 0 &&
-      length(payload) >= dataSize + 44,
-      wins)
-  }
+    * the same header contract as [[wavPcmStats]]. A CodegenFallback
+    * kernel ([[graft.expressions.WavWindowStats]]) — the higher-order
+    * formulation (aggregate nested in transform with hex-string byte
+    * access) measured 6.5 s over sf0.1 where the byte-loop eval is
+    * ~0.1 s. */
+  def wavWindows(payload: Column, windowSamples: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WavWindowStats(
+        org.apache.spark.sql.graft.Bridge.expression(payload),
+        windowSamples))
 
   /** Walk the chunk list (len·4 type·4 data crc·4) from 1-based position
     * `p`, returning the start of the first IDAT chunk within `depth`
