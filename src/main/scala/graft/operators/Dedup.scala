@@ -41,6 +41,31 @@ object Dedup {
       .drop("rn")
   }
 
+  /** Exact dedup with a SOURCE-PRIORITY keep rule: among content
+    * duplicates the copy from the earliest source in `priority` wins
+    * (unlisted sources rank last), id as the final tiebreak — the
+    * production dedup policy when the same document arrives from feeds of
+    * unequal quality ("keep the curated mirror, drop the crawl"). Same
+    * digest-window shape as [[exact]] (uniform sha256 keys, no skew);
+    * returns every row with its group size and the keep decision, so
+    * consumers can audit what a plain survivor filter would silently
+    * drop. */
+  def exactByPriority(df: DataFrame, textCol: String, idCol: String,
+      srcCol: String, priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex.foldLeft(
+      lit(priority.size)) { case (acc, (s, i)) =>
+      when(col(srcCol) === s, i).otherwise(acc)
+    }
+    val h = sha2(col(textCol), 256)
+    val w = Window.partitionBy(h).orderBy(col("_prio"), col(idCol))
+    df.withColumn("content_hash", h)
+      .withColumn("_prio", rank)
+      .withColumn("grp_size",
+        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .drop("_prio")
+  }
+
   /** The distinct content-digest column of a document store — the ONE
     * definition of "already seen" shared by the batch and streaming
     * incremental dedups (if the digest recipe ever changes, both twins

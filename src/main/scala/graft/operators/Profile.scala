@@ -89,4 +89,28 @@ object Profile {
           dec("n_nulls_old") * dec("n_rows_new")) * lit(20) >
           dec("n_rows_new") * dec("n_rows_old"))
   }
+
+  /** k-anonymous release of a grouped count table (the minimum-cell-size
+    * rule of statistical disclosure control — public method): quasi-
+    * identifier groups with fewer than `k` members are NOT published
+    * individually — they collapse into one synthetic `*`-bucket carrying
+    * their total count and the number of suppressed groups, so the
+    * released table never isolates a small population. Safe groups pass
+    * through with `n_groups = 1`; if nothing falls below `k` the `*` row
+    * is absent. Plan shape: one map-side-partial count aggregate over the
+    * quasi columns, then a two-way split of the (small) group table — the
+    * corpus itself is touched once. */
+  def kAnonCounts(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val safe = counts.filter(col("n") >= k)
+      .select(quasiCols.map(col) ++ Seq(col("n"), lit(1L).as("n_groups")): _*)
+    val suppressed = counts.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_groups"))
+      .filter(col("n").isNotNull) // no suppressed groups → no '*' row
+      .select(quasiCols.map(c => lit("*").as(c)) ++
+        Seq(col("n"), col("n_groups")): _*)
+    safe.unionByName(suppressed)
+  }
 }

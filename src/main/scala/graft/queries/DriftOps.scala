@@ -271,7 +271,30 @@ object DriftOps extends QueryFamily {
       .orderBy("a_id", "b_id")
   }
 
+  /** q_kanon — k-anonymous release of the (lang, source) count table:
+    * groups under k = 5 members collapse into one '*'-bucket (minimum-
+    * cell-size disclosure control) instead of isolating small
+    * populations. Full-oracle. */
+  def qKanon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.kAnonCounts(
+        Tables.documents(s, dir), Seq("lang", "source"), k = 5L)
+      .orderBy("lang", "source")
+
+  /** q_dedup_priority — exact dedup with a source-priority keep rule:
+    * among content duplicates the copy from the earliest source in the
+    * priority list wins (unlisted sources last, id tiebreak) — "keep the
+    * curated mirror, drop the crawl". Emits every row with its group size
+    * and keep decision so the drop set is auditable. Full-oracle. */
+  def qDedupPriority(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactByPriority(
+        Tables.documents(s, dir).select("doc_id", "text", "source"),
+        "text", "doc_id", "source", Seq("src1", "src2", "src3"))
+      .select(col("doc_id"), col("source"), col("grp_size"), col("is_kept"))
+      .orderBy("doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kanon" -> (qKanon _),
+    "q_dedup_priority" -> (qDedupPriority _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_profile_drift" -> (qProfileDrift _),
     "q_dedup_cdc" -> (qDedupCdc _),
@@ -324,6 +347,27 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_kanon" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
+        |  GROUP BY lang, source),
+        |safe AS (SELECT lang, source, n, 1::BIGINT AS n_groups FROM c WHERE n >= 5),
+        |supp AS (
+        |  SELECT '*' AS lang, '*' AS source, CAST(SUM(n) AS BIGINT) AS n,
+        |    COUNT(*) AS n_groups
+        |  FROM c WHERE n < 5 HAVING SUM(n) IS NOT NULL)
+        |SELECT * FROM (SELECT * FROM safe UNION ALL SELECT * FROM supp)
+        |ORDER BY lang, source""".stripMargin,
+    "q_dedup_priority" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, sha256(text) AS content_hash,
+        |    CASE source WHEN 'src1' THEN 0 WHEN 'src2' THEN 1
+        |      WHEN 'src3' THEN 2 ELSE 3 END AS prio
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  COUNT(*) OVER (PARTITION BY content_hash) AS grp_size,
+        |  (ROW_NUMBER() OVER (PARTITION BY content_hash
+        |     ORDER BY prio, doc_id) = 1) AS is_kept
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, i - 1 AS pos,
