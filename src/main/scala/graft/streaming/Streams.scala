@@ -162,6 +162,25 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** S14 — launch-timeout watchdog: a launched task that reaches no
+    * terminal status within `timeoutMs` of processing time emits
+    * `timed_out` via a STATE-STORE TIMER (`handleExpiredTimer`) — the
+    * absence-of-event detection a purely event-driven operator cannot
+    * express (no later event ever arrives to react to). This is the
+    * streaming analog of the reference scheduler's reconciliation concern
+    * (tasks that vanish without a status update,
+    * /root/reference/syscol/scheduler.go:150-176): the reference leans on
+    * Mesos to deliver terminal statuses; a collector on raw streams needs
+    * the watchdog. Timers live in the state store (RocksDB), so they
+    * survive restarts like the value state does. */
+  def launchWatchdog(events: Dataset[TaskEvent],
+      timeoutMs: Long): Dataset[TaskTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.slaveId)
+      .transformWithState(new TimeoutWatchdog(timeoutMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** A1 — fixed-interval tick source: the streaming analog of the
     * reference's 1 s reporting loop
     * (/root/reference/syscol/metrics_reporter.go:75-105). Each rate-source
@@ -371,6 +390,55 @@ class TtlDedupProcessor(ttlMs: Long)
         DedupDecision(key, d.doc_id, "first")
       }
     }.iterator
+}
+
+/** S14's watchdog (see `Streams.launchWatchdog`): per slave key one live
+  * task + its armed timer timestamp. `launch` arms a processing-time
+  * timer; a matching terminal status DELETES it (the armed timestamp is
+  * value state — deleteTimer needs the exact timestamp back); expiry with
+  * the task still live emits `timed_out` and clears. */
+class TimeoutWatchdog(timeoutMs: Long)
+  extends StatefulProcessor[String, TaskEvent, TaskTransition] {
+
+  @transient private var live: ValueState[TaskState] = _
+  @transient private var armedAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    live = getHandle.getValueState[TaskState]("live",
+      Encoders.product[TaskState], TTLConfig.NONE)
+    armedAt = getHandle.getValueState[Long]("armedAt",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[TaskEvent],
+      timers: TimerValues): Iterator[TaskTransition] =
+    rows.toSeq.sortBy(_.seq).flatMap { e =>
+      e.status match {
+        case "launch" if !live.exists() =>
+          live.update(TaskState(key, e.taskId))
+          val expiry = timers.getCurrentProcessingTimeInMs() + timeoutMs
+          armedAt.update(expiry)
+          getHandle.registerTimer(expiry)
+          Seq(TaskTransition(key, e.taskId, "watchdog_armed"))
+        case s if Streams.terminalStatuses(s) &&
+          live.exists() && live.get().taskId == e.taskId =>
+          if (armedAt.exists()) getHandle.deleteTimer(armedAt.get())
+          armedAt.clear()
+          live.clear()
+          Seq(TaskTransition(key, e.taskId, "completed_in_time"))
+        case _ => Seq.empty
+      }
+    }.iterator
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+    : Iterator[TaskTransition] =
+    if (live.exists()) {
+      val t = live.get()
+      live.clear()
+      armedAt.clear()
+      Iterator(TaskTransition(key, t.taskId, "timed_out"))
+    } else Iterator.empty
 }
 
 class LifecycleProcessor

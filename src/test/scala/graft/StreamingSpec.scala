@@ -246,6 +246,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S14 watchdog: silent task times out via state-store timer, completed one does not") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TaskEvent]
+      // The arming batch's processing timestamp is when the batch STARTS,
+      // and the FIRST batch pays ~10 s of RocksDB cold-start — a short
+      // timeout would expire before the disarm batch even runs. 20 s
+      // dwarfs the cold-start while one await crosses it.
+      val q = Streams.launchWatchdog(in.toDS(), timeoutMs = 20000L).toDF()
+        .writeStream.format("memory").queryName("s14")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s14").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s14").count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        in.addData(
+          TaskEvent("s0", "task-1", "launch", 1),
+          TaskEvent("s1", "task-2", "launch", 2))
+        await(2) // both watchdogs armed
+        in.addData(TaskEvent("s0", "task-1", "finished", 3)) // disarms s0
+        await(3)
+        // s1 stays silent past the timeout: ONLY its timer must fire
+        await(4)
+      } finally q.stop()
+      val got = spark.table("s14")
+        .select("taskId", "action").as[(String, String)].collect().toSet
+      assert(got === Set(
+        ("task-1", "watchdog_armed"), ("task-2", "watchdog_armed"),
+        ("task-1", "completed_in_time"),
+        ("task-2", "timed_out")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S9 continuous-ingest dedup: store dups and stream repeats dropped, novel survives") {
     val store = Seq((10L, "seen before"), (11L, "also seen"))
       .toDF("doc_id", "text")
