@@ -252,6 +252,21 @@ object Similarity {
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id"), k)
   }
 
+  /** Hard-negative mining for contrastive training: per query the k most
+    * similar corpus vectors with a DIFFERENT label — the "looks the same,
+    * isn't" examples a contrastive/reranker objective learns most from
+    * (random negatives are trivially separable; these sit at the decision
+    * boundary). `queries` carries (q_id, q_emb, q_label), `corpus`
+    * (vec_id, embedding, label). The label predicate prunes candidates
+    * BEFORE the cosine kernel; at 100 TB the same predicate composes with
+    * any ANN candidate generator in this file — the exact broadcast scan
+    * here is the oracle-checkable baseline, like cosineTopK. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame =
+    rerankTopK(
+      broadcast(queries).crossJoin(corpus)
+        .filter(col("q_label") =!= col("label")), k)
+
   /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998 — public
     * method) diversified top-k: greedily select the candidate maximizing
     * `λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)` from a bounded exact-top-N

@@ -293,6 +293,20 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_hard_negatives — contrastive hard-negative mining: per query the
+    * 10 most similar corpus vectors with a DIFFERENT label (the
+    * decision-boundary examples a contrastive objective learns from).
+    * Exact scan + label prune ⇒ full-oracle. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    Similarity.hardNegatives(queries,
+        emb.select("vec_id", "embedding", "label"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
   /** q_sim_mmr — MMR-diversified top-10 per query over an exact top-30
     * pool (λ = 0.7): the redundancy-penalized retrieval that returns a
     * DIVERSE representative set instead of k near-duplicates of the
@@ -528,6 +542,7 @@ object LlmOps extends QueryFamily {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_sim_ann" -> (qSimAnn _),
     "q_sim_mmr" -> (qSimMmr _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_containment" -> (qContainment _),
     "q_phash" -> (qPhash _),
     "q_audio_windows" -> (qAudioWindows _),
@@ -669,6 +684,22 @@ object LlmOps extends QueryFamily {
         |  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id)
         |SELECT doc_id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
         |FROM hsh ORDER BY doc_id""".stripMargin,
+    // Hard negatives: q_sim_topk's oracle plus the label prune.
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 3),
+        |sims AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
+        |  FROM q, embeddings
+        |  WHERE vec_id <> q_id AND label <> q_label),
+        |ranked AS (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims)
+        |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
     // MMR: unrolled greedy rounds (see Similarity.mmrOracleSql).
     "q_sim_mmr" -> Similarity.mmrOracleSql(10),
     // Containment: q_ngram_jaccard's machinery with the min-normalized
