@@ -341,12 +341,17 @@ object LlmOps extends QueryFamily {
   def qPhash(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
     val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
-    Tables.documents(s, dir)
+    val hashes = Tables.documents(s, dir)
       .select(col("doc_id"),
         Multimodal.aHashBmp(Multimodal.syntheticBmp3x3(src), 3, 3)
           .as("ahash"))
-      .withColumn("n_same", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("ahash")))
+    // group sizes via a BOUNDED-cardinality aggregate (≤ 2^bits distinct
+    // hashes) broadcast back — a count-over-window here would buffer
+    // corpus-sized hash partitions at 100 TB for a count that needs no
+    // ordering at all
+    val sizes = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
+    hashes.join(broadcast(sizes), Seq("ahash"))
+      .select("doc_id", "ahash", "n_same")
       .orderBy("doc_id")
   }
 

@@ -349,12 +349,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
-  test("phash plans a narrow shuffle-free projection plus one hash-keyed window") {
+  test("phash attaches dup-group sizes via a bounded broadcast, never a corpus window") {
+    // group sizes come from a <= 2^bits-row aggregate broadcast back —
+    // a count-over-window would buffer corpus-sized hash partitions
     val p = planString(graft.queries.LlmOps.qPhash(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
-    assert(p.contains("Window"), p.take(3000))
-    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("Window "), p.take(3000))
   }
 
   test("top-k rerank windows keep a partial WindowGroupLimit below the exchange") {
