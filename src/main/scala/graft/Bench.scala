@@ -79,6 +79,23 @@ object Bench {
         """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
           .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // Host-drift normalization: a loaded host slows EVERY query by a
+    // near-uniform factor (the r7 driver run drifted ~1.4x across untouched
+    // trivial projections and flagged 28 false regressions). The run's
+    // MEDIAN time/ledger ratio over well-measurable queries estimates that
+    // factor; the gate compares against baseline*drift, so uniform load
+    // cancels and only plan-SPECIFIC drift flags. The drift itself is
+    // reported in the JSON line — a genuine global regression (config
+    // change slowing everything) surfaces as an anomalous host_drift, not
+    // silence. Drift never relaxes below 1.0: on a fast host a 1.5x-over
+    // query is a real regression regardless.
+    val ratios = timed.collect {
+      case (name, t, None) if baseline.get(name).exists(_ > 0.2) =>
+        t / baseline(name)
+    }.sorted
+    val hostDrift =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+    val norm = math.max(hostDrift, 1.0)
     // Only the FULL suite compares apples-to-apples: a filtered run pays
     // JVM/JIT warm-up on far fewer queries and reads hot where the
     // recording read warm, inflating 2x+ on fit-heavy queries.
@@ -86,14 +103,14 @@ object Bench {
       if (!sfDir.contains("sf0.1") || args.nonEmpty) Seq.empty
       else timed.collect {
         case (name, t, None) if baseline.get(name).exists(b =>
-          t > b * 1.5 && t - b > 0.25) => (name, t, baseline(name))
+          t > b * norm * 1.5 && t - b * norm > 0.25) => (name, t, baseline(name))
       }
     regressions.foreach { case (name, t, b) =>
-      System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx)")
+      System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx raw, host drift $hostDrift%.2fx)")
     }
     val regs = regressions
       .map { case (k, t, b) => s"${q(k)}:[$t,$b]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"host_drift":$hostDrift,"queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
     // A bench with erroring queries must fail loudly: BENCH_r05 reported
     // rc=0 with 5 broken queries and nobody noticed until the verdict.

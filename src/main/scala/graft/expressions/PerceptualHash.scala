@@ -59,8 +59,10 @@ case class BmpAHash(child: Expression, gw: Int, gh: Int)
       val h = leUInt(b, 22, 4)
       val bpp = leUInt(b, 28, 2)
       val comp = leUInt(b, 30, 4)
+      // off < 54 would alias header bytes as pixel data — reject, per the
+      // "null for anything not a complete BI_RGB 24bpp BMP" contract
       if (bpp != 24 || comp != 0 || w <= 0 || h <= 0 ||
-        w > MaxDim || h > MaxDim || off > MaxDim) return null
+        w > MaxDim || h > MaxDim || off < 54 || off > MaxDim) return null
       if (w < gw || h < gh) return null
       val stride = ((w * 3 + 3) / 4) * 4
       if (b.length < off + h * stride) return null

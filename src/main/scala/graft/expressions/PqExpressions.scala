@@ -23,13 +23,17 @@ import org.apache.spark.sql.types._
 object PqExpressions {
 
   /** Squared L2 between a subvector of `v` starting at `off` and
-    * centroid `cent`. */
+    * centroid `cent`. Each element is WIDENED TO DOUBLE BEFORE the
+    * subtraction: a float-precision `d` would round before squaring,
+    * diverging from the double-precision SQL oracle on near-ties in the
+    * encode argmin or at shortlist boundaries. Double arithmetic
+    * throughout makes the engine and the oracle bit-identical. */
   private[expressions] def subDistSq(v: ArrayData, off: Int,
       cent: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     while (i < cent.length) {
-      val d = v.getFloat(off + i) - cent(i)
+      val d = v.getFloat(off + i).toDouble - cent(i).toDouble
       s += d * d
       i += 1
     }

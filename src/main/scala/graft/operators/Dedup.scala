@@ -420,25 +420,31 @@ object Dedup {
         col("near_store_id").isNull.as("is_novel"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures, candidates from equal bit
-    * bands, verified by exact Hamming ≤ `maxHamming`. The band count is
-    * `maxHamming + 1` (pigeonhole: a pair differing in ≤ k bits differs in
-    * at most k bands, so at least one of k+1 bands matches exactly) — recall
-    * is guaranteed, not probabilistic; the verify step removes band-collision
-    * false positives. */
-  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
+  /** Near-identical pairs over ANY `bits`-wide integer signature column by
+    * banded Hamming join — the generalized core behind [[simhashPairs]]
+    * (64-bit text SimHash) and the perceptual-image near-dup path (gw·gh-bit
+    * aHash). The signature's `bits` low bits split into `maxHamming + 1`
+    * contiguous bands, widths as even as possible; candidates come from a
+    * band-key equi-join (singleton buckets pruned first) and exact
+    * Hamming ≤ `maxHamming` verifies. Pigeonhole: a pair differing in ≤ k
+    * bits differs in at most k bands, so at least one of k+1 bands matches
+    * exactly — recall is GUARANTEED, not probabilistic; the verify step
+    * removes band-collision false positives. Banding over the TRUE
+    * signature width matters: banding a 9-bit hash as if 64-bit would put
+    * every row in one bucket for the all-zero high bands and degenerate to
+    * the all-pairs product. Returns (a_id, b_id, hamming). */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, ${bits - 1}], got $maxHamming")
     val numBands = maxHamming + 1
-    // split 64 bits into numBands contiguous bands, widths as even as
-    // possible (e.g. maxHamming=6 → 7 bands of widths 10,9,9,9,9,9,9)
+    // e.g. bits=64, maxHamming=6 → 7 bands of widths 10,9,9,9,9,9,9
     val widths = Array.tabulate(numBands)(b =>
-      64 / numBands + (if (b < 64 % numBands) 1 else 0))
+      bits / numBands + (if (b < bits % numBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = df.select(col(idCol).as("doc"),
-      TextFunctions.simhash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("doc"), col("sig"),
+    val s = sigs.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+    val banded = s.select(col("doc"), col("sig"),
       explode(array((0 until numBands).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
         struct(lit(b).as("band"),
@@ -454,6 +460,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
+
+  /** SimHash near-dup pairs: 64-bit text signatures through
+    * [[hammingPairs]]'s banded Hamming join. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("doc"),
+        TextFunctions.simhash64(col(textCol)).as("sig")),
+      "doc", "sig", bits = 64, maxHamming = maxHamming)
 
   /** Repeated-substring statistics — the distributed analog of exact
     * substring deduplication (single-node pipelines build a corpus suffix

@@ -99,13 +99,21 @@ object Profile {
     * through with `n_groups = 1`; if nothing falls below `k` the `*` row
     * is absent. Plan shape: one map-side-partial count aggregate over the
     * quasi columns, then a two-way split of the (small) group table — the
-    * corpus itself is touched once. */
+    * corpus itself is touched once.
+    *
+    * Released schema: every quasi column is CAST TO STRING — the `*`
+    * suppression bucket is a string sentinel, so a released table that can
+    * carry it cannot keep numeric/date quasi columns in their native type
+    * (unionByName would reject the branches). String quasi columns are
+    * unchanged; numeric/date ones release as their canonical Spark string
+    * form. */
   def kAnonCounts(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
     val counts = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
     val safe = counts.filter(col("n") >= k)
-      .select(quasiCols.map(col) ++ Seq(col("n"), lit(1L).as("n_groups")): _*)
+      .select(quasiCols.map(c => col(c).cast("string").as(c)) ++
+        Seq(col("n"), lit(1L).as("n_groups")): _*)
     val suppressed = counts.filter(col("n") < k)
       .agg(sum(col("n")).as("n"), count(lit(1)).as("n_groups"))
       .filter(col("n").isNotNull) // no suppressed groups → no '*' row

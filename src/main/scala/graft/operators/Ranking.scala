@@ -67,11 +67,12 @@ object Ranking {
     * keyword/topic signal a corpus index or mixture analysis wants.
     *
     * Scale shape: term frequencies aggregate per (doc, term) with map-side
-    * partials; document frequency comes from one window over the term key
-    * (same shuffle the df-join would need, without the join-back); the
-    * per-doc top-k is a bounded window. Scores are integer micro-units
-    * (round(tf·idf·1e6)) so ranking and output are float-order-immune on
-    * both engines. */
+    * partials; document frequency is a bounded groupBy("tok") aggregate
+    * joined back on the term key — NOT a count-over-window on "tok", which
+    * would buffer a full postings partition per term and go corpus-sized
+    * on Zipf-hot tokens; the per-doc top-k is a bounded window. Scores are
+    * integer micro-units (round(tf·idf·1e6)) so ranking and output are
+    * float-order-immune on both engines. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -80,7 +81,7 @@ object Ranking {
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .join(tf.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_u",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) *
@@ -109,7 +110,11 @@ object Ranking {
     * overflow the accumulator.
     *
     * Scale shape: one token explode + per-(doc, term) map-side-partial
-    * aggregate; df via a window on the term key; the query postings are a
+    * aggregate; df is a bounded groupBy("tok") aggregate joined back on
+    * the term key (a count-over-window on "tok" would buffer a full
+    * postings partition per term — corpus-sized for Zipf-hot tokens —
+    * exactly the shape the phash group-size reshape removed, so the same
+    * bounded-aggregate pattern applies here); the query postings are a
     * bounded broadcast (queries × their vocabulary); the per-query top-k
     * window gets the partial WindowGroupLimit treatment. Returns
     * (q_id, rnk, doc_id, sim). */
@@ -123,7 +128,7 @@ object Ranking {
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
     val weighted = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .join(tf.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("w",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")) *

@@ -218,7 +218,9 @@ object Similarity {
         var s = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = q(j * dsub + i) - cent(i)
+          // widen-before-subtract, matching PqExpressions.subDistSq: the
+          // double-precision oracle must see identical arithmetic here
+          val diff = q(j * dsub + i).toDouble - cent(i).toDouble
           s += diff * diff
           i += 1
         }

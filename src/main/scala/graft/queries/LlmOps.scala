@@ -355,6 +355,29 @@ object LlmOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_phash_near — perceptual NEAR-duplicate image pairs (Hamming ≤ 1
+    * over the aHash): the image twin of `q_dedup_simhash`, closing the
+    * gap q_phash leaves (Hamming-0 only). Candidates come from the
+    * pigeonhole band join over the hash's TRUE bit width (banding the
+    * 9-bit grid as if 64-bit would drop every row into one all-zero
+    * high-band bucket = the all-pairs product), then exact Hamming
+    * verifies — recall is guaranteed, not probabilistic. Real image
+    * corpora run the same operator over the classic 8×8/64-bit aHash,
+    * where ⌊64/(k+1)⌋-bit band keys keep buckets tiny at any corpus
+    * size; the 3×3 grid is this synthetic fixture's decodable size.
+    * Integer-exact hash ⇒ full-oracle. */
+  def qPhashNear(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    val hashes = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Multimodal.aHashBmp(Multimodal.syntheticBmp3x3(src), 3, 3)
+          .as("ahash"))
+    graft.operators.Dedup.hammingPairs(hashes, "doc_id", "ahash",
+        bits = 9, maxHamming = 1)
+      .orderBy("a_id", "b_id")
+  }
+
   /** q_audio_windows — windowed audio analysis over the synthetic PCM
     * corpus: per 4-sample window the count, integer energy (Σ sample²)
     * and peak |sample| — the silence-detection / loudness-segmentation
@@ -550,6 +573,7 @@ object LlmOps extends QueryFamily {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_containment" -> (qContainment _),
     "q_phash" -> (qPhash _),
+    "q_phash_near" -> (qPhashNear _),
     "q_audio_windows" -> (qAudioWindows _),
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
@@ -689,6 +713,33 @@ object LlmOps extends QueryFamily {
         |  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id)
         |SELECT doc_id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
         |FROM hsh ORDER BY doc_id""".stripMargin,
+    // Perceptual near-dup: the same hash CTE chain, then the exact
+    // all-pairs Hamming filter (the engine's band join is a candidate
+    // generator with guaranteed recall, so exact pairs ARE the answer).
+    "q_phash_near" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (
+        |  SELECT doc_id, i,
+        |    CAST((strpos('0123456789abcdef', substr(hx, 2*i-1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(hx, 2*i, 1)) - 1) AS BIGINT) AS v
+        |  FROM h CROSS JOIN range(1, 37) t(i)),
+        |px AS (
+        |  SELECT b.doc_id, p.pi, CAST(SUM(b.v) AS BIGINT) AS gray
+        |  FROM range(0, 9) p(pi) CROSS JOIN b
+        |  WHERE b.i BETWEEN (p.pi // 3) * 12 + (p.pi % 3) * 3 + 1
+        |                AND (p.pi // 3) * 12 + (p.pi % 3) * 3 + 3
+        |  GROUP BY b.doc_id, p.pi),
+        |tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS ts FROM px GROUP BY doc_id),
+        |hsh AS (
+        |  SELECT px.doc_id,
+        |    CAST(SUM(CASE WHEN px.gray * 9 > t.ts
+        |      THEN 1::BIGINT << CAST(8 - px.pi AS INT) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px JOIN tot t USING (doc_id) GROUP BY px.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.ahash, b.ahash)) AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
     // Hard negatives: q_sim_topk's oracle plus the label prune.
     "q_hard_negatives" ->
       """WITH q AS (

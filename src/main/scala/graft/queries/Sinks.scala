@@ -30,10 +30,18 @@ object Sinks extends QueryFamily {
     * HUGEINT 7-bit-group generator (the ns timestamp's zigzag doubles past
     * int64), the schema id as the generated literal the registry fixture
     * independently pins. The spec-level encoder cross-check in
-    * ConfluentAvroSpec stays on top. */
+    * ConfluentAvroSpec stays on top.
+    *
+    * Projection note: the frame is exposed as HEX STRINGS (`key_hex`,
+    * `value_hex`), not raw BINARY — the hex string IS the byte content
+    * (both engines emit canonical uppercase hex), while raw binary
+    * columns are unsortable by the driver's pandas comparator. The
+    * raw-bytes sink contract stays covered by EnvelopeSpec fixtures. */
   def qSinkEnvelopeAvro(s: SparkSession, dir: String): DataFrame =
     EnvelopeSink.kafkaRows(Tables.events(s, dir), "avro")
-      .select(col("event_id"), col("key"), col("value"),
+      .select(col("event_id"),
+        hex(col("key")).as("key_hex"),
+        hex(col("value")).as("value_hex"),
         length(col("value")).cast("long").as("n_bytes"))
       .orderBy("event_id")
 
@@ -70,7 +78,8 @@ object Sinks extends QueryFamily {
        |    || ${vi("CAST(2*octet_length(CAST(mjson AS BLOB)) AS HUGEINT)")} || hex(mjson)
        |    AS vhex
        |  FROM enc)
-       |SELECT event_id, CAST(sid AS BLOB) AS key, unhex(vhex) AS value,
+       |SELECT event_id, hex(CAST(sid AS BLOB)) AS key_hex,
+       |  hex(unhex(vhex)) AS value_hex,
        |  CAST(octet_length(unhex(vhex)) AS BIGINT) AS n_bytes
        |FROM hexed ORDER BY event_id""".stripMargin
   }

@@ -47,6 +47,19 @@ class CurateOpsSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("min_num")))
   }
 
+  test("kAnonCounts handles numeric quasi columns: released as strings with a '*' bucket") {
+    // a LONG quasi column: the safe branch must cast to string so the
+    // '*'-sentinel union is type-compatible (released schema is all-string)
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("grp", "src")
+    val out = Profile.kAnonCounts(df, Seq("grp", "src"), k = 3L)
+    assert(out.schema("grp").dataType.typeName === "string")
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set(("1", "a", 3L, 1L), ("*", "*", 2L, 2L)))
+  }
+
   test("incrementalNear flags near-dups of the store, keeps novel and short docs") {
     val store = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

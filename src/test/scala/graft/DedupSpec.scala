@@ -110,6 +110,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hammingPairs bands over the true bit width with guaranteed recall") {
+    // 9-bit signatures (the aHash-grid case): maxHamming=1 → 2 bands of
+    // widths 5,4. Exhaustive ground truth over the fixture verifies the
+    // pigeonhole guarantee — EVERY pair within Hamming 1 must be found.
+    val sigs = Seq(
+      (0L, 0x1F3L), (1L, 0x1F2L), // hamming 1 (bit 0)
+      (2L, 0x1F3L),               // hamming 0 vs doc 0
+      (3L, 0x0A5L),               // far from everything
+      (4L, 0x1D3L)                // hamming 1 vs 0/2 (bit 5, in band 1)
+    ).toDF("id", "sig")
+    val found = Dedup.hammingPairs(sigs, "id", "sig", bits = 9, maxHamming = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = (for {
+      a <- 0L to 4L; b <- (a + 1) to 4L
+      sa = Map(0L -> 0x1F3L, 1L -> 0x1F2L, 2L -> 0x1F3L, 3L -> 0x0A5L,
+        4L -> 0x1D3L)
+      if java.lang.Long.bitCount(sa(a) ^ sa(b)) <= 1
+    } yield (a, b)).toSet
+    assert(found === exact)
+    assert(exact === Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 4L), (2L, 4L)))
+    // simhashPairs delegates: same answer as before the refactor
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("ngram jaccard stop-shingle guard drops only high-df shingles") {
     // Shingle df in the fixture: prefixes shared by docs 0/1/2/4 have df=4;
     // the '…lazy dog' tail shingles live only in the identical docs 0/1/4

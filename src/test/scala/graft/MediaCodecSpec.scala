@@ -233,6 +233,12 @@ class MediaCodecSpec extends SparkSpec {
     assert(hash(Array.emptyByteArray, 2, 1) == null)
     assert(hash(Array.fill[Byte](54)(0x42), 2, 1) == null)
     assert(hash(java.util.Arrays.copyOf(split, 60), 2, 1) == null) // truncated
+    // pixel-data offset pointing INSIDE the header (off = 0) would alias
+    // header bytes as pixels — must be rejected, not hashed
+    val inHeaderOff = split.clone()
+    inHeaderOff(10) = 0; inHeaderOff(11) = 0
+    inHeaderOff(12) = 0; inHeaderOff(13) = 0
+    assert(hash(inHeaderOff, 2, 1) == null)
     // grid finer than the image → null (8×8 grid over a 3×3 image)
     assert(hash(bmp(3, 3, (_, _) => (5, 5, 5)), 8, 8) == null)
     // an impossible 64-bit-plus grid is a caller bug → constructor rejects
