@@ -33,8 +33,8 @@ import graft.functions.VectorFunctions
   * distance + one map-side-partial aggregate); the centroid table is k
   * rows and always broadcasts; per-round lineage is cut by
   * localCheckpoint on k rows (the PageRank discipline). At 100 TB the fit
-  * runs on a corpus sample like any coarse quantizer (see
-  * `Similarity.fitQuantizer`); assignment stays the only full pass.
+  * runs on a corpus sample like any coarse quantizer; assignment stays
+  * the only full pass.
   * A fixed small `rounds` (default 3) is plenty for a COARSE quantizer —
   * cells need rough balance, not convergence (recall is asserted in
   * SimilaritySpec either way).

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
 import graft.expressions.{PqAdcDistances, PqEncode}
 import graft.functions.VectorFunctions
 
@@ -21,9 +19,10 @@ import graft.functions.VectorFunctions
   *   k-means cells, probe nProbe of nCells; at rest the cell id is the
   *   partition directory, so probing IS partition pruning.
   *
-  * mllib contributes only the k-means centroid FIT of the at-rest layout
-  * path (`writeIvfLayout`); the oracle-checked query paths (`ivfTopK`,
-  * `semDedup`) fit with the engine-independent [[DetQuantizer]]; the LSH
+  * Every k-means fit in this file — query paths (`ivfTopK`, `semDedup`,
+  * `pqTopK`) AND the at-rest layouts (`writeIvfLayout`, `writePqLayout`) —
+  * is the engine-independent [[DetQuantizer]] (no mllib dependency, one
+  * quantizer to verify); the LSH
   * bucket keys are the engine's own deterministic kernel
   * ([[graft.expressions.RpBucketKeys]] — an ML-pipeline LSH transform costs
   * a per-row UDF over UDT-encoded vectors, measured ~2.5 s of overhead at
@@ -57,38 +56,6 @@ object Similarity {
         posexplode(VectorFunctions.radBucketKeys(col(emb), numHashTables,
           bucketLength)).as(Seq("t", "h")))
       .select(col(idCol), struct(col("t"), col("h")).as("bk"))
-
-  private def fitQuantizer(corpus: DataFrame, nCells: Int): KMeansModel =
-    // a coarse quantizer only needs roughly-balanced cells, not converged
-    // centroids — 8 iterations is plenty (default 20 just burns fit passes;
-    // recall is asserted in SimilaritySpec either way). At 100 TB the fit
-    // runs on a corpus SAMPLE; assignment is the only full pass.
-    new KMeans().setK(nCells).setSeed(42).setMaxIter(8)
-      .setFeaturesCol("fvec").setPredictionCol("cell_id")
-      .fit(corpus.withColumn("fvec", array_to_vector(col("embedding"))))
-
-  /** The (tiny) centroid table driving probes: (cell_id, centroid). */
-  private def centroidTable(model: KMeansModel,
-      spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toDF("cell_id", "centroid")
-  }
-
-  /** Each query scores all centroids with the codegen kernel and keeps its
-    * `nProbe` nearest cells: (q_id, q_emb, cell_id). */
-  private def probeCells(queries: DataFrame, centroids: DataFrame,
-      nProbe: Int): DataFrame = {
-    val probeW = Window.partitionBy("q_id")
-      .orderBy(desc("c_sim"), asc("cell_id"))
-    broadcast(queries).crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        VectorFunctions.cosine(col("q_emb"), col("centroid")))
-      .withColumn("c_rnk", row_number().over(probeW))
-      .filter(col("c_rnk") <= nProbe)
-      .select("q_id", "q_emb", "cell_id")
-  }
 
   /** Exact-kernel rerank over candidate (q_emb, vec_id, embedding) rows +
     * window top-k — the shared tail of every top-k variant. `sim` is
@@ -172,31 +139,44 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ks: Int = 16, shortlistFactor: Int = 8): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    pqBatchGuard(queries) // fail fast BEFORE paying the codebook fits
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by m=$m")
     val dsub = d / m
-    // Fail fast BEFORE collecting: count limit+1 rows, never the full batch.
-    val qProbe = queries.limit(MaxPqQueryBatch + 1).count()
-    require(qProbe <= MaxPqQueryBatch,
-      s"pqTopK query batch exceeds MaxPqQueryBatch=$MaxPqQueryBatch: ADC " +
-        "tables are driver-built per query; split the batch or use ivfTopK")
     val normC = l2normalize(corpus, "embedding")
       .localCheckpoint(eager = false) // feeds m fits + the encode pass
-    // per-subspace codebooks: m deterministic fits on slices
-    // ([[DetQuantizer]] — engine-independent, so the WHOLE PQ pipeline is
-    // DuckDB-oracle-checkable), submitted CONCURRENTLY — the fits are
-    // independent jobs and the scheduler interleaves them, so wall time is
-    // ~one fit, not m (measured 6.4 s -> ~2.5 s for the registered m=4 at
-    // sf0.1 back when these were mllib fits; the det fit is the same
-    // passes-over-slices shape). Centroids come back in micro-units; the
-    // float codebook value is CAST(cent/1e6 AS FLOAT), the exact two-step
-    // conversion the oracle mirrors.
+    val codebooks = fitPqCodebooks(normC, m, ks, dsub)
+    val codes = normC.select(col("vec_id"),
+      Bridge.column(PqEncode(Bridge.expression(col("embedding")), codebooks))
+        .as("codes"))
+    pqAdcServe(codes, codebooks, queries, corpus, k, shortlistFactor)
+  }
+
+  /** Fail fast BEFORE collecting: count limit+1 rows, never the full
+    * batch — ADC tables live on the driver at m×ks doubles per query. */
+  private def pqBatchGuard(queries: DataFrame): Unit = {
+    val qProbe = queries.limit(MaxPqQueryBatch + 1).count()
+    require(qProbe <= MaxPqQueryBatch,
+      s"PQ query batch exceeds MaxPqQueryBatch=$MaxPqQueryBatch: ADC " +
+        "tables are driver-built per query; split the batch or use ivfTopK")
+  }
+
+  /** Per-subspace PQ codebooks over the L2-normalized corpus: m
+    * deterministic fits on subvector slices ([[DetQuantizer]] —
+    * engine-independent, so the WHOLE PQ pipeline is
+    * DuckDB-oracle-checkable), submitted CONCURRENTLY — the fits are
+    * independent jobs and the scheduler interleaves them, so wall time is
+    * ~one fit, not m (measured 6.4 s -> ~2.5 s for the registered m=4 at
+    * sf0.1 back when these were mllib fits; the det fit is the same
+    * passes-over-slices shape). Centroids come back in micro-units; the
+    * float codebook value is CAST(cent/1e6 AS FLOAT), the exact two-step
+    * conversion the oracle mirrors. */
+  private def fitPqCodebooks(normC: DataFrame, m: Int, ks: Int,
+      dsub: Int): Array[Array[Array[Float]]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val codebooks: Array[Array[Array[Float]]] = Await.result(
+    Await.result(
       Future.sequence((0 until m).map { j => Future {
         DetQuantizer.fit(
           normC.select(col("vec_id"),
@@ -205,9 +185,22 @@ object Similarity {
           .orderBy("cell_id").collect()
           .map(_.getSeq[Long](1).map(c => (c.toDouble / 1e6).toFloat).toArray)
       } }), Duration.Inf).toArray
-    val codes = normC.select(col("vec_id"),
-      Bridge.column(PqEncode(Bridge.expression(col("embedding")), codebooks))
-        .as("codes"))
+  }
+
+  /** ADC scan + shortlist + exact rerank over an EXISTING (vec_id, codes)
+    * table — the serving tail shared by [[pqTopK]] (fresh fit + encode)
+    * and [[probePqLayout]] (stored codes, no re-fit). Only the rerank
+    * join touches raw embeddings; the scan itself reads codes. */
+  private def pqAdcServe(codes: DataFrame,
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      corpus: DataFrame, k: Int, shortlistFactor: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    pqBatchGuard(queries)
     // driver-built ADC tables, one per query, in a stable query order
     val qNorm = l2normalize(queries, "q_emb")
       .select(col("q_id"), col("q_emb")).orderBy("q_id").collect()
@@ -527,30 +520,90 @@ object Similarity {
   }
 
   /** Materialize the IVF layout at rest: the corpus written partitioned by
-    * its k-means cell id — one directory per cell. Returns the centroid
-    * table (cell_id, centroid) that drives probes. At 100 TB this is the
-    * similarity-search table layout: a probe touches nProbe/nCells of the
-    * bytes because the filesystem layout IS the index. */
+    * its k-means cell id — one directory per cell. Returns the (k-row)
+    * centroid table `(cell_id, cent: array<bigint> micro-units)` that
+    * drives probes. The fit is [[DetQuantizer]] — the SAME
+    * engine-independent quantizer every oracle-checked query path uses, so
+    * the at-rest layout is reproducible cross-engine too (the former
+    * seeded-mllib fit was deterministic only within this engine). At
+    * 100 TB this is the similarity-search table layout: a probe touches
+    * nProbe/nCells of the bytes because the filesystem layout IS the
+    * index; the fit runs on a corpus sample, assignment is the only full
+    * pass. */
   def writeIvfLayout(corpus: DataFrame, path: String,
       nCells: Int = 16): DataFrame = {
-    val model = fitQuantizer(corpus, nCells)
-    model.transform(
-      corpus.withColumn("fvec", array_to_vector(col("embedding"))))
+    val cents = DetQuantizer.fit(corpus, "embedding", "vec_id", nCells)
+    DetQuantizer.assign(corpus, "embedding", "vec_id", cents)
       .select(col("vec_id"), col("embedding"), col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    centroidTable(model, corpus.sparkSession)
+    cents
   }
 
-  /** Probe the at-rest IVF layout: the probed (q_id, cell_id) set
-    * equi-joins the partitioned corpus, and Dynamic Partition Pruning turns
-    * that join into a read of ONLY the probed cell directories (asserted at
-    * plan level in SimilaritySpec); rerank is the shared exact-kernel
-    * top-k tail. */
-  def probeIvfLayout(path: String, queries: DataFrame, centroids: DataFrame,
+  /** Probe the at-rest IVF layout: queries pick their `nProbe` nearest
+    * cells by [[DetQuantizer.probe]]'s integer distance (the metric the
+    * cells were written with), the probed (q_id, cell_id) set equi-joins
+    * the partitioned corpus, and Dynamic Partition Pruning turns that join
+    * into a read of ONLY the probed cell directories (asserted at plan
+    * level in SimilaritySpec); rerank is the shared exact-kernel top-k
+    * tail. `cents` is [[writeIvfLayout]]'s returned centroid table. */
+  def probeIvfLayout(path: String, queries: DataFrame, cents: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val probed = probeCells(queries, centroids, nProbe)
+    val probed = DetQuantizer.probe(
+      queries.select(col("q_id"), col("q_emb")), "q_emb", "q_id",
+      cents, nProbe)
     val corpus = queries.sparkSession.read.parquet(path)
     rerankTopK(corpus.join(broadcast(probed), "cell_id"), k)
+  }
+
+  /** Materialize the PQ layout at rest — the strongest at-rest compression
+    * of the ANN family (m=4 int codes against d=16 floats ⇒ 16× less scan
+    * IO): codes at `$path/codes` as `(vec_id, codes)`, codebooks at
+    * `$path/codebooks` as m·ks rows `(subspace, centroid_id, cent)`. Fit +
+    * encode run ONCE at write time; serving reads the stored codes with no
+    * re-fit ([[probePqLayout]]). At 100 TB the codebook fit runs on a
+    * corpus sample like every coarse quantizer here; the encode pass is
+    * the only full read of the raw embeddings. */
+  def writePqLayout(corpus: DataFrame, path: String,
+      m: Int = 4, ks: Int = 16): Unit = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m")
+    val dsub = d / m
+    val normC = l2normalize(corpus, "embedding")
+      .localCheckpoint(eager = false) // feeds m fits + the encode pass
+    val codebooks = fitPqCodebooks(normC, m, ks, dsub)
+    normC.select(col("vec_id"),
+        Bridge.column(PqEncode(Bridge.expression(col("embedding")),
+          codebooks)).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    (for (j <- 0 until m; c <- 0 until ks) yield (j, c, codebooks(j)(c).toSeq))
+      .toDF("subspace", "centroid_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Serve PQ top-k from the at-rest layout: the ADC scan reads the STORED
+    * `(vec_id, codes)` table — no re-fit, no embedding column in the scan
+    * (LayoutSpec asserts the read schema); raw embeddings are touched only
+    * by the exact rerank join over the tiny shortlist, supplied by
+    * `corpus` (at 100 TB that join fetches shortlist-sized rows from the
+    * source table, not a second full scan). Answers are IDENTICAL to a
+    * fresh [[pqTopK]] with the same (m, ks, shortlistFactor) because fit,
+    * encode, and ADC are deterministic end-to-end — spec-asserted. */
+  def probePqLayout(path: String, queries: DataFrame, corpus: DataFrame,
+      k: Int, shortlistFactor: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "centroid_id").collect()
+    require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
+    val m = cb.iterator.map(_.getInt(0)).max + 1
+    val ks = cb.length / m
+    val codebooks = Array.tabulate(m, ks) { (j, c) =>
+      cb(j * ks + c).getSeq[Float](2).toArray
+    }
+    pqAdcServe(spark.read.parquet(s"$path/codes"), codebooks, queries,
+      corpus, k, shortlistFactor)
   }
 
   /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED

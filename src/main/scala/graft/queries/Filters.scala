@@ -94,12 +94,7 @@ object Filters extends QueryFamily {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity",
         "l_extendedprice", "l_shipdate")
-    val base = sys.env.get("SPARK_GRAFT_SCRATCH") match {
-      case Some(root) =>
-        s"$root/graft_roundtrip_${java.util.UUID.randomUUID().toString}"
-      case None =>
-        java.nio.file.Files.createTempDirectory("graft_roundtrip").toString
-    }
+    val base = graft.operators.Scratch.dir("graft_roundtrip")
     try {
       li.write.mode("overwrite").orc(s"$base/orc")
       val orc = s.read.orc(s"$base/orc")
@@ -119,11 +114,7 @@ object Filters extends QueryFamily {
         .orderBy("l_returnflag")
         .localCheckpoint() // eager: scratch is safe to delete after this
     } finally {
-      // Hadoop Path delete handles local AND shared (hdfs/s3a) roots alike.
-      val hp = new org.apache.hadoop.fs.Path(base)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(hp, true)
-      ()
+      graft.operators.Scratch.delete(s, base)
     }
   }
 

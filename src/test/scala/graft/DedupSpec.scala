@@ -190,7 +190,7 @@ class DedupSpec extends SparkSpec {
     // Persist the store signatures (the nightly-pipeline at-rest layout),
     // read them back, and run the batch against the PARQUET round-trip:
     // the result must be row-identical to shingling the store from scratch.
-    val dir = java.nio.file.Files.createTempDirectory("sig_store").toString
+    val dir = graft.operators.Scratch.dir("sig_store")
     Dedup.signatureStore(store, "text", "doc_id").write.mode("overwrite")
       .parquet(dir)
     val viaStore = Dedup.incrementalNearAgainst(batch,

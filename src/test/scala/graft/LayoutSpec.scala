@@ -70,7 +70,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compaction collapses small files without changing the data") {
-    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val dir = graft.operators.Scratch.dir("compact")
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     df.repartition(32).write.mode("overwrite").parquet(dir)
     def files() = new java.io.File(dir).listFiles()
@@ -100,7 +100,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("partitioned layout prunes directories on the partition predicate") {
-    val dir = java.nio.file.Files.createTempDirectory("part_layout").toString
+    val dir = graft.operators.Scratch.dir("part_layout")
     val df = Tables.events(spark, sf)
       .withColumn("event_date", to_date(col("ts")))
     Layout.writePartitioned(df, dir, "event_date")

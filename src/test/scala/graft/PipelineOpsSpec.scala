@@ -166,7 +166,7 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("writeZOrdered clusters both dimensions; a plain write does not") {
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = graft.operators.Scratch.dir("zorder")
     val df = spark.range(0, 20000)
       .select(col("id"),
         pmod(col("id") * 2654435761L, lit(1024)).as("a"),

@@ -93,7 +93,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF at-rest layout: probe prunes to the probed cells; full probe is exact") {
-    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    val dir = graft.operators.Scratch.dir("ivf_layout")
     val centroids = Similarity.writeIvfLayout(corpus, dir, nCells = 8)
     val probe = Similarity.probeIvfLayout(dir, queries, centroids,
       k = 10, nProbe = 2)
@@ -107,6 +107,25 @@ class SimilaritySpec extends SparkSpec {
     val full = topkSet(Similarity.probeIvfLayout(dir, queries, centroids,
       k = 10, nProbe = 8))
     assert(full === topkSet(Similarity.cosineTopK(queries, corpus, 10)))
+  }
+
+  test("PQ at-rest layout: stored codes serve identical answers; scan reads codes only") {
+    val dir = graft.operators.Scratch.dir("pq_layout")
+    Similarity.writePqLayout(corpus, dir)
+    val stored = Similarity.probePqLayout(dir, queries, corpus, k = 10)
+    // fit, encode, and ADC are deterministic end-to-end, so serving from
+    // the stored codes must be ROW-IDENTICAL to a fresh fit+encode run
+    val fresh = Similarity.pqTopK(queries, corpus, 10)
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      fresh.collect().map(_.toString).sorted.toSeq)
+    // the ADC phase scans the stored codes table only — its parquet read
+    // schema must be (vec_id, codes), no embedding column (the 16x
+    // at-rest IO win is the point of the layout)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("struct<vec_id:bigint,codes:array<int>>"), plan.take(4000))
+    val codesScanLines = plan.linesIterator
+      .filter(_.contains("pq_layout")).filter(_.contains("/codes"))
+    assert(codesScanLines.forall(!_.contains("embedding")))
   }
 
   test("IVF with full probing equals exact brute force") {

@@ -443,7 +443,7 @@ class StreamingSpec extends SparkSpec {
       def start() = in.toDF().writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch(Streams.pollEnvelopeSinkBatch(dir,
-          s => SnapshotTarget(s, "127.0.0.1", port)) _)
+          s => SnapshotTarget(s, "127.0.0.1", port), transform = "avro") _)
         .start()
       val q1 = start()
       try { in.addData(Tick("slave-0", t(1), 1.0, "x")); q1.processAllAvailable() }
@@ -460,6 +460,18 @@ class StreamingSpec extends SparkSpec {
         .selectExpr("cast(key as string) k").as[String].collect().toSeq
       assert(keys.sorted === Seq("slave-0", "slave-1"))
       assert(hits.get() === fetchesAfterFirst + 1, s"refetched: ${hits.get()}")
+      // registry id stability across the restart: every Confluent frame
+      // written BEFORE and AFTER the restart carries the same big-endian
+      // schema id, and a fresh re-registration in this session reproduces
+      // it — at-least-once delivery silently depends on this (an id that
+      // drifted across restarts would make replayed frames differ from
+      // their committed originals).
+      val frameIds = spark.read.parquet(s"$dir/batch=*")
+        .select("value").as[Array[Byte]].collect()
+        .map(v => ((v(1) & 0xff) << 24) | ((v(2) & 0xff) << 16) |
+          ((v(3) & 0xff) << 8) | (v(4) & 0xff)).toSet
+      assert(frameIds === Set(graft.operators.EnvelopeSink.schemaId),
+        frameIds.toString)
     } finally server.stop(0)
   }
 
