@@ -247,6 +247,105 @@ object Similarity {
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id"), k)
   }
 
+  /** IVF-PQ approximate top-k — the billion-scale serving composition
+    * (Jégou et al. 2011, the FAISS `IVFx,PQy` index): the [[DetQuantizer]]
+    * coarse quantizer partitions the corpus into `nCells` cells, every
+    * vector is PQ-encoded on its RESIDUAL from its cell centroid (residual
+    * magnitudes are far smaller than vector magnitudes, so the same ks
+    * codes quantize much more finely than whole-vector PQ), and a query
+    * scans only its `nProbe` probed cells, scoring codes against
+    * per-(query, cell) ADC tables built from the query's residual in that
+    * cell. IVF contributes the scan prune (nProbe/nCells of the corpus),
+    * PQ the at-rest compression (m bytes per vector) — together the scan
+    * cost is nProbe/nCells × m-bytes-per-row, the layout that serves
+    * billion-vector search from object storage. At rest this composes
+    * with [[writeIvfLayout]]'s cell-partitioned directories (probing IS
+    * partition pruning) + [[writePqLayout]]'s code table.
+    *
+    * Fully deterministic end-to-end — coarse fit, assignment, residuals
+    * (double-subtract, float-store — the exact two-step the oracle
+    * mirrors), subspace fits, encode argmin, ADC sums in j order — so the
+    * WHOLE composition is DuckDB-oracle-checkable like q_sim_pq, not
+    * merely recall-tested. Driver state is (queries × nProbe) ADC tables,
+    * guarded by [[MaxPqQueryBatch]]; the k-row centroid table and tiny
+    * probed-cell list broadcast. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 8, nProbe: Int = 2, m: Int = 4, ks: Int = 16,
+      shortlistFactor: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqBatchGuard(queries)
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"embedding dim $d not divisible by m=$m")
+    val dsub = d / m
+    val nc = l2normalize(corpus, "embedding")
+      .localCheckpoint(eager = false) // feeds coarse fit + assign
+    val cents = DetQuantizer.fit(nc, "embedding", "vec_id", nCells)
+    val assigned = DetQuantizer.assign(nc, "embedding", "vec_id", cents)
+    // residual = normalized vector − its centroid, SUBTRACTED IN DOUBLE
+    // and STORED AS FLOAT — the identical two-step conversion the oracle
+    // performs, so residuals (and everything downstream) are bit-equal
+    val res = assigned.join(broadcast(cents), "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("embedding"), DetQuantizer.centToDouble(col("cent")),
+          (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+      .localCheckpoint(eager = false) // feeds m fits + the encode pass
+    val codebooks = fitPqCodebooks(res, m, ks, dsub)
+    val codes = res.select(col("vec_id"), col("cell_id"),
+      Bridge.column(PqEncode(Bridge.expression(col("embedding")),
+        codebooks)).as("codes"))
+    // probe on the SAME integer micro-unit metric the cells were fit with
+    val qn = l2normalize(queries, "q_emb")
+    val probeRows = DetQuantizer.probe(
+        qn.select(col("q_id"), col("q_emb")), "q_emb", "q_id", cents, nProbe)
+      .select("q_id", "q_emb", "cell_id")
+      .orderBy("q_id", "cell_id").collect()
+    val centArr = cents.orderBy("cell_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    // one ADC table per (query, probed cell), from the query's residual
+    // IN that cell — same double-subtract/float-store as the corpus side
+    val tables: Array[Array[Array[Double]]] = probeRows.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      val cent = centArr(r.getInt(2))
+      val qr = Array.tabulate(d)(i =>
+        (q(i).toDouble - cent(i).toDouble / 1000000.0).toFloat)
+      Array.tabulate(m, ks) { (j, c) =>
+        val cb = codebooks(j)(c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = qr(j * dsub + i).toDouble - cb(i).toDouble
+          s += diff * diff
+          i += 1
+        }
+        s
+      }
+    }
+    val qIndex = broadcast(probeRows.zipWithIndex
+      .map { case (r, i) => (i, r.getLong(0), r.getInt(2)) }
+      .toSeq.toDF("qi", "q_id", "qcell"))
+    val probedCells = broadcast(
+      probeRows.map(_.getInt(2)).distinct.sorted.toSeq.toDF("cell_id"))
+    // IVF gate FIRST: unprobed cells never reach the ADC kernel (at rest,
+    // with the cell-partitioned layout, this join is partition pruning);
+    // then each surviving row keeps only the tables of ITS OWN cell.
+    val shortW = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
+    val shortlist = codes
+      .join(probedCells, "cell_id")
+      .select(col("vec_id"), col("cell_id"), posexplode(Bridge.column(
+        PqAdcDistances(Bridge.expression(col("codes")), tables)))
+        .as(Seq("qi", "adc")))
+      .join(qIndex, "qi")
+      .filter(col("cell_id") === col("qcell"))
+      .withColumn("srnk", row_number().over(shortW))
+      .filter(col("srnk") <= k * shortlistFactor)
+      .select("q_id", "vec_id")
+    rerankTopK(shortlist
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id"), k)
+  }
+
   /** Hard-negative mining for contrastive training: per query the k most
     * similar corpus vectors with a DIFFERENT label — the "looks the same,
     * isn't" examples a contrastive/reranker objective learns most from

@@ -410,14 +410,32 @@ object LlmOps extends QueryFamily {
   }
 
   /** q_sim_pq — product-quantization ANN top-k (ADC scan over m=4/ks=16
-    * codes + exact shortlist rerank). Rows-only (seeded mllib codebooks);
-    * ADC exactness and recall ≥ 0.9 on the clustered fixture are
-    * spec-asserted in SimilaritySpec. */
+    * codes + exact shortlist rerank). FULL-oracle since the DetQuantizer
+    * codebook fits (unrolled-fit CTEs in SQL); ADC exactness and recall
+    * ≥ 0.9 on the clustered fixture are additionally spec-asserted in
+    * SimilaritySpec, and the at-rest twin is `writePqLayout` /
+    * `probePqLayout`. */
   def qSimPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     Similarity.pqTopK(queries, emb.select("vec_id", "embedding"), 10)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q_sim_ivfpq — IVF-PQ composed ANN top-k (the FAISS `IVF8,PQ4`
+    * shape): coarse cells prune the scan to nProbe/nCells of the corpus,
+    * PQ codes on cell RESIDUALS compress it to m bytes per vector, ADC
+    * tables are per (query, probed cell) from the query's residual. The
+    * billion-scale serving composition — and, like q_sim_pq, FULLY
+    * deterministic, so the whole pipeline (coarse fit → assign → residual
+    * → subspace fits → encode → per-cell ADC → shortlist → exact rerank)
+    * is reproduced in generated SQL and hash-compared. */
+  def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.ivfPqTopK(queries, emb.select("vec_id", "embedding"), 10)
       .orderBy("q_id", "rnk")
   }
 
@@ -582,7 +600,8 @@ object LlmOps extends QueryFamily {
     "q_multimodal_avi" -> (qMultimodalAvi _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_compress_ratio" -> (qCompressRatio _),
-    "q_sim_pq" -> (qSimPq _))
+    "q_sim_pq" -> (qSimPq _),
+    "q_sim_ivfpq" -> (qSimIvfPq _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -664,10 +683,113 @@ object LlmOps extends QueryFamily {
        |ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Generated q_sim_ivfpq oracle: [[pqOracle]]'s machinery composed with
+    * a coarse-quantizer stage — coarse fit (prefix g) + assignment over
+    * the normalized vectors, per-row residuals (double-subtract,
+    * float-store — the engine's exact two-step), subspace fits on residual
+    * slices, per-(query, probed-cell) ADC tables from the query's residual
+    * in that cell, candidates confined to probed cells, shortlist, exact
+    * rerank. */
+  private def ivfPqOracle: String = {
+    val (nCells, nProbe, m, ks, d, k, shortlist, rounds) =
+      (8, 2, 4, 16, 64, 10, 80, 3)
+    val dsub = d / m
+    val coarse =
+      graft.operators.DetQuantizer.fitSqlCtes(
+        "nc", "vec_id", "nv", nCells, rounds, d, prefix = "g") +
+        ",\n" + graft.operators.DetQuantizer.assignSqlCte(prefix = "g")
+    val fits = (0 until m).map { j =>
+      s"""s$j AS (SELECT vec_id, rv[${j * dsub + 1}:${(j + 1) * dsub}] AS sub FROM res),
+         |${graft.operators.DetQuantizer.fitSqlCtes(
+              s"s$j", "vec_id", "sub", ks, rounds, dsub, prefix = s"p$j")}""".stripMargin
+    }.mkString(",\n")
+    val cb = (0 until m).map { j =>
+      s"""SELECT $j AS j, cell_id,
+         |  CAST(list_transform(cent, c -> CAST(CAST(c AS DOUBLE)/1000000.0 AS FLOAT)) AS FLOAT[]) AS cb
+         |FROM p${j}cfin""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val sl = (0 until m).map { j =>
+      s"SELECT vec_id, cell_id, $j AS j, rv[${j * dsub + 1}:${(j + 1) * dsub}] AS sub FROM res"
+    }.mkString("\nUNION ALL ")
+    val qsl = (0 until m).map { j =>
+      s"SELECT q_id, cell_id, $j AS j, rv[${j * dsub + 1}:${(j + 1) * dsub}] AS sub FROM qres"
+    }.mkString("\nUNION ALL ")
+    s"""WITH nc AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN nrm > 0
+       |      THEN CAST(list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT)) AS FLOAT[])
+       |      ELSE embedding END AS nv
+       |  FROM (SELECT vec_id, embedding,
+       |          sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+       |        FROM embeddings)),
+       |$coarse,
+       |res AS MATERIALIZED (
+       |  SELECT nc.vec_id, g.cell_id,
+       |    CAST(list_transform(list_zip(nc.nv, c.cent),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)/1000000.0 AS FLOAT)) AS FLOAT[]) AS rv
+       |  FROM nc JOIN gasg g ON nc.vec_id = g.vec_id
+       |  JOIN gcfin c ON g.cell_id = c.cell_id),
+       |$fits,
+       |cb AS MATERIALIZED ($cb),
+       |sl AS MATERIALIZED ($sl),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, cell_id, j, code FROM (
+       |    SELECT sl.vec_id, sl.cell_id, sl.j, cb.cell_id AS code,
+       |      row_number() OVER (PARTITION BY sl.vec_id, sl.j ORDER BY
+       |        list_sum(list_transform(list_zip(sl.sub, cb.cb),
+       |          p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))),
+       |        cb.cell_id) AS rn
+       |    FROM sl JOIN cb USING (j)) WHERE rn = 1),
+       |qprobe AS MATERIALIZED (
+       |  SELECT q_id, cell_id FROM (
+       |    SELECT e.vec_id AS q_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(list_zip(e.v, c.cent), p -> (p[1]-p[2])*(p[1]-p[2]))),
+       |        c.cell_id) AS rn
+       |    FROM ge e, gcfin c WHERE e.vec_id < 3) WHERE rn <= $nProbe),
+       |qres AS MATERIALIZED (
+       |  SELECT q.q_id, q.cell_id,
+       |    CAST(list_transform(list_zip(nc.nv, c.cent),
+       |      p -> CAST(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)/1000000.0 AS FLOAT)) AS FLOAT[]) AS rv
+       |  FROM qprobe q JOIN nc ON nc.vec_id = q.q_id
+       |  JOIN gcfin c ON q.cell_id = c.cell_id),
+       |qsl AS MATERIALIZED ($qsl),
+       |tbl AS MATERIALIZED (
+       |  SELECT q.q_id, q.cell_id AS qcell, q.j, cb.cell_id AS code,
+       |    list_sum(list_transform(list_zip(q.sub, cb.cb),
+       |      p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS t
+       |  FROM qsl q JOIN cb USING (j)),
+       |adc AS MATERIALIZED (
+       |  SELECT t.q_id, e.vec_id, list_sum(list(t.t ORDER BY t.j)) AS adc
+       |  FROM enc e JOIN tbl t
+       |    ON t.qcell = e.cell_id AND t.j = e.j AND t.code = e.code
+       |  GROUP BY t.q_id, e.vec_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srnk
+       |    FROM adc) WHERE srnk <= $shortlist),
+       |sims AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS sim
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.q_id
+       |  JOIN embeddings ce ON ce.vec_id = s.vec_id
+       |  WHERE s.vec_id <> s.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims)
+       |SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
     // PQ: deterministic codebooks make the whole ADC pipeline (normalize →
     // fit → encode → table → shortlist → rerank) SQL-reproducible.
     "q_sim_pq" -> pqOracle,
+    // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
+    "q_sim_ivfpq" -> ivfPqOracle,
     // Audio windows: LE int16 samples come off the digest hex (bytes
     // 2i+1, 2i+2), grouped into 4-sample windows; all outputs integer.
     "q_audio_windows" ->

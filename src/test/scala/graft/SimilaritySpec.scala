@@ -128,6 +128,27 @@ class SimilaritySpec extends SparkSpec {
     assert(codesScanLines.forall(!_.contains("embedding")))
   }
 
+  test("IVF-PQ with full probing and corpus-wide shortlist equals exact") {
+    // nProbe = nCells removes the IVF approximation; a shortlist wider
+    // than the corpus removes the ADC approximation (every candidate is
+    // exact-reranked) — the composition must then equal brute force.
+    val full = topkSet(Similarity.ivfPqTopK(queries, corpus, 10,
+      nCells = 4, nProbe = 4, shortlistFactor = 1000))
+    assert(full === topkSet(Similarity.cosineTopK(queries, corpus, 10)))
+  }
+
+  test("IVF-PQ registered config: candidates confined to probed cells") {
+    // every returned hit must also appear in a deep exact ranking (the
+    // rerank is exact, so sims are identical), and the hit count per
+    // query never exceeds k
+    val got = Similarity.ivfPqTopK(queries, corpus, 10)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 10))
+    assert(topkSet(got).subsetOf(
+      topkSet(Similarity.cosineTopK(queries, corpus, 2000))))
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
