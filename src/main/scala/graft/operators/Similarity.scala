@@ -272,10 +272,18 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 8, nProbe: Int = 2, m: Int = 4, ks: Int = 16,
       shortlistFactor: Int = 8): DataFrame = {
+    pqBatchGuard(queries) // fail fast BEFORE paying the fits
+    val (codes, cents, codebooks) = ivfPqBuild(corpus, nCells, m, ks)
+    ivfPqServe(codes, cents, codebooks, queries, corpus, k, nProbe,
+      shortlistFactor)
+  }
+
+  /** Fit + assign + residual-encode: the build stage shared by
+    * [[ivfPqTopK]] (transient) and [[writeIvfPqLayout]] (persisted).
+    * Returns (codes (vec_id, cell_id, codes), cents, codebooks). */
+  private def ivfPqBuild(corpus: DataFrame, nCells: Int, m: Int,
+      ks: Int): (DataFrame, DataFrame, Array[Array[Array[Float]]]) = {
     import org.apache.spark.sql.graft.Bridge
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    pqBatchGuard(queries)
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by m=$m")
     val dsub = d / m
@@ -295,6 +303,24 @@ object Similarity {
     val codes = res.select(col("vec_id"), col("cell_id"),
       Bridge.column(PqEncode(Bridge.expression(col("embedding")),
         codebooks)).as("codes"))
+    (codes, cents, codebooks)
+  }
+
+  /** The IVF-PQ serving tail over an EXISTING (vec_id, cell_id, codes)
+    * table — shared by [[ivfPqTopK]] (fresh fit) and
+    * [[probeIvfPqLayout]] (stored codes, no re-fit). */
+  private def ivfPqServe(codes: DataFrame, cents: DataFrame,
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int,
+      shortlistFactor: Int): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val d = m * dsub
+    pqBatchGuard(queries)
     // probe on the SAME integer micro-unit metric the cells were fit with
     val qn = l2normalize(queries, "q_emb")
     val probeRows = DetQuantizer.probe(
@@ -325,14 +351,16 @@ object Similarity {
     val qIndex = broadcast(probeRows.zipWithIndex
       .map { case (r, i) => (i, r.getLong(0), r.getInt(2)) }
       .toSeq.toDF("qi", "q_id", "qcell"))
-    val probedCells = broadcast(
-      probeRows.map(_.getInt(2)).distinct.sorted.toSeq.toDF("cell_id"))
-    // IVF gate FIRST: unprobed cells never reach the ADC kernel (at rest,
-    // with the cell-partitioned layout, this join is partition pruning);
-    // then each surviving row keeps only the tables of ITS OWN cell.
+    // IVF gate FIRST, as a STATIC isin over the driver-known probed cells:
+    // on the cell-partitioned at-rest layout this is plan-time partition
+    // pruning (PartitionFilters on the scan — stronger than DPP, no join);
+    // unprobed cells never reach the ADC kernel. Semantics-neutral: rows
+    // in unprobed cells would fail every per-query qcell filter anyway.
+    val probedCellVals: Seq[Int] =
+      probeRows.map(_.getInt(2)).distinct.sorted.toSeq
     val shortW = Window.partitionBy("q_id").orderBy(asc("adc"), asc("vec_id"))
     val shortlist = codes
-      .join(probedCells, "cell_id")
+      .filter(col("cell_id").isin(probedCellVals: _*))
       .select(col("vec_id"), col("cell_id"), posexplode(Bridge.column(
         PqAdcDistances(Bridge.expression(col("codes")), tables)))
         .as(Seq("qi", "adc")))
@@ -703,6 +731,48 @@ object Similarity {
     }
     pqAdcServe(spark.read.parquet(s"$path/codes"), codebooks, queries,
       corpus, k, shortlistFactor)
+  }
+
+  /** Materialize the composed IVF-PQ layout at rest — the full
+    * billion-scale serving layout: residual PQ codes partitioned BY CELL
+    * at `$path/codes` (probing = partition pruning AND the scan reads m
+    * bytes per vector), the k-row cell-centroid table at `$path/cells`,
+    * codebooks at `$path/codebooks`. Fit + assign + encode run once;
+    * [[probeIvfPqLayout]] serves with no re-fit. */
+  def writeIvfPqLayout(corpus: DataFrame, path: String, nCells: Int = 8,
+      m: Int = 4, ks: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (codes, cents, codebooks) = ivfPqBuild(corpus, nCells, m, ks)
+    codes.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/cells")
+    (for (j <- 0 until m; c <- 0 until ks) yield (j, c, codebooks(j)(c).toSeq))
+      .toDF("subspace", "centroid_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Serve IVF-PQ top-k from the at-rest layout: probe cells against the
+    * stored centroid table, scan ONLY the probed cell directories of the
+    * stored codes (the broadcast cell join prunes partitions), score with
+    * per-(query, cell) ADC tables rebuilt from the stored codebooks, and
+    * exact-rerank the shortlist against `corpus`. No re-fit anywhere;
+    * answers are identical to a fresh [[ivfPqTopK]] with the same
+    * configuration (spec-asserted). */
+  def probeIvfPqLayout(path: String, queries: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int = 2, shortlistFactor: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "centroid_id").collect()
+    require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
+    val m = cb.iterator.map(_.getInt(0)).max + 1
+    val ks = cb.length / m
+    val codebooks = Array.tabulate(m, ks) { (j, c) =>
+      cb(j * ks + c).getSeq[Float](2).toArray
+    }
+    ivfPqServe(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/cells"), codebooks, queries, corpus, k,
+      nProbe, shortlistFactor)
   }
 
   /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED

@@ -369,7 +369,8 @@ class PlanSpec extends SparkSpec {
     // it like the DPP and broadcast shapes: a Spark upgrade that silently
     // dropped the rewrite must break this test, not an at-scale job.
     for (df <- Seq(graft.queries.LlmOps.qSimTopk(spark, sf),
-        graft.queries.LlmOps.qSimPq(spark, sf))) {
+        graft.queries.LlmOps.qSimPq(spark, sf),
+        graft.queries.LlmOps.qSimIvfPq(spark, sf))) {
       val p = planString(df)
       assert(p.contains("WindowGroupLimit"), p.take(3000))
       assert(p.contains("Partial"), p.take(3000))

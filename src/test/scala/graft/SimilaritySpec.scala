@@ -149,6 +149,22 @@ class SimilaritySpec extends SparkSpec {
       topkSet(Similarity.cosineTopK(queries, corpus, 2000))))
   }
 
+  test("IVF-PQ at-rest layout: stored codes match fresh answers; probed cells prune the scan") {
+    val dir = graft.operators.Scratch.dir("ivfpq_layout")
+    Similarity.writeIvfPqLayout(corpus, dir)
+    val stored = Similarity.probeIvfPqLayout(dir, queries, corpus, k = 10)
+    val fresh = Similarity.ivfPqTopK(queries, corpus, 10)
+    assert(stored.collect().map(_.toString).sorted.toSeq ===
+      fresh.collect().map(_.toString).sorted.toSeq)
+    val p = stored.queryExecution.executedPlan.toString
+    // the static probed-cell isin must reach the cell-partitioned scan as
+    // a PartitionFilter (plan-time pruning — only probed directories read)
+    assert(p.contains("PartitionFilters: [cell_id"), p.take(4000))
+    // and the codes scan carries no embedding column
+    assert(p.linesIterator.filter(_.contains("ivfpq_layout"))
+      .filter(_.contains("/codes")).forall(!_.contains("embedding")), p.take(4000))
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
