@@ -443,7 +443,14 @@ object Dedup {
     val widths = Array.tabulate(numBands)(b =>
       bits / numBands + (if (b < bits % numBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val s = sigs.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+    // Mask to the declared width: stray bits ABOVE `bits` would count in
+    // the Hamming verify but live in no band — silently voiding the
+    // pigeonhole recall guarantee. Masking makes the contract
+    // self-enforcing instead of caller-trusted.
+    val sigMasked =
+      if (bits == 64) col(sigCol)
+      else col(sigCol).bitwiseAND(lit((1L << bits) - 1L))
+    val s = sigs.select(col(idCol).as("doc"), sigMasked.as("sig"))
     val banded = s.select(col("doc"), col("sig"),
       explode(array((0 until numBands).map { b =>
         val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling (SURVEY.md §2 B-10): the per-column statistics a data
@@ -107,6 +108,33 @@ object Profile {
     * (unionByName would reject the branches). String quasi columns are
     * unchanged; numeric/date ones release as their canonical Spark string
     * form. */
+  /** Key-skew diagnostics: the top-`topN` hottest values of `keyCol` with
+    * their counts, per-mille share, and a hot flag (key count > 10× the
+    * mean key count, cross-multiplied in int64 — no float ratios). This
+    * is the measurement that DECIDES the engine's skew machinery: a key
+    * flagged hot here is what `saltedAgg` / the salted join exist for,
+    * and at 100 TB you run this (on a sample) before picking salt counts.
+    *
+    * Plan shape: one map-side-partial count over the key, a one-row
+    * totals aggregate derived from that (vocabulary-sized) count table
+    * broadcast back, and a TakeOrdered top-N — the corpus is read once,
+    * nothing corpus-sized shuffles. The rank window runs on ≤ topN rows
+    * AFTER the limit. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // feeds the totals + the top-N
+    val stats = counts.agg(sum("n").as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(desc("n"), asc("key")).limit(topN)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("n"), asc("key"))))
+      .withColumn("pm", expr("n * 1000 DIV n_total"))
+      .withColumn("hot", col("n") * col("n_keys") > col("n_total") * lit(10L))
+  }
+
   def kAnonCounts(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
     val counts = df.groupBy(quasiCols.map(col): _*)

@@ -333,6 +333,8 @@ object Similarity {
     // IN that cell — same double-subtract/float-store as the corpus side
     val tables: Array[Array[Array[Double]]] = probeRows.map { r =>
       val q = r.getSeq[Float](1).toArray
+      require(q.length == d,
+        s"query dim ${q.length} does not match the codebook layout (d=$d)")
       val cent = centArr(r.getInt(2))
       val qr = Array.tabulate(d)(i =>
         (q(i).toDouble - cent(i).toDouble / 1000000.0).toFloat)

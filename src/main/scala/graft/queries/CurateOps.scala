@@ -94,15 +94,39 @@ object CurateOps extends QueryFamily {
     Bpe.encode(docs, "text", "doc_id", vocab).orderBy("doc_id")
   }
 
+  /** q_skew_profile — key-skew diagnostics over the event stream's user
+    * key: the top-20 hottest keys with count, rank, per-mille share and a
+    * hot flag (count > 10× the mean, int64 cross-multiplied). The
+    * measurement that decides the engine's OWN skew machinery — a key
+    * flagged here is what q_agg_salted / q_join_salted exist for; at
+    * 100 TB this runs (on a sample) before picking salt counts.
+    * Full-oracle. */
+  def qSkewProfile(s: SparkSession, dir: String): DataFrame =
+    Profile.keySkew(Tables.events(s, dir), "user_id", topN = 20)
+      .orderBy("rnk")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs" -> (qBpePairs _),
     "q_profile" -> (qProfile _),
     "q_dedup_incr_near" -> (qDedupIncrNear _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_bpe_train" -> (qBpeTrain _),
-    "q_bpe_encode" -> (qBpeEncode _))
+    "q_bpe_encode" -> (qBpeEncode _),
+    "q_skew_profile" -> (qSkewProfile _))
 
   override val oracle: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |  COUNT(*) AS n_keys FROM c),
+        |t AS (SELECT key, n, n_total, n_keys FROM c, s
+        |  ORDER BY n DESC, key LIMIT 20)
+        |SELECT key, n, n_total, n_keys,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rnk,
+        |  n * 1000 // n_total AS pm,
+        |  n * n_keys > n_total * 10 AS hot
+        |FROM t ORDER BY rnk""".stripMargin,
     "q_bpe_train" -> Bpe.trainOracleSql(8),
     "q_bpe_encode" -> Bpe.encodeOracleSql(8),
     "q_boilerplate" ->

@@ -60,6 +60,21 @@ class CurateOpsSpec extends SparkSpec {
     assert(rows === Set(("1", "a", 3L, 1L), ("*", "*", 2L, 2L)))
   }
 
+  test("keySkew flags a planted hot key and ranks deterministically") {
+    // 50 rows of key 1 against 12 singleton keys: mean = 62/13 ≈ 4.8,
+    // 50 > 10x mean (50·13 = 650 > 620 = 62·10) → hot; singletons are not
+    val df = (Seq.fill(50)(1L) ++ (2L to 13L)).toDF("k")
+    val out = Profile.keySkew(df, "k", topN = 5).collect()
+    assert(out.length === 5)
+    val top = out.head
+    assert(top.getAs[Long]("key") === 1L && top.getAs[Long]("n") === 50L)
+    assert(top.getAs[Boolean]("hot"))
+    assert(top.getAs[Long]("pm") === 50L * 1000 / 62)
+    assert(out.tail.forall(!_.getAs[Boolean]("hot")))
+    // rank ties break on key: singleton keys 2..5 in key order
+    assert(out.tail.map(_.getAs[Long]("key")).toSeq === Seq(2L, 3L, 4L, 5L))
+  }
+
   test("incrementalNear flags near-dups of the store, keeps novel and short docs") {
     val store = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),

@@ -130,6 +130,12 @@ class DedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(found === exact)
     assert(exact === Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 4L), (2L, 4L)))
+    // stray bits above the declared width are masked off, not silently
+    // counted in the verify while living in no band (recall contract)
+    val noisy = Seq((0L, 0x1F3L | (1L << 40)), (1L, 0x1F2L)).toDF("id", "sig")
+    val nf = Dedup.hammingPairs(noisy, "id", "sig", bits = 9, maxHamming = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(nf === Set((0L, 1L)))
     // simhashPairs delegates: same answer as before the refactor
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
