@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import graft.operators.EnvelopeSink
+import graft.operators.{Dedup, EnvelopeSink}
 import graft.sources.{HttpSnapshotScan, SnapshotTarget}
 
 /** Metric tick record — the streaming shape of the reference's envelope
@@ -358,6 +358,49 @@ object Streams {
     }
     env.select(col("SlaveID").cast("binary").as("key"), value.as("value"))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** S15 — streaming NEAR-dedup against a GROWING at-rest MinHash
+    * signature store: each micro-batch of documents is checked against
+    * every PRIOR batch's signatures (band join + exact shingle-Jaccard
+    * verify — the same contract as the batch twin
+    * `Dedup.incrementalNearAgainst`), then appends its OWN signatures as
+    * a new store delta, so later batches see earlier ones. The index
+    * maintenance a production near-dedup ingest actually runs: tonight's
+    * batch is shingled once, the store contributes at-rest signatures.
+    *
+    * Exactly-once discipline (the `pollEnvelopeSinkBatch` pattern): both
+    * the decision output and the store delta are KEYED BY BATCH ID and
+    * written with overwrite, and the store read EXCLUDES deltas ≥ the
+    * current batch id — a replayed batch rewrites its own delta and
+    * re-reads exactly the store state it saw the first time, instead of
+    * matching against its own half-written signatures or duplicating
+    * them. State is at rest, not in the state store: restart needs no
+    * changelog replay, and the store doubles as the batch pipeline's
+    * signature store (one format, both twins). */
+  def nearDedupSinkBatch(storeDir: String, outDir: String,
+      maxDistance: Double)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("text"))
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasDeltas = // an existing-but-empty root has no schema to infer
+      fs.globStatus(new org.apache.hadoop.fs.Path(storeDir, "delta=*")) match {
+        case null => false
+        case st => st.nonEmpty
+      }
+    val existing =
+      if (hasDeltas)
+        spark.read.parquet(storeDir)
+          .filter(col("delta") < batchId) // replay: ignore own/future deltas
+          .select("doc", "shingles", "bk")
+      else // first delta: an empty store with the operator's own schema
+        Dedup.signatureStore(docs.limit(0), "text", "doc_id")
+    Dedup.incrementalNearAgainst(docs, existing, "text", "doc_id",
+        maxDistance)
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    Dedup.signatureStore(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$storeDir/delta=$batchId")
   }
 }
 

@@ -475,6 +475,51 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S15 streaming near-dedup: batches check the growing store; restart replays cleanly") {
+    val store = java.nio.file.Files.createTempDirectory("s15_store").toString
+    val out = java.nio.file.Files.createTempDirectory("s15_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s15_ckpt").toString
+    val in = MemoryStream[DocSourced]
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.nearDedupSinkBatch(store, out, 0.5) _)
+      .start()
+    val q1 = start()
+    try {
+      in.addData(DocSourced(1L, t(1),
+        "the quick brown fox jumps over the lazy dog", "a"))
+      q1.processAllAvailable()
+      // batch 1 sees batch 0's signatures: doc 2 is a near-dup of doc 1,
+      // doc 3 is novel
+      in.addData(
+        DocSourced(2L, t(2),
+          "the quick brown fox jumps over the lazy cat", "a"),
+        DocSourced(3L, t(2),
+          "completely different novel content about engines", "a"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the checkpoint: the store must serve the SAME at-rest
+    // signatures — an exact dup of doc 1 lands on it across the restart
+    val q2 = start()
+    try {
+      in.addData(DocSourced(4L, t(3),
+        "the quick brown fox jumps over the lazy dog", "a"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val d = spark.read.parquet(s"$out/batch=*")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("is_novel"), Option(r.getAs[Any]("near_store_id"))))
+      .toMap
+    assert(d.keySet === Set(1L, 2L, 3L, 4L))
+    assert(d(1L)._1 && d(3L)._1) // novel
+    assert(!d(2L)._1 && d(2L)._2 === Some(1L))
+    assert(!d(4L)._1 && d(4L)._2 === Some(1L)) // store survived the restart
+    // one delta per batch — replay rewrote, never duplicated
+    val deltas = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("delta=")).map(_.getName).sorted
+    assert(deltas.toSeq === Seq("delta=0", "delta=1", "delta=2"))
+  }
+
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(
