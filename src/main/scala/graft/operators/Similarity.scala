@@ -283,27 +283,36 @@ object Similarity {
     * Returns (codes (vec_id, cell_id, codes), cents, codebooks). */
   private def ivfPqBuild(corpus: DataFrame, nCells: Int, m: Int,
       ks: Int): (DataFrame, DataFrame, Array[Array[Array[Float]]]) = {
-    import org.apache.spark.sql.graft.Bridge
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by m=$m")
     val dsub = d / m
     val nc = l2normalize(corpus, "embedding")
       .localCheckpoint(eager = false) // feeds coarse fit + assign
     val cents = DetQuantizer.fit(nc, "embedding", "vec_id", nCells)
-    val assigned = DetQuantizer.assign(nc, "embedding", "vec_id", cents)
-    // residual = normalized vector − its centroid, SUBTRACTED IN DOUBLE
-    // and STORED AS FLOAT — the identical two-step conversion the oracle
-    // performs, so residuals (and everything downstream) are bit-equal
-    val res = assigned.join(broadcast(cents), "cell_id")
+    val res = cellResiduals(nc, cents)
+      .localCheckpoint(eager = false) // feeds m fits + the encode pass
+    val codebooks = fitPqCodebooks(res, m, ks, dsub)
+    (pqEncodeCodes(res, codebooks), cents, codebooks)
+  }
+
+  /** Assign to cells + residual per row: (vec_id, cell_id, embedding =
+    * normalized vector − centroid). The residual is SUBTRACTED IN DOUBLE
+    * and STORED AS FLOAT — the identical two-step conversion the oracle
+    * performs, so residuals (and everything downstream) are bit-equal. */
+  private def cellResiduals(normDf: DataFrame, cents: DataFrame): DataFrame =
+    DetQuantizer.assign(normDf, "embedding", "vec_id", cents)
+      .join(broadcast(cents), "cell_id")
       .select(col("vec_id"), col("cell_id"),
         zip_with(col("embedding"), DetQuantizer.centToDouble(col("cent")),
           (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
-      .localCheckpoint(eager = false) // feeds m fits + the encode pass
-    val codebooks = fitPqCodebooks(res, m, ks, dsub)
-    val codes = res.select(col("vec_id"), col("cell_id"),
+
+  /** Residual rows → (vec_id, cell_id, codes) via the kernel encoder. */
+  private def pqEncodeCodes(res: DataFrame,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    res.select(col("vec_id"), col("cell_id"),
       Bridge.column(PqEncode(Bridge.expression(col("embedding")),
         codebooks)).as("codes"))
-    (codes, cents, codebooks)
   }
 
   /** The IVF-PQ serving tail over an EXISTING (vec_id, cell_id, codes)
@@ -775,6 +784,31 @@ object Similarity {
     ivfPqServe(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/cells"), codebooks, queries, corpus, k,
       nProbe, shortlistFactor)
+  }
+
+  /** Append new vectors to an EXISTING IVF-PQ layout using its STORED
+    * quantizers — the vector-store ingest path: assign against the stored
+    * centroid table, encode residuals with the stored codebooks, and
+    * append the code files into their cell partitions. No re-fit, and
+    * existing files are never rewritten — ingest cost is proportional to
+    * the NEW batch, which is what makes a continuously-fed vector store
+    * affordable (periodic re-fit + rewrite is a separate, rarer
+    * compaction decision). Callers own id uniqueness: appending an
+    * already-present vec_id stores a second code row for it. */
+  def appendIvfPqLayout(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/cells")
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "centroid_id").collect()
+    require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
+    val m = cb.iterator.map(_.getInt(0)).max + 1
+    val ks = cb.length / m
+    val codebooks = Array.tabulate(m, ks) { (j, c) =>
+      cb(j * ks + c).getSeq[Float](2).toArray
+    }
+    val nc = l2normalize(newVectors, "embedding")
+    pqEncodeCodes(cellResiduals(nc, cents), codebooks)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
   }
 
   /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED

@@ -165,6 +165,22 @@ class SimilaritySpec extends SparkSpec {
       .filter(_.contains("/codes")).forall(!_.contains("embedding")), p.take(4000))
   }
 
+  test("IVF-PQ append: stored-quantizer ingest serves the union exactly under full probe") {
+    val dir = graft.operators.Scratch.dir("ivfpq_append")
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 =!= 0)
+    Similarity.writeIvfPqLayout(half1, dir, nCells = 4)
+    Similarity.appendIvfPqLayout(half2, dir)
+    // appended vectors are findable; with every cell probed and a
+    // corpus-wide shortlist the exact rerank makes the answer EQUAL to
+    // brute force over the union, regardless of codebook quality (the
+    // codebooks were fit on half1 only — that affects recall at tight
+    // shortlists, never correctness at full width)
+    val got = topkSet(Similarity.probeIvfPqLayout(dir, queries, corpus,
+      k = 10, nProbe = 4, shortlistFactor = 1000))
+    assert(got === topkSet(Similarity.cosineTopK(queries, corpus, 10)))
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
