@@ -230,6 +230,13 @@ class SimilaritySpec extends SparkSpec {
     val ivf = topkSet(Similarity.ivfTopK(qs, cl, 10, nCells = 16, nProbe = 4))
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=${exact.size} ivf=${ivf.size}")
+    // the composed IVF-PQ must hold the same gate on the clustered
+    // fixture: residual codes inside probed cells + the exact rerank
+    // recover >= 90% of the exact top-10 (d=16 → m=4 subspaces of 4)
+    val ivfpq = topkSet(Similarity.ivfPqTopK(qs, cl, 10,
+      nCells = 16, nProbe = 4))
+    val pqRecall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(pqRecall >= 0.9, s"ivfpq recall=$pqRecall")
   }
 
   test("PQ ADC distance equals the true distance to the quantized reconstruction") {
