@@ -306,15 +306,19 @@ object Dedup {
     * cannot produce a candidate pair, and on a healthy LSH layout MOST
     * buckets are singletons (that sparsity is exactly what makes LSH
     * sub-quadratic), so the prune removes the bulk of the self-join
-    * input. The df-annotating window shuffles on the band key — the same
-    * partitioning+sort the sort-merge self-join needs, so no exchange is
-    * added; candidate sets are identical by construction. */
+    * input. Bucket sizes come from a BOUNDED groupBy aggregate (map-side
+    * partials, ≤ one row per distinct band key) semi-joined back on the
+    * band key — not a count-over-window, which buffers each band bucket
+    * in one task and goes corpus-sized on low-entropy keys (the 9-bit
+    * aHash bands have ≤ 32 distinct keys per band; md5 bands are safe by
+    * construction, but the shared core must survive both). The semi-join
+    * shuffles on bk — the same partitioning the downstream self-join
+    * needs — and candidate sets are identical by construction. */
   private def pairableBands(bands: DataFrame): DataFrame =
-    bands
-      .withColumn("kdf", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bk")))
-      .filter(col("kdf") >= 2)
-      .drop("kdf")
+    bands.join(
+      bands.groupBy("bk").agg(count(lit(1)).as("kdf"))
+        .filter(col("kdf") >= 2).select("bk"),
+      Seq("bk"), "left_semi")
 
   /** (doc, distinct-shingle-array) pairs for the md5-family LSH operators —
     * documents with zero shingles (< `shingleN` tokens) are excluded; the

@@ -108,33 +108,6 @@ object Profile {
     * (unionByName would reject the branches). String quasi columns are
     * unchanged; numeric/date ones release as their canonical Spark string
     * form. */
-  /** Key-skew diagnostics: the top-`topN` hottest values of `keyCol` with
-    * their counts, per-mille share, and a hot flag (key count > 10× the
-    * mean key count, cross-multiplied in int64 — no float ratios). This
-    * is the measurement that DECIDES the engine's skew machinery: a key
-    * flagged hot here is what `saltedAgg` / the salted join exist for,
-    * and at 100 TB you run this (on a sample) before picking salt counts.
-    *
-    * Plan shape: one map-side-partial count over the key, a one-row
-    * totals aggregate derived from that (vocabulary-sized) count table
-    * broadcast back, and a TakeOrdered top-N — the corpus is read once,
-    * nothing corpus-sized shuffles. The rank window runs on ≤ topN rows
-    * AFTER the limit. */
-  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
-    require(topN >= 1, "topN must be >= 1")
-    val counts = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // feeds the totals + the top-N
-    val stats = counts.agg(sum("n").as("n_total"),
-      count(lit(1)).as("n_keys"))
-    counts.crossJoin(broadcast(stats))
-      .orderBy(desc("n"), asc("key")).limit(topN)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(desc("n"), asc("key"))))
-      .withColumn("pm", expr("n * 1000 DIV n_total"))
-      .withColumn("hot", col("n") * col("n_keys") > col("n_total") * lit(10L))
-  }
-
   def kAnonCounts(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
     val counts = df.groupBy(quasiCols.map(col): _*)
@@ -148,5 +121,37 @@ object Profile {
       .select(quasiCols.map(c => lit("*").as(c)) ++
         Seq(col("n"), col("n_groups")): _*)
     safe.unionByName(suppressed)
+  }
+
+  /** Key-skew diagnostics: the top-`topN` hottest values of `keyCol` with
+    * their counts, per-mille share, and a hot flag (key count > 10× the
+    * mean key count). This is the measurement that DECIDES the engine's
+    * skew machinery: a key flagged hot here is what the salted aggregate
+    * and salted join exist for, and at 100 TB you run this (on a sample)
+    * before picking salt counts. The hot comparison cross-multiplies in
+    * decimal(38,0) — the same discipline as [[profileDrift]]: at 10¹³
+    * rows × 10⁸ keys a long×long product wraps negative and would unflag
+    * exactly the hottest keys.
+    *
+    * Plan shape: one map-side-partial count over the key, a one-row
+    * totals aggregate derived from that (vocabulary-sized) count table
+    * broadcast back, and a TakeOrdered top-N — the corpus is read once,
+    * nothing corpus-sized shuffles. The rank window runs on ≤ topN rows
+    * AFTER the limit. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    def dec(c: String) = col(c).cast("decimal(19,0)")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // feeds the totals + the top-N
+    val stats = counts.agg(sum("n").as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(desc("n"), asc("key")).limit(topN)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("n"), asc("key"))))
+      .withColumn("pm", expr("n * 1000 DIV n_total"))
+      .withColumn("hot",
+        dec("n") * dec("n_keys") > dec("n_total") * lit(10))
   }
 }

@@ -19,9 +19,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
-  /** A fresh scratch directory path (not created — Spark writers create
-    * on write): `$SPARK_GRAFT_SCRATCH/<prefix>_<uuid>` when the shared
-    * root is configured, else a driver-local temp dir. */
+  /** A fresh scratch directory path:
+    * `$SPARK_GRAFT_SCRATCH/<prefix>_<uuid>` when the shared root is
+    * configured (the path is minted, NOT created — Spark writers create
+    * on write), else a driver-local temp dir (which
+    * `createTempDirectory` does create — harmless for the overwrite-mode
+    * writers this helper serves). Paths may carry a non-local scheme:
+    * consumers must go through the Hadoop FS API, never java.io.File. */
   def dir(prefix: String): String = sys.env.get("SPARK_GRAFT_SCRATCH") match {
     case Some(root) => s"$root/${prefix}_${java.util.UUID.randomUUID()}"
     case None => java.nio.file.Files.createTempDirectory(prefix).toString

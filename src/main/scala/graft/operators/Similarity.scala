@@ -200,7 +200,7 @@ object Similarity {
     val m = codebooks.length
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
-    pqBatchGuard(queries)
+    // (batch boundedness already guarded at every public entry point)
     // driver-built ADC tables, one per query, in a stable query order
     val qNorm = l2normalize(queries, "q_emb")
       .select(col("q_id"), col("q_emb")).orderBy("q_id").collect()
@@ -329,7 +329,7 @@ object Similarity {
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
     val d = m * dsub
-    pqBatchGuard(queries)
+    // (batch boundedness already guarded at every public entry point)
     // probe on the SAME integer micro-unit metric the cells were fit with
     val qn = l2normalize(queries, "q_emb")
     val probeRows = DetQuantizer.probe(
@@ -732,16 +732,33 @@ object Similarity {
   def probePqLayout(path: String, queries: DataFrame, corpus: DataFrame,
       k: Int, shortlistFactor: Int = 8): DataFrame = {
     val spark = queries.sparkSession
+    pqBatchGuard(queries)
+    val codebooks = readCodebooks(spark, path)
+    pqAdcServe(spark.read.parquet(s"$path/codes"), codebooks, queries,
+      corpus, k, shortlistFactor)
+  }
+
+  /** Decode the stored codebook table back to driver arrays — the ONE
+    * reader every layout probe and the append path share, with the
+    * integrity checks a corrupted/partial store would otherwise turn
+    * into silent mis-indexing. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
     val cb = spark.read.parquet(s"$path/codebooks")
       .orderBy("subspace", "centroid_id").collect()
     require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
     val m = cb.iterator.map(_.getInt(0)).max + 1
+    require(cb.length % m == 0 && cb.length / m ==
+      cb.iterator.map(_.getInt(1)).max + 1,
+      s"codebook table at $path/codebooks is not rectangular " +
+        s"(${cb.length} rows, $m subspaces)")
     val ks = cb.length / m
-    val codebooks = Array.tabulate(m, ks) { (j, c) =>
-      cb(j * ks + c).getSeq[Float](2).toArray
+    Array.tabulate(m, ks) { (j, c) =>
+      val r = cb(j * ks + c)
+      require(r.getInt(0) == j && r.getInt(1) == c,
+        s"codebook table at $path/codebooks has gaps at ($j, $c)")
+      r.getSeq[Float](2).toArray
     }
-    pqAdcServe(spark.read.parquet(s"$path/codes"), codebooks, queries,
-      corpus, k, shortlistFactor)
   }
 
   /** Materialize the composed IVF-PQ layout at rest — the full
@@ -773,14 +790,8 @@ object Similarity {
   def probeIvfPqLayout(path: String, queries: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 2, shortlistFactor: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .orderBy("subspace", "centroid_id").collect()
-    require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
-    val m = cb.iterator.map(_.getInt(0)).max + 1
-    val ks = cb.length / m
-    val codebooks = Array.tabulate(m, ks) { (j, c) =>
-      cb(j * ks + c).getSeq[Float](2).toArray
-    }
+    pqBatchGuard(queries)
+    val codebooks = readCodebooks(spark, path)
     ivfPqServe(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/cells"), codebooks, queries, corpus, k,
       nProbe, shortlistFactor)
@@ -794,18 +805,18 @@ object Similarity {
     * the NEW batch, which is what makes a continuously-fed vector store
     * affordable (periodic re-fit + rewrite is a separate, rarer
     * compaction decision). Callers own id uniqueness: appending an
-    * already-present vec_id stores a second code row for it. */
+    * already-present vec_id stores a second code row for it. A dimension
+    * mismatch against the stored codebooks fails fast here — PqEncode's
+    * malformed-input → null convention would otherwise append rows that
+    * every probe silently drops. */
   def appendIvfPqLayout(newVectors: DataFrame, path: String): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$path/cells")
-    val cb = spark.read.parquet(s"$path/codebooks")
-      .orderBy("subspace", "centroid_id").collect()
-    require(cb.nonEmpty, s"no PQ codebooks at $path/codebooks")
-    val m = cb.iterator.map(_.getInt(0)).max + 1
-    val ks = cb.length / m
-    val codebooks = Array.tabulate(m, ks) { (j, c) =>
-      cb(j * ks + c).getSeq[Float](2).toArray
-    }
+    val codebooks = readCodebooks(spark, path)
+    val d = codebooks.length * codebooks(0)(0).length
+    val dNew = newVectors.select(size(col("embedding"))).head().getInt(0)
+    require(dNew == d,
+      s"new vectors have dim $dNew but the layout at $path encodes d=$d")
     val nc = l2normalize(newVectors, "embedding")
     pqEncodeCodes(cellResiduals(nc, cents), codebooks)
       .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")

@@ -132,6 +132,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fps === Set(1L, 2L))
   }
 
+  test("round-8 operators reject malformed configs and accept empty inputs") {
+    import graft.operators.{Dedup, Profile, Similarity}
+    // hammingPairs: band config bounds are caller bugs, not data errors
+    val sigs = Seq((1L, 5L)).toDF("id", "sig")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(sigs, "id", "sig", bits = 0, maxHamming = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(sigs, "id", "sig", bits = 9, maxHamming = 9)
+    }
+    // one-row / empty signature sets pair nothing
+    assert(Dedup.hammingPairs(sigs, "id", "sig", 9, 1).count() === 0L)
+    // keySkew rejects a nonsensical topN; empty input yields no rows
+    intercept[IllegalArgumentException] {
+      Profile.keySkew(sigs, "sig", topN = 0)
+    }
+    assert(Profile.keySkew(sigs.limit(0), "sig", 5).count() === 0L)
+    // probing a layout path with no codebooks is a clear caller error
+    val noLayout = graft.operators.Scratch.dir("no_layout")
+    val q = Seq((1L, Array(1f, 0f))).toDF("q_id", "q_emb")
+    val c = Seq((2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.probePqLayout(noLayout, q, c, k = 1)
+    }
+    intercept[Exception] {
+      Similarity.appendIvfPqLayout(c, noLayout)
+    }
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

@@ -73,8 +73,13 @@ class LayoutSpec extends SparkSpec {
     val dir = graft.operators.Scratch.dir("compact")
     val df = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     df.repartition(32).write.mode("overwrite").parquet(dir)
-    def files() = new java.io.File(dir).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // Hadoop FS, not java.io.File: Scratch.dir may mint a shared-root
+    // (hdfs/s3a) path when SPARK_GRAFT_SCRATCH is set
+    def files() = {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(hp).count(_.getPath.getName.endsWith(".parquet"))
+    }
     // decimal sum: order-independent, so it survives the repartition
     def dsum() = spark.read.parquet(dir)
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")))

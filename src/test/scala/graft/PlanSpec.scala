@@ -360,6 +360,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window "), p.take(3000))
   }
 
+  test("skew profile plans a TakeOrdered top-N over partial key counts") {
+    // one map-side-partial key count + a one-row broadcast totals join +
+    // TakeOrdered — never a global sort, never a corpus-wide window
+    val p = planString(graft.queries.CurateOps.qSkewProfile(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("phash near-dup pairs come from a band equi-join, never a product") {
+    // candidates must come from the banded equi-join (hash/sort-merge on
+    // the band key) with the singleton prune — an all-pairs product over
+    // images would be the exact shape the banding exists to avoid
+    val p = planString(graft.queries.LlmOps.qPhashNear(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("top-k rerank windows keep a partial WindowGroupLimit below the exchange") {
     // rerankTopK (q_sim_topk) and the PQ ADC shortlist (q_sim_pq) partition
     // their windows by query id, so each window partition is corpus-sized;
