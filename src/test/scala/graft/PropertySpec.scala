@@ -204,4 +204,35 @@ class PropertySpec extends SparkSpec {
       assert(out.toSeq === expect, s"case $caseIdx")
     }
   }
+
+  test("PROPERTY hammingPairs equals brute force over random signatures (12 random cases)") {
+    // The pigeonhole claim is a THEOREM about the banding, so test it
+    // like one: for random widths, thresholds, and signature sets
+    // (including duplicate and high-bit-noise signatures), the banded
+    // candidates + verify must equal the exact all-pairs answer — no
+    // missed pair (recall) and no extra pair (verify) on any draw.
+    val rnd = freshRandom(6)
+    for (caseIdx <- 1 to 12) {
+      val bits = 4 + rnd.nextInt(16)             // 4..19
+      val maxH = rnd.nextInt(math.min(bits, 4))  // 0..min(bits,4)-1
+      val n = 8 + rnd.nextInt(40)
+      val mask = (1L << bits) - 1L
+      val sigsRaw = (0L until n).map { id =>
+        // sprinkle noise ABOVE the declared width: must be masked off
+        val noise = if (rnd.nextBoolean()) rnd.nextLong() & ~mask else 0L
+        (id, (rnd.nextLong() & mask) | noise)
+      }
+      val found = graft.operators.Dedup.hammingPairs(
+          sigsRaw.toDF("id", "sig"), "id", "sig", bits, maxH)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val masked = sigsRaw.map { case (id, s) => id -> (s & mask) }.toMap
+      val exact = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if java.lang.Long.bitCount(masked(a) ^ masked(b)) <= maxH
+      } yield (a, b)).toSet
+      assert(found === exact,
+        s"case $caseIdx bits=$bits maxH=$maxH n=$n: " +
+          s"missed=${(exact diff found).take(3)} extra=${(found diff exact).take(3)}")
+    }
+  }
 }
