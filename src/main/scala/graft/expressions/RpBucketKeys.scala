@@ -100,6 +100,15 @@ case class RpBucketKeys(child: Expression, nTables: Int,
   * engine-INDEPENDENT, unlike [[RpMatrix]]'s JVM Gaussian draws: the sign
   * for (t, i) is the top bit of md5("t|i"), reproducible in any engine
   * with an md5 (the same family trick as [[SimHash64]]). */
+/** The md5-Rademacher sign family shared by [[RadBucketKeys]] (LSH
+  * buckets) and `Similarity.radProject` (JL dimensionality reduction) —
+  * ONE derivation, so the bucket path and the projection path can never
+  * drift apart, and both stay reproducible in SQL. */
+object RadSigns {
+  /** +1 when the top bit of md5("t|i")'s first byte is set, else −1. */
+  def sign(t: Int, i: Int): Double = RadMatrix.sign(t, i)
+}
+
 private[expressions] object RadMatrix {
   private val cache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 

@@ -385,6 +385,31 @@ object Similarity {
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id"), k)
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction by md5-Rademacher
+    * projection (Achlioptas 2003 — public method): output coordinate t is
+    * Σ_i sign(md5("t|i")) · xq_i over the MICRO-QUANTIZED input vector, so
+    * the whole projection is int64-exact — no float summation-order
+    * concern, engine-independent, full-oracle — and the signs are the
+    * SAME family the LSH bucket path uses ([[graft.expressions.RadSigns]]).
+    * kOut ⋘ d trades a (1±ε) pairwise-distance distortion for a d/kOut
+    * shrink in scan and compute on every downstream pairwise operator; at
+    * 100 TB you project ONCE at rest and run the ANN stack on the short
+    * vectors (int64 sums stay safe: |xq| ≤ ~1e6·max|x|, × d=64 ≪ 2⁶³).
+    * Output: `df.*` + `proj: array<long>` (micro-units). */
+  def radProject(df: DataFrame, embCol: String, kOut: Int): DataFrame = {
+    require(kOut >= 1, "kOut must be >= 1")
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    val proj = array((0 until kOut).map { t =>
+      val signs = array((0 until d).map(i =>
+        lit(graft.expressions.RadSigns.sign(t, i).toLong)): _*)
+      aggregate(
+        zip_with(DetQuantizer.microQuantize(col(embCol)), signs,
+          (x, s) => x * s),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+    df.withColumn("proj", proj)
+  }
+
   /** Hard-negative mining for contrastive training: per query the k most
     * similar corpus vectors with a DIFFERENT label — the "looks the same,
     * isn't" examples a contrastive/reranker objective learns most from

@@ -439,6 +439,19 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_emb_rp — Johnson–Lindenstrauss random projection of the embedding
+    * table to 16 dims via the md5-Rademacher sign family (the same family
+    * the LSH bucket path uses): int64-exact over micro-quantized inputs,
+    * so the projected vectors hash-match the oracle bit-for-bit. The
+    * project-once-at-rest step that lets the whole ANN stack run on
+    * 4× shorter vectors. Full-oracle. */
+  def qEmbRp(s: SparkSession, dir: String): DataFrame =
+    Similarity.radProject(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        "embedding", kOut = 16)
+      .select("vec_id", "proj")
+      .orderBy("vec_id")
+
   /** q_multimodal_decode — REAL container decode, oracle-checked end to
     * end: wrap deterministic bytes (sha256‖md5 of the text) in a valid 3×3
     * 24bpp BMP and a 16-sample PCM WAV, decode both back through the
@@ -601,7 +614,8 @@ object LlmOps extends QueryFamily {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sim_pq" -> (qSimPq _),
-    "q_sim_ivfpq" -> (qSimIvfPq _))
+    "q_sim_ivfpq" -> (qSimIvfPq _),
+    "q_emb_rp" -> (qEmbRp _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -790,6 +804,24 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> pqOracle,
     // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
     "q_sim_ivfpq" -> ivfPqOracle,
+    // JL projection: the q_sim_ann sign recipe over micro-quantized
+    // inputs — integer sums, so the arrays hash-match exactly.
+    "q_emb_rp" ->
+      """WITH gs AS MATERIALIZED (
+        |  SELECT t, list(CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5(CAST(t AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+        |    THEN 1 ELSE -1 END ORDER BY i) AS g
+        |  FROM range(0, 16) r1(t) CROSS JOIN range(0, 64) r2(i)
+        |  GROUP BY t),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings)
+        |SELECT e.vec_id,
+        |  list(CAST(list_sum(list_transform(list_zip(e.xq, g.g),
+        |    p -> p[1] * p[2])) AS BIGINT) ORDER BY g.t) AS proj
+        |FROM e CROSS JOIN gs g GROUP BY e.vec_id
+        |ORDER BY vec_id""".stripMargin,
     // Audio windows: LE int16 samples come off the digest hex (bytes
     // 2i+1, 2i+2), grouped into 4-sample windows; all outputs integer.
     "q_audio_windows" ->

@@ -181,6 +181,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got === topkSet(Similarity.cosineTopK(queries, corpus, 10)))
   }
 
+  test("radProject: exact on a hand-computed fixture; JL preserves distance order") {
+    import graft.expressions.RadSigns
+    // exactness: one vector, hand-fold the signed micro-sum per dim
+    val v = Array.tabulate(8)(i => (0.25f * (i - 3)))
+    val out = Similarity.radProject(
+        Seq((1L, v)).toDF("vec_id", "embedding"), "embedding", kOut = 4)
+      .select("proj").head().getSeq[Long](0)
+    val expected = (0 until 4).map { t =>
+      (0 until 8).map(i =>
+        math.round(v(i).toDouble * 1e6) * RadSigns.sign(t, i).toLong).sum
+    }
+    assert(out.toSeq === expected)
+    // distance-order preservation (the JL point): over random pairs the
+    // projected distances must correlate strongly with the originals
+    val rnd = new scala.util.Random(7)
+    val vecs = Array.fill(60)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val proj = Similarity.radProject(
+        vecs.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toSeq
+          .toDF("vec_id", "embedding"), "embedding", kOut = 16)
+      .orderBy("vec_id").select("proj").collect()
+      .map(_.getSeq[Long](0).toArray)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def p2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    // Rademacher signs give E[‖proj z‖²] = kOut·‖z‖² (micro-units²), and
+    // each ratio behaves like χ²_k/k — so the RIGHT JL assertion is a
+    // bounded per-pair distortion ratio plus a mean near 1, NOT distance
+    // correlation (random Gaussian pairs concentrate, so correlation is
+    // weak even under perfect JL behavior).
+    val ratios = for (a <- 0 until 30; b <- 30 until 60) yield
+      p2(proj(a), proj(b)) / (16.0 * 1e12 * d2(vecs(a), vecs(b)))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion ratio $mean")
+    assert(ratios.min > 0.1 && ratios.max < 4.0,
+      s"ratio range [${ratios.min}, ${ratios.max}]")
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
