@@ -1014,4 +1014,44 @@ object Similarity {
       .filter(col("dist") <= maxDistance)
       .select("q_id", "vec_id", "dist")
   }
+
+  /** In-engine ANN recall estimator — the tuning loop for the LSH gate's
+    * (bucketLength, numHashTables) knobs. [[annCandidates]] verifies every
+    * candidate with the exact kernel, so candidates ⊆ true radius
+    * neighbours and recall is a pure COUNT ratio: per query,
+    * n_cand / n_true over the brute-forced dist ≤ maxDistance set.
+    * recall_permille is integer floor division (engine-exact); a query
+    * with NO true neighbours scores a vacuous 1000.
+    *
+    * Scale posture: the brute-force truth side is the estimator's price —
+    * at 100 TB you run it on a SAMPLED query set against a SAMPLED corpus
+    * slice (recall is a per-pair property; sampling the corpus estimates
+    * it unbiased), while the candidate side is the production operator
+    * unchanged. The estimate then decides whether to widen buckets or add
+    * tables BEFORE the full-corpus run — measured, not guessed. */
+  def annRadiusRecall(queries: DataFrame, corpus: DataFrame,
+      maxDistance: Double, bucketLength: Double = 1.5,
+      numHashTables: Int = 8): DataFrame = {
+    val cand = annCandidates(queries, corpus, maxDistance,
+        bucketLength, numHashTables)
+      .groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+    val truth = broadcast(queries.select(col("q_id"), col("q_emb")))
+      .crossJoin(corpus.select(col("vec_id"), col("embedding")))
+      .filter(col("q_id") =!= col("vec_id"))
+      .filter(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) *
+          VectorFunctions.cosine(col("q_emb"), col("embedding"))))
+        <= maxDistance)
+      .groupBy("q_id").agg(count(lit(1)).as("n_true"))
+    // anchor on the query list: a query with zero true neighbours (absent
+    // from both grouped sides) must still emit its vacuous-1000 row
+    queries.select("q_id")
+      .join(truth, Seq("q_id"), "left")
+      .join(cand, Seq("q_id"), "left")
+      .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("recall_permille",
+        when(col("n_true") === 0, lit(1000L))
+          .otherwise(expr("n_cand * 1000 DIV n_true")))
+  }
 }

@@ -293,6 +293,22 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_ann_recall — in-engine ANN recall estimator: per query (vec_id <
+    * 8), candidate count from the production LSH gate vs the brute-forced
+    * dist ≤ 1.3 truth set, recall in integer permille. The measurement
+    * that TUNES the (bucketLength, numHashTables) knobs before a
+    * full-corpus run; at 100 TB both sides run on samples (see
+    * [[graft.operators.Similarity.annRadiusRecall]]). Counts + floor
+    * division ⇒ full-oracle. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Similarity.annRadiusRecall(queries,
+        emb.select("vec_id", "embedding"), 1.3)
+      .orderBy("q_id")
+  }
+
   /** q_hard_negatives — contrastive hard-negative mining: per query the
     * 10 most similar corpus vectors with a DIFFERENT label (the
     * decision-boundary examples a contrastive objective learns from).
@@ -615,7 +631,8 @@ object LlmOps extends QueryFamily {
     "q_compress_ratio" -> (qCompressRatio _),
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
-    "q_emb_rp" -> (qEmbRp _))
+    "q_emb_rp" -> (qEmbRp _),
+    "q_ann_recall" -> (qAnnRecall _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -804,6 +821,55 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> pqOracle,
     // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
     "q_sim_ivfpq" -> ivfPqOracle,
+    // ANN recall estimator: the q_sim_ann candidate chain (vec_id < 8)
+    // counted against the brute-forced radius truth set — pure counts +
+    // floor division, engine-exact.
+    "q_ann_recall" ->
+      """WITH gs AS MATERIALIZED (
+        |  SELECT t, list(CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5(CAST(t AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+        |    THEN 1.0 ELSE -1.0 END ORDER BY i) AS g
+        |  FROM range(0, 8) r1(t) CROSS JOIN range(0, 64) r2(i)
+        |  GROUP BY t),
+        |keys AS MATERIALIZED (
+        |  SELECT e.vec_id, g.t,
+        |    CASE WHEN e.nrm = 0 THEN 0
+        |         ELSE CAST(floor(
+        |           list_sum(list_transform(list_zip(e.embedding, g.g),
+        |             p -> CAST(p[1] AS DOUBLE) * p[2])) / (e.nrm * 1.5)) AS BIGINT) END AS h
+        |  FROM (SELECT vec_id, embedding,
+        |          sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS nrm
+        |        FROM embeddings) e CROSS JOIN gs g),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id
+        |  FROM keys q JOIN keys k ON q.t = k.t AND q.h = k.h
+        |  WHERE q.vec_id < 8 AND k.vec_id <> q.vec_id),
+        |cd AS (
+        |  SELECT c.q_id, COUNT(*) AS n_cand
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.q_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |  WHERE sqrt(greatest(0.0, 2.0 - 2.0 * list_cosine_similarity(
+        |    qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) <= 1.3
+        |  GROUP BY c.q_id),
+        |tr AS (
+        |  SELECT q.vec_id AS q_id, COUNT(*) AS n_true
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8
+        |    AND sqrt(greatest(0.0, 2.0 - 2.0 * list_cosine_similarity(
+        |      q.embedding::DOUBLE[], c.embedding::DOUBLE[]))) <= 1.3
+        |  GROUP BY q.vec_id)
+        |SELECT q.vec_id AS q_id,
+        |  CAST(COALESCE(tr.n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(cd.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(CASE WHEN COALESCE(tr.n_true, 0) = 0 THEN 1000
+        |       ELSE COALESCE(cd.n_cand, 0) * 1000 // tr.n_true END AS BIGINT)
+        |    AS recall_permille
+        |FROM embeddings q
+        |LEFT JOIN tr ON tr.q_id = q.vec_id
+        |LEFT JOIN cd ON cd.q_id = q.vec_id
+        |WHERE q.vec_id < 8
+        |ORDER BY q_id""".stripMargin,
     // JL projection: the q_sim_ann sign recipe over micro-quantized
     // inputs — integer sums, so the arrays hash-match exactly.
     "q_emb_rp" ->

@@ -219,6 +219,35 @@ class SimilaritySpec extends SparkSpec {
       s"ratio range [${ratios.min}, ${ratios.max}]")
   }
 
+  test("annRadiusRecall: counts agree with a hand brute force; zero-neighbour query scores 1000") {
+    import graft.functions.VectorFunctions
+    val got = Similarity.annRadiusRecall(queries, corpus, 1.3)
+      .select(col("q_id"), col("n_true"), col("n_cand"), col("recall_permille"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // truth side: brute-forced radius counts
+    val trueCounts = broadcast(queries).crossJoin(corpus)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("dist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) *
+        VectorFunctions.cosine(col("q_emb"), col("embedding")))))
+      .filter(col("dist") <= 1.3)
+      .groupBy("q_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    got.foreach { case (q, (_, nTrue, nCand, permille)) =>
+      assert(nTrue === trueCounts.getOrElse(q, 0L))
+      assert(nCand <= nTrue, "candidates are distance-verified, so ⊆ truth")
+      assert(permille === (if (nTrue == 0) 1000L else nCand * 1000 / nTrue))
+    }
+    // an orthogonal one-hot query vector far from every corpus vector has
+    // no radius-0.2 neighbours → the vacuous-1000 row must still emit
+    val lonely = Seq((99L, Array.fill(64)(0f).updated(0, 1f)))
+      .toDF("q_id", "q_emb")
+    val row = Similarity.annRadiusRecall(lonely, corpus, 0.2)
+      .select("n_true", "n_cand", "recall_permille")
+      .as[(Long, Long, Long)].head()
+    assert(row === ((0L, 0L, 1000L)))
+  }
+
   test("IVF with full probing equals exact brute force") {
     val exact = topkSet(Similarity.cosineTopK(queries, corpus, 10))
     val full = topkSet(Similarity.ivfTopK(queries, corpus, 10,
