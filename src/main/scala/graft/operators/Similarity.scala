@@ -1015,6 +1015,64 @@ object Similarity {
       .select("q_id", "vec_id", "dist")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, public method):
+    * for each source vector, the target whose RATIO margin
+    * `2k·cos(x,y) / (Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(y,z))`
+    * is highest — absolute cosine over-selects hub vectors whose
+    * neighbourhood is uniformly close; dividing by both local
+    * neighbourhood averages keeps only pairs that stand OUT of their
+    * neighbourhoods, the standard parallel-corpus mining score.
+    *
+    * Engine-exact: cosines are 6-dp-rounded then micro-quantized
+    * ([[mmrTopK]]'s discipline), neighbourhood sums are int64 sums of k
+    * bounded terms, and the margin is one integer floor division to
+    * permille — no float accumulation anywhere, so the whole mine is
+    * DuckDB-oracle-checkable. Negative/zero denominators (both
+    * neighbourhoods anti-aligned — no meaningful margin) are dropped.
+    *
+    * Plan shape: one src×tgt kernel pass; both directional top-k windows
+    * prune to k rows per key BEFORE their shuffles (Spark's partial
+    * WindowGroupLimit, the PlanSpec-pinned shortlist shape), so the
+    * neighbourhood sums aggregate bounded data. At 100 TB the pair scan
+    * is the cost — swap it for the ANN candidate stack (IVF-PQ shortlist
+    * + exact rerank yields the same top-k with measured recall) and keep
+    * this exact scoring tail. */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int,
+      minMarginPermille: Long = 1000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
+    val sims = broadcast(src.select(col("s_id"), col("s_emb")))
+      .crossJoin(tgt.select(col("t_id"), col("t_emb")))
+      .select(col("s_id"), col("t_id"),
+        micro(round(VectorFunctions.cosine(col("s_emb"), col("t_emb")), 6))
+          .as("sim_micro"))
+      .localCheckpoint() // one kernel pass feeds both directions + scoring
+    val wF = Window.partitionBy("s_id").orderBy(desc("sim_micro"), asc("t_id"))
+    val fwd = sims.withColumn("rnk", row_number().over(wF))
+      .filter(col("rnk") <= k)
+    val fwdSum = fwd.groupBy("s_id").agg(sum("sim_micro").as("sumk_s"))
+    val wB = Window.partitionBy("t_id").orderBy(desc("sim_micro"), asc("s_id"))
+    val bwdSum = sims.withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= k)
+      .groupBy("t_id").agg(sum("sim_micro").as("sumk_t"))
+    // positive-sim candidates only: a negative cosine is never a mined
+    // pair, and it keeps every division positive — where Spark's
+    // truncating DIV and DuckDB's flooring // agree (they diverge on
+    // negative numerators, a cross-engine trap)
+    val scored = fwd.select("s_id", "t_id", "sim_micro")
+      .filter(col("sim_micro") > 0)
+      .join(fwdSum, "s_id")
+      .join(bwdSum, "t_id")
+      .filter(col("sumk_s") + col("sumk_t") > 0)
+      .withColumn("margin_permille",
+        expr(s"(2 * $k * sim_micro * 1000) DIV (sumk_s + sumk_t)"))
+    val wBest = Window.partitionBy("s_id")
+      .orderBy(desc("margin_permille"), asc("t_id"))
+    scored.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("margin_permille") >= minMarginPermille)
+      .select("s_id", "t_id", "sim_micro", "margin_permille")
+  }
+
   /** In-engine ANN recall estimator — the tuning loop for the LSH gate's
     * (bucketLength, numHashTables) knobs. [[annCandidates]] verifies every
     * candidate with the exact kernel, so candidates ⊆ true radius

@@ -323,6 +323,22 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_bitext_margin — margin-based bitext mining (Artetxe & Schwenk
+    * 2019): even vec_ids as the source corpus, odd as the target; per
+    * source the best ratio-margin target with margin ≥ 1.0 — the
+    * parallel-corpus mining step that feeds translation-pair training
+    * data. Integer micro-unit scoring end to end ⇒ full-oracle. */
+  def qBitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bitextMargin(
+        emb.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("s_id"), col("embedding").as("s_emb")),
+        emb.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("t_id"), col("embedding").as("t_emb")),
+        k = 4)
+      .orderBy("s_id")
+  }
+
   /** q_sim_mmr — MMR-diversified top-10 per query over an exact top-30
     * pool (λ = 0.7): the redundancy-penalized retrieval that returns a
     * DIVERSE representative set instead of k near-duplicates of the
@@ -632,7 +648,8 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> (qSimPq _),
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_emb_rp" -> (qEmbRp _),
-    "q_ann_recall" -> (qAnnRecall _))
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_bitext_margin" -> (qBitextMargin _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -821,6 +838,41 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> pqOracle,
     // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
     "q_sim_ivfpq" -> ivfPqOracle,
+    // Bitext margin: micro-unit cosines (the mmr idiom), both directional
+    // top-4 neighbourhood sums as int64, one positive floor division.
+    "q_bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS s_id, embedding AS s_emb
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS t_id, embedding AS t_emb
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |sims AS MATERIALIZED (
+        |  SELECT s_id, t_id,
+        |    CAST(round(round(list_cosine_similarity(
+        |      s_emb::DOUBLE[], t_emb::DOUBLE[]), 6) * 1000000.0) AS BIGINT) AS sim_micro
+        |  FROM s, t),
+        |fk AS (SELECT s_id, t_id, sim_micro FROM (
+        |    SELECT s_id, t_id, sim_micro,
+        |      row_number() OVER (PARTITION BY s_id ORDER BY sim_micro DESC, t_id) AS rnk
+        |    FROM sims) WHERE rnk <= 4),
+        |fsum AS (SELECT s_id, CAST(SUM(sim_micro) AS BIGINT) AS sumk_s
+        |  FROM fk GROUP BY s_id),
+        |bsum AS (SELECT t_id, CAST(SUM(sim_micro) AS BIGINT) AS sumk_t FROM (
+        |    SELECT t_id, sim_micro,
+        |      row_number() OVER (PARTITION BY t_id ORDER BY sim_micro DESC, s_id) AS rnk
+        |    FROM sims) WHERE rnk <= 4 GROUP BY t_id),
+        |scored AS (
+        |  SELECT f.s_id, f.t_id, f.sim_micro,
+        |    CAST((2 * 4 * f.sim_micro * 1000) // (fs.sumk_s + bs.sumk_t) AS BIGINT)
+        |      AS margin_permille
+        |  FROM fk f JOIN fsum fs USING (s_id) JOIN bsum bs USING (t_id)
+        |  WHERE f.sim_micro > 0 AND fs.sumk_s + bs.sumk_t > 0)
+        |SELECT s_id, t_id, sim_micro, margin_permille FROM (
+        |  SELECT s_id, t_id, sim_micro, margin_permille,
+        |    row_number() OVER (PARTITION BY s_id
+        |      ORDER BY margin_permille DESC, t_id) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 AND margin_permille >= 1000
+        |ORDER BY s_id""".stripMargin,
     // ANN recall estimator: the q_sim_ann candidate chain (vec_id < 8)
     // counted against the brute-forced radius truth set — pure counts +
     // floor division, engine-exact.

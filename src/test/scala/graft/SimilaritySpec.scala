@@ -219,6 +219,29 @@ class SimilaritySpec extends SparkSpec {
       s"ratio range [${ratios.min}, ${ratios.max}]")
   }
 
+  test("bitextMargin: a planted translation pair mines at top margin; one row per source") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Array.fill(12)(vec())
+    // source 5's "translation" is target 105: the same vector + tiny noise
+    val planted = base(5).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val src = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("s_id", "s_emb")
+    val tgt = (Array.fill(11)(vec()) :+ planted).zipWithIndex
+      .map { case (v, i) => (100L + i, v) }.toSeq.toDF("t_id", "t_emb")
+    val out = Similarity.bitextMargin(src, tgt, k = 3)
+      .select(col("s_id"), col("t_id"), col("margin_permille"))
+      .as[(Long, Long, Long)].collect()
+    // best-per-source: s_id unique; every kept margin clears the threshold
+    assert(out.map(_._1).distinct.length === out.length)
+    assert(out.forall(_._3 >= 1000L))
+    // the planted pair must be mined, and with the run's highest margin
+    // (a near-identical pair towers over random neighbourhoods)
+    val mined = out.find(_._1 == 5L)
+    assert(mined.exists(_._2 == 111L), s"planted pair not mined: $mined")
+    assert(mined.get._3 === out.map(_._3).max)
+  }
+
   test("annRadiusRecall: counts agree with a hand brute force; zero-neighbour query scores 1000") {
     import graft.functions.VectorFunctions
     val got = Similarity.annRadiusRecall(queries, corpus, 1.3)
