@@ -29,6 +29,59 @@ object Packing {
       .withColumn("chunk_offset", col("start_tok") % budget)
   }
 
+  /** Global token-budget shard planner + manifest — the delivery step
+    * between a finished corpus and numbered training files: documents in
+    * deterministic `idCol` order fill shard after shard, a new shard
+    * opening whenever the GLOBAL running token total crosses a `budget`
+    * multiple (assignment by starting offset, so shards may overhang by
+    * at most one document — the standard fluid-fill cut). Returns one
+    * manifest row per shard: doc count, token total, id range, and an
+    * order-immune integer fingerprint (sum of per-doc md5-prefix words) a
+    * downstream loader can recompute to detect corruption or drift.
+    *
+    * The global running sum is the scale trap here, and it is built the
+    * only way that survives 100 TB: TWO-PHASE. Phase 1 groups per
+    * contiguous id bucket (`idCol div bucketWidth`) into a table of
+    * nDocs/bucketWidth rows; the prefix offsets over THAT bounded table
+    * are the only single-partition window (the legitimate small-data
+    * user, same as the vocab/limit stages). Phase 2 broadcasts the
+    * offsets and runs one bounded window PER BUCKET — the corpus itself
+    * never funnels through a global sort. A naive
+    * `Window.orderBy(id)` would serialize the whole corpus through one
+    * reducer; PlanSpec pins its absence. */
+  def shardManifest(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    require(budget >= 1 && bucketWidth >= 1,
+      s"need budget/bucketWidth >= 1, got $budget/$bucketWidth")
+    val withBucket = df
+      .select(col(idCol), coalesce(col(nTokensCol).cast("long"), lit(0L))
+        .as("n_toks"))
+      .withColumn("bucket", expr(s"$idCol div $bucketWidth"))
+    val bucketTotals = withBucket.groupBy("bucket")
+      .agg(sum("n_toks").as("bt"))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("off", coalesce(sum("bt").over(wB), lit(0L)))
+      .select("bucket", "off")
+    val wD = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = withBucket.join(broadcast(offsets), "bucket")
+      .withColumn("end_tok", col("off") + sum(col("n_toks")).over(wD))
+      .withColumn("start_tok", col("end_tok") - col("n_toks"))
+      .withColumn("shard_id", expr(s"start_tok div $budget"))
+    cum.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("total_tokens"),
+      min(col(idCol)).as("first_id"),
+      max(col(idCol)).as("last_id"),
+      // 32-bit md5-prefix words summed per shard: order-immune, exact in
+      // int64 for any shard a sane budget produces (≤ budget docs × 2³²)
+      sum(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("n_toks").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .as("fingerprint"))
+  }
+
   /** Overlapping (strided) per-document chunking — the RAG/indexing cut,
     * complementing `packChunks`' cross-document concatenation: each
     * document yields windows of `size` tokens starting every `stride`

@@ -206,6 +206,19 @@ object LlmOps extends QueryFamily {
         "chunk_offset")
       .orderBy("doc_id")
 
+  /** q_shard_manifest — global token-budget shard plan + per-shard
+    * manifest (doc count, token total, id range, order-immune md5
+    * fingerprint): the delivery step that numbers a corpus into training
+    * files a loader can verify. Global running sum built TWO-PHASE
+    * (bounded per-bucket windows + a small-table prefix), never a
+    * corpus-wide single-partition sort. Full-oracle. */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.shardManifest(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1000L, bucketWidth = 100L)
+      .orderBy("shard_id")
+
   /** q_mix_sources — deterministic mixture downsampling: per-source keep
     * every k-th document by rank (k from a per-source weight table) — the
     * reproducible, shuffle-light analog of weighted source sampling when
@@ -649,7 +662,8 @@ object LlmOps extends QueryFamily {
     "q_sim_ivfpq" -> (qSimIvfPq _),
     "q_emb_rp" -> (qEmbRp _),
     "q_ann_recall" -> (qAnnRecall _),
-    "q_bitext_margin" -> (qBitextMargin _))
+    "q_bitext_margin" -> (qBitextMargin _),
+    "q_shard_manifest" -> (qShardManifest _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -838,6 +852,33 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> pqOracle,
     // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
     "q_sim_ivfpq" -> ivfPqOracle,
+    // Shard manifest: the oracle computes the same global running sum
+    // directly (DuckDB sorts fine at oracle scale); fingerprints are
+    // 32-bit md5-prefix words rebuilt nibble-by-nibble.
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM d),
+        |a AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(start_tok // 1000 AS BIGINT) AS shard_id,
+        |    list_sum(list_transform(range(1, 9), j ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || ':' || n_toks::VARCHAR),
+        |          CAST(j AS INT), 1)) - 1 AS BIGINT)
+        |        << CAST(4 * (8 - j) AS INT))) AS fp
+        |  FROM cum)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+        |  CAST(SUM(fp) AS BIGINT) AS fingerprint
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // Bitext margin: micro-unit cosines (the mmr idiom), both directional
     // top-4 neighbourhood sums as int64, one positive floor division.
     "q_bitext_margin" ->

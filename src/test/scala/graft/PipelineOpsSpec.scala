@@ -95,6 +95,32 @@ class PipelineOpsSpec extends SparkSpec {
     d4.sliding(2).foreach { case Seq(a, b) => assert(b._3 <= a._4) }
   }
 
+  test("shardManifest: fluid-fill shards by global token order, fingerprints recompute") {
+    import graft.operators.Packing
+    // sparse ids across several buckets, budget 10, uniform 4-token docs:
+    // starts 0,4,8,12,16,20,24 → shards 0,0,0,1,1,2,2
+    val ids = Seq(0L, 1L, 2L, 5L, 6L, 9L, 12L)
+    val docs = ids.map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val out = Packing.shardManifest(docs, "doc_id", "n_tokens",
+        budget = 10L, bucketWidth = 3L)
+      .orderBy("shard_id")
+      .select("shard_id", "n_docs", "total_tokens", "first_id", "last_id",
+        "fingerprint")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def fp(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:4".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = Seq(
+      (0L, 3L, 12L, 0L, 2L, fp(0) + fp(1) + fp(2)),
+      (1L, 2L, 8L, 5L, 6L, fp(5) + fp(6)),
+      (2L, 2L, 8L, 9L, 12L, fp(9) + fp(12)))
+    assert(out === want)
+    // id ranges tile the corpus in order: no shard overlaps its successor
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._5 < b._4) }
+  }
+
   test("chunkOverlap treats null and zero token counts as empty docs") {
     import graft.operators.Packing
     val docs = Seq((1L, Some(0L)), (2L, None), (3L, Some(40L)))

@@ -245,6 +245,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("shardManifest's corpus window partitions by bucket; offsets broadcast") {
+    val p = planString(graft.queries.LlmOps.qShardManifest(spark, sf))
+    // the per-doc running sum must key on the bucket — a global-order
+    // window (SinglePartition over the corpus) is the 100 TB killer this
+    // two-phase shape exists to avoid; the only allowed SinglePartition
+    // is the bounded bucket-table prefix window
+    assert(p.contains("hashpartitioning(bucket"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("no round-6 query plans a cartesian product; corpus-scale paths avoid SinglePartition") {
     // plan each query ONCE, assert both conditions from the same string
     val plans = graft.queries.DriftOps.queries.map { case (name, fn) =>
