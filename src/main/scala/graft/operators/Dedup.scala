@@ -302,6 +302,48 @@ object Dedup {
       .select("a_id", "b_id", "dist")
   }
 
+  /** In-engine MinHash band-gate recall, bucketed by distance — the dedup
+    * twin of `Similarity.annRadiusRecall`: [[nearMinhashMd5]]'s output is
+    * exact-Jaccard-verified, so found ⊆ true and per-bucket recall is a
+    * pure COUNT ratio against the exact pair set from
+    * [[ngramJaccardPairs]]. Bucketing by `round(dist·10⁶) div 10⁵`
+    * (deciles of distance) is the useful shape: banded-LSH recall FALLS
+    * with distance by construction — P(band collision) = (1−d)^(r·b)-ish —
+    * and a single corpus-wide number hides exactly the tail you tuned
+    * (numBands, rowsPerBand) for. Integer counts + floor division ⇒
+    * full-oracle.
+    *
+    * Scale posture: the exact truth side is the estimator's price — run
+    * both sides on the SAME sampled slice at 100 TB (recall is a per-pair
+    * property, unbiased under document sampling only insofar as pairs
+    * survive the sample; sample by doc-id hash RANGE so co-sampled pairs
+    * stay together) and tune the band layout from the measured curve
+    * before the full run. */
+  def minhashRecall(df: DataFrame, textCol: String, idCol: String,
+      maxDistance: Double = 0.5, numBands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    def bucketed(pairs: DataFrame): DataFrame = pairs
+      .withColumn("dist_m6", round(col("dist") * 1000000).cast("long"))
+      .withColumn("bucket", expr("dist_m6 div 100000"))
+    // over-generate slightly below the threshold, then apply the SAME
+    // 6-dp-rounded criterion nearMinhashMd5 filters with — a raw
+    // `jaccard >= 1 - maxDistance` cut and the rounded cut disagree on
+    // boundary pairs, which would let found ⊄ true
+    val truth = bucketed(
+        ngramJaccardPairs(df, textCol, idCol, shingleN,
+            threshold = 1.0 - maxDistance - 1e-4)
+          .withColumn("dist", round(lit(1.0) - col("jaccard"), 6))
+          .filter(col("dist") <= maxDistance))
+      .groupBy("bucket").agg(count(lit(1)).as("n_true"))
+    val found = bucketed(
+        nearMinhashMd5(df, textCol, idCol, maxDistance,
+          numBands, rowsPerBand, shingleN))
+      .groupBy("bucket").agg(count(lit(1)).as("n_found"))
+    truth.join(found, Seq("bucket"), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .withColumn("recall_permille", expr("n_found * 1000 DIV n_true"))
+  }
+
   /** Band rows whose key occurs in ≥ 2 documents: a singleton band bucket
     * cannot produce a candidate pair, and on a healthy LSH layout MOST
     * buckets are singletons (that sparsity is exactly what makes LSH

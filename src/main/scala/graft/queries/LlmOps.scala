@@ -306,6 +306,31 @@ object LlmOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** q_emb_clusters — first-class corpus clustering: [[DetQuantizer]]
+    * k-means (k=16, the registered IVF config) surfaced as an analysis
+    * result instead of an ANN internal — per cluster its size, integer
+    * inertia (Σ micro-L2² div 10⁶ per row BEFORE summing, so the int64
+    * sum stays safe at billions of rows) and the medoid-style exemplar
+    * (member nearest its centroid, ties → lowest id). The corpus-
+    * structure report that sizes mixture weights, spots degenerate
+    * clusters, and picks representatives for inspection. Fit on a sample
+    * at 100 TB; assignment is the only full pass (one broadcast k-row
+    * crossJoin). Full-oracle via the generated fit CTEs. */
+  def qEmbClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cents = graft.operators.DetQuantizer.fit(emb, "embedding", "vec_id", 16)
+    graft.operators.DetQuantizer.assign(emb, "embedding", "vec_id", cents)
+      .withColumn("_v", graft.operators.DetQuantizer.microQuantize(col("embedding")))
+      .join(broadcast(cents), "cell_id")
+      .withColumn("_d", graft.functions.VectorFunctions.longL2Sq(col("_v"), col("cent")))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("_d div 1000000")).as("inertia_mu"),
+        min(struct(col("_d"), col("vec_id"))).getField("vec_id")
+          .as("exemplar_id"))
+      .orderBy("cell_id")
+  }
+
   /** q_ann_recall — in-engine ANN recall estimator: per query (vec_id <
     * 8), candidate count from the production LSH gate vs the brute-forced
     * dist ≤ 1.3 truth set, recall in integer permille. The measurement
@@ -663,7 +688,8 @@ object LlmOps extends QueryFamily {
     "q_emb_rp" -> (qEmbRp _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_bitext_margin" -> (qBitextMargin _),
-    "q_shard_manifest" -> (qShardManifest _))
+    "q_shard_manifest" -> (qShardManifest _),
+    "q_emb_clusters" -> (qEmbClusters _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -852,6 +878,26 @@ object LlmOps extends QueryFamily {
     "q_sim_pq" -> pqOracle,
     // IVF-PQ: the coarse-quantizer + residual-PQ composition, generated.
     "q_sim_ivfpq" -> ivfPqOracle,
+    // Corpus clustering: the generated fit CTEs + per-member distances,
+    // integer inertia and windowed exemplar.
+    "q_emb_clusters" ->
+      s"""WITH $detFit,
+        |d AS (
+        |  SELECT a.vec_id, a.cell_id,
+        |    CAST(list_sum(list_transform(list_zip(e.v, c.cent),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+        |  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN cfin c USING (cell_id)),
+        |g AS (
+        |  SELECT cell_id, COUNT(*) AS n_members,
+        |    CAST(SUM(d2 // 1000000) AS BIGINT) AS inertia_mu
+        |  FROM d GROUP BY cell_id),
+        |ex AS (
+        |  SELECT cell_id, vec_id AS exemplar_id FROM (
+        |    SELECT cell_id, vec_id,
+        |      row_number() OVER (PARTITION BY cell_id ORDER BY d2, vec_id) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT g.cell_id, g.n_members, g.inertia_mu, ex.exemplar_id
+        |FROM g JOIN ex USING (cell_id) ORDER BY cell_id""".stripMargin,
     // Shard manifest: the oracle computes the same global running sum
     // directly (DuckDB sorts fine at oracle scale); fingerprints are
     // 32-bit md5-prefix words rebuilt nibble-by-nibble.

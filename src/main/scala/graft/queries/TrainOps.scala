@@ -33,6 +33,17 @@ object TrainOps extends QueryFamily {
         maxDistance = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** q_dedup_recall — the MinHash band gate's recall CURVE, measured
+    * in-engine: exact-Jaccard truth pairs vs q_dedup_near_md5's verified
+    * output, counted per distance decile — banded-LSH recall falls with
+    * distance by construction, and the per-bucket view shows exactly
+    * where the (4 bands × 2 rows) layout starts missing. The dedup twin
+    * of q_ann_recall; counts + floor division ⇒ full-oracle. */
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashRecall(Tables.documents(s, dir), "text", "doc_id",
+        maxDistance = 0.5)
+      .orderBy("bucket")
+
   /** q_emb_centroid — per-label embedding centroid (the class prototype:
     * nearest-centroid classification, cluster drift monitoring, and the
     * k-means update step all read this shape). Element sums run over
@@ -268,6 +279,7 @@ object TrainOps extends QueryFamily {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_dsir" -> (qDsir _),
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
+    "q_dedup_recall" -> (qDedupRecall _),
     "q_emb_centroid" -> (qEmbCentroid _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_split_hash" -> (qSplitHash _),
@@ -331,6 +343,68 @@ object TrainOps extends QueryFamily {
         |WHERE round(1.0 - CAST(len(list_intersect(da.gs, db.gs)) AS DOUBLE) /
         |    len(list_distinct(list_concat(da.gs, db.gs))), 6) <= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // MinHash recall curve: the q_dedup_near_md5 candidate chain (found)
+    // against an exact shingle-equi-join truth set, counted per distance
+    // decile (round(dist·1e6) // 1e5) — integer counts, floor division.
+    "q_dedup_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS gs
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, unnest(gs) AS g FROM docs),
+        |cnt AS (SELECT doc_id, len(gs) AS c FROM docs),
+        |tp AS (
+        |  SELECT a_id, b_id,
+        |    round(1.0 - CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS dist
+        |  FROM (
+        |    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  JOIN cnt ca ON a_id = ca.doc_id
+        |  JOIN cnt cb ON b_id = cb.doc_id),
+        |tr AS (
+        |  SELECT CAST(round(dist * 1000000) AS BIGINT) // 100000 AS bucket,
+        |    COUNT(*) AS n_true
+        |  FROM tp WHERE dist <= 0.5 GROUP BY 1),
+        |mh AS (
+        |  SELECT doc_id, gs, [
+        |    list_aggregate(list_transform(gs, g -> md5('0|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('1|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('2|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('4|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('5|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('6|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('7|' || g)), 'min')
+        |  ] AS keys
+        |  FROM docs),
+        |bands AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS band, unnest(keys) AS key
+        |  FROM mh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |fnd AS (
+        |  SELECT a_id, b_id,
+        |    round(1.0 - CAST(len(list_intersect(da.gs, db.gs)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(da.gs, db.gs))), 6) AS dist
+        |  FROM cand
+        |  JOIN docs da ON a_id = da.doc_id
+        |  JOIN docs db ON b_id = db.doc_id),
+        |fr AS (
+        |  SELECT CAST(round(dist * 1000000) AS BIGINT) // 100000 AS bucket,
+        |    COUNT(*) AS n_found
+        |  FROM fnd WHERE dist <= 0.5 GROUP BY 1)
+        |SELECT t.bucket,
+        |  CAST(t.n_true AS BIGINT) AS n_true,
+        |  CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+        |  CAST(COALESCE(f.n_found, 0) * 1000 // t.n_true AS BIGINT)
+        |    AS recall_permille
+        |FROM tr t LEFT JOIN fr f USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q_emb_centroid" ->
       """WITH flat AS (
         |  SELECT CAST(label AS BIGINT) AS label,

@@ -97,6 +97,27 @@ class DedupSpec extends SparkSpec {
     assert(found.subsetOf(exact), (found diff exact).take(5).toString)
   }
 
+  test("minhashRecall: per-decile counts reconcile with truth and found sets") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Dedup.minhashRecall(corpus, "text", "doc_id", maxDistance = 0.5)
+      .select("bucket", "n_true", "n_found", "recall_permille")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty)
+    // found ⊆ true per bucket (the verify step can only LOSE pairs), and
+    // the permille is the floor ratio
+    out.foreach { case (_, nTrue, nFound, permille) =>
+      assert(nFound <= nTrue)
+      assert(permille === nFound * 1000 / nTrue)
+    }
+    // totals reconcile with the operators the estimator composes
+    val totTrue = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 3, 0.4999)
+      .withColumn("dist", round(lit(1.0) - col("jaccard"), 6))
+      .filter(col("dist") <= 0.5).count()
+    val totFound = Dedup.nearMinhashMd5(corpus, "text", "doc_id", 0.5).count()
+    assert(out.map(_._2).sum === totTrue)
+    assert(out.map(_._3).sum === totFound)
+  }
+
   test("simhash: identical docs collide at hamming 0; distinct doc is far") {
     val sigs = docs.select(col("doc_id"),
       TextFunctions.simhash64(col("text")).as("sig"))
