@@ -41,6 +41,22 @@ object CorpusOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_dup_graph — per-node triangle census of the near-dup pair graph
+    * (same edge set as q_dup_clusters): degree, triangle count, local
+    * clustering coefficient in permille. High clustering = coherent
+    * duplicate families (templates, mass boilerplate); high degree with
+    * zero triangles = hub artifacts (a hot shingle pairing unrelated
+    * docs). Degree-ordered wedge orientation bounds the self-join at
+    * O(Σ√m·deg) — the power-law-safe shape. Full-oracle. */
+  def qDupGraph(s: SparkSession, dir: String): DataFrame =
+    Clusters.triangleStats(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01)),
+        "a_id", "b_id")
+      .select(col("v").as("doc_id"), col("degree"), col("n_tri"),
+        col("clustering_permille"))
+      .orderBy("doc_id")
+
   /** q_bm25 — BM25 keyword search over the corpus (k1 = 1.2, b = 0.75,
     * Lucene-style idf = ln(1 + (N − df + 0.5)/(df + 0.5))), top-20 by
     * rounded score with doc_id tie-break. Plan shape: the per-term postings
@@ -303,6 +319,7 @@ object CorpusOps extends QueryFamily {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sparse_knn" -> (qSparseKnn _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dup_graph" -> (qDupGraph _),
     "q_bm25" -> (qBm25 _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_outliers" -> (qOutliers _),
@@ -350,6 +367,47 @@ object CorpusOps extends QueryFamily {
         |  FROM sims)
         |SELECT q_id, rnk, doc AS doc_id, sim FROM ranked WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
+    // Triangle census: the q_ngram_jaccard edge chain + the canonical
+    // a<b<c three-way join, per-node counts via unnest.
+    "q_dup_graph" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS g
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT doc_id, g FROM sh0
+        |  QUALIFY COUNT(*) OVER (PARTITION BY g) <=
+        |    least(greatest(5, CAST(ceil((SELECT COUNT(*) FROM documents) * 0.01) AS BIGINT)), 10000)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a_id AS x, b_id AS y FROM inter
+        |  JOIN cnt ca ON a_id = ca.doc_id
+        |  JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.05),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS degree FROM (
+        |    SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e)
+        |  GROUP BY v),
+        |tc AS (
+        |  SELECT v, COUNT(*) AS n_tri FROM (
+        |    SELECT unnest([e1.x, e1.y, e2.y]) AS v
+        |    FROM e e1
+        |    JOIN e e2 ON e2.x = e1.y
+        |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+        |  GROUP BY v)
+        |SELECT d.v AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(CASE WHEN d.degree < 2 THEN 0
+        |       ELSE (2000 * COALESCE(tc.n_tri, 0)) // (d.degree * (d.degree - 1))
+        |       END AS BIGINT) AS clustering_permille
+        |FROM deg d LEFT JOIN tc ON tc.v = d.v
+        |ORDER BY doc_id""".stripMargin,
     "q_dup_clusters" ->
       """WITH RECURSIVE sh0 AS (
         |  SELECT DISTINCT doc_id, g FROM (

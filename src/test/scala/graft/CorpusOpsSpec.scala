@@ -10,6 +10,24 @@ import graft.queries.CorpusOps
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("triangleStats: K4 nodes fully clustered, wedge centre and leaf pair at zero") {
+    // K4 on 1-4 (every node in 3 triangles, clustering 1.0), a lone edge
+    // (5,6), and a wedge 7-8-9 (centre 8 has degree 2 but no triangle);
+    // edges deliberately in mixed orientation + one duplicate
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L),
+      (4L, 3L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 8L))
+      .toDF("a_id", "b_id")
+    val got = Clusters.triangleStats(edges, "a_id", "b_id")
+      .select("v", "degree", "n_tri", "clustering_permille")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (v <- 1L to 4L) assert(got(v) === ((v, 3L, 3L, 1000L)))
+    assert(got(5L) === ((5L, 1L, 0L, 0L)))
+    assert(got(8L) === ((8L, 2L, 0L, 0L)))
+    assert(got(7L) === ((7L, 1L, 0L, 0L)))
+    // global count: Σ per-node / 3 = 4 triangles in K4
+    assert(got.values.map(_._3).sum / 3 === 4L)
+  }
+
   // ---- connected components ----
 
   test("connected components merge transitive chains and keep islands apart") {
