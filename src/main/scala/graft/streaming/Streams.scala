@@ -33,6 +33,10 @@ case class SeenDoc(doc_id: Long, digest: String)
 /** S13 output: pass/drop decision per sighting. */
 case class DedupDecision(digest: String, doc_id: Long, action: String)
 
+/** S16 output: a document's place in its source's shard sequence. */
+case class ShardAssign(source: String, doc_id: Long, n_tokens: Long,
+  shard_seq: Long, start_tok: Long)
+
 /** B-9 Structured Streaming operators (SURVEY.md §2 S1–S7). Every function
   * is a pure stream→stream transform usable on both streaming and batch
   * DataFrames, verified with MemoryStream in StreamingSpec.
@@ -159,6 +163,26 @@ object Streams {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.digest)
       .transformWithState(new TtlDedupProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S16 — streaming token-budget shard assignment: the streaming twin of
+    * `Packing.shardManifest`. Each arriving document takes its place in
+    * its SOURCE's shard sequence — fluid fill at `budget` tokens, the
+    * running total carried in one `ValueState[Long]` per source — so
+    * training files keep filling across micro-batches and restarts
+    * (the fill state checkpoints with the store). Keying by source is the
+    * scale decision: ONE global sequence would funnel every document
+    * through a single state key (a one-task bottleneck and a single hot
+    * RocksDB instance); per-source sequences shard the state naturally
+    * and downstream loaders interleave sources anyway. Rows inside a
+    * batch assign in doc_id order so replays are deterministic. */
+  def shardAssign(docs: Dataset[DocSourced],
+      budget: Long): Dataset[ShardAssign] = {
+    import docs.sparkSession.implicits._
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    docs.groupByKey(_.source)
+      .transformWithState(new ShardAssignProcessor(budget),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -432,6 +456,34 @@ class TtlDedupProcessor(ttlMs: Long)
         seen.update(d.doc_id)
         DedupDecision(key, d.doc_id, "first")
       }
+    }.iterator
+}
+
+/** S16's per-source fill counter (see `Streams.shardAssign`): one
+  * `ValueState[Long]` per source holding the cumulative token total; a
+  * document's shard is `fill div budget` at its own start offset — the
+  * identical fluid-fill rule as the batch planner, so a loader can mix
+  * batch-planned and stream-assigned shards. No TTL: the fill total is
+  * the contract and must survive as long as the source does. */
+class ShardAssignProcessor(budget: Long)
+  extends StatefulProcessor[String, DocSourced, ShardAssign] {
+
+  @transient private var fill: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    fill = getHandle.getValueState[Long]("fill", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DocSourced],
+      timers: TimerValues): Iterator[ShardAssign] =
+    rows.toSeq.sortBy(_.doc_id).map { d =>
+      val cur = if (fill.exists()) fill.get() else 0L
+      // whitespace token count, matching TextFunctions.tokenCount
+      // (split keeps empty fields, like Spark's split / DuckDB's
+      // string_split)
+      val n = d.text.split(" ", -1).length.toLong
+      fill.update(cur + n)
+      ShardAssign(key, d.doc_id, n, cur / budget, cur)
     }.iterator
 }
 

@@ -204,6 +204,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S16 shard assignment: per-source fluid fill persists across batches") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[DocSourced]
+      val ts = new java.sql.Timestamp(0L)
+      def doc(id: Long, nTok: Int, src: String) =
+        DocSourced(id, ts, Seq.fill(nTok)("w").mkString(" "), src)
+      val q = Streams.shardAssign(in.toDS(), budget = 10L).toDF()
+        .writeStream.format("memory").queryName("s16")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s16").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s16").count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        // batch 1: source A fills 0..4 and 4..10 (shard 0 twice), B starts
+        in.addData(doc(1L, 4, "A"), doc(2L, 6, "A"), doc(10L, 9, "B"))
+        await(3)
+        // batch 2: A continues at 10 (shard 1 opens), B crosses into 1
+        in.addData(doc(3L, 5, "A"), doc(11L, 3, "B"))
+        await(5)
+      } finally q.stop()
+      val got = spark.table("s16")
+        .select("source", "doc_id", "n_tokens", "shard_seq", "start_tok")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        ("A", 1L, 4L, 0L, 0L), ("A", 2L, 6L, 0L, 4L),
+        ("A", 3L, 5L, 1L, 10L), // the fill total survived the batch gap
+        ("B", 10L, 9L, 0L, 0L), ("B", 11L, 3L, 0L, 9L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S13 TTL dedup: repeats drop within the TTL, pass again after eviction") {
     // ProcessingTime time-mode keeps the query triggering (empty) batches
     // continuously, so processAllAvailable never settles — drive ONE
