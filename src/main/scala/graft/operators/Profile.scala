@@ -154,4 +154,90 @@ object Profile {
       .withColumn("hot",
         dec("n") * dec("n_keys") > dec("n_total") * lit(10))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — computed
+    * from EXACT integer moments so the answer is engine-independent:
+    * values quantize to `scale`-ths (cents by default), every moment
+    * (Σx, Σx², Σxy) accumulates as DECIMAL(38,0) — exact under any
+    * aggregation order and partitioning, where a float Σxy would differ
+    * between engines AND between runs — and only the final corr formula
+    * runs in doubles, on identical exact operands, so the 6-dp-rounded
+    * result hash-matches cross-engine. Rows with a null in ANY requested
+    * column are dropped first (pairwise-complete would make each pair see
+    * a different n).
+    *
+    * Scale shape: ONE map-side-partial pass producing a single moment
+    * row — 2c + c(c−1)/2 + 1 accumulators for c columns — then the pair
+    * rows unfold from that one broadcast-sized row. No shuffle beyond the
+    * one-row aggregate; 100 TB cost = one scan. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 100): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val base = df
+      .select(cols.map(c =>
+        round(col(c) * scale).cast("decimal(18,0)").as(s"_$c")): _*)
+      .na.drop()
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(s"_$c").cast("decimal(38,0)")).as(s"s_$c")) ++
+      cols.map(c =>
+        sum((col(s"_$c") * col(s"_$c")).cast("decimal(38,0)")).as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum((col(s"_$a") * col(s"_$b")).cast("decimal(38,0)"))
+          .as(s"sp_${a}_$b") }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    def d(name: String) = col(name).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val n = d("n")
+      val cov = n * d(s"sp_${a}_$b") - d(s"s_$a") * d(s"s_$b")
+      val vx = n * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vy = n * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").as("n"),
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    m.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB mirror of [[corrMatrix]] — generated from the same (cols,
+    * scale) parameters: HUGEINT moments (128-bit, exact like the engine's
+    * DECIMAL(38,0)), identical double combining, identical 6-dp round. */
+  def corrOracleSql(table: String, cols: Seq[String],
+      scale: Int = 100): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    val quant = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(round($c * $scale) AS HUGEINT) AS x$i" }.mkString(",\n    ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val moments =
+      (cols.indices.map(i => s"SUM(x$i) AS s$i, SUM(x$i*x$i) AS ss$i") ++
+        pairs.map { case (i, j) => s"SUM(x$i*x$j) AS sp${i}_$j" })
+        .mkString(",\n    ")
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val branches = pairs.map { case (i, j) =>
+      s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y,
+         |  CAST(n AS BIGINT) AS n,
+         |  round((${d("n")} * ${d(s"sp${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")})
+         |    / (sqrt(${d("n")} * ${d(s"ss$i")} - ${d(s"s$i")} * ${d(s"s$i")})
+         |     * sqrt(${d("n")} * ${d(s"ss$j")} - ${d(s"s$j")} * ${d(s"s$j")})), 6)
+         |    AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (
+       |  SELECT
+       |    $quant
+       |  FROM $table WHERE $notNull),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |    $moments
+       |  FROM q)
+       |$branches
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 }

@@ -119,7 +119,18 @@ object StatOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_corr — pairwise Pearson correlation over lineitem's numeric
+    * columns from EXACT integer moments (cent-quantized, DECIMAL(38,0)
+    * sums — order-immune where float Σxy is not), final formula in
+    * doubles on identical exact operands. One map-side-partial scan for
+    * the whole matrix. Full-oracle via the generated HUGEINT mirror. */
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.corrMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_x", "col_y")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr" -> (qCorr _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_cooccur_pmi" -> (qCooccurPmi _),
     "q_classify_linear" -> (qClassifyLinear _),
@@ -131,6 +142,8 @@ object StatOps extends QueryFamily {
     "q_novelty" -> (qNovelty _))
 
   override val oracle: Map[String, String] = Map(
+    "q_corr" -> graft.operators.Profile.corrOracleSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "q_bigram_lm" ->
       """WITH arr AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -9,6 +9,31 @@ import graft.functions.SketchFunctions
 class StatOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corrMatrix: exact ±1 on linear columns, null on zero variance, null rows dropped") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0))
+      .toDF("a", "b", "c", "k")
+    val got = Profile.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .select("col_x", "col_y", "n", "corr")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(("a", "b")) === ((4L, Some(1.0))))   // b = 2a
+    assert(got(("a", "c")) === ((4L, Some(-1.0))))  // c = -a
+    assert(got(("a", "k"))._2 === None)             // constant column
+    // a null anywhere drops the row for EVERY pair (complete-case)
+    val withNull = df.unionByName(
+      Seq((Some(9.0), None: Option[Double], Some(1.0), Some(5.0)))
+        .toDF("a", "b", "c", "k"))
+    val n2 = Profile.corrMatrix(withNull, Seq("a", "b", "c", "k"))
+      .select("n").distinct().as[Long].collect().toSeq
+    assert(n2 === Seq(4L))
+  }
+
   // ---- bigram LM ----
 
   test("bigramCrossEntropy scores conditional MLE, floors OOV, keeps short docs") {
