@@ -204,6 +204,54 @@ object Profile {
     m.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Population Stability Index per group — the industry-standard drift
+    * score: each group's value distribution vs the WHOLE population's,
+    * over exact power-of-two buckets (the q_length_buckets bit-arithmetic
+    * rule — a float ceil(log2) can land on either side of an exact power
+    * cross-engine), Laplace-smoothed so empty buckets stay defined:
+    * `p_b = (c_gb + 1) / (n_g + K)`, `q_b = (r_b + 1) / (N + K)` with K =
+    * distinct observed buckets, `PSI_g = Σ_b (p_b − q_b)·ln(p_b/q_b)`.
+    * PSI < 0.1 is conventionally stable, > 0.25 action-worthy.
+    *
+    * Cross-engine discipline is `Vocab.jsDivergence`'s: every per-bucket
+    * term computes in doubles FROM EXACT INTEGER COUNTS and rounds to a
+    * pico-unit long BEFORE summing, so the sum is order-immune; output is
+    * integer micro units. Shape: one value-bucket count aggregate (map-
+    * side partials, the only corpus pass), then everything runs on the
+    * groups × K bucket frame — broadcast-sized. */
+  def psiByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val bucketed = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .withColumn("bucket_hi", greatest(lit(16L),
+        expr("shiftleft(CAST(1 AS BIGINT), length(bin(v - 1)))")))
+    val gb = bucketed.groupBy("grp", "bucket_hi")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // feeds ref, totals, and the frame
+    val ref = gb.groupBy("bucket_hi").agg(sum("c").as("r"))
+    val gn = gb.groupBy("grp").agg(sum("c").as("n_g"))
+    val tot = ref.agg(sum("r").as("n_all"),
+      count(lit(1)).cast("long").as("k"))
+    // full groups × buckets frame so zero-count buckets contribute their
+    // smoothed term (that asymmetry IS the drift signal)
+    val frame = gn.crossJoin(broadcast(ref))
+      .join(gb, Seq("grp", "bucket_hi"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val p = (col("c").cast("double") + 1.0) /
+      (col("n_g").cast("double") + col("k"))
+    val q = (col("r").cast("double") + 1.0) /
+      (col("n_all").cast("double") + col("k"))
+    frame
+      .withColumn("term_pico",
+        round((p - q) * log(p / q) * lit(1000000000000.0), 0).cast("long"))
+      .groupBy(col("grp"))
+      .agg(max("n_g").as("n_values"),
+        expr("CAST(round(CAST(sum(term_pico) AS DOUBLE) / 1000000.0) AS BIGINT)")
+          .as("psi_micro"))
+  }
+
   /** DuckDB mirror of [[corrMatrix]] — generated from the same (cols,
     * scale) parameters: HUGEINT moments (128-bit, exact like the engine's
     * DECIMAL(38,0)), identical double combining, identical 6-dp round. */

@@ -292,7 +292,23 @@ object DriftOps extends QueryFamily {
       .select(col("doc_id"), col("source"), col("grp_size"), col("is_kept"))
       .orderBy("doc_id")
 
+  /** q_psi — Population Stability Index per source: each source's token-
+    * length distribution vs the whole corpus's, over exact power-of-two
+    * buckets with Laplace smoothing — the industry-standard drift score
+    * (< 0.1 stable, > 0.25 action-worthy) next to q_js_divergence's
+    * vocabulary drift. Same pico-rounding discipline, full-oracle. */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    graft.operators.Profile.psiByGroup(
+        Tables.documents(s, dir)
+          .select(col("source"), TF.tokenCount(col("text")).as("n_tok")),
+        "source", "n_tok")
+      .select(col("grp").as("source"), col("n_values"), col("psi_micro"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi" -> (qPsi _),
     "q_kanon" -> (qKanon _),
     "q_dedup_priority" -> (qDedupPriority _),
     "q_frame_dedup" -> (qFrameDedup _),
@@ -347,6 +363,37 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // PSI: power-of-two buckets (exact bit arithmetic), Laplace-smoothed
+    // per-bucket terms pico-rounded before the sum (the jsDivergence
+    // discipline), integer micro output.
+    "q_psi" ->
+      """WITH b AS (
+        |  SELECT source AS grp,
+        |    GREATEST(16, 1 << length(bin(len(string_split(text, ' ')) - 1)))
+        |      AS bucket_hi
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |gb AS (SELECT grp, bucket_hi, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ref AS (SELECT bucket_hi, CAST(SUM(c) AS BIGINT) AS r
+        |  FROM gb GROUP BY 1),
+        |gn AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM gb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) AS BIGINT) AS k FROM ref),
+        |f AS (
+        |  SELECT gn.grp, gn.n_g, ref.r, COALESCE(gb.c, 0) AS c,
+        |    tot.n_all, tot.k
+        |  FROM gn CROSS JOIN ref
+        |  LEFT JOIN gb ON gb.grp = gn.grp AND gb.bucket_hi = ref.bucket_hi
+        |  CROSS JOIN tot),
+        |t AS (
+        |  SELECT grp, n_g,
+        |    CAST(round(((c + 1.0) / (n_g + k) - (r + 1.0) / (n_all + k))
+        |      * ln(((c + 1.0) / (n_g + k)) / ((r + 1.0) / (n_all + k)))
+        |      * 1000000000000.0) AS BIGINT) AS term_pico
+        |  FROM f)
+        |SELECT grp AS source, MAX(n_g) AS n_values,
+        |  CAST(round(CAST(SUM(term_pico) AS DOUBLE) / 1000000.0) AS BIGINT)
+        |    AS psi_micro
+        |FROM t GROUP BY grp ORDER BY source""".stripMargin,
     "q_kanon" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents
         |  GROUP BY lang, source),

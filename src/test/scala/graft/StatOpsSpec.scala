@@ -34,6 +34,26 @@ class StatOpsSpec extends SparkSpec {
     assert(n2 === Seq(4L))
   }
 
+  test("psiByGroup: near zero for a group matching the population, large for a shifted one") {
+    import graft.operators.Profile
+    // two identical big groups dominate the population; a SMALL group
+    // two octaves higher must score an order of magnitude worse (the
+    // reference is the whole population, so the shifted group must stay
+    // small or it pollutes its own baseline)
+    val vals = (1 to 200).map(i => ("same", (i % 40) + 10L)) ++
+      (1 to 200).map(i => ("also", (i % 40) + 10L)) ++
+      (1 to 20).map(i => ("shift", (i % 20) + 200L))
+    val got = Profile.psiByGroup(vals.toDF("grp", "v"), "grp", "v")
+      .select("grp", "n_values", "psi_micro")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("same")._2 === 200L && got("shift")._2 === 20L)
+    // identical distributions → identical PSI (determinism, symmetry)
+    assert(got("same")._3 === got("also")._3)
+    assert(got("shift")._3 > 1000000L, s"shifted group too small: ${got("shift")}")
+    assert(got("shift")._3 > 10 * got("same")._3,
+      s"same=${got("same")._3} shift=${got("shift")._3}")
+  }
+
   // ---- bigram LM ----
 
   test("bigramCrossEntropy scores conditional MLE, floors OOV, keeps short docs") {
