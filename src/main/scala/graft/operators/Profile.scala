@@ -288,4 +288,57 @@ object Profile {
        |$branches
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group: each group's
+    * integer-value distribution vs the REST of the population (the natural
+    * "is this source drifting from everyone else" frame — PSI's sibling
+    * with no binning and no smoothing; KS reads the worst single point of
+    * CDF divergence where PSI reads an average over buckets).
+    *
+    * D_g = max over pooled values v of |F_g(v) − F_rest(v)|, computed
+    * EXACTLY as integers: |cum_g(v)·n_rest − cum_rest(v)·n_g| in
+    * DECIMAL(38,0) (the cross-product reaches N² ≈ 10²⁰ at corpus scale —
+    * int64 wraps), reported as `ks_micro = (10⁶·D) div (n_g·n_rest)`.
+    * No floats anywhere, so the statistic is order-immune and
+    * cross-engine exact.
+    *
+    * Shape: ONE corpus pass (the (grp, value) count aggregate, map-side
+    * partials); everything after runs on the groups × distinct-values
+    * frame — the same broadcast-sized frame as [[psiByGroup]], with the
+    * cumulative sums a per-group window over that bounded frame (for
+    * unbounded continuous domains, quantize first — same contract as
+    * PSI's buckets). */
+  def ksByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val gv = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // feeds the value grid, totals, frame
+    val tv = gv.groupBy("v").agg(sum("c").as("t"))
+    val gn = gv.groupBy("grp").agg(sum("c").as("n_g"))
+    val tot = gn.agg(sum("n_g").as("n_all"))
+    // full groups × pooled-values grid: each group's ECDF must step at
+    // EVERY pooled value (a value the group never saw still moves the
+    // rest-CDF, and that gap is exactly what D measures)
+    val grid = gn.crossJoin(broadcast(tv))
+      .join(gv, Seq("grp", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cg", sum("c").over(w))
+      .withColumn("ct", sum("t").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_rest", col("n_all") - col("n_g"))
+      .withColumn("d", abs(
+        expr("CAST(n_rest AS DECIMAL(38,0)) * cg") -
+          expr("CAST(n_g AS DECIMAL(38,0)) * (ct - cg)")))
+      .groupBy("grp")
+      .agg(max("n_g").as("n_values"), max("n_rest").as("n_rest"),
+        max("d").as("d_max"))
+      .select(col("grp"), col("n_values"),
+        when(col("n_rest") > 0,
+            expr("(CAST(1000000 AS DECIMAL(38,0)) * d_max) " +
+              "div (CAST(n_values AS DECIMAL(38,0)) * n_rest)"))
+          .otherwise(lit(null)).cast("long").as("ks_micro"))
+  }
 }

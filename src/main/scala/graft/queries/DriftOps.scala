@@ -307,7 +307,22 @@ object DriftOps extends QueryFamily {
       .orderBy("source")
   }
 
+  /** q_ks_test — exact two-sample Kolmogorov–Smirnov statistic per source:
+    * each source's document-length (n_chars) distribution vs the REST of
+    * the corpus — PSI's unbinned, unsmoothed sibling reading the single
+    * worst point of CDF divergence. Pure integer arithmetic end-to-end
+    * (DECIMAL(38,0) cross-products; `ks_micro = 10⁶·D div (n_g·n_rest)`),
+    * so the score is order-immune and full-oracle. One corpus pass, then
+    * a broadcast-sized groups × distinct-lengths frame. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.ksByGroup(
+        Tables.documents(s, dir).select("source", "n_chars"),
+        "source", "n_chars")
+      .select(col("grp").as("source"), col("n_values"), col("ks_micro"))
+      .orderBy("source")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> (qKsTest _),
     "q_psi" -> (qPsi _),
     "q_kanon" -> (qKanon _),
     "q_dedup_priority" -> (qDedupPriority _),
@@ -363,6 +378,35 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // KS: exact integer two-sample statistic — HUGEINT mirrors the
+    // engine's DECIMAL(38,0) cross-products, same integral divides.
+    "q_ks_test" ->
+      """WITH gv AS (
+        |  SELECT source AS grp, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tv AS (SELECT v, SUM(c) AS t FROM gv GROUP BY v),
+        |gn AS (SELECT grp, SUM(c) AS n_g FROM gv GROUP BY grp),
+        |tot AS (SELECT SUM(n_g) AS n_all FROM gn),
+        |grid AS (
+        |  SELECT gn.grp, gn.n_g, tv.v, tv.t, COALESCE(gv.c, 0) AS c
+        |  FROM gn CROSS JOIN tv
+        |  LEFT JOIN gv ON gv.grp = gn.grp AND gv.v = tv.v),
+        |cum AS (
+        |  SELECT grp, n_g, v,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cg,
+        |    SUM(t) OVER (PARTITION BY grp ORDER BY v) AS ct
+        |  FROM grid),
+        |d AS (
+        |  SELECT grp, n_g, n_all - n_g AS n_rest,
+        |    abs(CAST(n_all - n_g AS HUGEINT) * cg
+        |      - CAST(n_g AS HUGEINT) * (ct - cg)) AS dv
+        |  FROM cum CROSS JOIN tot)
+        |SELECT grp AS source, CAST(MAX(n_g) AS BIGINT) AS n_values,
+        |  CASE WHEN MAX(n_rest) > 0
+        |    THEN CAST((1000000 * MAX(dv))
+        |      // (CAST(MAX(n_g) AS HUGEINT) * MAX(n_rest)) AS BIGINT)
+        |    ELSE NULL END AS ks_micro
+        |FROM d GROUP BY grp ORDER BY source""".stripMargin,
     // PSI: power-of-two buckets (exact bit arithmetic), Laplace-smoothed
     // per-bucket terms pico-rounded before the sum (the jsDivergence
     // discipline), integer micro output.

@@ -156,6 +156,17 @@ object Windows extends QueryFamily {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(25)
 
+  /** q_funnel — ordered conversion funnel signup → view → click →
+    * purchase: per stage, users reaching it (each stage strictly after
+    * the previous one's first completion), conversion permille from
+    * stage 1, and the exact-integer average journey seconds. K−1 hash
+    * joins on the user key, no per-user event arrays — see
+    * [[graft.operators.Funnel]]. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnelStages(Tables.events(s, dir),
+      "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytic" -> (qWindowAnalytic _),
@@ -164,7 +175,8 @@ object Windows extends QueryFamily {
     "q_resample_ffill" -> (qResampleFfill _),
     "q_sessionize" -> (qSessionize _),
     "q_topk_group" -> (qTopkGroup _),
-    "q_sort_limit" -> (qSortLimit _))
+    "q_sort_limit" -> (qSortLimit _),
+    "q_funnel" -> (qFunnel _))
 
   override val oracle: Map[String, String] = Map(
     "q_window_rank" ->
@@ -238,5 +250,36 @@ object Windows extends QueryFamily {
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |s1 AS (SELECT u, MIN(tus) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u AS u, t1, MIN(tus) AS t2 FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE et = 'view' AND tus > t1 GROUP BY e.u, t1),
+        |s3 AS (SELECT e.u AS u, t1, MIN(tus) AS t3 FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE et = 'click' AND tus > t2 GROUP BY e.u, t1),
+        |s4 AS (SELECT e.u AS u, t1, MIN(tus) AS t4 FROM e JOIN s3 ON e.u = s3.u
+        |       WHERE et = 'purchase' AND tus > t3 GROUP BY e.u, t1),
+        |per AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+        |    COUNT(*) AS users_reached, SUM(CAST(0 AS HUGEINT)) AS j_us FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*),
+        |    SUM(CAST(t2 - t1 AS HUGEINT)) FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*),
+        |    SUM(CAST(t3 - t1 AS HUGEINT)) FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*),
+        |    SUM(CAST(t4 - t1 AS HUGEINT)) FROM s4),
+        |base AS (SELECT users_reached AS r1 FROM per WHERE stage = 1)
+        |SELECT stage, stage_name, users_reached,
+        |  CASE WHEN r1 > 0
+        |    THEN CAST((users_reached * 1000) // r1 AS BIGINT)
+        |    ELSE 0 END AS conv_permille,
+        |  CASE WHEN users_reached > 0
+        |    THEN CAST((j_us // 1000000) // users_reached AS BIGINT)
+        |    ELSE NULL END AS avg_s_from_start
+        |FROM per CROSS JOIN base ORDER BY stage""".stripMargin)
 }

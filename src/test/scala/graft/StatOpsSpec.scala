@@ -54,6 +54,56 @@ class StatOpsSpec extends SparkSpec {
       s"same=${got("same")._3} shift=${got("shift")._3}")
   }
 
+  test("ksByGroup: exact D on a hand-computed two-group split, 0 for identical") {
+    import graft.operators.Profile
+    // g1 = {1,1,2,2}, g2 = {2,2,3,3}: pooled values 1,2,3.
+    // For g1 vs rest (=g2, n_g=n_rest=4):
+    //   v=1: |2*4 - 0*4| = 8;  v=2: |4*4 - 2*4| = 8;  v=3: 0.
+    // D_scaled = 8, ks_micro = 1e6*8 div 16 = 500000. Symmetric for g2.
+    val vals = Seq(("g1", 1L), ("g1", 1L), ("g1", 2L), ("g1", 2L),
+      ("g2", 2L), ("g2", 2L), ("g2", 3L), ("g2", 3L))
+    val got = Profile.ksByGroup(vals.toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("g1") === ("g1", 4L, 500000L))
+    assert(got("g2") === ("g2", 4L, 500000L))
+    // a group identical to its complement scores 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+    val got2 = Profile.ksByGroup(same.toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got2("a") === 0L && got2("b") === 0L)
+    // single group: no complement → null ks (not a crash, not a zero)
+    val solo = Profile.ksByGroup(Seq(("only", 7L)).toDF("grp", "v"), "grp", "v")
+      .collect()
+    assert(solo.length === 1 && solo(0).isNullAt(2))
+  }
+
+  test("funnelStages: strict-after ordering, mid-funnel stops, exact averages") {
+    import graft.operators.Funnel
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1 completes a→b→c (b at +10s, c at +30s).
+    // u2 does a then c BEFORE b → stops at stage a (its later b at +50s
+    //   counts, but then no c after b).
+    // u3 has b and c but never a → reaches nothing.
+    // u4 does a and b at the SAME timestamp → strict > rejects b.
+    val ev = Seq(
+      (1L, "a", ts(100)), (1L, "b", ts(110)), (1L, "c", ts(130)),
+      (2L, "a", ts(200)), (2L, "c", ts(205)), (2L, "b", ts(250)),
+      (3L, "b", ts(300)), (3L, "c", ts(310)),
+      (4L, "a", ts(400)), (4L, "b", ts(400)))
+      .toDF("u", "et", "t")
+    val got = Funnel.funnelStages(ev, "u", "et", "t", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) === 3L)            // a: u1, u2, u4
+    assert(got(2L).getLong(2) === 2L)            // b after a: u1, u2
+    assert(got(3L).getLong(2) === 1L)            // c after that b: u1 only
+    assert(got(1L).getLong(3) === 1000L)         // conv from stage 1
+    assert(got(2L).getLong(3) === 666L)          // 2000 div 3
+    assert(got(3L).getLong(3) === 333L)
+    assert(got(1L).getLong(4) === 0L)            // stage-1 journey = 0
+    assert(got(2L).getLong(4) === 30L)           // (10+50) div 2
+    assert(got(3L).getLong(4) === 30L)           // u1: 130-100
+  }
+
   // ---- bigram LM ----
 
   test("bigramCrossEntropy scores conditional MLE, floors OOV, keeps short docs") {
