@@ -155,4 +155,38 @@ object Ranking {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("doc").as("doc_id"), col("sim"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of ranked
+    * retrieval lists — the standard score-free way to combine retrievers
+    * whose scores live on incomparable scales (BM25 logits vs cosine):
+    * each list contributes `1/(rrfK + rank)` per document, summed. The
+    * canonical hybrid-search combiner for dense + sparse retrieval.
+    *
+    * Contributions are held as `10⁹ div (rrfK + rank)` — EXACT integers,
+    * so the fused score is order-immune under any aggregation order and
+    * the whole operator is oracle-checkable (floats would make the sum
+    * depend on partial-aggregation order). With rrfK = 60 the quantization
+    * error vs the real-valued RRF is < 10⁻⁹ per term — far below any
+    * rank-separating gap for lists of < 10⁷ entries.
+    *
+    * Inputs: each list as (q_id, rnk, doc_id), rnk 1-based. Scale shape:
+    * one union + one (q_id, doc_id)-keyed sum (map-side partials), then a
+    * per-query top-k window (partial WindowGroupLimit) — cost is the sum
+    * of list sizes, independent of corpus size. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lists.nonEmpty && k >= 1 && rrfK >= 0,
+      s"need lists, k >= 1, rrfK >= 0; got ${lists.size}, $k, $rrfK")
+    val all = lists
+      .map(_.select(col("q_id"), col("doc_id"),
+        expr(s"1000000000L div (${rrfK}L + rnk)").as("contrib")))
+      .reduce(_ unionAll _)
+    val fused = all.groupBy("q_id", "doc_id")
+      .agg(sum("contrib").as("rrf_score"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("q_id").orderBy(desc("rrf_score"), asc("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        col("rrf_score"), col("n_lists"))
+  }
 }

@@ -316,7 +316,30 @@ object CorpusOps extends QueryFamily {
         queryIds = Seq(0L, 1L, 2L), k = 10)
       .orderBy("q_id", "rnk")
 
+  /** q_rank_fusion — hybrid retrieval: reciprocal-rank fusion of the DENSE
+    * list (exact cosine top-20 over embeddings, q_sim_topk's machinery)
+    * and the SPARSE list (TF-IDF posting-join top-20 over text,
+    * q_sparse_knn's machinery) for query ids 0-2, fused top-10. The two
+    * retrievers score on incomparable scales; RRF combines by RANK with
+    * exact integer contributions (`10⁹ div (60 + rnk)`), so the fusion is
+    * order-immune and full-oracle. The id spaces align by construction
+    * (vec_id = doc_id in the corpus). */
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val dense = graft.operators.Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        emb.select("vec_id", "embedding"), 20)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("doc_id"))
+    val sparse = Ranking.sparseKnn(Tables.documents(s, dir), "doc_id",
+        "text", queryIds = Seq(0L, 1L, 2L), k = 20)
+      .select("q_id", "rnk", "doc_id")
+    Ranking.rrfFuse(Seq(dense, sparse), k = 10)
+      .orderBy("q_id", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion" -> (qRankFusion _),
     "q_sparse_knn" -> (qSparseKnn _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dup_graph" -> (qDupGraph _),
@@ -335,6 +358,65 @@ object CorpusOps extends QueryFamily {
     "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
+    // RRF: the dense CTE chain is q_sim_topk's oracle at k=20, the sparse
+    // chain is q_sparse_knn's at k=20; fusion is pure integer arithmetic
+    // (10^9 // (60+rnk), HUGEINT sum → BIGINT).
+    "q_rank_fusion" ->
+      """WITH tf AS (
+        |  SELECT doc, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc, tok),
+        |wt AS MATERIALIZED (
+        |  SELECT doc, tok, w FROM (
+        |    SELECT doc, tok,
+        |      CAST(round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df) * 1000.0) AS BIGINT) AS w
+        |    FROM (SELECT doc, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df
+        |          FROM tf))
+        |  WHERE w <> 0),
+        |norms AS (SELECT doc, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc),
+        |qp AS (SELECT doc AS q_id, tok, w AS qw FROM wt WHERE doc IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.q_id, w.doc, CAST(SUM(w.w * q.qw) AS BIGINT) AS dot
+        |  FROM wt w JOIN qp q USING (tok) WHERE w.doc <> q.q_id
+        |  GROUP BY 1, 2),
+        |ssims AS (
+        |  SELECT d.q_id, d.doc,
+        |    round(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE))), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms qn ON qn.doc = d.q_id
+        |  JOIN norms dn ON dn.doc = d.doc),
+        |sparse AS (
+        |  SELECT q_id, doc AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, doc) AS rnk
+        |  FROM ssims),
+        |dq AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+        |dsims AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_cosine_similarity(q_emb::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
+        |  FROM dq, embeddings WHERE vec_id <> q_id),
+        |dense AS (
+        |  SELECT q_id, vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM dsims),
+        |contrib AS (
+        |  SELECT q_id, doc_id, 1000000000 // (60 + rnk) AS c
+        |  FROM dense WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT q_id, doc_id, 1000000000 // (60 + rnk) AS c
+        |  FROM sparse WHERE rnk <= 20),
+        |fused AS (
+        |  SELECT q_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+        |    COUNT(*) AS n_lists
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rrf_score, n_lists,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rnk
+        |  FROM fused)
+        |SELECT q_id, rnk, doc_id, rrf_score, n_lists
+        |FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q_sparse_knn" ->
       """WITH tf AS (
         |  SELECT doc, tok, COUNT(*) AS tf FROM (

@@ -10,6 +10,28 @@ import graft.queries.CorpusOps
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("rrfFuse: exact integer contributions, cross-list boost, doc_id tiebreak") {
+    // list A ranks docs 10,20,30; list B ranks 20,40.
+    // contrib(rnk) = 1e9 div (60 + rnk): r1=16393442, r2=16129032, r3=15873015
+    val a = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("q_id", "rnk", "doc_id")
+    val b = Seq((1L, 1, 20L), (1L, 2, 40L)).toDF("q_id", "rnk", "doc_id")
+    val got = Ranking.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rnk").as[(Long, Int, Long, Long, Long)].collect()
+    // doc 20: r2 in A + r1 in B = 16129032 + 16393442 = 32522474, 2 lists
+    assert(got(0) === ((1L, 1, 20L, 32522474L, 2L)))
+    assert(got(1) === ((1L, 2, 10L, 16393442L, 1L)))
+    assert(got(2) === ((1L, 3, 40L, 16129032L, 1L))) // B rank-2 beats A rank-3
+    assert(got(3) === ((1L, 4, 30L, 15873015L, 1L)))
+    // equal contributions tie-break on doc_id: two rank-1 singletons
+    val t1 = Seq((2L, 1, 99L)).toDF("q_id", "rnk", "doc_id")
+    val t2 = Seq((2L, 1, 11L)).toDF("q_id", "rnk", "doc_id")
+    val tied = Ranking.rrfFuse(Seq(t1, t2), k = 10)
+      .orderBy("rnk").as[(Long, Int, Long, Long, Long)].collect()
+    assert(tied(0)._3 === 11L && tied(1)._3 === 99L)
+    assert(tied(0)._4 === tied(1)._4)
+  }
+
   test("triangleStats: K4 nodes fully clustered, wedge centre and leaf pair at zero") {
     // K4 on 1-4 (every node in 3 triangles, clustering 1.0), a lone edge
     // (5,6), and a wedge 7-8-9 (centre 8 has degree 2 but no triangle);
