@@ -159,7 +159,49 @@ object Joins extends QueryFamily {
         .cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("n_name"))
 
+  /** q_join_bucketed — the at-rest co-located join: both sides persisted
+    * bucketed+sorted on the join key (`Layout.writeBucketed`), then
+    * fact⋈fact join + same-key aggregate with ZERO Exchange — the layout
+    * that turns the nightly 100 TB orders⋈lineitem from a full-cluster
+    * shuffle into a bucket-local sort-merge. The no-shuffle claim is a
+    * RUNTIME require on the executed plan (broadcast disabled for the
+    * probe so the plan shows the at-scale shape), not just a spec pin;
+    * the result itself is the oracle-checked join semantics. Bucketed
+    * tables are scratch-named, materialized via localCheckpoint, and
+    * dropped before returning (the q_scan_roundtrip discipline). */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val (ot, lt) = (s"b_orders_$sfx", s"b_lineitem_$sfx")
+    Layout.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderstatus"),
+      ot, "o_orderkey", 8)
+    Layout.writeBucketed(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      lt, "o_orderkey", 8)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table(ot).join(s.table(lt), "o_orderkey")
+        .groupBy("o_orderkey", "o_custkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join+agg must not shuffle:\n$plan")
+      joined.localCheckpoint(eager = true) // consume tables before drop
+        .orderBy("o_orderkey")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+    }
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_left" -> (qJoinLeft _),
@@ -172,6 +214,13 @@ object Joins extends QueryFamily {
     "q_join_multiway" -> (qJoinMultiway _))
 
   override val oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_custkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
