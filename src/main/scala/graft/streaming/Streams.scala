@@ -258,6 +258,31 @@ object Streams {
         col("status"))
   }
 
+  /** S17 — watermark-bounded LEFT OUTER stream-stream join: each
+    * impression joined to a conversion for the same slave inside the
+    * [impression, impression + 30 s] attribution window; an impression
+    * with NO conversion still emits (null-padded) — but only once the
+    * watermark proves no match can still arrive, which is the semantic
+    * difference from S8's inner join: the unmatched row is an
+    * absence-of-event FACT, and it is only a fact after event time has
+    * provably moved past the window. The "sent but never acknowledged"
+    * / "shown but never clicked" detector. Both watermarks bound the
+    * buffered state exactly as in S8; the one-sided time band keeps the
+    * right-side buffer to 30 s + lateness of data per key. */
+  def streamStreamLeftJoin(impressions: DataFrame, convs: DataFrame): DataFrame = {
+    val iw = impressions.withWatermark("ts", "30 seconds")
+      .select(col("slaveId"), col("ts").as("imp_ts"), col("value"))
+    val cw = convs.withWatermark("cv_ts", "30 seconds")
+      .select(col("slaveId").as("cv_slaveId"), col("cv_ts"), col("status"))
+    iw.join(cw,
+      col("slaveId") === col("cv_slaveId") &&
+        col("cv_ts") >= col("imp_ts") &&
+        col("cv_ts") <= col("imp_ts") + expr("INTERVAL 30 SECONDS"),
+      "left_outer")
+      .select(col("slaveId"), col("imp_ts"), col("value"), col("cv_ts"),
+        col("status"))
+  }
+
   /** S9 — continuous-ingest dedup: the streaming twin of
     * `graft.operators.Dedup.incremental`. New documents stream in;
     * within-stream repeats are dropped by event-time-bounded digest state

@@ -364,6 +364,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getAs[Timestamp]("tick_ts") === t(10))
   }
 
+  test("S17 left-outer stream join emits unmatched impressions after the watermark") {
+    val imps = MemoryStream[Tick]
+    val convs = MemoryStream[(String, Timestamp, String)]
+    val cvDf = convs.toDF().toDF("slaveId", "cv_ts", "status")
+    val out = runQuery(Streams.streamStreamLeftJoin(imps.toDF(), cvDf),
+      OutputMode.Append, "s17") { step =>
+      imps.addData(Tick("s0", t(10), 1.0, "{}"),  // converts at t(20)
+        Tick("s1", t(12), 2.0, "{}"))             // never converts
+      convs.addData(("s0", t(20), "click"))
+      step()
+      // advance event time on BOTH inputs: watermark must pass
+      // t(12)+30s+30s lateness before s1's absence is a fact
+      imps.addData(Tick("s9", t(500), 0.0, "{}"))
+      convs.addData(("s9", t(500), "noise"))
+      step()
+    }
+    val byId = out.map(r => r.getAs[String]("slaveId") -> r).toMap
+    assert(byId("s0").getAs[Timestamp]("cv_ts") === t(20))
+    assert(byId("s0").getAs[String]("status") === "click")
+    assert(byId("s1").getAs[Timestamp]("cv_ts") === null) // emitted, null-padded
+    assert(byId("s1").getAs[String]("status") === null)
+    // the matched row arrived in-window; the unmatched row is the
+    // absence-of-event fact the inner S8 join can never produce
+    assert(out.count(_.getAs[String]("slaveId") == "s1") === 1)
+  }
+
   test("A1 replay source streams a captured parquet dir through the pipeline") {
     val capture = java.nio.file.Files.createTempDirectory("replay_src").toString
     val events = Tables.events(spark, sf).limit(20)
