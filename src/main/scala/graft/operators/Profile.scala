@@ -341,4 +341,45 @@ object Profile {
               "div (CAST(n_values AS DECIMAL(38,0)) * n_rest)"))
           .otherwise(lit(null)).cast("long").as("ks_micro"))
   }
+
+  /** Per-group embedding dispersion via the CENTROID TRICK: mean pairwise
+    * dot = (‖Σv‖² − Σ‖v‖²) / (n(n−1)) from ONE pass of per-dimension
+    * sums — exact and O(N·d) where the naive pairwise formulation is an
+    * impossible O(N²) join at corpus scale. High `coherence_permille`
+    * (mean pair dot over mean squared norm) = the group is a tight
+    * cluster; near zero = the label carries no geometric signal (the
+    * anisotropy diagnostic of Ethayarajh 2019, per class).
+    *
+    * Arithmetic discipline: micro-quantized components, DECIMAL(38,0)
+    * moments (Σxq reaches 3·10¹⁵ at 10¹⁰ rows; its square overflows
+    * int64), and SIGN-EXPLICIT truncating divisions — the pairwise sum
+    * is legitimately negative for dispersed groups, where Spark's
+    * toward-zero `div` and DuckDB's flooring `//` disagree by one. */
+  def embIsotropy(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("xq", floor(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("xq").as("sd"),
+        sum(expr("CAST(xq AS DECIMAL(38,0)) * xq")).as("sqq"))
+      .groupBy("label")
+      .agg(max("n").as("n"),
+        sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("ss"),
+        sum("sqq").as("t"))
+      .withColumn("num", expr("ss - t"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+      .select(col("label"), col("n"),
+        expr("t div n").cast("long").as("mean_sq_norm_pico"),
+        when(col("n") > 1,
+            when(col("num") >= 0, expr("num div den"))
+              .otherwise(-expr("(-num) div den")))
+          .cast("long").as("mean_pair_dot_pico"))
+      .withColumn("coherence_permille",
+        when(col("mean_pair_dot_pico").isNotNull &&
+            col("mean_sq_norm_pico") > 0,
+          when(col("mean_pair_dot_pico") >= 0,
+              expr("(1000 * mean_pair_dot_pico) div mean_sq_norm_pico"))
+            .otherwise(
+              -expr("(1000 * -mean_pair_dot_pico) div mean_sq_norm_pico")))
+          .cast("long"))
 }

@@ -66,6 +66,23 @@ object TrainOps extends QueryFamily {
         (col("sq").cast("double") / (col("n") * 1e6)).as("centroid"))
       .orderBy("label", "dim")
 
+  /** q_emb_isotropy — per-label embedding dispersion report via the
+    * CENTROID TRICK: mean pairwise dot = (‖Σv‖² − Σ‖v‖²) / (n(n−1)),
+    * computed from ONE pass of per-dimension sums — O(N·d), never the
+    * O(N²) pair join the naive formulation needs (at 100 TB the pair
+    * join is impossible; this is exact and linear). High coherence
+    * permille = the label is a tight cluster; near-zero = the label
+    * carries no geometric signal (the anisotropy/hubness diagnostic of
+    * Ethayarajh 2019 applied per class). All arithmetic on micro-
+    * quantized integers in DECIMAL(38,0) (Σxq reaches 3·10¹⁵ at 10¹⁰
+    * rows; its square overflows int64), with sign-explicit truncating
+    * divisions so Spark's `div` and DuckDB's flooring `//` agree on
+    * negative numerators. */
+  def qEmbIsotropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.embIsotropy(
+        Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy("label")
+
   /** q_shuffle_det — deterministic global corpus shuffle: every document
     * gets a content-independent pseudo-random key (md5 over a seed + its
     * id), a shard in [0, 8) from the key's first nibble, and a dense
@@ -281,6 +298,7 @@ object TrainOps extends QueryFamily {
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_emb_centroid" -> (qEmbCentroid _),
+    "q_emb_isotropy" -> (qEmbIsotropy _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_split_hash" -> (qSplitHash _),
     "q_html_strip" -> (qHtmlStrip _),
@@ -415,6 +433,44 @@ object TrainOps extends QueryFamily {
         |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |      AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Isotropy: HUGEINT mirrors of the engine's DECIMAL(38,0) moments;
+    // sign-explicit truncating divisions (Spark div truncates toward
+    // zero, DuckDB // floors — they agree only on non-negatives).
+    "q_emb_isotropy" ->
+      """WITH flat AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |  FROM flat),
+        |pd AS (
+        |  SELECT label, dim, COUNT(*) AS n, SUM(xq) AS sd,
+        |    SUM(CAST(xq AS HUGEINT) * xq) AS sqq
+        |  FROM q GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT label, MAX(n) AS n,
+        |    SUM(CAST(sd AS HUGEINT) * sd) AS ss, SUM(sqq) AS t
+        |  FROM pd GROUP BY label),
+        |stats AS (
+        |  SELECT label, CAST(n AS BIGINT) AS n,
+        |    CAST(t // n AS BIGINT) AS mean_sq_norm_pico,
+        |    CASE WHEN n > 1 THEN
+        |      CAST(CASE WHEN ss - t >= 0
+        |        THEN (ss - t) // (CAST(n AS HUGEINT) * (n - 1))
+        |        ELSE -((t - ss) // (CAST(n AS HUGEINT) * (n - 1))) END
+        |        AS BIGINT)
+        |    ELSE NULL END AS mean_pair_dot_pico
+        |  FROM agg)
+        |SELECT label, n, mean_sq_norm_pico, mean_pair_dot_pico,
+        |  CASE WHEN mean_pair_dot_pico IS NOT NULL AND mean_sq_norm_pico > 0
+        |    THEN CASE WHEN mean_pair_dot_pico >= 0
+        |      THEN (1000 * mean_pair_dot_pico) // mean_sq_norm_pico
+        |      ELSE -((1000 * -mean_pair_dot_pico) // mean_sq_norm_pico) END
+        |  ELSE NULL END AS coherence_permille
+        |FROM stats ORDER BY label""".stripMargin,
     "q_shuffle_det" ->
       """WITH k AS (
         |  SELECT doc_id,

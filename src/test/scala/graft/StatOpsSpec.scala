@@ -77,6 +77,27 @@ class StatOpsSpec extends SparkSpec {
     assert(solo.length === 1 && solo(0).isNullAt(2))
   }
 
+  test("embIsotropy: +1000 on identical vectors, -1000 antipodal, null singleton") {
+    import graft.operators.Profile
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (0L, Array(1.0f, 0.0f)),   // identical pair
+      (1L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f)),  // antipodal pair
+      (2L, Array(0.0f, 1.0f)))                            // singleton
+      .toDF("label", "embedding")
+    val got = Profile.embIsotropy(rows, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // identical unit pair: mean pair dot = +1e12 pico, coherence 1000
+    assert(got(0L).getLong(2) === 1000000000000L)
+    assert(got(0L).getLong(3) === 1000000000000L)
+    assert(got(0L).getLong(4) === 1000L)
+    // antipodal: mean pair dot = -1e12 — exercises the sign-explicit div
+    assert(got(1L).getLong(3) === -1000000000000L)
+    assert(got(1L).getLong(4) === -1000L)
+    // singleton: no pairs → null dot and coherence, norm still reported
+    assert(got(2L).getLong(2) === 1000000000000L)
+    assert(got(2L).isNullAt(3) && got(2L).isNullAt(4))
+  }
+
   test("funnelStages: strict-after ordering, mid-funnel stops, exact averages") {
     import graft.operators.Funnel
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
