@@ -116,4 +116,75 @@ object LmScore {
       .withColumn("ce_micro",
         when(col("n_bigrams") > 0, expr("nll_micro DIV n_bigrams")))
   }
+
+  /** Per-document bigram cross-entropy under a KNESER–NEY smoothed LM
+    * trained on a REFERENCE slice (Kneser & Ney 1995; Chen & Goodman 1999
+    * found absolute discounting with continuation counts the best bigram
+    * smoother) — the in-domain perplexity filter: score the whole corpus
+    * under a small trusted-domain LM and keep what it finds predictable.
+    * Unlike [[bigramCrossEntropy]]'s MLE-with-floor on its own corpus,
+    * the train/score split makes genuinely unseen events the NORMAL case,
+    * which is exactly what KN's continuation mass is for:
+    *
+    *   p(w2|w1) = (c2 − D)/c1 + D·N₁₊(w1·)/c1 · p_cont(w2)   (pair seen)
+    *            = D·N₁₊(w1·)/c1 · p_cont(w2)                  (context seen)
+    *            = p_cont(w2)                                  (context unseen)
+    *   p_cont(w2) = N₁₊(·w2)/N₁₊(··), with unseen w2 given
+    *   continuation count 1 (the +1 floor, defined semantics).
+    *
+    * D = dMilli/1000 (default 0.75). Per-bigram −ln(p) is rounded to
+    * micro-nats BEFORE the per-doc sum (order-immune, the jsDivergence
+    * discipline); every probability is a double computed from exact
+    * integer counts in one mirrored expression, so the whole score is
+    * cross-engine exact.
+    *
+    * Scale shape: count tables are VOCABULARY-sized (one bigram aggregate
+    * on the train slice, two derived group-bys); scoring is three
+    * equi-joins on bg/w1/w2 keys — left to AQE (broadcast when the vocab
+    * fits, shuffle join with skew-split on Zipf-hot tokens when not) —
+    * plus the per-doc aggregate. Short docs report (0, 0, 0, null). */
+  def knBigramCrossEntropy(docs: DataFrame, train: DataFrame,
+      textCol: String, idCol: String, dMilli: Int = 750): DataFrame = {
+    require(dMilli > 0 && dMilli < 1000, s"discount must be in (0,1): $dMilli")
+    val d = dMilli / 1000.0
+    val c2t = train
+      .select(explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(eager = false) // feeds ctx, cont, tot, and the join
+    val ctx = c2t.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"), count(lit(1)).as("nfwd"))
+    val cont = c2t.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nrev"))
+    val tot = c2t.agg(count(lit(1)).as("n1all"))
+    val p =
+      when(col("c1").isNotNull,
+        (coalesce(col("c2"), lit(d)).cast("double") - d) / col("c1") +
+          (lit(d) * col("nfwd") / col("c1")) * col("pc"))
+        .otherwise(col("pc"))
+    val scored = docs
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(c2t, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pc",
+        coalesce(col("nrev"), lit(1L)).cast("double") / col("n1all"))
+      .select(col(idCol),
+        col("c2").isNull.cast("long").as("unseen"),
+        round(-log(p) * lit(1000000.0), 0).cast("long").as("nll_u"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("unseen").as("n_unseen"),
+        sum("nll_u").as("nll_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+      .withColumn("ce_micro",
+        when(col("n_bigrams") > 0, expr("nll_micro DIV n_bigrams")))
+  }
 }

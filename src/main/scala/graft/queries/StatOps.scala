@@ -24,6 +24,19 @@ object StatOps extends QueryFamily {
         vocabSize = 500)
       .orderBy("doc_id")
 
+  /** q_kn_bigram — per-document cross-entropy under a KNESER–NEY smoothed
+    * bigram LM trained on the doc_id % 10 == 0 REFERENCE slice: the
+    * in-domain perplexity filter (score everything under a small trusted
+    * LM, keep what it finds predictable). The train/score split makes
+    * unseen events the normal case — exactly what KN continuation mass
+    * handles; see [[graft.operators.LmScore.knBigramCrossEntropy]]. */
+  def qKnBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    LmScore.knBigramCrossEntropy(docs.select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q_cooccur_pmi — top-100 PMI token pairs within a ±2 window, min pair
     * count 5: the co-occurrence statistics GloVe/word2vec training reads. */
   def qCooccurPmi(s: SparkSession, dir: String): DataFrame =
@@ -132,6 +145,7 @@ object StatOps extends QueryFamily {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_kn_bigram" -> (qKnBigram _),
     "q_cooccur_pmi" -> (qCooccurPmi _),
     "q_classify_linear" -> (qClassifyLinear _),
     "q_char_entropy" -> (qCharEntropy _),
@@ -144,6 +158,53 @@ object StatOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     "q_corr" -> graft.operators.Profile.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    // KN: probabilities are doubles computed from exact integer counts in
+    // ONE mirrored expression; per-bigram micro-nat rounding before the
+    // per-doc sum keeps the score order-immune.
+    "q_kn_bigram" ->
+      """WITH arr AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tb AS (
+        |  SELECT array_to_string(a[i:i+1], ' ') AS bg
+        |  FROM arr, unnest(range(1, len(a))) AS r(i)
+        |  WHERE len(a) >= 2 AND doc_id % 10 = 0),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM tb GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1,
+        |    COUNT(*) AS nfwd FROM c2 GROUP BY 1),
+        |cont AS (SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS nrev
+        |  FROM c2 GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n1all FROM c2),
+        |sb AS (
+        |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg
+        |  FROM arr, unnest(range(1, len(a))) AS r(i)
+        |  WHERE len(a) >= 2),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN c2.bg IS NULL THEN 1 ELSE 0 END AS unseen,
+        |    CAST(round(-ln(
+        |      CASE WHEN ctx.c1 IS NOT NULL THEN
+        |        (COALESCE(c2.c2, 0.75) - 0.75) / ctx.c1
+        |          + (0.75 * ctx.nfwd / ctx.c1)
+        |            * (COALESCE(cont.nrev, 1) / CAST(n1all AS DOUBLE))
+        |      ELSE COALESCE(cont.nrev, 1) / CAST(n1all AS DOUBLE) END
+        |      ) * 1000000.0) AS BIGINT) AS nll_u
+        |  FROM sb
+        |  LEFT JOIN c2 USING (bg)
+        |  LEFT JOIN ctx ON split_part(sb.bg, ' ', 1) = ctx.w1
+        |  LEFT JOIN cont ON split_part(sb.bg, ' ', 2) = cont.w2
+        |  CROSS JOIN tot),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(unseen) AS n_unseen,
+        |    CAST(SUM(nll_u) AS BIGINT) AS nll_micro
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(CAST(n_unseen AS BIGINT), 0) AS n_unseen,
+        |  COALESCE(nll_micro, 0) AS nll_micro,
+        |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+        |    THEN nll_micro // n_bigrams END AS ce_micro
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_bigram_lm" ->
       """WITH arr AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),

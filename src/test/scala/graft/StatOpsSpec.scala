@@ -145,6 +145,27 @@ class StatOpsSpec extends SparkSpec {
     assert(d4.isNullAt(d4.fieldIndex("ce_micro")))
   }
 
+  test("knBigramCrossEntropy: hand-computed KN probabilities on all three paths") {
+    // train "a b a c": c2(a b)=c2(b a)=c2(a c)=1; ctx a:(c1=2,nfwd=2),
+    // b:(1,1); cont nrev=1 each; N1+(..)=3; D=0.75
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b"),  // seen: (1-.75)/2 + (.75*2/2)*(1/3) = 0.375
+      (11L, "a d"),               // pair+w2 unseen: (.75*2/2)*(1/3) = 0.25
+      (12L, "z a"),               // context unseen: p_cont(a) = 1/3
+      (13L, "a"))                 // no bigrams
+      .toDF("doc_id", "text")
+    val out = LmScore.knBigramCrossEntropy(docs, train, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(1) === 1L && out(10L).getLong(2) === 0L)
+    assert(out(10L).getLong(3) === 980829L)   // -ln(0.375)
+    assert(out(11L).getLong(2) === 1L)
+    assert(out(11L).getLong(3) === 1386294L)  // -ln(0.25)
+    assert(out(12L).getLong(2) === 1L)
+    assert(out(12L).getLong(3) === 1098612L)  // -ln(1/3)
+    assert(out(13L).getLong(1) === 0L && out(13L).getLong(3) === 0L)
+    assert(out(13L).isNullAt(4))
+  }
+
   test("bigramCrossEntropy marks bigrams outside the top-V as OOV at the floor") {
     // vocabSize=1 keeps only "a b" (count 2); "a c" becomes OOV, floored at
     // 1/total2 = 1/3
