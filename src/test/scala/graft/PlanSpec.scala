@@ -409,4 +409,24 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Final"), p.take(3000))
     }
   }
+
+  test("round-8 additions: no cartesian products; isotropy is join-free") {
+    // q_funnel / q_ks_test / q_rank_fusion / q_kn_bigram: every join is a
+    // keyed equi-join or a one-row/bounded broadcast — a CartesianProduct
+    // anywhere is a scale bug (the broadcast stat attaches plan as
+    // BroadcastNestedLoopJoin over one-row sides, which is fine)
+    val plans = Seq(
+      "q_funnel" -> graft.queries.Windows.qFunnel(spark, sf),
+      "q_ks_test" -> graft.queries.DriftOps.qKsTest(spark, sf),
+      "q_rank_fusion" -> graft.queries.CorpusOps.qRankFusion(spark, sf),
+      "q_kn_bigram" -> graft.queries.StatOps.qKnBigram(spark, sf))
+      .map { case (n, df) => n -> planString(df) }
+    for ((name, p) <- plans)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    // the centroid-trick isotropy must stay two hash aggregates — any
+    // join in this plan means someone reintroduced the O(N^2) pair form
+    val iso = planString(graft.queries.TrainOps.qEmbIsotropy(spark, sf))
+    assert(!iso.contains("Join"), iso.take(2000))
+    assert(iso.contains("HashAggregate"), iso.take(2000))
+  }
 }
