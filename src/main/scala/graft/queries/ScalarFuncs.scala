@@ -193,6 +193,28 @@ object ScalarFuncs extends QueryFamily {
       .orderBy("c_nationkey")
   }
 
+  /** q_unpivot — wide→long reshape (the inverse of q_pivot): lineitem's
+    * four numeric measures melt into (metric, value) rows, then a
+    * per-metric profile. Plans as a single Expand node — a NARROW 4×
+    * row multiplication that inherits the scan partitioning (no shuffle
+    * until the metric aggregate, which is 4 groups of map-side
+    * partials). Sums in DECIMAL(18,2) so the per-metric totals are
+    * order-immune. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      .orderBy("metric")
+
   /** q_explode_tokens — table-generating positional explode (posexplode):
     * one row per (doc, position, token). Bounded to the first docs so the
     * output stays a correctness fixture, not a data dump. */
@@ -270,6 +292,7 @@ object ScalarFuncs extends QueryFamily {
     "q_json_funcs" -> (qJsonFuncs _),
     "q_json_variant" -> (qJsonVariant _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_explode_tokens" -> (qExplodeTokens _),
     "q_null_funcs" -> (qNullFuncs _),
     "q_hash_funcs" -> (qHashFuncs _),
@@ -354,6 +377,18 @@ object ScalarFuncs extends QueryFamily {
         |  COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
         |  COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH long AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM long GROUP BY metric ORDER BY metric""".stripMargin,
     "q_explode_tokens" ->
       """SELECT doc_id, i - 1 AS pos, ws[i] AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws
