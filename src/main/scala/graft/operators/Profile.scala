@@ -342,6 +342,37 @@ object Profile {
           .otherwise(lit(null)).cast("long").as("ks_micro"))
   }
 
+  /** Weight-share concentration across groups: the exact Gini coefficient
+    * over per-group weight totals plus the largest single-group share —
+    * the one-number answer to "is my training mixture dominated by one
+    * source?" (0 = perfectly even, →1000 = one group is the corpus).
+    * Formula on the SORTED totals: G = (2·Σᵢ i·tᵢ)/(n·T) − (n+1)/n, in
+    * DECIMAL(38,0) (Σ i·tᵢ reaches 10²¹ at 10⁴ groups × 10¹³ tokens),
+    * reported in milli. One corpus pass for the totals; the rank window
+    * runs on the GROUP-cardinality table only (bounded, like the PSI
+    * frame — never a corpus-wide sort). Equal totals sort by group name;
+    * ties contribute identically under any order, so the rank tiebreak
+    * cannot change the score. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val totals = df
+      .select(col(groupCol).as("grp"), col(weightCol).cast("long").as("w"))
+      .groupBy("grp").agg(sum("w").as("t"))
+    val ranked = totals.withColumn("i",
+      row_number().over(Window.orderBy(col("t"), col("grp"))))
+    ranked.agg(
+        count(lit(1)).as("n_sources"),
+        sum("t").as("total_tokens"),
+        max("t").as("max_t"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * t")).as("sit"))
+      .select(col("n_sources"), col("total_tokens").cast("long"),
+        expr("(1000 * (2 * sit - (n_sources + 1) * CAST(total_tokens AS " +
+          "DECIMAL(38,0)))) div (n_sources * CAST(total_tokens AS " +
+          "DECIMAL(38,0)))").cast("long").as("gini_milli"),
+        expr("(1000 * CAST(max_t AS DECIMAL(38,0))) div total_tokens")
+          .cast("long").as("top_share_permille"))
+  }
+
   /** Per-group embedding dispersion via the CENTROID TRICK: mean pairwise
     * dot = (‖Σv‖² − Σ‖v‖²) / (n(n−1)) from ONE pass of per-dimension
     * sums — exact and O(N·d) where the naive pairwise formulation is an

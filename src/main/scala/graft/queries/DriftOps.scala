@@ -321,7 +321,25 @@ object DriftOps extends QueryFamily {
       .select(col("grp").as("source"), col("n_values"), col("ks_micro"))
       .orderBy("source")
 
+  /** q_source_gini — token-share concentration across sources: the exact
+    * Gini coefficient plus the largest single-source share — the
+    * one-number answer to "is my training mixture dominated by one
+    * source?" (0 = perfectly even, →1000 = one source is the corpus).
+    * Formula on the SORTED source totals: G = (2·Σᵢ i·tᵢ)/(n·T) − (n+1)/n,
+    * all in DECIMAL(38,0) (Σ i·tᵢ reaches 10²¹ at 10⁴ sources × 10¹³
+    * tokens), reported in milli. One corpus pass for the per-source token
+    * totals; the rank window runs on the GROUP-cardinality table only
+    * (bounded, like the PSI frame — never a corpus-wide sort). */
+  def qSourceGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    graft.operators.Profile.giniConcentration(
+      Tables.documents(s, dir)
+        .select(col("source"), TF.tokenCount(col("text")).as("n_tok")),
+      "source", "n_tok")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
     "q_psi" -> (qPsi _),
     "q_kanon" -> (qKanon _),
@@ -378,6 +396,20 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_source_gini" ->
+      """WITH tt AS (
+        |  SELECT source, SUM(len(string_split(text, ' '))) AS t
+        |  FROM documents GROUP BY source),
+        |rk AS (
+        |  SELECT t, ROW_NUMBER() OVER (ORDER BY t, source) AS i FROM tt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(SUM(t) AS BIGINT) AS total_tokens,
+        |  CAST((1000 * (2 * SUM(CAST(i AS HUGEINT) * t)
+        |      - (COUNT(*) + 1) * CAST(SUM(t) AS HUGEINT)))
+        |    // (COUNT(*) * CAST(SUM(t) AS HUGEINT)) AS BIGINT) AS gini_milli,
+        |  CAST((1000 * CAST(MAX(t) AS HUGEINT)) // SUM(t) AS BIGINT)
+        |    AS top_share_permille
+        |FROM rk""".stripMargin,
     // KS: exact integer two-sample statistic — HUGEINT mirrors the
     // engine's DECIMAL(38,0) cross-products, same integral divides.
     "q_ks_test" ->

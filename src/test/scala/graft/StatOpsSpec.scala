@@ -77,6 +77,20 @@ class StatOpsSpec extends SparkSpec {
     assert(solo.length === 1 && solo(0).isNullAt(2))
   }
 
+  test("giniConcentration: hand-computed skew, zero on uniform shares") {
+    import graft.operators.Profile
+    // totals a=10, b=30, c=60: G = (2*(10+60+180) - 4*100)/(3*100) = 1/3
+    val skew = Seq(("a", 10L), ("b", 30L), ("c", 60L)).toDF("grp", "w")
+    val g = Profile.giniConcentration(skew, "grp", "w").collect().head
+    assert(g.getLong(0) === 3L && g.getLong(1) === 100L)
+    assert(g.getLong(2) === 333L)
+    assert(g.getLong(3) === 600L)
+    // perfectly even shares → Gini exactly 0
+    val even = Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L)).toDF("grp", "w")
+    assert(Profile.giniConcentration(even, "grp", "w")
+      .collect().head.getLong(2) === 0L)
+  }
+
   test("embIsotropy: +1000 on identical vectors, -1000 antipodal, null singleton") {
     import graft.operators.Profile
     val rows = Seq(
