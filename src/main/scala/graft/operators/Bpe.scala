@@ -173,4 +173,24 @@ object Bpe {
        |FROM toks t JOIN v$nMerges v ON t.w = v.w
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB mirror of the per-language fertility rollup over [[encode]]:
+    * the same generated train+encode CTE chain, closed with a lang-grouped
+    * integral-milli aggregate instead of the per-doc projection. */
+  def fertilityOracleSql(nMerges: Int, firstSymbol: Int = 0x4E00): String = {
+    val perDoc = encodeOracleSql(nMerges, firstSymbol)
+    val body = perDoc.stripPrefix("WITH ").stripSuffix(" ORDER BY doc_id")
+    val Array(ctes, finalSel) = body.split("\nSELECT doc_id,", 2)
+    s"""WITH $ctes,
+       |enc AS (SELECT doc_id,${finalSel})
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_subwords) AS BIGINT) AS n_subwords,
+       |  CAST((1000 * SUM(CAST(enc.n_subwords AS HUGEINT)))
+       |    // SUM(enc.n_words) AS BIGINT) AS subwords_per_word_milli,
+       |  CAST((1000 * SUM(CAST(enc.n_chars AS HUGEINT)))
+       |    // SUM(enc.n_subwords) AS BIGINT) AS chars_per_subword_milli
+       |FROM enc JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
 }

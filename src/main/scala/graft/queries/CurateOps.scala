@@ -94,6 +94,31 @@ object CurateOps extends QueryFamily {
     Bpe.encode(docs, "text", "doc_id", vocab).orderBy("doc_id")
   }
 
+  /** q_tok_fertility — tokenizer fertility per language: subwords per
+    * word and chars per subword (milli) under the corpus-trained 8-merge
+    * BPE — the multilingual-pipeline budget metric (a language with 2×
+    * fertility costs 2× the context window per word; the number that
+    * decides vocab size and per-language sampling). Reuses the
+    * oracle-checked train+encode chain; the rollup is one lang-keyed
+    * aggregate over per-doc counts with integral-milli division. */
+  def qTokFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, vocab) = Bpe.trainVocab(docs, "text", nMerges = 8)
+    docs.select("doc_id", "lang")
+      .join(Bpe.encode(docs, "text", "doc_id", vocab), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_subwords").as("n_subwords"),
+        sum("n_chars").as("ch"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        expr("(1000 * CAST(n_subwords AS DECIMAL(38,0))) div n_words")
+          .cast("long").as("subwords_per_word_milli"),
+        expr("(1000 * CAST(ch AS DECIMAL(38,0))) div n_subwords")
+          .cast("long").as("chars_per_subword_milli"))
+      .orderBy("lang")
+  }
+
   /** q_skew_profile — key-skew diagnostics over the event stream's user
     * key: the top-20 hottest keys with count, rank, per-mille share and a
     * hot flag (count > 10× the mean, int64 cross-multiplied). The
@@ -112,6 +137,7 @@ object CurateOps extends QueryFamily {
     "q_boilerplate" -> (qBoilerplate _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_skew_profile" -> (qSkewProfile _))
 
   override val oracle: Map[String, String] = Map(
@@ -129,6 +155,7 @@ object CurateOps extends QueryFamily {
         |FROM t ORDER BY rnk""".stripMargin,
     "q_bpe_train" -> Bpe.trainOracleSql(8),
     "q_bpe_encode" -> Bpe.encodeOracleSql(8),
+    "q_tok_fertility" -> Bpe.fertilityOracleSql(8),
     "q_boilerplate" ->
       """WITH pages AS (
         |  SELECT doc_id, source,
