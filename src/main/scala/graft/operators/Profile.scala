@@ -342,6 +342,40 @@ object Profile {
           .otherwise(lit(null)).cast("long").as("ks_micro"))
   }
 
+  /** Exact one-sided CUSUM drift over a per-group slot series (Page 1954):
+    * the TEMPORAL drift detector beside the distributional pair (PSI/KS) —
+    * a sustained small excess accumulates where a per-slot threshold never
+    * fires. The sequential recursion S_t = max(0, S_{t−1} + y_t) is made
+    * window-expressible through the identity
+    * `S_t = cum_t − min(0, min_{j≤t} cum_j)` — two running windows, no
+    * sequential loop, no per-group arrays. Deviations are mean-free by
+    * integer cross-multiplication (`y_t = n_t·D − T`, D slots, T total),
+    * so everything is exact under any evaluation order.
+    *
+    * Input must be a COMPLETE slot grid per group (zero-filled — a silent
+    * missing slot IS a negative drift signal and must be a row). Output
+    * per (grp, slot): n, `cusum_scaled` (units of count×D) and `drift` =
+    * S > 2·T (two mean-slots of cumulative excess). Window partitions are
+    * group × slot-count — the time dimension is bounded, so partitions
+    * never grow with the corpus. */
+  def cusumDrift(counts: DataFrame, grpCol: String, slotCol: String,
+      nCol: String): DataFrame = {
+    val byGrp = Window.partitionBy("grp")
+    val ordered = Window.partitionBy("grp").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(col(grpCol).as("grp"), col(slotCol).as("slot"),
+        col(nCol).cast("long").as("n"))
+      .withColumn("d_slots", count(lit(1)).over(byGrp))
+      .withColumn("t_total", sum("n").over(byGrp))
+      .withColumn("cum",
+        sum(col("n") * col("d_slots") - col("t_total")).over(ordered))
+      .withColumn("runmin", least(lit(0L), min("cum").over(ordered)))
+      .select(col("grp"), col("slot"), col("n"),
+        (col("cum") - col("runmin")).as("cusum_scaled"),
+        (col("cum") - col("runmin") > col("t_total") * 2).as("drift"))
+  }
+
   /** Weight-share concentration across groups: the exact Gini coefficient
     * over per-group weight totals plus the largest single-group share —
     * the one-number answer to "is my training mixture dominated by one

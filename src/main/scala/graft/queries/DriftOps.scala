@@ -338,7 +338,31 @@ object DriftOps extends QueryFamily {
       "source", "n_tok")
   }
 
+  /** q_cusum — exact one-sided CUSUM drift per event type over the daily
+    * count series (zero-filled 30-day grid): the TEMPORAL drift detector
+    * beside PSI/KS's distributional pair — a sustained small excess
+    * accumulates where any per-day threshold stays silent. The sequential
+    * recursion runs as two window passes via
+    * `S_t = cum_t − min(0, min_{j≤t} cum_j)`; see
+    * [[graft.operators.Profile.cusumDrift]]. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("grp", "day").agg(count(lit(1)).as("n"))
+    val grid = ev.select("grp").distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+        .as("day")))
+    val full = grid.join(daily, Seq("grp", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    graft.operators.Profile.cusumDrift(full, "grp", "day", "n")
+      .select(col("grp").as("event_type"), col("slot").as("day"),
+        col("n"), col("cusum_scaled"), col("drift"))
+      .orderBy("event_type", "day")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
     "q_psi" -> (qPsi _),
@@ -396,6 +420,37 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_cusum" ->
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS day
+        |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |    INTERVAL 1 DAY) t(d)),
+        |daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, days.day, COALESCE(daily.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type AS grp FROM events) g
+        |  CROSS JOIN days
+        |  LEFT JOIN daily ON daily.grp = g.grp AND daily.day = days.day),
+        |w AS (
+        |  SELECT grp, day, n,
+        |    COUNT(*) OVER (PARTITION BY grp) AS d_slots,
+        |    SUM(n) OVER (PARTITION BY grp) AS t_total
+        |  FROM grid),
+        |c AS (
+        |  SELECT grp, day, n, t_total,
+        |    SUM(n * d_slots - t_total)
+        |      OVER (PARTITION BY grp ORDER BY day) AS cum
+        |  FROM w),
+        |r AS (
+        |  SELECT grp, day, n, t_total, cum,
+        |    LEAST(0, MIN(cum) OVER (PARTITION BY grp ORDER BY day)) AS runmin
+        |  FROM c)
+        |SELECT grp AS event_type, day, CAST(n AS BIGINT) AS n,
+        |  CAST(cum - runmin AS BIGINT) AS cusum_scaled,
+        |  (cum - runmin) > 2 * t_total AS drift
+        |FROM r ORDER BY event_type, day""".stripMargin,
     "q_source_gini" ->
       """WITH tt AS (
         |  SELECT source, SUM(len(string_split(text, ' '))) AS t

@@ -77,6 +77,27 @@ class StatOpsSpec extends SparkSpec {
     assert(solo.length === 1 && solo(0).isNullAt(2))
   }
 
+  test("cusumDrift: max(0, S+y) recursion reproduced by the two-window identity") {
+    import graft.operators.Profile
+    // g1: n=(5,1,1,5), D=4, T=12 → y=(8,-8,-8,8), cum=(8,0,-8,0),
+    //     runmin=(0,0,-8,-8) → S=(8,0,0,8); threshold 2T=24 → no drift
+    // g2: n=(0,0,0,24) → y=(-24,-24,-24,72), cum=(-24,-48,-72,0),
+    //     S=(0,0,0,72) > 2T=48 at slot 4 → drift fires
+    val counts = Seq(
+      ("g1", 1L, 5L), ("g1", 2L, 1L), ("g1", 3L, 1L), ("g1", 4L, 5L),
+      ("g2", 1L, 0L), ("g2", 2L, 0L), ("g2", 3L, 0L), ("g2", 4L, 24L))
+      .toDF("grp", "slot", "n")
+    val got = Profile.cusumDrift(counts, "grp", "slot", "n")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("g1", 1L))._4 === 8L && !got(("g1", 1L))._5)
+    assert(got(("g1", 2L))._4 === 0L)
+    assert(got(("g1", 3L))._4 === 0L) // the reset: max(0, ...) held at zero
+    assert(got(("g1", 4L))._4 === 8L)
+    assert(got(("g2", 3L))._4 === 0L && !got(("g2", 3L))._5)
+    assert(got(("g2", 4L))._4 === 72L && got(("g2", 4L))._5)
+  }
+
   test("giniConcentration: hand-computed skew, zero on uniform shares") {
     import graft.operators.Profile
     // totals a=10, b=30, c=60: G = (2*(10+60+180) - 4*100)/(3*100) = 1/3
