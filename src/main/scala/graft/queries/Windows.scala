@@ -167,7 +167,31 @@ object Windows extends QueryFamily {
       "user_id", "event_type", "ts",
       Seq("signup", "view", "click", "purchase"))
 
+  /** q_dau_stickiness — weekly engagement rollup: per ISO week the
+    * distinct weekly actives (WAU), the summed daily actives, observed
+    * days, and stickiness = avg-DAU/WAU in permille (the "how many of
+    * this week's users show up on a given day" ratio). Two exact
+    * distinct aggregates — per-(week, day) then per-week — each one
+    * shuffle on the user key with map-side partials; at 100 TB the
+    * documented swap is approx_count_distinct. Integral-permille
+    * division, exact in both engines. */
+  def qDauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      to_date(col("ts")).as("day"), col("user_id"))
+    val dau = ev.groupBy("week", "day")
+      .agg(countDistinct("user_id").as("dau"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val wau = ev.groupBy("week").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "week")
+      .select(col("week"), col("n_days"), col("wau"), col("sum_dau"),
+        expr("(1000 * sum_dau) div (n_days * wau)").as("stickiness_permille"))
+      .orderBy("week")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_stickiness" -> (qDauStickiness _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytic" -> (qWindowAnalytic _),
     "q_window_frame" -> (qWindowFrame _),
@@ -179,6 +203,25 @@ object Windows extends QueryFamily {
     "q_funnel" -> (qFunnel _))
 
   override val oracle: Map[String, String] = Map(
+    "q_dau_stickiness" ->
+      """WITH ev AS (
+        |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      AS week,
+        |    CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT week, day, COUNT(DISTINCT user_id) AS dau
+        |  FROM ev GROUP BY 1, 2),
+        |wk AS (
+        |  SELECT week, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+        |  FROM dau GROUP BY week),
+        |wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau
+        |  FROM ev GROUP BY week)
+        |SELECT week, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(wau AS BIGINT) AS wau, CAST(sum_dau AS BIGINT) AS sum_dau,
+        |  CAST((1000 * sum_dau) // (n_days * wau) AS BIGINT)
+        |    AS stickiness_permille
+        |FROM wk JOIN wau USING (week) ORDER BY week""".stripMargin,
     "q_window_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
