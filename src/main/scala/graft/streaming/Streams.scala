@@ -33,6 +33,13 @@ case class SeenDoc(doc_id: Long, digest: String)
 /** S13 output: pass/drop decision per sighting. */
 case class DedupDecision(digest: String, doc_id: Long, action: String)
 
+/** S18 input: a user's funnel event. */
+case class FunnelEvent(userId: Long, stage: String, tsMs: Long)
+
+/** S18 output: one emitted row per stage completion. */
+case class StageReached(userId: Long, stage: Int, stageName: String,
+  tsMs: Long, sinceStartMs: Long)
+
 /** S16 output: a document's place in its source's shard sequence. */
 case class ShardAssign(source: String, doc_id: Long, n_tokens: Long,
   shard_seq: Long, start_tok: Long)
@@ -183,6 +190,28 @@ object Streams {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     docs.groupByKey(_.source)
       .transformWithState(new ShardAssignProcessor(budget),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S18 — streaming funnel progression: the streaming twin of
+    * `graft.operators.Funnel.funnelStages`. Each user key carries its
+    * funnel position (stage index, last stage time, journey start) in ONE
+    * `ValueState`; an arriving event advances the funnel iff it is the
+    * NEXT expected stage strictly AFTER the previous one — the same
+    * strict-after contract as the batch operator — and each advance emits
+    * a `StageReached` row immediately (conversion dashboards read stage
+    * counts live instead of waiting for the nightly batch). Equivalent to
+    * the batch funnel when events arrive in event-time order; within a
+    * micro-batch rows process ts-sorted so replays are deterministic.
+    * State is one fixed-size record per user — O(active users),
+    * corpus-independent. */
+  def funnelProgress(events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    require(stages.size >= 2 && stages.distinct.size == stages.size,
+      s"need >= 2 distinct stages, got $stages")
+    events.groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(stages),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -482,6 +511,41 @@ class TtlDedupProcessor(ttlMs: Long)
         DedupDecision(key, d.doc_id, "first")
       }
     }.iterator
+}
+
+/** S18's per-user funnel position (see `Streams.funnelProgress`). */
+case class FunnelProgress(idx: Int, lastTsMs: Long, startTsMs: Long)
+
+/** S18's processor: one fixed-size `FunnelProgress` per user. An event
+  * advances the funnel iff it names the NEXT expected stage with a
+  * timestamp strictly greater than the previous stage's (the batch
+  * operator's exact contract); everything else — repeats, skips, stale
+  * timestamps — is ignored without touching state. No TTL: an open funnel
+  * is live business state (a production deployment with an attribution
+  * horizon would add one, the S13 pattern). */
+class FunnelProcessor(stages: Seq[String])
+  extends StatefulProcessor[Long, FunnelEvent, StageReached] {
+
+  @transient private var pos: ValueState[FunnelProgress] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    pos = getHandle.getValueState[FunnelProgress]("pos",
+      Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+      timers: TimerValues): Iterator[StageReached] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+    rows.toSeq.sortBy(e => (e.tsMs, e.stage)).foreach { e =>
+      val p = if (pos.exists()) pos.get() else FunnelProgress(0, Long.MinValue, 0L)
+      if (p.idx < stages.size && e.stage == stages(p.idx) &&
+          (p.idx == 0 || e.tsMs > p.lastTsMs)) {
+        val start = if (p.idx == 0) e.tsMs else p.startTsMs
+        pos.update(FunnelProgress(p.idx + 1, e.tsMs, start))
+        out += StageReached(key, p.idx + 1, e.stage, e.tsMs, e.tsMs - start)
+      }
+    }
+    out.iterator
+  }
 }
 
 /** S16's per-source fill counter (see `Streams.shardAssign`): one

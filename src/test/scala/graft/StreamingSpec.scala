@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{DocSourced, SeenDoc, Streams, TaskEvent, Tick}
+import graft.streaming.{DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
   * MemoryStream harness: windows close as the watermark advances, late data
@@ -238,6 +238,48 @@ class StreamingSpec extends SparkSpec {
         ("A", 1L, 4L, 0L, 0L), ("A", 2L, 6L, 0L, 4L),
         ("A", 3L, 5L, 1L, 10L), // the fill total survived the batch gap
         ("B", 10L, 9L, 0L, 0L), ("B", 11L, 3L, 0L, 9L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
+  test("S18 streaming funnel: strict-after advance, state across batches, skips ignored") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[FunnelEvent]
+      val q = Streams.funnelProgress(in.toDS(), Seq("a", "b", "c")).toDF()
+        .writeStream.format("memory").queryName("s18")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s18").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s18").count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        // batch 1: u1 starts; u2 does a+b at the SAME ts (strict > rejects
+        // b); u3 leads with b (ignored — not the expected first stage)
+        in.addData(FunnelEvent(1L, "a", 100L), FunnelEvent(2L, "a", 200L),
+          FunnelEvent(2L, "b", 200L), FunnelEvent(3L, "b", 300L))
+        await(2)
+        // batch 2: u1 completes b then c ACROSS the batch gap (state
+        // persisted); u1's repeat of a is ignored; u3's late a now counts
+        in.addData(FunnelEvent(1L, "b", 110L), FunnelEvent(1L, "c", 130L),
+          FunnelEvent(1L, "a", 140L), FunnelEvent(3L, "a", 310L))
+        await(5)
+      } finally q.stop()
+      val got = spark.table("s18")
+        .select("userId", "stage", "stageName", "tsMs", "sinceStartMs")
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+      assert(got === Set(
+        (1L, 1, "a", 100L, 0L), (1L, 2, "b", 110L, 10L),
+        (1L, 3, "c", 130L, 30L),
+        (2L, 1, "a", 200L, 0L),  // b at the same ts did NOT advance
+        (3L, 1, "a", 310L, 0L))) // the early b never produced a row
     } finally prev match {
       case Some(v) => spark.conf.set(provider, v)
       case None => spark.conf.unset(provider)
