@@ -161,6 +161,42 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("round-8 analytics degrade cleanly: empty events, empty groups, bad configs") {
+    import graft.operators.{Funnel, Profile, Ranking}
+    // funnel on an empty stream: every stage emits with 0 reach, conv 0,
+    // null journey — dashboards read a complete stage frame, not a hole
+    val noEvents = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("u", "et", "t")
+    val f = Funnel.funnelStages(noEvents, "u", "et", "t", Seq("a", "b"))
+      .collect().sortBy(_.getLong(0))
+    assert(f.length === 2)
+    assert(f.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
+    assert(f.forall(_.isNullAt(4)))
+    // funnel config errors are caller bugs
+    intercept[IllegalArgumentException] {
+      Funnel.funnelStages(noEvents, "u", "et", "t", Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnelStages(noEvents, "u", "et", "t", Seq("a", "a"))
+    }
+    // gini on empty input returns one row of nulls (no division crash)
+    val g = Profile.giniConcentration(
+      Seq.empty[(String, Long)].toDF("grp", "w"), "grp", "w").collect().head
+    assert(g.getLong(0) === 0L && g.isNullAt(2))
+    // cusum and KS on empty inputs return no rows
+    assert(Profile.cusumDrift(
+      Seq.empty[(String, Long, Long)].toDF("grp", "slot", "n"),
+      "grp", "slot", "n").count() === 0L)
+    assert(Profile.ksByGroup(
+      Seq.empty[(String, Long)].toDF("grp", "v"), "grp", "v").count() === 0L)
+    // rrfFuse: an empty list contributes nothing but breaks nothing
+    val one = Seq((1L, 1, 7L)).toDF("q_id", "rnk", "doc_id")
+    val none = one.limit(0)
+    val fused = Ranking.rrfFuse(Seq(one, none), k = 5).collect()
+    assert(fused.length === 1 && fused.head.getLong(2) === 7L)
+    intercept[IllegalArgumentException] { Ranking.rrfFuse(Seq.empty, 5) }
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.
