@@ -331,6 +331,40 @@ object LlmOps extends QueryFamily {
       .orderBy("cell_id")
   }
 
+  /** q_cluster_keywords — c-TF-IDF cluster labeling (the BERTopic recipe,
+    * Grootendorst 2022): the top-5 terms that CHARACTERIZE each embedding
+    * cluster, scored `tf_c · ln(K/cdf + 1)` where cdf = how many of the K
+    * clusters contain the term — corpus-wide stopwords (cdf = K) score
+    * near zero, cluster-specific vocabulary scores high. The
+    * interpretation step after q_emb_clusters: cluster sizes say the
+    * corpus HAS structure; keywords say what the structure IS. Same
+    * deterministic fit as the whole ANN family (⇒ full-oracle); the
+    * text-side cost is one token explode + two vocabulary-sized
+    * aggregates, and the id spaces align by construction (vec_id =
+    * doc_id). */
+  def qClusterKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cents = graft.operators.DetQuantizer.fit(emb, "embedding", "vec_id", 16)
+    val asg = graft.operators.DetQuantizer
+      .assign(emb, "embedding", "vec_id", cents).select("vec_id", "cell_id")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), explode(T.tokens(col("text"))).as("tok"))
+    val ctf = toks.join(asg, "vec_id")
+      .groupBy("cell_id", "tok").agg(count(lit(1)).as("tf"))
+    val cdf = ctf.groupBy("tok").agg(count(lit(1)).as("cdf"))
+    val w = Window.partitionBy("cell_id").orderBy(desc("score_milli"), asc("tok"))
+    ctf.join(cdf, "tok")
+      .withColumn("score_milli",
+        round(col("tf") * log(lit(16.0) / col("cdf") + 1.0) * 1000.0, 0)
+          .cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("cell_id"), col("rnk"), col("tok"), col("tf"),
+        col("score_milli"))
+      .orderBy("cell_id", "rnk")
+  }
+
   /** q_ann_recall — in-engine ANN recall estimator: per query (vec_id <
     * 8), candidate count from the production LSH gate vs the brute-forced
     * dist ≤ 1.3 truth set, recall in integer permille. The measurement
@@ -689,7 +723,8 @@ object LlmOps extends QueryFamily {
     "q_ann_recall" -> (qAnnRecall _),
     "q_bitext_margin" -> (qBitextMargin _),
     "q_shard_manifest" -> (qShardManifest _),
-    "q_emb_clusters" -> (qEmbClusters _))
+    "q_emb_clusters" -> (qEmbClusters _),
+    "q_cluster_keywords" -> (qClusterKeywords _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
     * generated deterministic-k-means CTE chain over the embeddings table
@@ -880,6 +915,29 @@ object LlmOps extends QueryFamily {
     "q_sim_ivfpq" -> ivfPqOracle,
     // Corpus clustering: the generated fit CTEs + per-member distances,
     // integer inertia and windowed exemplar.
+    // c-TF-IDF keywords: the same generated fit as the cluster report;
+    // the score is one mirrored double expression from exact counts.
+    "q_cluster_keywords" ->
+      s"""WITH $detFit,
+        |toks AS (
+        |  SELECT doc_id AS vec_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ctf AS (
+        |  SELECT a.cell_id, t.tok, COUNT(*) AS tf
+        |  FROM toks t JOIN asg a USING (vec_id) GROUP BY 1, 2),
+        |cdf AS (SELECT tok, COUNT(*) AS cdf FROM ctf GROUP BY tok),
+        |sc AS (
+        |  SELECT cell_id, tok, CAST(tf AS BIGINT) AS tf,
+        |    CAST(round(tf * ln(16.0 / cdf + 1.0) * 1000.0) AS BIGINT)
+        |      AS score_milli
+        |  FROM ctf JOIN cdf USING (tok)),
+        |rk AS (
+        |  SELECT cell_id, tok, tf, score_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY cell_id
+        |      ORDER BY score_milli DESC, tok) AS rnk
+        |  FROM sc)
+        |SELECT cell_id, rnk, tok, tf, score_milli
+        |FROM rk WHERE rnk <= 5 ORDER BY cell_id, rnk""".stripMargin,
     "q_emb_clusters" ->
       s"""WITH $detFit,
         |d AS (
