@@ -33,6 +33,14 @@ case class SeenDoc(doc_id: Long, digest: String)
 /** S13 output: pass/drop decision per sighting. */
 case class DedupDecision(digest: String, doc_id: Long, action: String)
 
+/** S19 input: one pre-aggregated slot count per key (an S1-style windowed
+  * count feeds this). */
+case class SlotCount(key: String, slotMs: Long, n: Long)
+
+/** S19 output: the CUSUM statistic after each slot. */
+case class CusumAlert(key: String, slotMs: Long, n: Long, cusum: Long,
+  drift: Boolean)
+
 /** S18 input: a user's funnel event. */
 case class FunnelEvent(userId: Long, stage: String, tsMs: Long)
 
@@ -212,6 +220,28 @@ object Streams {
       s"need >= 2 distinct stages, got $stages")
     events.groupByKey(_.userId)
       .transformWithState(new FunnelProcessor(stages),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S19 — streaming CUSUM rate monitor: the streaming twin of
+    * `graft.operators.Profile.cusumDrift`, continuous form. Where the
+    * batch operator subtracts the realized mean (known after the fact),
+    * the monitor tracks deviation from a DECLARED reference rate —
+    * production CUSUM's standard form (Page 1954): per key one
+    * `ValueState[Long]` carries S, each slot count updates
+    * `S := max(0, S + (n − expected))`, and `drift` fires while
+    * S > threshold. A sustained small excess accumulates across
+    * micro-batches where any per-slot threshold stays silent; a return
+    * to rate drains S back toward zero. Upstream is an S1-style windowed
+    * count; state is one long per key. Slots inside a batch process in
+    * slot order so replays are deterministic. */
+  def cusumMonitor(counts: Dataset[SlotCount], expectedPerSlot: Long,
+      threshold: Long): Dataset[CusumAlert] = {
+    import counts.sparkSession.implicits._
+    require(expectedPerSlot >= 0 && threshold > 0,
+      s"need expected >= 0, threshold > 0; got $expectedPerSlot, $threshold")
+    counts.groupByKey(_.key)
+      .transformWithState(new CusumProcessor(expectedPerSlot, threshold),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -510,6 +540,28 @@ class TtlDedupProcessor(ttlMs: Long)
         seen.update(d.doc_id)
         DedupDecision(key, d.doc_id, "first")
       }
+    }.iterator
+}
+
+/** S19's per-key CUSUM accumulator (see `Streams.cusumMonitor`): the
+  * max(0, S + y) recursion runs directly here — streaming state IS the
+  * sequential form the batch operator had to window-translate. No TTL:
+  * the accumulated deviation is the signal. */
+class CusumProcessor(expected: Long, threshold: Long)
+  extends StatefulProcessor[String, SlotCount, CusumAlert] {
+
+  @transient private var s: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    s = getHandle.getValueState[Long]("s", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[SlotCount],
+      timers: TimerValues): Iterator[CusumAlert] =
+    rows.toSeq.sortBy(_.slotMs).map { c =>
+      val prev = if (s.exists()) s.get() else 0L
+      val next = math.max(0L, prev + (c.n - expected))
+      s.update(next)
+      CusumAlert(key, c.slotMs, c.n, next, next > threshold)
     }.iterator
 }
 

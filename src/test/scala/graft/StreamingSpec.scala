@@ -286,6 +286,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S19 CUSUM monitor: slow excess accumulates across batches, recovery drains") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[graft.streaming.SlotCount]
+      val q = Streams.cusumMonitor(in.toDS(), expectedPerSlot = 10L,
+        threshold = 15L).toDF()
+        .writeStream.format("memory").queryName("s19")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s19").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s19").count() >= n, s"sink never reached $n rows")
+      }
+      import graft.streaming.SlotCount
+      try {
+        // batch 1: +2 excess per slot — under any per-slot threshold
+        in.addData(SlotCount("k", 1000L, 12L), SlotCount("k", 2000L, 12L))
+        await(2)
+        // batch 2: the accumulation crosses 15 ONLY because S persisted
+        // (4 + 6 + 6 = 16); then a quiet slot drains it back under
+        in.addData(SlotCount("k", 3000L, 16L), SlotCount("k", 4000L, 16L),
+          SlotCount("k", 5000L, 2L))
+        await(5)
+      } finally q.stop()
+      val got = spark.table("s19")
+        .select("slotMs", "cusum", "drift")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(got.map(_._2).toSeq === Seq(2L, 4L, 10L, 16L, 8L))
+      assert(got.map(_._3).toSeq === Seq(false, false, false, true, false))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S13 TTL dedup: repeats drop within the TTL, pass again after eviction") {
     // ProcessingTime time-mode keeps the query triggering (empty) batches
     // continuously, so processAllAvailable never settles — drive ONE
