@@ -145,8 +145,15 @@ object LmScore {
     * plus the per-doc aggregate. Short docs report (0, 0, 0, null). */
   def knBigramCrossEntropy(docs: DataFrame, train: DataFrame,
       textCol: String, idCol: String, dMilli: Int = 750): DataFrame = {
-    require(dMilli > 0 && dMilli < 1000, s"discount must be in (0,1): $dMilli")
-    val d = dMilli / 1000.0
+    val (c2t, ctx, cont, tot) = knCounts(train, textCol)
+    knScore(docs, textCol, idCol, c2t, ctx, cont, tot, dMilli)
+  }
+
+  /** The KN count tables of a train slice: (bigram counts, context stats,
+    * continuation counts, one-row total). Everything [[knScore]] needs —
+    * and everything [[writeLmLayout]] persists. */
+  def knCounts(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c2t = train
       .select(explode(TextFunctions.wordShingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
@@ -156,6 +163,41 @@ object LmScore {
     val cont = c2t.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("nrev"))
     val tot = c2t.agg(count(lit(1)).as("n1all"))
+    (c2t, ctx, cont, tot)
+  }
+
+  /** Persist the KN count tables at rest: train ONCE, score any corpus
+    * forever without re-aggregating the reference slice — the production
+    * LM-filter shape (the reference LM is a versioned artifact, not a
+    * per-run recomputation), and the LM sibling of `writeIvfLayout`/
+    * `writePqLayout`. Four parquet tables under `path`; counts are
+    * exact integers, so a stored-and-reloaded LM scores BIT-IDENTICALLY
+    * to a fresh fit (LayoutSpec asserts it). */
+  def writeLmLayout(train: DataFrame, textCol: String, path: String): Unit = {
+    val (c2t, ctx, cont, tot) = knCounts(train, textCol)
+    c2t.write.mode("overwrite").parquet(s"$path/c2")
+    ctx.write.mode("overwrite").parquet(s"$path/ctx")
+    cont.write.mode("overwrite").parquet(s"$path/cont")
+    tot.write.mode("overwrite").parquet(s"$path/tot")
+  }
+
+  /** Score `docs` against a stored LM layout — reads the four count
+    * tables, never touches the train corpus. */
+  def scoreFromLmLayout(docs: DataFrame, textCol: String, idCol: String,
+      path: String, dMilli: Int = 750): DataFrame = {
+    val s = docs.sparkSession
+    knScore(docs, textCol, idCol,
+      s.read.parquet(s"$path/c2"), s.read.parquet(s"$path/ctx"),
+      s.read.parquet(s"$path/cont"), s.read.parquet(s"$path/tot"), dMilli)
+  }
+
+  /** KN scoring against explicit count tables — see
+    * [[knBigramCrossEntropy]] for the formula and discipline. */
+  private def knScore(docs: DataFrame, textCol: String, idCol: String,
+      c2t: DataFrame, ctx: DataFrame, cont: DataFrame, tot: DataFrame,
+      dMilli: Int): DataFrame = {
+    require(dMilli > 0 && dMilli < 1000, s"discount must be in (0,1): $dMilli")
+    val d = dMilli / 1000.0
     val p =
       when(col("c1").isNotNull,
         (coalesce(col("c2"), lit(d)).cast("double") - d) / col("c1") +

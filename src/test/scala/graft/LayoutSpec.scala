@@ -118,4 +118,27 @@ class LayoutSpec extends SparkSpec {
       plan.contains("event_date"), plan)
     assert(pruned.count() > 0)
   }
+
+  test("LM layout: stored counts score bit-identically to a fresh fit") {
+    import graft.operators.LmScore
+    val train = Seq((0L, "a b a c"), (1L, "b a c d")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "a d x"), (12L, "c d"))
+      .toDF("doc_id", "text")
+    val dir = graft.operators.Scratch.dir("lm_layout")
+    try {
+      LmScore.writeLmLayout(train, "text", dir)
+      val fresh = LmScore.knBigramCrossEntropy(docs, train, "text", "doc_id")
+        .orderBy("doc_id").collect().toSeq
+      // score twice from the store: read-only serving, no train re-agg
+      val stored = LmScore.scoreFromLmLayout(docs, "text", "doc_id", dir)
+        .orderBy("doc_id").collect().toSeq
+      val stored2 = LmScore.scoreFromLmLayout(docs, "text", "doc_id", dir)
+        .orderBy("doc_id").collect().toSeq
+      assert(stored === fresh)
+      assert(stored2 === fresh)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
