@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Boilerplate, Bpe, Dedup, Profile, Vocab}
+import graft.functions.{TextFunctions => T}
 
 /** Corpus-curation operators, round 4: tokenizer-training pair statistics
   * (the counting step of BPE), per-column dataset profiling (the data-card /
@@ -119,6 +120,38 @@ object CurateOps extends QueryFamily {
       .orderBy("lang")
   }
 
+  /** q_readability — Flesch reading-ease per document (Flesch 1948):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences = non-empty [.!?]-separated spans (min 1) and syllables
+    * approximated as vowel groups — the standard cheap proxy. The classic
+    * prose-quality feature beside the length/punct/stopword ratios of
+    * q_quality_score. All inputs are exact integer counts; the formula is
+    * ONE mirrored double expression rounded to milli, so the score is
+    * cross-engine exact. One narrow projection, no shuffle. (This corpus
+    * is unpunctuated word soup — every doc lands in one sentence — so
+    * the sentence-split mechanics are additionally fixture-tested in
+    * CurateOpsSpec.) */
+  def qReadability(s: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The readability projection over any (doc_id, text) frame — public so
+    * CurateOpsSpec can exercise real sentence splits on punctuated
+    * fixtures (the corpus itself is unpunctuated). */
+  def readability(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_words"),
+        greatest(lit(1L), size(filter(split(col("text"), "[.!?]+"),
+          x => length(trim(x)) > 0)).cast("long")).as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_words") > 0,
+          round((lit(206.835)
+            - lit(1.015) * col("n_words") / col("n_sentences")
+            - lit(84.6) * col("n_syllables") / col("n_words")) * 1000.0, 0)
+            .cast("long")))
+
   /** q_skew_profile — key-skew diagnostics over the event stream's user
     * key: the top-20 hottest keys with count, rank, per-mille share and a
     * hot flag (count > 10× the mean, int64 cross-multiplied). The
@@ -138,6 +171,7 @@ object CurateOps extends QueryFamily {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_tok_fertility" -> (qTokFertility _),
+    "q_readability" -> (qReadability _),
     "q_skew_profile" -> (qSkewProfile _))
 
   override val oracle: Map[String, String] = Map(
@@ -156,6 +190,23 @@ object CurateOps extends QueryFamily {
     "q_bpe_train" -> Bpe.trainOracleSql(8),
     "q_bpe_encode" -> Bpe.encodeOracleSql(8),
     "q_tok_fertility" -> Bpe.fertilityOracleSql(8),
+    "q_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  GREATEST(1, CAST(len(list_filter(regexp_split_to_array(text,
+        |    '[.!?]+'), x -> trim(x) <> '')) AS BIGINT)) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+        |    AS n_syllables,
+        |  CASE WHEN len(string_split(text, ' ')) > 0 THEN
+        |    CAST(round((206.835
+        |      - 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |        / GREATEST(1, len(list_filter(regexp_split_to_array(text,
+        |            '[.!?]+'), x -> trim(x) <> '')))
+        |      - 84.6 * CAST(len(regexp_extract_all(text,
+        |            '[aeiouyAEIOUY]+')) AS DOUBLE)
+        |        / len(string_split(text, ' '))) * 1000.0) AS BIGINT)
+        |  END AS flesch_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_boilerplate" ->
       """WITH pages AS (
         |  SELECT doc_id, source,

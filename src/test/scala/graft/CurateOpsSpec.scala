@@ -8,6 +8,25 @@ import graft.operators.{Dedup, Profile, Vocab}
 class CurateOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readability: hand-computed Flesch on punctuated text, null on empty") {
+    // "The cat sat. The dog ran!": 6 words, 2 sentences, 6 vowel groups
+    // → 206.835 − 1.015·3 − 84.6·1 = 119.190 → 119190 milli
+    val docs = Seq((1L, "The cat sat. The dog ran!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.queries.CurateOps.readability(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 6L)
+    assert(got(1L).getLong(2) === 2L)
+    assert(got(1L).getLong(3) === 6L)
+    assert(got(1L).getLong(4) === 119190L)
+    // empty text: ONE word under the repo-wide split convention (matching
+    // DuckDB string_split — the cross-engine contract), zero syllables →
+    // 206.835 − 1.015·1 − 0 = 205.820; sentence floor holds at 1
+    assert(got(2L).getLong(1) === 1L && got(2L).getLong(2) === 1L)
+    assert(got(2L).getLong(3) === 0L)
+    assert(got(2L).getLong(4) === 205820L)
+  }
+
   test("bpePairCounts weights by word frequency and keeps in-word multiplicity") {
     // "ab ab aaa" + "ab" → freq(ab)=3, freq(aaa)=1
     // pairs: "ab"×3 (from ab), "aa"×2 (from aaa, multiplicity 2)
