@@ -361,7 +361,48 @@ object DriftOps extends QueryFamily {
       .orderBy("event_type", "day")
   }
 
+  /** q_seasonality — day-of-week profile per event type with a chi-square
+    * test against the CALENDAR-CORRECTED uniform (the 30-day window holds
+    * 5 Mondays/Tuesdays but 4 of every other day — naive uniform expected
+    * counts would flag seasonality that is only the calendar): per type
+    * the event total, χ² in micro (each term computed in doubles FROM
+    * exact integer counts and micro-rounded BEFORE the sum — the
+    * jsDivergence discipline), and the peak ISO weekday with its permille
+    * share. One corpus pass for the (type, dow) counts; everything else
+    * runs on the types × 7 frame. χ² ≫ 14 (df = 6) = real weekly
+    * structure; the CUSUM twin reads level shifts, this reads cycles. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+    val counts = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    // calendar weight: how many of each weekday the fixed window holds
+    val dowDays = s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+        .as("d"))
+      .select((weekday(col("d")) + 1).as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("nd"))
+    val tot = counts.groupBy("event_type").agg(sum("o").as("t"))
+    val frame = tot.crossJoin(broadcast(dowDays))
+      .join(counts, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("dev", (col("o") * 30 - col("t") * col("nd")).cast("double"))
+      .withColumn("term_micro",
+        round(col("dev") * col("dev") /
+          (lit(30.0) * col("t") * col("nd")) * 1e6, 0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy(desc("o"), asc("dow"))
+    val peak = frame.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").cast("long").as("peak_dow"),
+        expr("(1000 * o) div t").as("peak_permille"))
+    frame.groupBy("event_type")
+      .agg(max("t").as("n_events"), sum("term_micro").as("chi2_micro"))
+      .join(peak, "event_type")
+      .orderBy("event_type")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> (qSeasonality _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
@@ -420,6 +461,45 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
+    // per-dow terms micro-rounded before the sum.
+    "q_seasonality" ->
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS day
+        |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |    INTERVAL 1 DAY) t(d)),
+        |dd AS (SELECT isodow(day) AS dow, COUNT(*) AS nd FROM days GROUP BY 1),
+        |cnt AS (
+        |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow, COUNT(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(o) AS t FROM cnt GROUP BY 1),
+        |frame AS (
+        |  SELECT tot.event_type, dd.dow, dd.nd, tot.t,
+        |    COALESCE(cnt.o, 0) AS o,
+        |    CAST(COALESCE(cnt.o, 0) * 30 - tot.t * dd.nd AS DOUBLE) AS dev
+        |  FROM tot CROSS JOIN dd
+        |  LEFT JOIN cnt ON cnt.event_type = tot.event_type
+        |    AND cnt.dow = dd.dow),
+        |terms AS (
+        |  SELECT event_type, o, dow, t,
+        |    CAST(round(dev * dev / (30.0 * t * nd) * 1000000.0) AS BIGINT)
+        |      AS term_micro
+        |  FROM frame),
+        |agg AS (
+        |  SELECT event_type, CAST(MAX(t) AS BIGINT) AS n_events,
+        |    CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        |  FROM terms GROUP BY 1),
+        |pk AS (
+        |  SELECT event_type, CAST(dow AS BIGINT) AS peak_dow,
+        |    CAST((1000 * o) // t AS BIGINT) AS peak_permille
+        |  FROM (SELECT event_type, dow, o, t,
+        |      ROW_NUMBER() OVER (PARTITION BY event_type
+        |        ORDER BY o DESC, dow) AS rn
+        |    FROM terms) WHERE rn = 1)
+        |SELECT a.event_type, a.n_events, a.chi2_micro, pk.peak_dow,
+        |  pk.peak_permille
+        |FROM agg a JOIN pk USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_cusum" ->
       """WITH days AS (
         |  SELECT CAST(d AS DATE) AS day

@@ -428,5 +428,17 @@ class PlanSpec extends SparkSpec {
     val iso = planString(graft.queries.TrainOps.qEmbIsotropy(spark, sf))
     assert(!iso.contains("Join"), iso.take(2000))
     assert(iso.contains("HashAggregate"), iso.take(2000))
+    // second batch: bounded-frame analytics must not cartesian either
+    // (their crossJoins are broadcast one-row/7-row attaches), and the
+    // narrow projections must not shuffle before their output sort
+    for ((name, df) <- Seq(
+        "q_cusum" -> graft.queries.DriftOps.qCusum(spark, sf),
+        "q_seasonality" -> graft.queries.DriftOps.qSeasonality(spark, sf),
+        "q_dau_stickiness" -> graft.queries.Windows.qDauStickiness(spark, sf),
+        "q_cluster_keywords" -> graft.queries.LlmOps.qClusterKeywords(spark, sf)))
+      assert(!planString(df).contains("CartesianProduct"), name)
+    val read = planString(graft.queries.CurateOps.qReadability(spark, sf))
+    assert(!read.contains("hashpartitioning"), read.take(2000))
+    assert(!read.contains("Join"), read.take(2000))
   }
 }
