@@ -213,7 +213,48 @@ object Aggregations extends QueryFamily {
         "k", "v", struct(col("l_orderkey"), col("l_linenumber")), salts = 8)
       .orderBy("k")
 
+  /** q_rfm — RFM customer segmentation (recency / frequency / monetary
+    * with quintile scores): the classic marketing-analytics rollup, done
+    * scale-honest — quintile boundaries come from ONE exact-percentile
+    * aggregate broadcast back (the q_curriculum discipline), never a
+    * global ntile sort (which funnels every customer through one
+    * partition). Monetary sums in exact cents; the anchor date is the
+    * corpus max (no wall-clock). R scores invert (recent = 5);
+    * `rfm = 100r + 10f + m`. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val per = o.groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("monetary_cents"))
+    val anchor = per.agg(max("last_order").as("anchor"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_order")).cast("long"))
+    val qs = (1 until 5).map(i => lit(i / 5.0))
+    val bounds = scored.agg(
+      array(qs.map(q => percentile(col("recency_days"), q)): _*).as("rb"),
+      array(qs.map(q => percentile(col("frequency"), q)): _*).as("fb"),
+      array(qs.map(q => percentile(col("monetary_cents"), q)): _*).as("mb"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("r_score", lit(5L) -
+        size(filter(col("rb"), b => b < col("recency_days").cast("double")))
+          .cast("long"))
+      .withColumn("f_score",
+        size(filter(col("fb"), b => b < col("frequency").cast("double")))
+          .cast("long") + 1L)
+      .withColumn("m_score",
+        size(filter(col("mb"), b => b < col("monetary_cents").cast("double")))
+          .cast("long") + 1L)
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+      .orderBy("o_custkey")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_weighted" -> (qAggWeighted _),
     "q_agg_stats" -> (qAggStats _),
@@ -229,6 +270,43 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    // RFM: quantile_cont mirrors Spark's exact percentile; boundary
+    // comparisons cast to double identically on both sides.
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |anch AS (SELECT MAX(last_order) AS anchor FROM per),
+        |p2 AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', last_order, anchor) AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM per CROSS JOIN anch),
+        |b AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |    quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM p2),
+        |sc AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |    5 - len(list_filter(rb,
+        |      x -> x < CAST(recency_days AS DOUBLE))) AS r_score,
+        |    len(list_filter(fb,
+        |      x -> x < CAST(frequency AS DOUBLE))) + 1 AS f_score,
+        |    len(list_filter(mb,
+        |      x -> x < CAST(monetary_cents AS DOUBLE))) + 1 AS m_score
+        |  FROM p2 CROSS JOIN b)
+        |SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency,
+        |  CAST(monetary_cents AS BIGINT) AS monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     "q_agg_salted" ->
       """SELECT l_returnflag AS k,
         |  SUM(l_quantity) AS sum_value, COUNT(*) AS n
