@@ -200,7 +200,18 @@ object Joins extends QueryFamily {
     }
   }
 
+  /** q_basket_pairs — market-basket association rules over order baskets:
+    * part pairs co-purchased in ≥ 2 orders with support, confidence and
+    * lift. Apriori-pruned BEFORE pairing (see
+    * [[graft.operators.Basket]]); integral-milli scores ⇒ full-oracle. */
+  def qBasketPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.frequentPairs(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minItemSup = 2L, minPairSup = 2L)
+      .orderBy("a", "b")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_pairs" -> (qBasketPairs _),
     "q_join_bucketed" -> (qJoinBucketed _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -214,6 +225,26 @@ object Joins extends QueryFamily {
     "q_join_multiway" -> (qJoinMultiway _))
 
   override val oracle: Map[String, String] = Map(
+    "q_basket_pairs" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ord) AS n_orders FROM b),
+        |sup AS (
+        |  SELECT item, COUNT(*) AS sup FROM b GROUP BY item
+        |  HAVING COUNT(*) >= 2),
+        |fb AS (SELECT b.ord, b.item, sup.sup FROM b JOIN sup USING (item)),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, x.sup AS sa, y.sup AS sb,
+        |    COUNT(*) AS pair_sup
+        |  FROM fb x JOIN fb y ON x.ord = y.ord AND x.item < y.item
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+        |SELECT a, b, CAST(pair_sup AS BIGINT) AS pair_sup,
+        |  CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
+        |  CAST((1000 * pair_sup) // sa AS BIGINT) AS conf_milli,
+        |  CAST((1000 * CAST(pair_sup AS HUGEINT) * n_orders)
+        |    // (CAST(sa AS HUGEINT) * sb) AS BIGINT) AS lift_milli
+        |FROM pairs CROSS JOIN n ORDER BY a, b""".stripMargin,
     "q_join_bucketed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  COUNT(*) AS n_items,

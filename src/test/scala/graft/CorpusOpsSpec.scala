@@ -10,6 +10,23 @@ import graft.queries.CorpusOps
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("frequentPairs: Apriori prune, multiplicity collapse, exact lift") {
+    import graft.operators.Basket
+    // o1={A,B,C} (A twice — multiplicity is not co-occurrence), o2/o3={A,B},
+    // o4={C,D}, o5={A}. sup: A=4, B=3, C=2, D=1 (pruned). Only A-B (3 of 5
+    // orders) survives minPairSup=2: conf = 3000 div 4 = 750,
+    // lift = (1000*3*5) div (4*3) = 1250.
+    val b = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B"),
+      (4L, "C"), (4L, "D"), (5L, "A")).toDF("ord", "item")
+    val got = Basket.frequentPairs(b, "ord", "item", 2L, 2L)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("A", "B", 3L, 4L, 3L, 750L, 1250L)))
+    intercept[IllegalArgumentException] {
+      Basket.frequentPairs(b, "ord", "item", 3L, 2L) // pairSup < itemSup
+    }
+  }
+
   test("rrfFuse: exact integer contributions, cross-list boost, doc_id tiebreak") {
     // list A ranks docs 10,20,30; list B ranks 20,40.
     // contrib(rnk) = 1e9 div (60 + rnk): r1=16393442, r2=16129032, r3=15873015
