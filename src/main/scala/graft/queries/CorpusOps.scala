@@ -271,6 +271,31 @@ object CorpusOps extends QueryFamily {
       .orderBy("prev_type", "event_type")
   }
 
+  /** q_path_3gram — session path mining: the 20 most common 3-step
+    * event-type paths across users (two stacked lags over one
+    * (user, time) window — ONE shuffle, one sort, both lags in a single
+    * pass), with each path's share of all 3-step paths in permille. The
+    * path extension of q_transitions' first-order matrix: funnels show
+    * WHERE users stop, paths show WHICH ROUTES they actually take. */
+  def qPath3gram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .filter(col("p2").isNotNull)
+    val counts = tri.groupBy(col("p2").as("s1"), col("p1").as("s2"),
+        col("event_type").as("s3"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("s1"), col("s2"), col("s3"), col("n"),
+        expr("(1000 * n) div t").as("share_permille"))
+      .orderBy(desc("n"), asc("s1"), asc("s2"), asc("s3"))
+      .limit(20)
+  }
+
   /** q_pipeline_e2e — the whole training-data pipeline as ONE composed
     * query: exact dedup (keep lowest doc_id per content hash) →
     * benchmark decontamination (drop train docs sharing a word 5-gram with
@@ -354,10 +379,27 @@ object CorpusOps extends QueryFamily {
     "q_sample_hash" -> (qSampleHash _),
     "q_retention" -> (qRetention _),
     "q_transitions" -> (qTransitions _),
+    "q_path_3gram" -> (qPath3gram _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
+    "q_path_3gram" ->
+      """WITH tri AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 2) OVER w AS p2,
+        |    LAG(event_type, 1) OVER w AS p1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |c AS (
+        |  SELECT p2 AS s1, p1 AS s2, event_type AS s3, COUNT(*) AS n
+        |  FROM tri WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT SUM(n) AS t FROM c)
+        |SELECT s1, s2, s3, CAST(n AS BIGINT) AS n,
+        |  CAST((1000 * n) // t AS BIGINT) AS share_permille
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
     // RRF: the dense CTE chain is q_sim_topk's oracle at k=20, the sparse
     // chain is q_sparse_knn's at k=20; fusion is pure integer arithmetic
     // (10^9 // (60+rnk), HUGEINT sum → BIGINT).
