@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/behavioral operators over an event stream at rest: peak
+  * concurrency (sweep line), dyadic-decay smoothing (EWMA), and OHLC
+  * bars — the session-capacity, trend and candlestick reports an
+  * activity-analytics consumer of the reference's event feed runs
+  * (root: the A1 poll loop's timestamped metric envelopes,
+  * /root/reference/syscol/metrics_reporter.go:75-105).
+  *
+  * All three are integer-exact end to end (micro-unit values, integral
+  * division), so every number is reproducible bit-for-bit by an
+  * independent engine regardless of partitioning or aggregation order.
+  */
+object Temporal {
+
+  /** Peak session concurrency per hour — the sweep-line interval problem:
+    * sessionize events (a gap > `gapMinutes` starts a new session), treat
+    * each session as a closed interval [first event, last event], and
+    * count, per hour, the maximum number of simultaneously-open sessions.
+    *
+    * The global running sum over interval open/close deltas is the classic
+    * single-reducer trap, and it is built the only way that survives
+    * 100 TB: TWO-PHASE, exactly like `Packing.shardManifest`. Phase 1
+    * computes each hour bucket's internal running sum (a window
+    * partitioned BY BUCKET — parallel) and its net delta; phase 2 computes
+    * cumulative offsets over the bucket table only — hours-cardinality
+    * rows (9k/year), the legitimate small-table window — and adds
+    * offset + in-bucket peak. Because bucket boundaries respect the
+    * global (t, kind, user, session) order, offset + in-bucket running
+    * sum IS the global running sum at every row.
+    *
+    * Tie order is pinned: at equal timestamp, opens sort before closes
+    * (kind 0 < 1), so a single-event session still counts 1 at its
+    * instant; remaining ties break on (user, session) for a total order.
+    * Returns (hour_epoch_s, n_opened, n_closed, peak_concurrency). */
+  def maxConcurrency(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapMinutes: Int = 30): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes must be >= 1, got $gapMinutes")
+    val byTime = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val sess = events
+      .withColumn("new_session",
+        when(unix_micros(col(tsCol)) -
+          unix_micros(lag(tsCol, 1).over(byTime)) > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol).as("u"), col("session_no"))
+      .agg(min(unix_micros(col(tsCol))).as("t_open"),
+        max(unix_micros(col(tsCol))).as("t_close"))
+    val deltas = sess.select(col("t_open").as("t"), lit(0).as("kind"),
+        col("u"), col("session_no"), lit(1L).as("d"))
+      .unionAll(sess.select(col("t_close").as("t"), lit(1).as("kind"),
+        col("u"), col("session_no"), lit(-1L).as("d")))
+      .withColumn("bucket", expr("t div 3600000000"))
+    val wIn = Window.partitionBy("bucket")
+      .orderBy(col("t"), col("kind"), col("u"), col("session_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = deltas.withColumn("run", sum("d").over(wIn))
+      .groupBy("bucket").agg(
+        sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_opened"),
+        sum(when(col("d") === -1, 1L).otherwise(0L)).as("n_closed"),
+        sum("d").as("net"), max("run").as("peak_in"))
+    // the only unpartitioned window: the BUCKET table (hours, not events)
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("off", coalesce(sum("net").over(wB), lit(0L)))
+      .select((col("bucket") * 3600).as("hour_epoch_s"),
+        col("n_opened"), col("n_closed"),
+        (col("off") + col("peak_in")).as("peak_concurrency"))
+      .orderBy("hour_epoch_s")
+  }
+
+  /** Per-key dyadic-decay moving average — the integer-exact EWMA: the
+    * latest value weighted 2^(depth−1), the one before 2^(depth−2), …,
+    * truncated at `depth` points (a true α=½ EWMA's infinite tail
+    * re-normalized onto the last `depth` observations). Emitted as the
+    * exact integral quotient of two int64s, so the smoothed value is
+    * deterministic under any execution order — the float-free answer to
+    * "what is this key's current level, favouring recent points".
+    *
+    * One shuffle on the key, one partition-local sort, `depth` lag
+    * columns evaluated in a single window pass (whole-stage codegen'd);
+    * the final per-key row is selected by rn == count over the SAME
+    * ordering — no second sort. Overflow-safe by construction:
+    * micro-unit values × 2^15 × 16 terms needs < 2^63 for any value
+    * below ~8.8 billion. Returns (key, n_events, last_micro,
+    * ewma_micro). */
+  def dyadicEwma(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
+    val wAll = Window.partitionBy(keyCol)
+    val v = expr(s"CAST(floor($valueCol * 1000000 + 0.5) AS BIGINT)")
+    val lags = (0 until depth).map(k => lag(col("v"), k).over(w))
+    val weights = (0 until depth).map(k => 1L << (depth - 1 - k))
+    val num = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, l * wt).otherwise(0L) }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, wt) =>
+      when(l.isNotNull, lit(wt)).otherwise(0L) }.reduce(_ + _)
+    events.withColumn("v", v)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("num", num).withColumn("den", den)
+      .filter(col("rn") === col("cnt"))
+      .select(col(keyCol), col("cnt").as("n_events"),
+        col("v").as("last_micro"),
+        expr("num div den").as("ewma_micro"))
+  }
+
+  /** OHLC bars: per (group, day) the opening/closing/extreme values and
+    * exact volume — the candlestick aggregation, with open/close selected
+    * by a pinned total order (ts, then id) so ties cannot flip between
+    * engines. One shuffle on (group, day): the window and the aggregate
+    * share the partitioning. Values in micro-units (int64-exact sums).
+    * Returns (group, day, open/high/low/close _micro, n_events,
+    * total_micro). */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val v = expr(s"CAST(floor($valueCol * 1000000 + 0.5) AS BIGINT)")
+    val w = Window.partitionBy(col(groupCol), col("day"))
+      .orderBy(col(tsCol), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol), col("day"))
+    events.withColumn("day", day).withColumn("v", v)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(col(groupCol), col("day"))
+      .agg(max(when(col("rn") === 1, col("v"))).as("open_micro"),
+        max("v").as("high_micro"),
+        min("v").as("low_micro"),
+        max(when(col("rn") === col("cnt"), col("v"))).as("close_micro"),
+        count(lit(1)).as("n_events"),
+        sum("v").as("total_micro"))
+      .orderBy(col(groupCol), col("day"))
+  }
+}

@@ -190,7 +190,33 @@ object Windows extends QueryFamily {
       .orderBy("week")
   }
 
+  /** q_concurrency — peak simultaneously-open sessions per hour via the
+    * two-phase sweep line (sessionize → interval deltas → bucketed running
+    * sum + bounded offset table). The capacity-planning read of the event
+    * stream; see [[graft.operators.Temporal.maxConcurrency]]. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.maxConcurrency(Tables.events(s, dir),
+      "user_id", "ts", "event_id", gapMinutes = 30)
+
+  /** q_ewma — per-user dyadic-decay moving average (α=½ EWMA truncated to
+    * the last 16 points, integer-exact): the "current level, favouring
+    * recent" trend read. See [[graft.operators.Temporal.dyadicEwma]]. */
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.dyadicEwma(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", depth = 16)
+      .orderBy("user_id")
+
+  /** q_ohlc — per (event_type, day) candlestick bars with tie-pinned
+    * open/close and micro-unit exact extremes/volume.
+    * See [[graft.operators.Temporal.ohlcBars]]. */
+  def qOhlc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.ohlcBars(Tables.events(s, dir),
+      "event_type", "ts", "event_id", "value")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_concurrency" -> (qConcurrency _),
+    "q_ewma" -> (qEwma _),
+    "q_ohlc" -> (qOhlc _),
     "q_dau_stickiness" -> (qDauStickiness _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_analytic" -> (qWindowAnalytic _),
@@ -202,7 +228,88 @@ object Windows extends QueryFamily {
     "q_sort_limit" -> (qSortLimit _),
     "q_funnel" -> (qFunnel _))
 
+  /** Generated 16-lag EWMA oracle — the lag ladder is built by the same
+    * loop as the engine's, so weights agree by construction. */
+  private def ewmaOracleSql(depth: Int): String = {
+    val lagCols = (0 until depth)
+      .map(k => s"LAG(v, $k) OVER w AS l$k").mkString(",\n    ")
+    val num = (0 until depth)
+      .map(k => s"COALESCE(l$k * ${1L << (depth - 1 - k)}, 0)")
+      .mkString(" + ")
+    val den = (0 until depth)
+      .map(k =>
+        s"CASE WHEN l$k IS NOT NULL THEN ${1L << (depth - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |lagged AS (
+       |  SELECT user_id, v,
+       |    ROW_NUMBER() OVER w AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS cnt,
+       |    $lagCols
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, CAST(cnt AS BIGINT) AS n_events, v AS last_micro,
+       |  CAST(($num) // ($den) AS BIGINT) AS ewma_micro
+       |FROM lagged WHERE rn = cnt ORDER BY user_id""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q_ewma" -> ewmaOracleSql(16),
+    "q_concurrency" ->
+      """WITH numbered AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |      epoch_us(LAG(CAST(ts AS TIMESTAMP), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess0 AS (
+        |  SELECT user_id AS u, event_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM numbered),
+        |sess AS (
+        |  SELECT u, session_no, MIN(epoch_us(ts)) AS t_open,
+        |    MAX(epoch_us(ts)) AS t_close
+        |  FROM sess0 GROUP BY u, session_no),
+        |deltas AS (
+        |  SELECT t_open AS t, 0 AS kind, u, session_no, 1 AS d FROM sess
+        |  UNION ALL
+        |  SELECT t_close, 1, u, session_no, -1 FROM sess),
+        |runs AS (
+        |  SELECT t // 3600000000 AS bucket, d,
+        |    SUM(d) OVER (ORDER BY t, kind, u, session_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM deltas)
+        |SELECT CAST(bucket * 3600 AS BIGINT) AS hour_epoch_s,
+        |  CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opened,
+        |  CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+        |  CAST(MAX(run) AS BIGINT) AS peak_concurrency
+        |FROM runs GROUP BY bucket ORDER BY hour_epoch_s""".stripMargin,
+    "q_ohlc" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, day) AS cnt
+        |  FROM base)
+        |SELECT event_type, day,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open_micro,
+        |  CAST(MAX(v) AS BIGINT) AS high_micro,
+        |  CAST(MIN(v) AS BIGINT) AS low_micro,
+        |  CAST(MAX(CASE WHEN rn = cnt THEN v END) AS BIGINT) AS close_micro,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(v) AS BIGINT) AS total_micro
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     "q_dau_stickiness" ->
       """WITH ev AS (
         |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)

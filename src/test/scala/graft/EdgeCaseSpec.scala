@@ -197,6 +197,48 @@ class EdgeCaseSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Ranking.rrfFuse(Seq.empty, 5) }
   }
 
+  test("temporal operators degrade cleanly: empty events, single event, bad configs") {
+    import graft.operators.Temporal
+    val noEvents = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Temporal.maxConcurrency(noEvents, "user_id", "ts", "event_id")
+      .count() === 0L)
+    assert(Temporal.dyadicEwma(noEvents, "user_id", "ts", "event_id", "value")
+      .count() === 0L)
+    assert(Temporal.ohlcBars(noEvents, "user_id", "ts", "event_id", "value")
+      .count() === 0L)
+    // one event: a zero-length session opens and closes at its instant —
+    // peak 1; ewma of one point = the point; OHLC has open=close=high=low
+    val one = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-05 10:30:00"),
+      2.5)).toDF("event_id", "user_id", "ts", "value")
+    val c = Temporal.maxConcurrency(one, "user_id", "ts", "event_id")
+      .collect().head
+    assert(c.getLong(1) === 1L && c.getLong(2) === 1L && c.getLong(3) === 1L)
+    val e = Temporal.dyadicEwma(one, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(e.getLong(2) === 2500000L && e.getLong(3) === 2500000L)
+    val o = Temporal.ohlcBars(one, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(o.getLong(2) === 2500000L && o.getLong(3) === 2500000L &&
+      o.getLong(4) === 2500000L && o.getLong(5) === 2500000L)
+    intercept[IllegalArgumentException] {
+      Temporal.maxConcurrency(one, "user_id", "ts", "event_id", gapMinutes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.dyadicEwma(one, "user_id", "ts", "event_id", "value", depth = 0)
+    }
+    // two overlapping single-user sessions can't exist (same user merges);
+    // two users' overlapping sessions peak at 2 in the shared hour
+    val two = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-05 10:20:00"), 1.0),
+      (3L, 2L, java.sql.Timestamp.valueOf("2024-01-05 10:10:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val peaks = Temporal.maxConcurrency(two, "user_id", "ts", "event_id")
+      .collect()
+    assert(peaks.length === 1 && peaks.head.getLong(3) === 2L)
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

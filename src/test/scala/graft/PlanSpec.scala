@@ -255,6 +255,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("maxConcurrency's delta window partitions by bucket; ewma/ohlc shuffle once") {
+    // same two-phase contract as shardManifest: the event-scale running
+    // sum keys on the hour bucket; the only SinglePartition window is the
+    // bounded bucket-table offset prefix
+    val c = planString(graft.queries.Windows.qConcurrency(spark, sf))
+    assert(c.contains("hashpartitioning(bucket"), c.take(2000))
+    assert(!c.contains("CartesianProduct"), c.take(2000))
+    // ewma: 16 lag columns + rn + cnt ride ONE user_id exchange — a second
+    // hashpartitioning on user_id would mean the window split into two
+    // shuffles
+    val e = planString(graft.queries.Windows.qEwma(spark, sf))
+    val exchanges = "hashpartitioning\\(user_id".r
+      .findAllMatchIn(e).length
+    assert(exchanges === 1, s"expected 1 user_id exchange, got $exchanges:\n" +
+      e.take(2000))
+    val o = planString(graft.queries.Windows.qOhlc(spark, sf))
+    assert(o.contains("hashpartitioning(event_type"), o.take(2000))
+    assert(!o.contains("SinglePartition"), o.take(2000))
+  }
+
   test("no round-6 query plans a cartesian product; corpus-scale paths avoid SinglePartition") {
     // plan each query ONCE, assert both conditions from the same string
     val plans = graft.queries.DriftOps.queries.map { case (name, fn) =>
