@@ -447,4 +447,84 @@ object Profile {
             .otherwise(
               -expr("(1000 * -mean_pair_dot_pico) div mean_sq_norm_pico")))
           .cast("long"))
+
+  /** Declarative data-quality gate — the Deequ-style constraint suite an
+    * ingest pipeline runs before publishing a table: each rule yields one
+    * report row (rule, n_rows, violations, pass). Three rule kinds:
+    * `predicateRules` (name → violation predicate), evaluated in ONE
+    * conditional-aggregate corpus pass regardless of rule count;
+    * `uniqueRules` (name → key columns), each one keyed count — violations
+    * = rows beyond the first per duplicate key; `refRules` (name, child
+    * key, parent table, parent key), each one left-anti join — violations
+    * = orphaned children. The report is rule-cardinality rows; n_rows is
+    * attached to the keyed rules by a one-row broadcast. Every number is
+    * an exact integer count. */
+  def dqChecks(df: DataFrame, predicateRules: Seq[(String, Column)],
+      uniqueRules: Seq[(String, Seq[String])] = Nil,
+      refRules: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
+    require(predicateRules.nonEmpty || uniqueRules.nonEmpty ||
+      refRules.nonEmpty, "dqChecks needs at least one rule")
+    val allNames = predicateRules.map(_._1) ++ uniqueRules.map(_._1) ++
+      refRules.map(_._1)
+    require(allNames.distinct.length == allNames.length,
+      s"duplicate rule names: ${allNames.diff(allNames.distinct).mkString(",")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // coalesce: SUM over zero rows is NULL — an empty table must report
+    // zero violations (pass), not a null that poisons the pass flag
+    val predAggs = count(lit(1)).as("n_rows") +:
+      predicateRules.map { case (name, pred) =>
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"v_$name") }
+    val onePass = df.agg(predAggs.head, predAggs.tail: _*)
+      .localCheckpoint(eager = false) // shared by the report and the n_rows attach
+    val predRows = predicateRules.map { case (name, _) =>
+      onePass.select(lit(name).as("rule"), col("n_rows"),
+        col(s"v_$name").as("violations"))
+    }
+    val nRows = onePass.select("n_rows")
+    val uniqRows = uniqueRules.map { case (name, keys) =>
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+        .crossJoin(broadcast(nRows))
+        .select(lit(name).as("rule"), col("n_rows"), col("violations"))
+    }
+    val refRows = refRules.map { case (name, childKey, parent, parentKey) =>
+      df.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(broadcast(nRows))
+        .select(lit(name).as("rule"), col("n_rows"), col("violations"))
+    }
+    (predRows ++ uniqRows ++ refRows).reduce(_ unionAll _)
+      .withColumn("pass", when(col("violations") === 0, 1L).otherwise(0L))
+      .orderBy("rule")
+  }
+
+  /** Pearson chi-square test of INDEPENDENCE between two categorical
+    * columns, reported per cell (the seasonality twin tests one margin
+    * against a fixed calendar; this tests two observed margins against
+    * each other). Per cell: observed, the exact-rational expectation in
+    * milli-units, and the chi² contribution in micro-units via
+    * (n·o − r·c)²/(n·r·c) — numerator and denominator built from EXACT
+    * int64 products and converted to double only for the final
+    * correctly-rounded IEEE divide, so the value is engine-independent.
+    * One corpus pass for the cell counts; margins and totals are
+    * cell-cardinality aggregates joined back on the bounded cell table. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false)
+    val rowTot = cells.groupBy("a").agg(sum("o").as("r"))
+    val colTot = cells.groupBy("b").agg(sum("o").as("c"))
+    val nTot = cells.agg(sum("o").as("n"))
+    cells.join(rowTot, "a").join(colTot, "b")
+      .crossJoin(broadcast(nTot))
+      .withColumn("dev", expr("CAST(n * o - r * c AS DOUBLE)"))
+      .select(col("a"), col("b"), col("o").as("observed"),
+        expr("(1000 * r * c) div n").as("expected_milli"),
+        expr("CAST(floor(1000000 * dev * dev / " +
+          "(CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT)").as("chi2_micro"))
+      .orderBy("a", "b")
+  }
 }

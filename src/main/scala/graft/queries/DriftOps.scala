@@ -401,7 +401,43 @@ object DriftOps extends QueryFamily {
       .orderBy("event_type")
   }
 
+  /** q_dq_checks — the declarative data-quality gate over the orders feed:
+    * null/accepted-value/range predicates in one conditional-aggregate
+    * pass, key uniqueness, and referential integrity against customer
+    * (left-anti). The publish-or-block report an ingest pipeline runs
+    * before a table goes live; see [[graft.operators.Profile.dqChecks]]. */
+  def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    graft.operators.Profile.dqChecks(orders,
+      predicateRules = Seq(
+        "custkey_not_null" -> col("o_custkey").isNull,
+        "status_accepted" -> !col("o_orderstatus").isin("O", "F", "P"),
+        "totalprice_positive" ->
+          (col("o_totalprice").isNull || col("o_totalprice") <= 0),
+        "orderdate_window" ->
+          (col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))),
+      uniqueRules = Seq("orderkey_unique" -> Seq("o_orderkey")),
+      refRules = Seq(("custkey_referential", "o_custkey",
+        Tables.customer(s, dir), "c_custkey")))
+  }
+
+  /** q_chi2_indep — chi-square test of independence nation × market
+    * segment over customers (per-cell observed / exact-rational expected /
+    * micro-χ² contribution): is the segment mix the same in every
+    * geography, or does acquisition skew regionally? The two-margin
+    * INDEPENDENCE sibling of q_seasonality's fixed-calendar
+    * goodness-of-fit; see [[graft.operators.Profile.chi2Independence]]. */
+  def qChi2Indep(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.chi2Independence(
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("a"), col("c_mktsegment").as("b")),
+      "a", "b")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (qDqChecks _),
+    "q_chi2_indep" -> (qChi2Indep _),
     "q_seasonality" -> (qSeasonality _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
@@ -463,6 +499,61 @@ object DriftOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
+    "q_dq_checks" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS v_custkey_not_null,
+        |    SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS v_status,
+        |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |      THEN 1 ELSE 0 END) AS v_price,
+        |    SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+        |        >= TIMESTAMP '2001-01-01'
+        |      THEN 1 ELSE 0 END) AS v_window
+        |  FROM orders),
+        |uniq AS (
+        |  SELECT COALESCE(SUM(c - 1), 0) AS v FROM
+        |    (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+        |refv AS (
+        |  SELECT COUNT(*) AS v FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL),
+        |rows0 AS (
+        |  SELECT 'custkey_not_null' AS rule, n_rows,
+        |    v_custkey_not_null AS violations FROM base
+        |  UNION ALL SELECT 'status_accepted', n_rows, v_status FROM base
+        |  UNION ALL SELECT 'totalprice_positive', n_rows, v_price FROM base
+        |  UNION ALL SELECT 'orderdate_window', n_rows, v_window FROM base
+        |  UNION ALL SELECT 'orderkey_unique', n_rows, uniq.v
+        |    FROM base CROSS JOIN uniq
+        |  UNION ALL SELECT 'custkey_referential', n_rows, refv.v
+        |    FROM base CROSS JOIN refv)
+        |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(violations AS BIGINT) AS violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM rows0 ORDER BY rule""".stripMargin,
+    "q_chi2_indep" ->
+      """WITH src AS (
+        |  SELECT n.n_name AS a, c.c_mktsegment AS b
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM src GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS n FROM cells),
+        |j AS (
+        |  SELECT cells.a, cells.b, CAST(o AS BIGINT) AS o,
+        |    CAST(rt.r AS BIGINT) AS r, CAST(ct.c AS BIGINT) AS c,
+        |    CAST(nt.n AS BIGINT) AS n,
+        |    CAST(CAST(nt.n AS BIGINT) * o -
+        |      CAST(rt.r AS BIGINT) * CAST(ct.c AS BIGINT) AS DOUBLE) AS dev
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt)
+        |SELECT a, b, o AS observed,
+        |  CAST((1000 * r * c) // n AS BIGINT) AS expected_milli,
+        |  CAST(floor(1000000 * dev * dev /
+        |    (CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT) AS chi2_micro
+        |FROM j ORDER BY a, b""".stripMargin,
     "q_seasonality" ->
       """WITH days AS (
         |  SELECT CAST(d AS DATE) AS day

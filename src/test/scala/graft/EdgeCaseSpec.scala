@@ -239,6 +239,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(peaks.length === 1 && peaks.head.getLong(3) === 2L)
   }
 
+  test("dqChecks and chi2Independence degrade cleanly and reject bad configs") {
+    import graft.operators.Profile
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    // empty table: every rule reports 0 violations and passes — a gate
+    // that fails-closed on an empty partition would block every backfill
+    val rep = Profile.dqChecks(empty,
+      predicateRules = Seq("v_not_null" -> col("v").isNull),
+      uniqueRules = Seq("k_unique" -> Seq("k")),
+      refRules = Seq(("k_ref", "k", Seq((1L, "x")).toDF("k", "v"), "k")))
+      .collect()
+    assert(rep.length === 3)
+    assert(rep.forall(r => r.getLong(2) === 0L && r.getLong(3) === 1L))
+    intercept[IllegalArgumentException] { Profile.dqChecks(empty, Nil) }
+    intercept[IllegalArgumentException] {
+      Profile.dqChecks(empty,
+        Seq("dup" -> col("v").isNull, "dup" -> col("k").isNull))
+    }
+    // chi2: empty → no cells; a 1×1 table is perfectly dependent AND
+    // perfectly expected — dev = n·n − n·n = 0, χ² = 0
+    assert(Profile.chi2Independence(empty, "k", "v").count() === 0L)
+    val one = Profile.chi2Independence(
+      Seq(("x", "y"), ("x", "y")).toDF("a", "b"), "a", "b").collect().head
+    assert(one.getLong(2) === 2L && one.getLong(3) === 2000L &&
+      one.getLong(4) === 0L)
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

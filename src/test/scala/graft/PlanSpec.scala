@@ -275,6 +275,21 @@ class PlanSpec extends SparkSpec {
     assert(!o.contains("SinglePartition"), o.take(2000))
   }
 
+  test("dqChecks predicates share one pass; chi2 margins ride the cell table") {
+    // all predicate rules must fold into ONE scan+aggregate of orders —
+    // one FileScan of the orders parquet in the whole report plan would
+    // read the fact table once per rule otherwise (uniqueness and the
+    // anti-join legitimately re-scan: different keys)
+    val p = planString(graft.queries.DriftOps.qDqChecks(spark, sf))
+    val orderScans = "Location.*orders".r.findAllMatchIn(p).length
+    assert(orderScans <= 3, s"expected <=3 orders scans " +
+      s"(predicates+unique+ref), got $orderScans:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val c = planString(graft.queries.DriftOps.qChi2Indep(spark, sf))
+    assert(c.contains("BroadcastHashJoin"), c.take(2000)) // nation dim
+    assert(!c.contains("CartesianProduct"), c.take(2000))
+  }
+
   test("no round-6 query plans a cartesian product; corpus-scale paths avoid SinglePartition") {
     // plan each query ONCE, assert both conditions from the same string
     val plans = graft.queries.DriftOps.queries.map { case (name, fn) =>
