@@ -186,6 +186,37 @@ object Clusters {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** The unrolled-iteration CTE chain for [[pageRankWeighted]]'s DuckDB
+    * oracle: callers provide the graph as CTEs named `e(src, dst, w)` and
+    * get back `ow/ew/nodes/r0/r1..rN` continuing the chain — generated
+    * from the same constants as the engine loop, so oracle and engine
+    * agree on rounds, damping and integer semantics by construction. */
+  def pagerankOracleCtes(iterations: Int, dampingMilli: Int = 850): String = {
+    val base = 1000000L - dampingMilli * 1000L
+    val head =
+      """ow AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1),
+        |ew AS (
+        |  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w,
+        |    CAST(ow.ow AS BIGINT) AS ow
+        |  FROM e JOIN ow ON ow.src = e.src),
+        |nodes AS (
+        |  SELECT DISTINCT src AS node FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST($base + ($dampingMilli * coalesce(s.sc, 0)) // 1000
+         |      AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node,
+         |      sum((CAST(r.r AS HUGEINT) * ew.w) // ew.ow) AS sc
+         |    FROM ew JOIN r${i - 1} r ON r.node = ew.src GROUP BY 1) s
+         |  USING (node))""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
+
   /** Per-node triangle census over an undirected edge list: degree,
     * triangle count, and local clustering coefficient (permille) — the
     * graph-quality report over a near-dup pair graph. High clustering

@@ -43,6 +43,45 @@ object StatOps extends QueryFamily {
     Vocab.pmiPairs(Tables.documents(s, dir), "text", window = 2,
       minCount = 5L, topK = 100)
 
+  /** q_textrank — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * PageRank over the token-adjacency co-occurrence graph, top 50 by
+    * stationary rank. Builds the undirected graph from adjacent-token
+    * pairs (count ≥ 3 prune — the graph is VOCABULARY-bounded, not
+    * corpus-bounded, before any iteration), then runs the integer-exact
+    * [[graft.operators.Clusters.pageRankWeighted]] loop: the
+    * graph-centrality upgrade of raw-frequency keywords (a token ranks
+    * high when its NEIGHBOURS are central, not merely when it is
+    * frequent). One corpus explode + pair count; 10 rounds of joins on
+    * the bounded token graph. */
+  def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.tokens(col("text"))
+    val adj = when(size(ws) > 1,
+        transform(
+          arrays_zip(
+            slice(ws, lit(1), size(ws) - 1).as("x"),
+            slice(ws, lit(2), size(ws) - 1).as("y")),
+          p => struct(
+            least(p.getField("x"), p.getField("y")).as("lo"),
+            greatest(p.getField("x"), p.getField("y")).as("hi"))))
+      .otherwise(array().cast("array<struct<lo:string,hi:string>>"))
+    val pc = Tables.documents(s, dir)
+      .select(explode(adj).as("p"))
+      .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+      .localCheckpoint(eager = false) // read twice: both edge directions
+    val edges = pc.select(col("lo").as("src"), col("hi").as("dst"),
+        col("c").as("w"))
+      .unionAll(pc.select(col("hi").as("src"), col("lo").as("dst"),
+        col("c").as("w")))
+    graft.operators.Clusters.pageRankWeighted(edges, "src", "dst", "w",
+        iterations = 10)
+      .select(col("node").as("token"), col("rank_micro"))
+      .orderBy(desc("rank_micro"), col("token"))
+      .limit(50)
+  }
+
   /** q_classify_linear — hashed-feature (64-bucket FNV) linear scorer with
     * a broadcast weight table: the fastText-style model-based quality
     * filter's plan shape, integer-exact end to end. */
@@ -144,6 +183,7 @@ object StatOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
+    "q_textrank" -> (qTextrank _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_bigram" -> (qKnBigram _),
     "q_cooccur_pmi" -> (qCooccurPmi _),
@@ -155,7 +195,29 @@ object StatOps extends QueryFamily {
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_novelty" -> (qNovelty _))
 
+  /** TextRank oracle: the adjacency-graph head + the shared unrolled
+    * PageRank CTE chain (`Clusters.pagerankOracleCtes`). */
+  private def textrankOracleSql(iterations: Int): String = {
+    val head =
+      """WITH arr AS (
+        |  SELECT string_split(text, ' ') AS a FROM documents),
+        |adj AS (
+        |  SELECT least(a[i], a[i+1]) AS lo, greatest(a[i], a[i+1]) AS hi
+        |  FROM arr, unnest(range(1, len(a))) AS r(i)
+        |  WHERE len(a) >= 2),
+        |pc AS (
+        |  SELECT lo, hi, COUNT(*) AS c FROM adj
+        |  WHERE lo <> hi GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |e AS (
+        |  SELECT lo AS src, hi AS dst, c AS w FROM pc
+        |  UNION ALL SELECT hi, lo, c FROM pc)""".stripMargin
+    head + ",\n" + graft.operators.Clusters.pagerankOracleCtes(iterations) +
+      s"""\nSELECT node AS token, r AS rank_micro FROM r$iterations
+         |ORDER BY rank_micro DESC, token LIMIT 50""".stripMargin
+  }
+
   override val oracle: Map[String, String] = Map(
+    "q_textrank" -> textrankOracleSql(10),
     "q_corr" -> graft.operators.Profile.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     // KN: probabilities are doubles computed from exact integer counts in

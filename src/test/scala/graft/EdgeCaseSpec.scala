@@ -265,6 +265,23 @@ class EdgeCaseSpec extends SparkSpec {
       one.getLong(4) === 0L)
   }
 
+  test("textrank on a pair-less corpus yields an empty keyword list") {
+    // single-token documents produce no adjacency edges — the PageRank
+    // loop must run its rounds over an empty graph and return nothing,
+    // not divide by a zero out-weight or NPE on an empty nodes table
+    import graft.operators.Clusters
+    val single = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val pairs = single.select(explode(when(size(ws) > 1,
+        arrays_zip(slice(ws, lit(1), size(ws) - 1).as("x"),
+          slice(ws, lit(2), size(ws) - 1).as("y")))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+    assert(pairs.count() === 0L)
+    assert(Clusters.pageRankWeighted(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "w"),
+      "src", "dst", "w", iterations = 3).count() === 0L)
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

@@ -288,6 +288,11 @@ class PlanSpec extends SparkSpec {
     val c = planString(graft.queries.DriftOps.qChi2Indep(spark, sf))
     assert(c.contains("BroadcastHashJoin"), c.take(2000)) // nation dim
     assert(!c.contains("CartesianProduct"), c.take(2000))
+    // textrank: the final top-50 must be a TakeOrdered over the bounded
+    // node table, and the per-round joins keyed (no cartesian anywhere)
+    val t = planString(graft.queries.StatOps.qTextrank(spark, sf))
+    assert(t.contains("TakeOrderedAndProject"), t.take(2000))
+    assert(!t.contains("CartesianProduct"), t.take(2000))
   }
 
   test("no round-6 query plans a cartesian product; corpus-scale paths avoid SinglePartition") {
