@@ -41,6 +41,13 @@ case class SlotCount(key: String, slotMs: Long, n: Long)
 case class CusumAlert(key: String, slotMs: Long, n: Long, cusum: Long,
   drift: Boolean)
 
+/** S20 input: one metric observation per key (micro-unit value). */
+case class MetricPoint(key: String, tsMs: Long, valueMicro: Long)
+
+/** S20 output: the dyadic-EWMA level after each observation. */
+case class LevelUpdate(key: String, tsMs: Long, valueMicro: Long,
+  ewmaMicro: Long)
+
 /** S18 input: a user's funnel event. */
 case class FunnelEvent(userId: Long, stage: String, tsMs: Long)
 
@@ -242,6 +249,23 @@ object Streams {
       s"need expected >= 0, threshold > 0; got $expectedPerSlot, $threshold")
     counts.groupByKey(_.key)
       .transformWithState(new CusumProcessor(expectedPerSlot, threshold),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S20 — streaming dyadic-EWMA level tracker: the streaming twin of
+    * `graft.operators.Temporal.dyadicEwma`, in its natural recursive
+    * form — `e := floorDiv(e + v, 2)` per observation (α=½), one
+    * `ValueState[Long]` per key. Where the batch operator re-derives the
+    * level from the last `depth` points every run, streaming state IS
+    * the recursion, so each point costs O(1) and the level is available
+    * after every micro-batch — the live smoothed read of the reference's
+    * counter stream (metrics_reporter's per-tick values). floorDiv keeps
+    * negative levels exact and replay-deterministic; points inside a
+    * batch apply in (ts, value) order for the same reason. */
+  def levelTracker(points: Dataset[MetricPoint]): Dataset[LevelUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .transformWithState(new LevelProcessor(),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -562,6 +586,30 @@ class CusumProcessor(expected: Long, threshold: Long)
       val next = math.max(0L, prev + (c.n - expected))
       s.update(next)
       CusumAlert(key, c.slotMs, c.n, next, next > threshold)
+    }.iterator
+}
+
+/** S20's per-key level state (see `Streams.levelTracker`): the α=½ EWMA
+  * recursion `e := floorDiv(e + v, 2)`, seeded by the first observation.
+  * No TTL: the current level is live state (a deployment bounding key
+  * cardinality would add one, the S13 pattern). */
+class LevelProcessor
+  extends StatefulProcessor[String, MetricPoint, LevelUpdate] {
+
+  @transient private var level: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    level = getHandle.getValueState[Long]("level", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[MetricPoint],
+      timers: TimerValues): Iterator[LevelUpdate] =
+    rows.toSeq.sortBy(p => (p.tsMs, p.valueMicro)).map { p =>
+      val next =
+        if (!level.exists()) p.valueMicro
+        else Math.floorDiv(level.get() + p.valueMicro, 2L)
+      level.update(next)
+      LevelUpdate(key, p.tsMs, p.valueMicro, next)
     }.iterator
 }
 

@@ -325,6 +325,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S20 level tracker: dyadic EWMA persists across batches, floors negatives") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[graft.streaming.MetricPoint]
+      val q = Streams.levelTracker(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("s20")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s20").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s20").count() >= n, s"sink never reached $n rows")
+      }
+      import graft.streaming.MetricPoint
+      try {
+        // batch 1: seed with the first point, then halve toward the next
+        in.addData(MetricPoint("k", 1000L, 100L), MetricPoint("k", 2000L, 50L))
+        await(2)
+        // batch 2: continues from persisted 75 → (75+25)/2 = 50; the
+        // negative point floors: floorDiv(50 + (-101), 2) = -26, not -25
+        in.addData(MetricPoint("k", 3000L, 25L), MetricPoint("k", 4000L, -101L))
+        await(4)
+      } finally q.stop()
+      val got = spark.table("s20").select("tsMs", "ewmaMicro")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.map(_._2).toSeq === Seq(100L, 75L, 50L, -26L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S13 TTL dedup: repeats drop within the TTL, pass again after eviction") {
     // ProcessingTime time-mode keeps the query triggering (empty) batches
     // continuously, so processAllAvailable never settles — drive ONE
