@@ -112,6 +112,88 @@ object Temporal {
         expr("num div den").as("ewma_micro"))
   }
 
+  /** Last-touch marketing attribution: each conversion event is credited
+    * to the user's most recent touch event AT OR BEFORE it within
+    * `windowDays` (older or absent → 'direct'), then rolled up per
+    * channel with exact micro-unit conversion value. The union+window
+    * formulation (the q_join_asof shape): touches and conversions merge
+    * into ONE (user, time)-ordered stream, `last(touch, ignoreNulls)`
+    * carries the newest touch forward — one shuffle on the user key, one
+    * partition-local sort, NO per-conversion candidate join, so a
+    * million-touch power user costs a sort, not a quadratic probe.
+    * Tie order pinned: a touch at the conversion's exact timestamp sorts
+    * first (side 0 < 1) and is credited. Returns (channel,
+    * n_conversions, value_micro). */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, touchTypes: Seq[String],
+      conversionType: String, typeCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types must be non-empty and exclude '$conversionType'")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("t"),
+        lit(0).as("side"), col(idCol).as("id"),
+        col(typeCol).as("channel"), lit(0L).as("v"))
+    val convs = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("t"),
+        lit(1).as("side"), col(idCol).as("id"),
+        lit(null).cast("string").as("channel"),
+        expr(s"CAST(floor($valueCol * 1000000 + 0.5) AS BIGINT)").as("v"))
+    val w = Window.partitionBy("u").orderBy(col("t"), col("side"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastTouch = last(
+      when(col("side") === 0, struct(col("t").as("tt"), col("channel"))),
+      ignoreNulls = true).over(w)
+    touches.unionAll(convs)
+      .withColumn("lt", lastTouch)
+      .filter(col("side") === 1)
+      .withColumn("credited",
+        when(col("lt").isNotNull &&
+          col("t") - col("lt.tt") <= windowDays.toLong * 86400 * 1000000,
+          col("lt.channel")).otherwise(lit("direct")))
+      .groupBy(col("credited").as("channel"))
+      .agg(count(lit(1)).as("n_conversions"), sum("v").as("value_micro"))
+      .orderBy("channel")
+  }
+
+  /** Per-key burstiness of the event arrival process (Goh & Barabási
+    * 2008): B = (σ−μ)/(σ+μ) over inter-event gaps — B ≈ −1 for a
+    * metronome, 0 for Poisson, → 1 for heavy bursts. The bot/scraper
+    * tell: human traffic is bursty, scripted traffic is regular. Gaps
+    * via one lag over the (ts, id) order; moments Σx and Σx² kept in
+    * DECIMAL(38,0) (a month-long gap in µs squares past int64), so μ/σ
+    * derive from EXACT integers and the final B is one mirrored
+    * double expression, milli-floored. Keys need ≥ `minGaps` gaps.
+    * Returns (key, n_gaps, mean_gap_us, burst_milli). */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, minGaps: Int = 2): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2 (variance needs 2), got $minGaps")
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, idCol)
+    events
+      .withColumn("gap",
+        unix_micros(col(tsCol)) - unix_micros(lag(tsCol, 1).over(w)))
+      .filter(col("gap").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast("decimal(38,0)")).as("sx"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("sxx"))
+      .filter(col("n") >= minGaps)
+      // var = (n·Σx² − (Σx)²)/n² exactly, in DECIMAL(38,0) numerators
+      .withColumn("varnum",
+        expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .withColumn("mu", expr("CAST(sx AS DOUBLE) / n"))
+      .withColumn("sigma", expr("sqrt(CAST(varnum AS DOUBLE)) / n"))
+      .select(col(keyCol), col("n").as("n_gaps"),
+        expr("sx div n").cast("long").as("mean_gap_us"),
+        // σ+μ = 0 iff every gap is 0 (all events at one instant): B is
+        // undefined there — null, not a NaN-poisoned floor
+        when(col("sigma") + col("mu") > 0.0,
+          expr("CAST(floor(1000 * (sigma - mu) / (sigma + mu) + 0.5) AS BIGINT)"))
+          .as("burst_milli"))
+      .orderBy(keyCol)
+  }
+
   /** OHLC bars: per (group, day) the opening/closing/extreme values and
     * exact volume — the candlestick aggregation, with open/close selected
     * by a pinned total order (ts, then id) so ties cannot flip between

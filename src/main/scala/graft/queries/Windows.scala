@@ -213,7 +213,26 @@ object Windows extends QueryFamily {
     graft.operators.Temporal.ohlcBars(Tables.events(s, dir),
       "event_type", "ts", "event_id", "value")
 
+  /** q_attribution — last-touch marketing attribution: conversions
+    * credited to the newest view/click at-or-before them within 7 days
+    * (else 'direct'), rolled up per channel with exact conversion value.
+    * See [[graft.operators.Temporal.lastTouchAttribution]]. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.lastTouchAttribution(Tables.events(s, dir),
+      "user_id", "ts", "event_id", "value",
+      touchTypes = Seq("view", "click"), conversionType = "purchase",
+      typeCol = "event_type", windowDays = 7)
+
+  /** q_burstiness — per-user inter-event burstiness B = (σ−μ)/(σ+μ)
+    * (Goh & Barabási 2008): metronome −1, Poisson 0, bursts → 1 — the
+    * bot/scraper tell. See [[graft.operators.Temporal.burstiness]]. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.burstiness(Tables.events(s, dir),
+      "user_id", "ts", "event_id", minGaps = 2)
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
+    "q_burstiness" -> (qBurstiness _),
     "q_concurrency" -> (qConcurrency _),
     "q_ewma" -> (qEwma _),
     "q_ohlc" -> (qOhlc _),
@@ -257,6 +276,62 @@ object Windows extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    event_id AS id, event_type, value
+        |  FROM events),
+        |st AS (
+        |  SELECT u, t, 0 AS side, id, event_type AS channel,
+        |    CAST(0 AS BIGINT) AS v
+        |  FROM base WHERE event_type IN ('view', 'click')
+        |  UNION ALL
+        |  SELECT u, t, 1, id, NULL,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+        |  FROM base WHERE event_type = 'purchase'),
+        |marked AS (
+        |  SELECT u, t, side, v,
+        |    LAST_VALUE(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+        |      OVER w AS tt,
+        |    LAST_VALUE(CASE WHEN side = 0 THEN channel END IGNORE NULLS)
+        |      OVER w AS ch
+        |  FROM st
+        |  WINDOW w AS (PARTITION BY u ORDER BY t, side, id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CASE WHEN tt IS NOT NULL AND t - tt <= 604800000000
+        |    THEN ch ELSE 'direct' END AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(v) AS BIGINT) AS value_micro
+        |FROM marked WHERE side = 1
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) -
+        |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(gap AS HUGEINT)) AS sx,
+        |    SUM(CAST(gap AS HUGEINT) * gap) AS sxx
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING COUNT(*) >= 2),
+        |d0 AS (
+        |  SELECT user_id, n, sx,
+        |    CAST(n AS HUGEINT) * sxx - sx * sx AS varnum
+        |  FROM m),
+        |d AS (
+        |  SELECT user_id, n, sx,
+        |    CAST(sx AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(varnum AS DOUBLE)) / n AS sigma
+        |  FROM d0)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(sx // n AS BIGINT) AS mean_gap_us,
+        |  CASE WHEN sigma + mu > 0.0
+        |    THEN CAST(floor(1000 * (sigma - mu) / (sigma + mu) + 0.5)
+        |      AS BIGINT)
+        |    ELSE NULL END AS burst_milli
+        |FROM d ORDER BY user_id""".stripMargin,
     "q_ewma" -> ewmaOracleSql(16),
     "q_concurrency" ->
       """WITH numbered AS (

@@ -282,6 +282,48 @@ class EdgeCaseSpec extends SparkSpec {
       "src", "dst", "w", iterations = 3).count() === 0L)
   }
 
+  test("attribution and burstiness: direct fallback, metronome, degenerate users") {
+    import graft.operators.Temporal
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click then purchase 1h later → credited to click
+      (1L, 1L, ts("2024-01-05 10:00:00"), 0.0, "click"),
+      (2L, 1L, ts("2024-01-05 11:00:00"), 3.0, "purchase"),
+      // u2: touch 8 days BEFORE purchase → outside the 7-day window
+      (3L, 2L, ts("2024-01-01 10:00:00"), 0.0, "view"),
+      (4L, 2L, ts("2024-01-09 11:00:00"), 5.0, "purchase"),
+      // u3: no touch at all → direct; the later view must not be credited
+      (5L, 3L, ts("2024-01-05 10:00:00"), 7.0, "purchase"),
+      (6L, 3L, ts("2024-01-05 11:00:00"), 0.0, "view"))
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+    val att = Temporal.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+        "value", Seq("view", "click"), "purchase", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(att === Seq(("click", 1L, 3000000L), ("direct", 2L, 12000000L)))
+    intercept[IllegalArgumentException] {
+      Temporal.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+        "value", Seq("purchase"), "purchase", "event_type")
+    }
+    // burstiness: a metronome (equal gaps) is exactly −1000 milli; a user
+    // whose events all share one instant has σ+μ = 0 → null, not NaN; a
+    // single-gap user is filtered (variance needs 2)
+    val b = Temporal.burstiness(Seq(
+      (1L, 1L, ts("2024-01-05 10:00:00"), 0.0, "x"),
+      (2L, 1L, ts("2024-01-05 10:10:00"), 0.0, "x"),
+      (3L, 1L, ts("2024-01-05 10:20:00"), 0.0, "x"),
+      (4L, 2L, ts("2024-01-05 10:00:00"), 0.0, "x"),
+      (5L, 2L, ts("2024-01-05 10:00:00"), 0.0, "x"),
+      (6L, 2L, ts("2024-01-05 10:00:00"), 0.0, "x"),
+      (7L, 3L, ts("2024-01-05 10:00:00"), 0.0, "x"),
+      (8L, 3L, ts("2024-01-05 10:10:00"), 0.0, "x"))
+      .toDF("event_id", "user_id", "ts", "value", "event_type"),
+      "user_id", "ts", "event_id").collect()
+    assert(b.length === 2) // u3's single gap filtered
+    val byUser = b.map(r => r.getLong(0) -> r).toMap
+    assert(byUser(1L).getLong(3) === -1000L)
+    assert(byUser(2L).isNullAt(3))
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

@@ -273,6 +273,14 @@ class PlanSpec extends SparkSpec {
     val o = planString(graft.queries.Windows.qOhlc(spark, sf))
     assert(o.contains("hashpartitioning(event_type"), o.take(2000))
     assert(!o.contains("SinglePartition"), o.take(2000))
+    // attribution is the union+window as-of shape: one user shuffle, no
+    // per-conversion candidate join; burstiness likewise single-keyed
+    val at = planString(graft.queries.Windows.qAttribution(spark, sf))
+    assert(at.contains("hashpartitioning(u"), at.take(2000))
+    assert(!at.contains("Join"), at.take(2000))
+    val bu = planString(graft.queries.Windows.qBurstiness(spark, sf))
+    assert(bu.contains("hashpartitioning(user_id"), bu.take(2000))
+    assert(!bu.contains("Join"), bu.take(2000))
   }
 
   test("dqChecks predicates share one pass; chi2 margins ride the cell table") {
@@ -480,5 +488,19 @@ class PlanSpec extends SparkSpec {
     val read = planString(graft.queries.CurateOps.qReadability(spark, sf))
     assert(!read.contains("hashpartitioning"), read.take(2000))
     assert(!read.contains("Join"), read.take(2000))
+    // third batch: rfm's quintile attach must be broadcast one-row sides
+    // (no ntile corpus sort — the whole point of the bounds formulation),
+    // basket pairs must keep its joins keyed, path mining TakeOrdered
+    val rfm = planString(graft.queries.Aggregations.qRfm(spark, sf))
+    // no Window operator at all: quintiles come from the broadcast
+    // percentile AGGREGATE, never an ntile window over a global sort
+    assert(!rfm.contains("Window"), rfm.take(2000))
+    assert(rfm.contains("BroadcastNestedLoopJoin") ||
+      rfm.contains("BroadcastExchange"), rfm.take(2000))
+    val bask = planString(graft.queries.Joins.qBasketPairs(spark, sf))
+    assert(!bask.contains("CartesianProduct"), bask.take(2000))
+    val path = planString(graft.queries.CorpusOps.qPath3gram(spark, sf))
+    assert(path.contains("TakeOrderedAndProject"), path.take(2000))
+    assert(!path.contains("CartesianProduct"), path.take(2000))
   }
 }
