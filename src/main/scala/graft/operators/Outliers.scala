@@ -72,4 +72,49 @@ object Outliers {
       .filter(abs(col("z")) > zMax)
       .drop("_vq", "_rn", "_sum_q", "_sumsq_q", "_var")
   }
+
+  /** Winsorized per-group statistics: exact rank-based pLow/pHigh bounds
+    * (type-1 quantiles — the value at position ⌈p·n⌉ of the (value, id)
+    * total order, so ties cannot flip between engines), values clipped
+    * into [low, high], and the exact clipped sum/mean — the
+    * outlier-robust aggregate a report uses when one fat-finger order
+    * would otherwise move the mean. Everything integer: `valueCents`
+    * must be an exact integer column expression.
+    *
+    * Scale shape: one shuffle on the group key computes the rank window
+    * AND (after the bounds join) the clipped aggregate; bounds are a
+    * group-cardinality table attached by broadcast. percentile bounds by
+    * RANK, not `percentile()` — interpolated percentiles are doubles and
+    * engine-ordering-sensitive; position selection is exact. */
+  def winsorizedStats(df: DataFrame, groupCol: String, idCol: String,
+      valueCents: org.apache.spark.sql.Column,
+      pLowPct: Int = 5, pHighPct: Int = 95): DataFrame = {
+    require(pLowPct >= 0 && pHighPct <= 100 && pLowPct < pHighPct,
+      s"need 0 <= pLow < pHigh <= 100, got $pLowPct/$pHighPct")
+    val w = Window.partitionBy(groupCol).orderBy(col("cents"), col(idCol))
+    val ranked = df
+      .select(col(groupCol), col(idCol), valueCents.as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .localCheckpoint(eager = false) // feeds bounds + the clipped agg
+    val bounds = ranked
+      .withColumn("lo_pos",
+        greatest(lit(1L), expr(s"CAST(ceil($pLowPct * n / 100.0) AS BIGINT)")))
+      .withColumn("hi_pos",
+        greatest(lit(1L), expr(s"CAST(ceil($pHighPct * n / 100.0) AS BIGINT)")))
+      .groupBy(groupCol)
+      .agg(max(when(col("rn") === col("lo_pos"), col("cents"))).as("low_cents"),
+        max(when(col("rn") === col("hi_pos"), col("cents"))).as("high_cents"))
+    ranked.join(broadcast(bounds), groupCol)
+      .withColumn("clipped",
+        least(greatest(col("cents"), col("low_cents")), col("high_cents")))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        max("low_cents").as("low_cents"),
+        max("high_cents").as("high_cents"),
+        sum(when(col("clipped") =!= col("cents"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        sum("clipped").as("winsor_sum_cents"))
+      .withColumn("winsor_mean_cents", expr("winsor_sum_cents div n"))
+  }
 }

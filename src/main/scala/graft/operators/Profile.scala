@@ -123,6 +123,39 @@ object Profile {
     safe.unionByName(suppressed)
   }
 
+  /** l-diversity release (Machanavajjhala et al. 2007) — the k-anonymity
+    * upgrade: a quasi-identifier group is released only if it BOTH has
+    * ≥ k members AND ≥ l distinct sensitive values (a k-anonymous group
+    * whose members all share one sensitive value still leaks it —
+    * the homogeneity attack k alone cannot stop). Suppressed groups
+    * collapse into one '*' row like [[kAnonCounts]]; the released
+    * `l_div` is each group's distinct-sensitive count, null on the
+    * suppressed aggregate (mixing suppressed groups' diversities would
+    * fabricate a meaningless number). Same shape as kAnonCounts plus one
+    * distinct aggregate: a two-key count with map-side partials and a
+    * split of the small group table. */
+  def lDiversityCounts(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1,
+      "need quasi columns, k >= 1 and l >= 1")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot be a quasi identifier")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+      .localCheckpoint(eager = false) // split into safe + suppressed
+    val safe = counts.filter(col("n") >= k && col("l_div") >= l)
+      .select(quasiCols.map(c => col(c).cast("string").as(c)) ++
+        Seq(col("n"), col("l_div"), lit(1L).as("n_groups")): _*)
+    val suppressed = counts.filter(col("n") < k || col("l_div") < l)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_groups"))
+      .filter(col("n").isNotNull)
+      .select(quasiCols.map(c => lit("*").as(c)) ++
+        Seq(col("n"), lit(null).cast("long").as("l_div"),
+          col("n_groups")): _*)
+    safe.unionByName(suppressed)
+  }
+
   /** Key-skew diagnostics: the top-`topN` hottest values of `keyCol` with
     * their counts, per-mille share, and a hot flag (key count > 10× the
     * mean key count). This is the measurement that DECIDES the engine's

@@ -26,4 +26,37 @@ object Retention {
         (col(periodCol) - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(userCol).as("n_users"))
   }
+
+  /** Cohort lifetime value — the revenue twin of [[cohortMatrix]]:
+    * customers cohorted by first-purchase month, then per (cohort,
+    * month-offset) cell the active customers, exact-cent revenue, and
+    * the running cumulative revenue — the LTV triangle finance reads
+    * off the diagonal. Month arithmetic is pure integers
+    * (y·12+m), immune to calendar-interval edge cases. One aggregate on
+    * the customer key (broadcast cohort table), one keyed join, one
+    * two-key aggregate; the cumulative window runs on the
+    * cohorts × offsets frame only (months², bounded). `amountCents`
+    * must be an exact integer column expression. */
+  def cohortLtv(orders: DataFrame, custCol: String, dateCol: String,
+      amountCents: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val om = orders.select(col(custCol).as("cust"),
+      (year(col(dateCol)) * 12 + month(col(dateCol)) - 1).as("m"),
+      amountCents.as("cents"))
+    val cohort = om.groupBy("cust").agg(min("m").as("cm"))
+    val cells = om.join(broadcast(cohort), "cust")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("month_offset"))
+      .agg(countDistinct("cust").as("n_active"),
+        sum("cents").as("revenue_cents"))
+    val w = Window.partitionBy("cm").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+      .select(concat(lpad(expr("cm div 12").cast("string"), 4, "0"), lit("-"),
+          lpad((pmod(col("cm"), lit(12)) + 1).cast("string"), 2, "0"))
+          .as("cohort_month"),
+        col("month_offset").cast("long").as("month_offset"),
+        col("n_active"), col("revenue_cents"), col("cum_revenue_cents"))
+      .orderBy("cohort_month", "month_offset")
+  }
 }

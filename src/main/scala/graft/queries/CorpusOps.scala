@@ -251,6 +251,27 @@ object CorpusOps extends QueryFamily {
         "user_id", "week")
       .orderBy("cohort_week", "week_offset")
 
+  /** q_cohort_ltv — the revenue LTV triangle: customers cohorted by
+    * first-purchase month, per (cohort, offset) the active customers,
+    * exact-cent revenue and running cumulative — q_retention's revenue
+    * twin. See [[graft.operators.Retention.cohortLtv]]. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohortLtv(Tables.orders(s, dir),
+      "o_custkey", "o_orderdate",
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+
+  /** q_winsorize — winsorized per-returnflag price stats: exact
+    * rank-based p5/p95 bounds, clipped values, robust mean — the
+    * one-fat-finger-proof aggregate beside q_outliers' row-level flags.
+    * See [[graft.operators.Outliers.winsorizedStats]]. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.winsorizedStats(
+        Tables.lineitem(s, dir)
+          .withColumn("li_id", expr("l_orderkey * 10 + l_linenumber")),
+        "l_returnflag", "li_id",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .orderBy("l_returnflag")
+
   /** q_transitions — event-type transition matrix: per user, each event's
     * predecessor type via one lag window, then (prev, next) counts and the
     * per-prev transition probability. One user-keyed window + one two-key
@@ -378,6 +399,8 @@ object CorpusOps extends QueryFamily {
     "q_scd2" -> (qScd2 _),
     "q_sample_hash" -> (qSampleHash _),
     "q_retention" -> (qRetention _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_winsorize" -> (qWinsorize _),
     "q_transitions" -> (qTransitions _),
     "q_path_3gram" -> (qPath3gram _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
@@ -679,6 +702,68 @@ object CorpusOps extends QueryFamily {
         |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |  UNION ALL SELECT * FROM upd)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH om AS (
+        |  SELECT o_custkey AS cust,
+        |    year(CAST(o_orderdate AS DATE)) * 12 +
+        |      month(CAST(o_orderdate AS DATE)) - 1 AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ch AS (SELECT cust, MIN(m) AS cm FROM om GROUP BY 1),
+        |cells AS (
+        |  SELECT cm, m - cm AS month_offset,
+        |    COUNT(DISTINCT om.cust) AS n_active,
+        |    SUM(cents) AS revenue_cents
+        |  FROM om JOIN ch ON ch.cust = om.cust GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cm, month_offset, n_active, revenue_cents,
+        |    SUM(revenue_cents) OVER (PARTITION BY cm ORDER BY month_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_revenue_cents
+        |  FROM cells)
+        |SELECT lpad(CAST(cm // 12 AS VARCHAR), 4, '0') || '-' ||
+        |    lpad(CAST(cm % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+        |  CAST(month_offset AS BIGINT) AS month_offset,
+        |  CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(revenue_cents AS BIGINT) AS revenue_cents,
+        |  CAST(cum_revenue_cents AS BIGINT) AS cum_revenue_cents
+        |FROM cum ORDER BY cohort_month, month_offset""".stripMargin,
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT g, id, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY cents, id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY g) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT g,
+        |    MAX(CASE WHEN rn = GREATEST(1,
+        |      CAST(ceil(5 * n / 100.0) AS BIGINT)) THEN cents END)
+        |      AS low_cents,
+        |    MAX(CASE WHEN rn = GREATEST(1,
+        |      CAST(ceil(95 * n / 100.0) AS BIGINT)) THEN cents END)
+        |      AS high_cents
+        |  FROM r GROUP BY g),
+        |c AS (
+        |  SELECT r.g, cents,
+        |    LEAST(GREATEST(cents, low_cents), high_cents) AS clipped
+        |  FROM r JOIN b ON b.g = r.g),
+        |f AS (
+        |  SELECT c.g, COUNT(*) AS n, MAX(b.low_cents) AS low_cents,
+        |    MAX(b.high_cents) AS high_cents,
+        |    SUM(CASE WHEN clipped <> cents THEN 1 ELSE 0 END) AS n_clipped,
+        |    SUM(clipped) AS winsor_sum_cents
+        |  FROM c JOIN b ON b.g = c.g GROUP BY c.g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(low_cents AS BIGINT) AS low_cents,
+        |  CAST(high_cents AS BIGINT) AS high_cents,
+        |  CAST(n_clipped AS BIGINT) AS n_clipped,
+        |  CAST(winsor_sum_cents AS BIGINT) AS winsor_sum_cents,
+        |  CAST(winsor_sum_cents // n AS BIGINT) AS winsor_mean_cents
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "q_scd2" ->
       """SELECT event_id, user_id,
         |  epoch_us(ts) AS valid_from,

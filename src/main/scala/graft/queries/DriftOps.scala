@@ -280,6 +280,18 @@ object DriftOps extends QueryFamily {
         Tables.documents(s, dir), Seq("lang", "source"), k = 5L)
       .orderBy("lang", "source")
 
+  /** q_ldiv — l-diversity release over (lang, size-bucket) quasi groups
+    * with `source` as the sensitive attribute (k=5, l=2): k-anonymity's
+    * homogeneity-attack fix — a big-enough group whose members all come
+    * from ONE source still reveals it. The governance sibling of q_kanon;
+    * see [[graft.operators.Profile.lDiversityCounts]]. */
+  def qLdiv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.lDiversityCounts(
+        Tables.documents(s, dir)
+          .withColumn("size_kb", expr("n_chars div 1000")),
+        Seq("lang", "size_kb"), "source", k = 5L, l = 2L)
+      .orderBy("lang", "size_kb")
+
   /** q_dedup_priority — exact dedup with a source-priority keep rule:
     * among content duplicates the copy from the earliest source in the
     * priority list wins (unlisted sources last, id tiebreak) — "keep the
@@ -444,6 +456,7 @@ object DriftOps extends QueryFamily {
     "q_ks_test" -> (qKsTest _),
     "q_psi" -> (qPsi _),
     "q_kanon" -> (qKanon _),
+    "q_ldiv" -> (qLdiv _),
     "q_dedup_priority" -> (qDedupPriority _),
     "q_frame_dedup" -> (qFrameDedup _),
     "q_profile_drift" -> (qProfileDrift _),
@@ -499,6 +512,28 @@ object DriftOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
+    "q_ldiv" ->
+      """WITH base AS (
+        |  SELECT lang, n_chars // 1000 AS size_kb, source FROM documents),
+        |counts AS (
+        |  SELECT lang, size_kb, COUNT(*) AS n,
+        |    COUNT(DISTINCT source) AS l_div
+        |  FROM base GROUP BY 1, 2),
+        |safe AS (
+        |  SELECT CAST(lang AS VARCHAR) AS lang,
+        |    CAST(size_kb AS VARCHAR) AS size_kb,
+        |    n, l_div, 1 AS n_groups
+        |  FROM counts WHERE n >= 5 AND l_div >= 2),
+        |sup AS (
+        |  SELECT '*' AS lang, '*' AS size_kb, SUM(n) AS n,
+        |    CAST(NULL AS BIGINT) AS l_div, COUNT(*) AS n_groups
+        |  FROM counts WHERE n < 5 OR l_div < 2
+        |  HAVING SUM(n) IS NOT NULL)
+        |SELECT lang, size_kb, CAST(n AS BIGINT) AS n,
+        |  CAST(l_div AS BIGINT) AS l_div,
+        |  CAST(n_groups AS BIGINT) AS n_groups
+        |FROM (SELECT * FROM safe UNION ALL SELECT * FROM sup)
+        |ORDER BY lang, size_kb""".stripMargin,
     "q_dq_checks" ->
       """WITH base AS (
         |  SELECT COUNT(*) AS n_rows,

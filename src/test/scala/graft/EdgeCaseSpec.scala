@@ -324,6 +324,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(byUser(2L).isNullAt(3))
   }
 
+  test("l-diversity suppresses homogeneous groups; LTV and winsorize handle tiny inputs") {
+    import graft.operators.{Outliers, Profile, Retention}
+    // six rows, one quasi group, ONE source: k=5 passes but l=2 must
+    // suppress — the homogeneity attack k-anonymity alone misses
+    val homog = Seq.tabulate(6)(i => (s"d$i", "en", "crawl"))
+      .toDF("doc_id", "lang", "source")
+    val ld = Profile.lDiversityCounts(homog, Seq("lang"), "source", 5L, 2L)
+      .collect()
+    assert(ld.length === 1 && ld.head.getString(0) === "*" &&
+      ld.head.getLong(1) === 6L && ld.head.isNullAt(2))
+    assert(Profile.kAnonCounts(homog, Seq("lang"), 5L)
+      .collect().head.getString(0) === "en") // k alone would release it
+    intercept[IllegalArgumentException] {
+      Profile.lDiversityCounts(homog, Seq("source"), "source", 5L, 2L)
+    }
+    // LTV: one customer, one order → one (cohort, 0) cell, cum = revenue
+    val oneOrder = Seq((7L, java.sql.Timestamp.valueOf("2024-03-05 00:00:00"),
+      12.34)).toDF("cust", "odate", "price")
+    val ltv = Retention.cohortLtv(oneOrder, "cust", "odate",
+      expr("CAST(round(price * 100) AS BIGINT)")).collect()
+    assert(ltv.length === 1 && ltv.head.getString(0) === "2024-03" &&
+      ltv.head.getLong(1) === 0L && ltv.head.getLong(4) === 1234L)
+    assert(Retention.cohortLtv(oneOrder.limit(0), "cust", "odate",
+      expr("CAST(round(price * 100) AS BIGINT)")).count() === 0L)
+    // winsorize: a single-row group clips nothing (low = high = value)
+    val w = Outliers.winsorizedStats(
+      Seq(("A", 1L, 500L)).toDF("g", "id", "cents"), "g", "id",
+      col("cents")).collect().head
+    assert(w.getLong(2) === 500L && w.getLong(3) === 500L &&
+      w.getLong(4) === 0L && w.getLong(6) === 500L)
+    intercept[IllegalArgumentException] {
+      Outliers.winsorizedStats(homog, "lang", "doc_id", lit(1L), 95, 5)
+    }
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

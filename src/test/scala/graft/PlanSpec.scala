@@ -281,6 +281,15 @@ class PlanSpec extends SparkSpec {
     val bu = planString(graft.queries.Windows.qBurstiness(spark, sf))
     assert(bu.contains("hashpartitioning(user_id"), bu.take(2000))
     assert(!bu.contains("Join"), bu.take(2000))
+    // cohort LTV: the cohort attach is a broadcast join on the customer
+    // key; the cumulative window partitions by cohort (bounded frame)
+    val ltv = planString(graft.queries.CorpusOps.qCohortLtv(spark, sf))
+    assert(ltv.contains("BroadcastHashJoin"), ltv.take(2000))
+    assert(ltv.contains("hashpartitioning(cm"), ltv.take(2000))
+    // winsorize: bounds attach by broadcast; no cartesian
+    val win = planString(graft.queries.CorpusOps.qWinsorize(spark, sf))
+    assert(win.contains("BroadcastHashJoin"), win.take(2000))
+    assert(!win.contains("CartesianProduct"), win.take(2000))
   }
 
   test("dqChecks predicates share one pass; chi2 margins ride the cell table") {
