@@ -237,6 +237,84 @@ object Profile {
     m.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Per-group simple linear regression (OLS y on x) from one pass of
+    * EXACT integer moments — the prescriptive step past [[corrMatrix]]'s
+    * "are they related": slope/intercept in micro-units plus r² in milli.
+    * `xInt`/`yInt` must be exact integer column expressions (cents,
+    * counts); moments accumulate in DECIMAL(38,0) (order-immune), the
+    * closed forms
+    * `slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx)/n`,
+    * `r² = cov²/(vx·vy)`
+    * compute in doubles from identical exact operands, floored to fixed
+    * units. Degenerate groups (constant x) → null slope. One map-side-
+    * partial aggregate; output is group-cardinality. */
+  def olsByGroup(df: DataFrame, groupCol: String,
+      xInt: Column, yInt: Column): DataFrame = {
+    df.select(col(groupCol), xInt.cast("decimal(18,0)").as("x"),
+        yInt.cast("decimal(18,0)").as("y"))
+      .na.drop()
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("cov", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("vx", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("vy", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+      .withColumn("slope", when(col("vx") > 0, col("cov") / col("vx")))
+      .select(col(groupCol), col("n"),
+        when(col("vx") > 0,
+          expr("CAST(floor(1000000 * slope + 0.5) AS BIGINT)"))
+          .as("slope_micro"),
+        when(col("vx") > 0, expr(
+          "CAST(floor(1000000 * (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n + 0.5) AS BIGINT)"))
+          .as("intercept_micro"),
+        when(col("vx") > 0 && col("vy") > 0, expr(
+          "CAST(floor(1000 * cov * cov / (vx * vy) + 0.5) AS BIGINT)"))
+          .as("r2_milli"))
+  }
+
+  /** Lag-1 autocorrelation of a per-group numeric SERIES (slot-indexed):
+    * `r₁ = Σₜ(n·xₜ−T)(n·xₜ₊₁−T) / Σₜ(n·xₜ−T)²` with every deviation a
+    * mean-free integer cross-product (the q_cusum discipline — no float
+    * mean subtraction anywhere), one final mirrored double division,
+    * milli-floored. r₁ ≈ 1 = trending/level-shifted series, ≈ 0 =
+    * memoryless, < 0 = alternating — the "does yesterday predict today"
+    * number beside CUSUM's level alarms. Consecutiveness is by SLOT
+    * VALUE (lead(1) over the slot order must be slot+1), so gaps in a
+    * sparse series break pairs instead of fabricating adjacency.
+    * Constant series (zero variance) → null. The series table is
+    * slot-cardinality: windows partition by group, everything bounded. */
+  def lag1Autocorr(series: DataFrame, grpCol: String, slotCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(grpCol).orderBy(slotCol)
+    val dec = "CAST(n AS DECIMAL(38,0))"
+    series
+      .select(col(grpCol).as("grp"), col(slotCol).cast("long").as("slot"),
+        col(valCol).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .withColumn("t", sum("x").over(Window.partitionBy("grp")))
+      .withColumn("x1", lead("x", 1).over(w))
+      .withColumn("s1", lead("slot", 1).over(w))
+      .groupBy(col("grp"))
+      .agg(max("n").as("n"),
+        sum(expr(s"($dec * x - t) * ($dec * x - t)")).as("den"),
+        sum(when(col("s1") === col("slot") + 1,
+          expr(s"($dec * x - t) * ($dec * x1 - t)"))).as("num"),
+        sum(when(col("s1") === col("slot") + 1, 1L).otherwise(0L))
+          .as("n_pairs"))
+      .select(col("grp"), col("n"), col("n_pairs"),
+        when(col("den") > 0 && col("num").isNotNull, expr(
+          "CAST(floor(1000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 0.5) AS BIGINT)"))
+          .as("ac1_milli"))
+  }
+
   /** Population Stability Index per group — the industry-standard drift
     * score: each group's value distribution vs the WHOLE population's,
     * over exact power-of-two buckets (the q_length_buckets bit-arithmetic

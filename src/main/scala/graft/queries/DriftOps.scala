@@ -373,6 +373,29 @@ object DriftOps extends QueryFamily {
       .orderBy("event_type", "day")
   }
 
+  /** q_autocorr — lag-1 autocorrelation of the zero-filled daily count
+    * series per event type: "does yesterday predict today" — r₁ ≈ 1 =
+    * trend/level shift, ≈ 0 memoryless, < 0 alternating; the
+    * serial-dependence read beside q_cusum's level alarms and
+    * q_seasonality's cycles. See
+    * [[graft.operators.Profile.lag1Autocorr]]. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("grp", "day").agg(count(lit(1)).as("n_ev"))
+    val grid = ev.select("grp").distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+        .as("day")))
+    val full = grid.join(daily, Seq("grp", "day"), "left")
+      .na.fill(0L, Seq("n_ev"))
+      .withColumn("slot", datediff(col("day"), lit("2024-01-01")).cast("long"))
+    graft.operators.Profile.lag1Autocorr(full, "grp", "slot", "n_ev")
+      .select(col("grp").as("event_type"), col("n"), col("n_pairs"),
+        col("ac1_milli"))
+      .orderBy("event_type")
+  }
+
   /** q_seasonality — day-of-week profile per event type with a chi-square
     * test against the CALENDAR-CORRECTED uniform (the 30-day window holds
     * 5 Mondays/Tuesdays but 4 of every other day — naive uniform expected
@@ -451,6 +474,7 @@ object DriftOps extends QueryFamily {
     "q_dq_checks" -> (qDqChecks _),
     "q_chi2_indep" -> (qChi2Indep _),
     "q_seasonality" -> (qSeasonality _),
+    "q_autocorr" -> (qAutocorr _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
@@ -512,6 +536,42 @@ object DriftOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
+    "q_autocorr" ->
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS day
+        |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |    INTERVAL 1 DAY) t(d)),
+        |daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day, COUNT(*) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, days.day, COALESCE(daily.n_ev, 0) AS x,
+        |    datediff('day', DATE '2024-01-01', days.day) AS slot
+        |  FROM (SELECT DISTINCT event_type AS grp FROM events) g
+        |  CROSS JOIN days
+        |  LEFT JOIN daily ON daily.grp = g.grp AND daily.day = days.day),
+        |w AS (
+        |  SELECT grp, slot, x,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n,
+        |    SUM(x) OVER (PARTITION BY grp) AS t,
+        |    LEAD(x, 1) OVER (PARTITION BY grp ORDER BY slot) AS x1,
+        |    LEAD(slot, 1) OVER (PARTITION BY grp ORDER BY slot) AS s1
+        |  FROM grid),
+        |m AS (
+        |  SELECT grp, MAX(n) AS n,
+        |    SUM((CAST(n AS HUGEINT) * x - t) * (CAST(n AS HUGEINT) * x - t))
+        |      AS den,
+        |    SUM(CASE WHEN s1 = slot + 1 THEN
+        |      (CAST(n AS HUGEINT) * x - t) * (CAST(n AS HUGEINT) * x1 - t)
+        |      END) AS num,
+        |    SUM(CASE WHEN s1 = slot + 1 THEN 1 ELSE 0 END) AS n_pairs
+        |  FROM w GROUP BY grp)
+        |SELECT grp AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN den > 0 AND num IS NOT NULL
+        |    THEN CAST(floor(1000 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |      + 0.5) AS BIGINT) END AS ac1_milli
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_ldiv" ->
       """WITH base AS (
         |  SELECT lang, n_chars // 1000 AS size_kb, source FROM documents),

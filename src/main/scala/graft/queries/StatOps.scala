@@ -43,6 +43,17 @@ object StatOps extends QueryFamily {
     Vocab.pmiPairs(Tables.documents(s, dir), "text", window = 2,
       minCount = 5L, topK = 100)
 
+  /** q_ols — per-returnflag OLS regression of price-cents on quantity
+    * (slope ≈ unit price, intercept, r²): the prescriptive step past
+    * q_corr's "are they related" — one pass of exact DECIMAL(38,0)
+    * moments, closed forms in mirrored doubles, fixed-unit floors.
+    * See [[graft.operators.Profile.olsByGroup]]. */
+  def qOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.olsByGroup(Tables.lineitem(s, dir),
+        "l_returnflag", expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .orderBy("l_returnflag")
+
   /** q_textrank — TextRank keyword extraction (Mihalcea & Tarau 2004):
     * PageRank over the token-adjacency co-occurrence graph, top 50 by
     * stationary rank. Builds the undirected graph from adjacent-token
@@ -183,6 +194,7 @@ object StatOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
+    "q_ols" -> (qOls _),
     "q_textrank" -> (qTextrank _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_kn_bigram" -> (qKnBigram _),
@@ -217,6 +229,40 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_ols" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM v GROUP BY g),
+        |d AS (
+        |  SELECT g, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m),
+        |e AS (
+        |  SELECT g, n, cov, vx, vy, sxd, syd,
+        |    CASE WHEN vx > 0 THEN cov / vx END AS slope
+        |  FROM d)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN vx > 0
+        |    THEN CAST(floor(1000000 * slope + 0.5) AS BIGINT) END
+        |    AS slope_micro,
+        |  CASE WHEN vx > 0
+        |    THEN CAST(floor(1000000 * (syd - slope * sxd) / n + 0.5)
+        |      AS BIGINT) END AS intercept_micro,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |    THEN CAST(floor(1000 * cov * cov / (vx * vy) + 0.5) AS BIGINT)
+        |    END AS r2_milli
+        |FROM e ORDER BY l_returnflag""".stripMargin,
     "q_textrank" -> textrankOracleSql(10),
     "q_corr" -> graft.operators.Profile.corrOracleSql("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),

@@ -359,6 +359,33 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("OLS and autocorrelation null out on degenerate variance, not NaN") {
+    import graft.operators.Profile
+    // constant x: vx = 0 → slope/intercept/r2 all null (vertical fit)
+    val constX = Seq(("A", 5L, 10L), ("A", 5L, 20L), ("A", 5L, 30L))
+      .toDF("g", "x", "y")
+    val o = Profile.olsByGroup(constX, "g", col("x"), col("y"))
+      .collect().head
+    assert(o.getLong(1) === 3L && o.isNullAt(2) && o.isNullAt(3) &&
+      o.isNullAt(4))
+    // perfect line y = 2x + 1: slope 2e6, intercept 1e6, r2 = 1000
+    val line = Seq(("B", 1L, 3L), ("B", 2L, 5L), ("B", 3L, 7L))
+      .toDF("g", "x", "y")
+    val l = Profile.olsByGroup(line, "g", col("x"), col("y")).collect().head
+    assert(l.getLong(2) === 2000000L && l.getLong(3) === 1000000L &&
+      l.getLong(4) === 1000L)
+    // constant series: den = 0 → null ac1; a slot GAP breaks the pair
+    // (3 slots 0,1,3 → only one adjacent pair) instead of faking adjacency
+    val flat = Seq(("k", 0L, 7L), ("k", 1L, 7L), ("k", 2L, 7L))
+      .toDF("grp", "slot", "v")
+    assert(Profile.lag1Autocorr(flat, "grp", "slot", "v")
+      .collect().head.isNullAt(3))
+    val gappy = Seq(("k", 0L, 1L), ("k", 1L, 9L), ("k", 3L, 1L))
+      .toDF("grp", "slot", "v")
+    assert(Profile.lag1Autocorr(gappy, "grp", "slot", "v")
+      .collect().head.getLong(2) === 1L)
+  }
+
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
     // The ADC tables are driver-built per query; an unbounded queries
     // DataFrame must be rejected BEFORE any collect, not OOM the driver.

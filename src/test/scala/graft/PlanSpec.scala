@@ -290,6 +290,12 @@ class PlanSpec extends SparkSpec {
     val win = planString(graft.queries.CorpusOps.qWinsorize(spark, sf))
     assert(win.contains("BroadcastHashJoin"), win.take(2000))
     assert(!win.contains("CartesianProduct"), win.take(2000))
+    // ols: ONE corpus aggregate (all six moments partial-aggregated),
+    // no join, no window — the whole regression is a two-phase agg
+    val ols = planString(graft.queries.StatOps.qOls(spark, sf))
+    assert(!ols.contains("Join"), ols.take(2000))
+    assert(!ols.contains("Window"), ols.take(2000))
+    assert(ols.contains("partial"), ols.take(2000))
   }
 
   test("dqChecks predicates share one pass; chi2 margins ride the cell table") {
