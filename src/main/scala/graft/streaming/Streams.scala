@@ -48,6 +48,14 @@ case class MetricPoint(key: String, tsMs: Long, valueMicro: Long)
 case class LevelUpdate(key: String, tsMs: Long, valueMicro: Long,
   ewmaMicro: Long)
 
+/** S21 input: a raw attribution event (touch or conversion). */
+case class TouchEvent(userId: Long, tsMs: Long, eventType: String,
+  valueMicro: Long)
+
+/** S21 output: one credited conversion. */
+case class CreditedConversion(userId: Long, tsMs: Long, channel: String,
+  valueMicro: Long)
+
 /** S18 input: a user's funnel event. */
 case class FunnelEvent(userId: Long, stage: String, tsMs: Long)
 
@@ -266,6 +274,26 @@ object Streams {
     import points.sparkSession.implicits._
     points.groupByKey(_.key)
       .transformWithState(new LevelProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S21 — streaming last-touch attribution: the continuous twin of
+    * `graft.operators.Temporal.lastTouchAttribution`. One
+    * `ValueState[LastTouch]` per user holds the newest touch; a
+    * conversion reads it and emits its credited channel immediately
+    * ('direct' when absent or older than `windowMs`) — the batch
+    * operator's at-or-before contract (a touch at the conversion's exact
+    * timestamp is credited; in-batch rows apply touches-first at equal
+    * ts). State is one small record per user, corpus-independent. */
+  def touchAttribution(events: Dataset[TouchEvent], touchTypes: Set[String],
+      conversionType: String, windowMs: Long): Dataset[CreditedConversion] = {
+    import events.sparkSession.implicits._
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types must be non-empty and exclude '$conversionType'")
+    require(windowMs > 0, s"windowMs must be > 0, got $windowMs")
+    events.groupByKey(_.userId)
+      .transformWithState(
+        new AttributionProcessor(touchTypes, conversionType, windowMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -611,6 +639,48 @@ class LevelProcessor
       level.update(next)
       LevelUpdate(key, p.tsMs, p.valueMicro, next)
     }.iterator
+}
+
+/** S21's per-user newest touch (see `Streams.touchAttribution`). */
+case class LastTouch(tsMs: Long, channel: String)
+
+/** S21's processor: touches overwrite the one `LastTouch` record;
+  * conversions read it and emit immediately. Same-timestamp ordering is
+  * pinned (touch before conversion) so replays credit identically to the
+  * batch twin. No TTL: stale touches age out by the window check at
+  * conversion time (a deployment bounding user cardinality would add
+  * one, the S13 pattern). */
+class AttributionProcessor(touchTypes: Set[String], conversionType: String,
+    windowMs: Long)
+  extends StatefulProcessor[Long, TouchEvent, CreditedConversion] {
+
+  @transient private var lastTouch: ValueState[LastTouch] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastTouch = getHandle.getValueState[LastTouch]("lastTouch",
+      Encoders.product[LastTouch], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TouchEvent],
+      timers: TimerValues): Iterator[CreditedConversion] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[CreditedConversion]
+    rows.toSeq
+      .sortBy(e => (e.tsMs, if (touchTypes.contains(e.eventType)) 0 else 1,
+        e.eventType))
+      .foreach { e =>
+        if (touchTypes.contains(e.eventType)) {
+          val keep = !lastTouch.exists() || lastTouch.get().tsMs <= e.tsMs
+          if (keep) lastTouch.update(LastTouch(e.tsMs, e.eventType))
+        } else if (e.eventType == conversionType) {
+          val credited =
+            if (lastTouch.exists() &&
+              e.tsMs - lastTouch.get().tsMs <= windowMs)
+              lastTouch.get().channel
+            else "direct"
+          out += CreditedConversion(key, e.tsMs, credited, e.valueMicro)
+        }
+      }
+    out.iterator
+  }
 }
 
 /** S18's per-user funnel position (see `Streams.funnelProgress`). */

@@ -360,6 +360,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S21 attribution: touch state persists across batches; stale touch goes direct") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[graft.streaming.TouchEvent]
+      val q = Streams.touchAttribution(in.toDS(),
+          touchTypes = Set("view", "click"), conversionType = "purchase",
+          windowMs = 10000L).toDF()
+        .writeStream.format("memory").queryName("s21")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s21").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s21").count() >= n, s"sink never reached $n rows")
+      }
+      import graft.streaming.TouchEvent
+      try {
+        // batch 1: touch only — no output yet
+        in.addData(TouchEvent(1L, 1000L, "click", 0L),
+          // u2 converts with no touch at all → direct
+          TouchEvent(2L, 1500L, "purchase", 500L))
+        await(1)
+        // batch 2: u1 converts 2 s after the PERSISTED touch → click;
+        // then converts again 20 s later → outside window → direct
+        in.addData(TouchEvent(1L, 3000L, "purchase", 700L),
+          TouchEvent(1L, 23000L, "purchase", 900L))
+        await(3)
+      } finally q.stop()
+      val got = spark.table("s21")
+        .select("userId", "tsMs", "channel", "valueMicro")
+        .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+      assert(got.toSeq === Seq((2L, 1500L, "direct", 500L),
+        (1L, 3000L, "click", 700L), (1L, 23000L, "direct", 900L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S13 TTL dedup: repeats drop within the TTL, pass again after eviction") {
     // ProcessingTime time-mode keeps the query triggering (empty) batches
     // continuously, so processAllAvailable never settles — drive ONE
