@@ -384,7 +384,93 @@ object CorpusOps extends QueryFamily {
       .orderBy("q_id", "rnk")
   }
 
+  /** Distinct (order, part) incidence — the bipartite base both graph
+    * queries below share. */
+  private def orderPartPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** q_triangles — triangle counting on the co-purchase graph (parts
+    * appearing in the same order), the clustering-coefficient primitive
+    * behind community detection and link-prediction features. The count
+    * uses the degree-ordered orientation (Schank & Wagner / Cohen's
+    * MapReduce form): every edge points from its lower-(degree, id)
+    * endpoint to the higher, each triangle then has exactly ONE vertex
+    * with two out-edges, so wedges enumerate once and close with a single
+    * equi-join — Σ out-deg² stays O(m^1.5) on ANY graph, where the naive
+    * wedge join is unbounded on a hot vertex. No global rank is needed:
+    * orientation compares (degree, id) structs edge-locally. Per-order
+    * pair generation is basket-bounded (TPC-H baskets ≤ a few dozen
+    * parts; the same shape as q_basket_pairs). */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir)
+    val e = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("x"), col("b.p").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // read thrice: degrees + both ends
+    val deg = e.select(col("x").as("p")).unionAll(e.select(col("y").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("d"))
+    val o = e
+      .join(deg.select(col("p").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("p").as("y"), col("d").as("dy")), Seq("y"))
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("x")).otherwise(col("y")).as("u"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("y")).otherwise(col("x")).as("v"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          struct(col("dy").as("kd"), col("y").as("kp")))
+          .otherwise(struct(col("dx").as("kd"), col("x").as("kp")))
+          .as("kv"))
+      .localCheckpoint(eager = false) // wedge two-sides + closing probe
+    val tri = o.as("w1").join(o.as("w2"),
+        col("w1.u") === col("w2.u") && col("w1.kv") < col("w2.kv"))
+      .select(col("w1.u").as("ta"), col("w1.v").as("tb"),
+        col("w2.v").as("tc"))
+      .join(o.select(col("u").as("tb"), col("v").as("tc")),
+        Seq("tb", "tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy(desc("n_tri"), asc("part"))
+      .limit(30)
+  }
+
+  /** q_item_cf — item-item collaborative filtering: for every part, the
+    * top-5 most-similar parts by cosine over binary order-incidence
+    * vectors (cos² = co²/(nᵢ·nⱼ), kept as an exact integer ppm — cos² is
+    * monotone in cosine for non-negative counts, so the ranking is
+    * identical and nothing ever rounds). Co-occurrence counts come from
+    * the basket-bounded per-order pair join; a co ≥ 2 prune keeps the
+    * neighbor lists to genuinely repeated pairings (and bounds the
+    * top-k window partitions). The long arithmetic is safe to co ≤ 3M
+    * (10⁶·co² < 2⁶³); beyond that the cast widens to DECIMAL(38,0). */
+  def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir).localCheckpoint(eager = false)
+    val n = po.groupBy("p").agg(count(lit(1)).as("np"))
+    val co = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val scored = co
+      .join(n.select(col("p").as("i"), col("np").as("ni")), Seq("i"))
+      .join(n.select(col("p").as("j"), col("np").as("nj")), Seq("j"))
+      .withColumn("cos2_ppm",
+        expr("(1000000 * c * c) div (ni * nj)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
+      .orderBy(desc("cos2_ppm"), asc("j"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("i").as("part"), col("rnk").cast("long").as("rnk"),
+        col("j").as("neighbor"), col("c").as("co_cnt"), col("cos2_ppm"))
+      .orderBy("part", "rnk")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_triangles" -> (qTriangles _),
+    "q_item_cf" -> (qItemCf _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_sparse_knn" -> (qSparseKnn _),
     "q_dup_clusters" -> (qDupClusters _),
@@ -407,6 +493,52 @@ object CorpusOps extends QueryFamily {
     "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
+    "q_triangles" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS x, b.p AS y, COUNT(*) AS c
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |deg AS (
+        |  SELECT p, COUNT(*) AS d FROM (
+        |    SELECT x AS p FROM e UNION ALL SELECT y FROM e) GROUP BY p),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+        |    CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v,
+        |    CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN dy.d ELSE dx.d END AS kd
+        |  FROM e JOIN deg dx ON e.x = dx.p JOIN deg dy ON e.y = dy.p),
+        |tri AS (
+        |  SELECT w1.u AS ta, w1.v AS tb, w2.v AS tc
+        |  FROM o w1 JOIN o w2
+        |    ON w1.u = w2.u AND (w1.kd, w1.v) < (w2.kd, w2.v)
+        |  JOIN o w3 ON w3.u = w1.v AND w3.v = w2.v),
+        |pn AS (
+        |  SELECT p AS part, COUNT(*) AS n_tri FROM (
+        |    SELECT ta AS p FROM tri UNION ALL SELECT tb FROM tri
+        |    UNION ALL SELECT tc FROM tri) GROUP BY 1)
+        |SELECT CAST(part AS BIGINT) AS part, CAST(n_tri AS BIGINT) AS n_tri
+        |FROM pn ORDER BY n_tri DESC, part LIMIT 30""".stripMargin,
+    "q_item_cf" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT p, COUNT(*) AS np FROM po GROUP BY p),
+        |co AS (
+        |  SELECT a.p AS i, b.p AS j, COUNT(*) AS c
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (
+        |  SELECT i, j, c,
+        |    CAST((1000000 * CAST(c AS HUGEINT) * c) //
+        |      (CAST(ni.np AS HUGEINT) * nj.np) AS BIGINT) AS cos2_ppm
+        |  FROM co JOIN n ni ON i = ni.p JOIN n nj ON j = nj.p),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY i ORDER BY cos2_ppm DESC, j) AS rnk FROM s)
+        |SELECT CAST(i AS BIGINT) AS part, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(j AS BIGINT) AS neighbor, CAST(c AS BIGINT) AS co_cnt,
+        |  cos2_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY part, rnk""".stripMargin,
     "q_path_3gram" ->
       """WITH tri AS (
         |  SELECT user_id, event_type,

@@ -163,7 +163,60 @@ object CurateOps extends QueryFamily {
     Profile.keySkew(Tables.events(s, dir), "user_id", topN = 20)
       .orderBy("rnk")
 
+  /** q_ppjoin — prefix-filtered exact set-similarity self-join (the
+    * PPJoin/AllPairs blocking of Bayardo et al. 2007 / Xiao et al. 2008):
+    * documents as DISTINCT word-bigram sets, Jaccard ≥ 0.8. A third
+    * blocking family beside MinHash bands (probabilistic) and SimHash
+    * bands (Hamming): order every set by ascending document frequency
+    * (rare tokens first — ties by token), keep only each set's first
+    * m − ⌈0.8m⌉ + 1 tokens as its PREFIX, and join on prefix tokens
+    * only — any pair with Jaccard ≥ t MUST share a prefix token (pigeonhole
+    * on the (1−t)·m tokens a match may miss), so recall is exactly 100%
+    * while the join touches the rarest ~20% of each set. Candidates are
+    * then verified EXACTLY, which is why the oracle can be the plain
+    * all-pairs computation. No global rank anywhere: the frequency order
+    * is a (df, tok) sort key, per-set prefixes come from a doc-bounded
+    * window, and ⌈0.8m⌉ is the integer (4m+4) div 5 — no float ceil. */
+  def qPpjoin(s: SparkSession, dir: String): DataFrame = {
+    val ws = T.tokens(col("text"))
+    val bigrams = when(size(ws) > 1,
+        array_distinct(transform(
+          arrays_zip(
+            slice(ws, lit(1), size(ws) - 1).as("x"),
+            slice(ws, lit(2), size(ws) - 1).as("y")),
+          p => concat(p.getField("x"), lit(" "), p.getField("y")))))
+      .otherwise(array().cast("array<string>"))
+    val td = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("tok"))
+      .localCheckpoint(eager = false) // df + prefix + verify reads
+    val dfreq = td.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sz = td.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy("df", "tok")
+    val prefix = td.join(dfreq, Seq("tok")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("m") - expr("(4 * m + 4) div 5") + 1)
+      .select("doc_id", "tok")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val inter = cands
+      .join(td.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+      .join(td.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("m").as("ma")), Seq("da"))
+      .join(sz.select(col("doc_id").as("db"), col("m").as("mb")), Seq("db"))
+      .withColumn("jacc_ppm",
+        expr("(1000000 * inter) div (ma + mb - inter)"))
+      .filter(col("jacc_ppm") >= 800000)
+      .select("da", "db", "inter", "jacc_ppm")
+      .orderBy("da", "db")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppjoin" -> (qPpjoin _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_profile" -> (qProfile _),
     "q_dedup_incr_near" -> (qDedupIncrNear _),
@@ -175,6 +228,29 @@ object CurateOps extends QueryFamily {
     "q_skew_profile" -> (qSkewProfile _))
 
   override val oracle: Map[String, String] = Map(
+    // The oracle is the EXACT all-pairs join — no prefix filter — so a
+    // hash match proves the blocking loses nothing (100% recall).
+    "q_ppjoin" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, g AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(string_split(text,' '))),
+        |        i -> array_to_string((string_split(text,' '))[i:i+1], ' ')))
+        |        AS g
+        |    FROM documents)),
+        |sz AS (SELECT doc_id, COUNT(*) AS m FROM td GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        |  FROM td a JOIN td b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT da, db, CAST(inter AS BIGINT) AS inter,
+        |    CAST((1000000 * CAST(inter AS HUGEINT)) //
+        |      (sa.m + sb.m - inter) AS BIGINT) AS jacc_ppm
+        |  FROM inter JOIN sz sa ON da = sa.doc_id
+        |  JOIN sz sb ON db = sb.doc_id)
+        |SELECT da, db, inter, jacc_ppm FROM j
+        |WHERE jacc_ppm >= 800000 ORDER BY da, db""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS n
         |  FROM events GROUP BY 1),

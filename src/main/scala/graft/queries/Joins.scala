@@ -222,9 +222,57 @@ object Joins extends QueryFamily {
     "q_join_range" -> (qJoinRange _),
     "q_join_asof" -> (qJoinAsof _),
     "q_subquery_avg" -> (qSubqueryAvg _),
-    "q_join_multiway" -> (qJoinMultiway _))
+    "q_join_multiway" -> (qJoinMultiway _),
+    "q_join_interval" -> (qJoinInterval _))
+
+  /** q_join_interval — interval-overlap self-join: each event carries the
+    * interval [ts, ts + value-minutes); per user, every overlapping pair
+    * is found and the total/max overlap reported. The plan is an EQUI-join
+    * on user_id with the overlap range predicates as post-join filters —
+    * Spark plans sort-merge on the key, so candidate pairs are bounded by
+    * per-user activity (never a corpus cross-product); the classic
+    * interval-join decomposition when intervals live inside a natural
+    * partition key. Durations derive from exact cents (cents × 0.6 s), so
+    * every bound and overlap is integer microseconds — no float endpoint
+    * can flip an overlap decision cross-engine. */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          round(col("value") * 100).cast("long") * 600000L).as("en"))
+      .localCheckpoint(eager = false) // self-join: both sides
+    iv.as("a").join(iv.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_id") < col("b.event_id") &&
+        col("a.st") < col("b.en") && col("b.st") < col("a.en"))
+      .select(col("a.user_id").as("user_id"),
+        (least(col("a.en"), col("b.en")) -
+          greatest(col("a.st"), col("b.st"))).as("ov_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ov_us").cast("decimal(38,0)")).cast("long").as("sum_us"),
+        max("ov_us").as("max_overlap_us"))
+      .select(col("user_id"), col("n_pairs"),
+        expr("sum_us div 1000000").as("overlap_s"), col("max_overlap_us"))
+      .orderBy("user_id")
+  }
 
   override val oracle: Map[String, String] = Map(
+    "q_join_interval" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) +
+        |      CAST(round(value*100) AS BIGINT) * 600000 AS en
+        |  FROM events),
+        |p AS (
+        |  SELECT a.user_id, least(a.en, b.en) - greatest(a.st, b.st) AS ov_us
+        |  FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |    AND a.event_id < b.event_id AND a.st < b.en AND b.st < a.en)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(ov_us AS HUGEINT)) // 1000000 AS BIGINT) AS overlap_s,
+        |  CAST(MAX(ov_us) AS BIGINT) AS max_overlap_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_basket_pairs" ->
       """WITH b AS (
         |  SELECT DISTINCT l_orderkey AS ord, l_partkey AS item

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{SketchFunctions, TextFunctions => T}
@@ -182,6 +182,128 @@ object StatOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_mannwhitney — Mann–Whitney U rank-sum test of each event_type's
+    * `value` distribution against the 'view' baseline (the nonparametric
+    * two-sample location test — the A/B readout that needs no normality
+    * assumption). Computed WITHOUT a global rank: values quantize to exact
+    * cents, counts aggregate per (group, cents) with map-side partials,
+    * and U comes from the identity 2U = Σ_v a_v·(2·cumB(<v) + b_v) over
+    * the DISTINCT-value table — the window partition is value-DOMAIN
+    * bounded (≤ 50k cent values here), never corpus-sized, so the same
+    * plan ranks a trillion events. All sums are DECIMAL(38,0)
+    * (order-immune); the tie-corrected z is one mirrored double
+    * expression over exact integer moments, milli-rounded. */
+  def qMannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type").as("g"),
+      round(col("value") * 100).cast("long").as("v"))
+    val b = ev.filter(col("g") === "view").groupBy("v")
+      .agg(count(lit(1)).as("b"))
+    val a = ev.filter(col("g") =!= "view").groupBy("g", "v")
+      .agg(count(lit(1)).as("a"))
+    val u = a.select(col("g"), col("v"), col("a"), lit(0L).as("b"))
+      .unionAll(b.crossJoin(broadcast(a.select("g").distinct()))
+        .select(col("g"), col("v"), lit(0L).as("a"), col("b")))
+      .groupBy("g", "v").agg(sum("a").as("a"), sum("b").as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("v").rowsBetween(Long.MinValue, -1)
+    val m = u
+      .withColumn("cumb", coalesce(sum("b").over(w), lit(0L)))
+      .withColumn("t", col("a") + col("b"))
+      .groupBy("g").agg(
+        sum("a").as("n1"), sum("b").as("n2"),
+        sum((col("a").cast("decimal(38,0)") *
+          (col("cumb") * 2 + col("b"))).cast("decimal(38,0)")).as("u2"),
+        sum((col("t").cast("decimal(38,0)") * col("t") * col("t") -
+          col("t")).cast("decimal(38,0)")).as("tsum"))
+    m.select(col("g").as("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("u2").cast("long").as("u2"),
+        when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1,
+          floor((col("u2").cast("double") -
+              col("n1").cast("double") * col("n2").cast("double")) /
+            sqrt(col("n1").cast("double") * col("n2").cast("double") *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("tsum").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1))) / 3.0)
+            * 1000 + 0.5).cast("long")).as("z_milli"))
+      .orderBy("event_type")
+  }
+
+  /** q_benford — Benford first-significant-digit audit of order totals
+    * (the classic fabricated-numbers screen). The digit comes from integer
+    * cents via string head — no logs, no float thresholds — so the digit
+    * assignment is exact cross-engine; expected shares are the literal
+    * Benford permilles, and the χ² is summed from PER-DIGIT pre-rounded
+    * micro terms (integer sum of 9 rounded terms — order-immune by
+    * construction). One map-side-partial digit count; everything after is
+    * a 9-row broadcast. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, dir).filter(col("o_totalprice") > 0)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+    val o = digits.groupBy("digit").agg(count(lit(1)).as("n0"))
+    val exp = Seq(1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+        6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+      .toDF("digit", "exp_permille")
+    val total = o.agg(sum("n0").as("total"))
+    // 9-row frame: the global window below is bounded at 9 rows forever.
+    val r = broadcast(exp).join(o, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n0"), lit(0L)).as("n"),
+        col("exp_permille"), col("total"))
+      .withColumn("share_permille", expr("(1000 * n) div total"))
+      .withColumn("term_micro",
+        round((col("n") - col("total") * col("exp_permille") / 1000.0) *
+          (col("n") - col("total") * col("exp_permille") / 1000.0) /
+          (col("total") * col("exp_permille") / 1000.0) * 1000000)
+          .cast("long"))
+    r.select(col("digit"), col("n"), col("share_permille"),
+        col("exp_permille"),
+        (col("share_permille") - col("exp_permille")).as("dev_permille"),
+        col("term_micro"),
+        sum("term_micro").over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("long").as("chi2_micro"))
+      .orderBy("digit")
+  }
+
+  /** q_cms_topk — Count-Min sketch (Cormode & Muthukrishnan 2005)
+    * frequency estimation: d=3 rows × w=16 counters, hashes from the
+    * md5-hex-digit family every digest oracle uses (engine-independent,
+    * so the WHOLE sketch — build and probe — is DuckDB-checkable). The
+    * width is deliberately SMALLER than this corpus's vocabulary so the
+    * sketch genuinely collides; est ≥ exact always, and min-of-3-rows is
+    * visibly tighter than any single row. The counter table is a BOUNDED
+    * aggregate (d·w = 48 cells, map-side partials); candidates (exact
+    * top-20) probe it via a 48-row broadcast — the plan shape is one
+    * corpus scan + bounded joins at any scale. */
+  def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(T.tokens(col("text"))).as("tok"))
+      .localCheckpoint(eager = false) // read twice: counters + exact counts
+    def bucket(row: Column, tok: Column): Column =
+      (conv(substring(md5(concat(row, lit("|"), tok)), 1, 1), 16, 10)
+        .cast("long") % 16).as("bucket")
+    val rows = array(lit("0"), lit("1"), lit("2"))
+    val counters = toks
+      .select(explode(rows).as("r"), col("tok"))
+      .select(col("r"), bucket(col("r"), col("tok")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val cand = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("tok")).limit(20)
+    val probe = cand
+      .select(col("tok"), col("exact_cnt"), explode(rows).as("r"))
+      .select(col("tok"), col("exact_cnt"), col("r"),
+        bucket(col("r"), col("tok")))
+    probe.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt").agg(min("c").as("est_cnt"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("over_cnt"))
+      .orderBy(desc("exact_cnt"), asc("tok"))
+  }
+
   /** q_corr — pairwise Pearson correlation over lineitem's numeric
     * columns from EXACT integer moments (cent-quantized, DECIMAL(38,0)
     * sums — order-immune where float Σxy is not), final formula in
@@ -194,6 +316,9 @@ object StatOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr" -> (qCorr _),
+    "q_mannwhitney" -> (qMannwhitney _),
+    "q_benford" -> (qBenford _),
+    "q_cms_topk" -> (qCmsTopk _),
     "q_ols" -> (qOls _),
     "q_textrank" -> (qTextrank _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -229,6 +354,87 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    "q_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT v, COUNT(*) AS b FROM ev WHERE g='view' GROUP BY v),
+        |a AS (SELECT g, v, COUNT(*) AS a FROM ev WHERE g<>'view'
+        |  GROUP BY g, v),
+        |u AS (
+        |  SELECT g, v, SUM(a) AS a, SUM(b) AS b FROM (
+        |    SELECT g, v, a, 0 AS b FROM a
+        |    UNION ALL
+        |    SELECT gs.g, b.v, 0, b.b
+        |    FROM (SELECT DISTINCT g FROM a) gs CROSS JOIN b)
+        |  GROUP BY g, v),
+        |w AS (
+        |  SELECT g, v, a, b,
+        |    COALESCE(SUM(b) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM u),
+        |m AS (
+        |  SELECT g, SUM(a) AS n1, SUM(b) AS n2,
+        |    SUM(CAST(a AS HUGEINT) * (2*cumb + b)) AS u2,
+        |    SUM(CAST(a+b AS HUGEINT)*(a+b)*(a+b) - (a+b)) AS tsum
+        |  FROM w GROUP BY g)
+        |SELECT g AS event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, CAST(u2 AS BIGINT) AS u2,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+        |    CAST(floor((CAST(u2 AS DOUBLE) -
+        |        CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) /
+        |      sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)*
+        |        (CAST(n1+n2+1 AS DOUBLE) - CAST(tsum AS DOUBLE) /
+        |          (CAST(n1+n2 AS DOUBLE)*(n1+n2-1)))/3.0)
+        |      * 1000 + 0.5) AS BIGINT) END AS z_milli
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |o AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit),
+        |d AS (SELECT CAST(d AS BIGINT) AS digit,
+        |    CAST(p AS BIGINT) AS exp_permille
+        |  FROM (VALUES (1,301),(2,176),(3,125),(4,97),(5,79),(6,67),
+        |    (7,58),(8,51),(9,46)) t(d,p)),
+        |t AS (SELECT SUM(n) AS total FROM o),
+        |r AS (
+        |  SELECT d.digit, CAST(COALESCE(o.n,0) AS BIGINT) AS n,
+        |    exp_permille,
+        |    CAST((1000*COALESCE(o.n,0)) // total AS BIGINT)
+        |      AS share_permille,
+        |    CAST(round(((COALESCE(o.n,0) - total*exp_permille/1000.0) *
+        |        (COALESCE(o.n,0) - total*exp_permille/1000.0)) /
+        |      (total*exp_permille/1000.0) * 1000000) AS BIGINT) AS term_micro
+        |  FROM d LEFT JOIN o USING (digit) CROSS JOIN t)
+        |SELECT digit, n, share_permille, exp_permille,
+        |  share_permille - exp_permille AS dev_permille, term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS chi2_micro
+        |FROM r ORDER BY digit""".stripMargin,
+    "q_cms_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok),
+        |cand AS (SELECT tok, exact_cnt FROM cnt
+        |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |hh AS (
+        |  SELECT r, (strpos('0123456789abcdef',
+        |    substr(md5(r||'|'||tok),1,1))-1) % 16 AS bucket
+        |  FROM toks, unnest(['0','1','2']) AS rr(r)),
+        |counters AS (SELECT r, bucket, COUNT(*) AS c FROM hh GROUP BY r, bucket),
+        |probe AS (
+        |  SELECT cand.tok, cand.exact_cnt, rr.r,
+        |    (strpos('0123456789abcdef',
+        |      substr(md5(rr.r||'|'||cand.tok),1,1))-1) % 16 AS bucket
+        |  FROM cand, unnest(['0','1','2']) AS rr(r)),
+        |est AS (SELECT p.tok, p.exact_cnt, MIN(c.c) AS est_cnt
+        |  FROM probe p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+        |  GROUP BY 1, 2)
+        |SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(est_cnt - exact_cnt AS BIGINT) AS over_cnt
+        |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin,
     "q_ols" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
