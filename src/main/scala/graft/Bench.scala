@@ -107,11 +107,19 @@ object Bench {
     // anomalous drift must itself alarm, loudly, not sit silently in a
     // JSON field: a drifted run demands either a quiet-host rerun or a
     // bisect of whatever changed globally.
+    // Two tiers: a hard alert at 1.3x, and a soft warning from 1.1x — the
+    // normalization would otherwise silently accept any GENUINE uniform
+    // regression inside the (1.0, 1.3) window (e.g. a config change slowing
+    // everything 1.25x reads as norm=1.25, zero flags, no alert).
     val driftAlert = hostDrift > 1.3
     if (driftAlert) System.err.println(
       f"HOST DRIFT $hostDrift%.2fx vs ledger across the suite: host load OR " +
         "a uniform regression (a global config/code change). Rerun on a " +
         "quiet host before trusting n_regressions=0.")
+    else if (hostDrift > 1.1) System.err.println(
+      f"HOST DRIFT WARNING $hostDrift%.2fx vs ledger: inside the tolerated " +
+        "window, but a uniform regression would hide here — compare " +
+        "host_drift against the committed drift history before accepting.")
     // Only the FULL suite compares apples-to-apples: a filtered run pays
     // JVM/JIT warm-up on far fewer queries and reads hot where the
     // recording read warm, inflating 2x+ on fit-heavy queries.
@@ -127,6 +135,22 @@ object Bench {
     val regs = regressions
       .map { case (k, t, b) => s"${q(k)}:[$t,$b]" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"host_drift":$hostDrift,"drift_alert":$driftAlert,"queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    // Committed drift history (tools/drift_history.jsonl): one line per
+    // full-suite run, so cross-round BENCH comparisons can attribute "got
+    // uniformly faster/slower" to host load from a file instead of
+    // re-deriving it each verdict. Best-effort append — a read-only
+    // checkout must not fail the bench.
+    if (sfDir.contains("sf0.1") && args.isEmpty) try {
+      val line = s"""{"ts":"${java.time.Instant.now()}","n":${names.size},""" +
+        s""""total_sec":${math.round(total * 1000) / 1000.0},""" +
+        s""""host_drift":${math.round(hostDrift * 1000) / 1000.0},""" +
+        s""""n_regressions":${regressions.size},"n_errors":$nErrors}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("tools/drift_history.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
     // A bench with erroring queries must fail loudly: BENCH_r05 reported
     // rc=0 with 5 broken queries and nobody noticed until the verdict.

@@ -48,7 +48,13 @@ object Clusters {
     val e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(eager = false)
-    if (e.count() <= maxSingleTaskEdges) singleTask(e)
+    // The dispatch probe is a `limit(cap+1).count()`, not a full count
+    // (the PQ hard-cap idiom): it short-circuits the moment cap+1 edges
+    // exist, so the small-graph case pays a few partitions and the 100 TB
+    // case never pays a full pass over an edge list it is about to shuffle
+    // anyway. The exact size is irrelevant — only which side of the cap.
+    val cap = math.min(maxSingleTaskEdges, Int.MaxValue - 1L).toInt
+    if (e.limit(cap + 1).count() <= cap) singleTask(e)
     else iterative(e, maxIter)
   }
 

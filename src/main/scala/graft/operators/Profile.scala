@@ -631,9 +631,15 @@ object Profile {
     val nTot = cells.agg(sum("o").as("n"))
     cells.join(rowTot, "a").join(colTot, "b")
       .crossJoin(broadcast(nTot))
-      .withColumn("dev", expr("CAST(n * o - r * c AS DOUBLE)"))
+      // cross-products widen to DECIMAL(38,0) BEFORE the subtraction/divide
+      // (the keySkew/ksByGroup discipline): n·o and r·c each reach N² ≈
+      // 10²⁰ past ~3e9 rows, where int64 wraps silently while the DuckDB
+      // oracle's HUGEINT keeps going — the engines would diverge exactly
+      // when the answer matters.
+      .withColumn("dev", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)"))
       .select(col("a"), col("b"), col("o").as("observed"),
-        expr("(1000 * r * c) div n").as("expected_milli"),
+        expr("(CAST(1000 AS DECIMAL(38,0)) * r * c) div n").as("expected_milli"),
         expr("CAST(floor(1000000 * dev * dev / " +
           "(CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT)").as("chi2_micro"))
       .orderBy("a", "b")

@@ -402,7 +402,14 @@ object CorpusOps extends QueryFamily {
     * wedge join is unbounded on a hot vertex. No global rank is needed:
     * orientation compares (degree, id) structs edge-locally. Per-order
     * pair generation is basket-bounded (TPC-H baskets ≤ a few dozen
-    * parts; the same shape as q_basket_pairs). */
+    * parts; the same shape as q_basket_pairs).
+    *
+    * Deliberately NO support prune on the edge list (contrast q_item_cf's
+    * co ≥ 2): a triangle census is a census — dropping weak edges changes
+    * the answer, where item-CF's prune only trims a ranking it was free to
+    * trim. The cost of exactness is bounded by the orientation, not by a
+    * threshold: the suite's most expensive query (~8.6 s at sf0.1) because
+    * the co-purchase pair graph is dense, and that density IS the input. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     val po = orderPartPairs(s, dir)
     val e = po.as("a").join(po.as("b"),
@@ -444,8 +451,9 @@ object CorpusOps extends QueryFamily {
     * identical and nothing ever rounds). Co-occurrence counts come from
     * the basket-bounded per-order pair join; a co ≥ 2 prune keeps the
     * neighbor lists to genuinely repeated pairings (and bounds the
-    * top-k window partitions). The long arithmetic is safe to co ≤ 3M
-    * (10⁶·co² < 2⁶³); beyond that the cast widens to DECIMAL(38,0). */
+    * top-k window partitions). The score arithmetic runs in DECIMAL(38,0)
+    * — 10⁶·co² wraps int64 past co ≈ 3M, and the DuckDB oracle's HUGEINT
+    * would silently diverge from a long-typed engine exactly there. */
   def qItemCf(s: SparkSession, dir: String): DataFrame = {
     val po = orderPartPairs(s, dir).localCheckpoint(eager = false)
     val n = po.groupBy("p").agg(count(lit(1)).as("np"))
@@ -458,7 +466,8 @@ object CorpusOps extends QueryFamily {
       .join(n.select(col("p").as("i"), col("np").as("ni")), Seq("i"))
       .join(n.select(col("p").as("j"), col("np").as("nj")), Seq("j"))
       .withColumn("cos2_ppm",
-        expr("(1000000 * c * c) div (ni * nj)"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * c * c) div " +
+          "(CAST(ni AS DECIMAL(38,0)) * nj)"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
       .orderBy(desc("cos2_ppm"), asc("j"))
     scored.withColumn("rnk", row_number().over(w))

@@ -548,13 +548,18 @@ object LlmOps extends QueryFamily {
     * the LSH bucket path uses): int64-exact over micro-quantized inputs,
     * so the projected vectors hash-match the oracle bit-for-bit. The
     * project-once-at-rest step that lets the whole ANN stack run on
-    * 4× shorter vectors. Full-oracle. */
+    * 4× shorter vectors. Emitted exploded as (vec_id, t, component) scalar
+    * rows — the driver's comparator sorts column values, and array cells
+    * are unsortable there, so the registered surface stays scalar while
+    * radProject itself still serves whole vectors to the LSH/ANN callers.
+    * Full-oracle. */
   def qEmbRp(s: SparkSession, dir: String): DataFrame =
     Similarity.radProject(
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
         "embedding", kOut = 16)
-      .select("vec_id", "proj")
-      .orderBy("vec_id")
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("t", "component")))
+      .select(col("vec_id"), col("t").cast("long").as("t"), col("component"))
+      .orderBy("vec_id", "t")
 
   /** q_multimodal_decode — REAL container decode, oracle-checked end to
     * end: wrap deterministic bytes (sha256‖md5 of the text) in a valid 3×3
@@ -1068,7 +1073,8 @@ object LlmOps extends QueryFamily {
         |WHERE q.vec_id < 8
         |ORDER BY q_id""".stripMargin,
     // JL projection: the q_sim_ann sign recipe over micro-quantized
-    // inputs — integer sums, so the arrays hash-match exactly.
+    // inputs — integer sums, exploded to one scalar row per (vec_id, t)
+    // so the driver comparator never sees an array cell.
     "q_emb_rp" ->
       """WITH gs AS MATERIALIZED (
         |  SELECT t, list(CASE WHEN strpos('0123456789abcdef',
@@ -1080,11 +1086,11 @@ object LlmOps extends QueryFamily {
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
         |  FROM embeddings)
-        |SELECT e.vec_id,
-        |  list(CAST(list_sum(list_transform(list_zip(e.xq, g.g),
-        |    p -> p[1] * p[2])) AS BIGINT) ORDER BY g.t) AS proj
-        |FROM e CROSS JOIN gs g GROUP BY e.vec_id
-        |ORDER BY vec_id""".stripMargin,
+        |SELECT e.vec_id, CAST(g.t AS BIGINT) AS t,
+        |  CAST(list_sum(list_transform(list_zip(e.xq, g.g),
+        |    p -> p[1] * p[2])) AS BIGINT) AS component
+        |FROM e CROSS JOIN gs g
+        |ORDER BY vec_id, t""".stripMargin,
     // Audio windows: LE int16 samples come off the digest hex (bytes
     // 2i+1, 2i+2), grouped into 4-sample windows; all outputs integer.
     "q_audio_windows" ->

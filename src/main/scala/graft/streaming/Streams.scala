@@ -671,8 +671,12 @@ class AttributionProcessor(touchTypes: Set[String], conversionType: String,
           val keep = !lastTouch.exists() || lastTouch.get().tsMs <= e.tsMs
           if (keep) lastTouch.update(LastTouch(e.tsMs, e.eventType))
         } else if (e.eventType == conversionType) {
+          // at-or-before AND in-window: a touch that arrived in an earlier
+          // micro-batch with a LATER event-time must not take credit (the
+          // batch twin's contract; the window check alone passes negative
+          // deltas).
           val credited =
-            if (lastTouch.exists() &&
+            if (lastTouch.exists() && lastTouch.get().tsMs <= e.tsMs &&
               e.tsMs - lastTouch.get().tsMs <= windowMs)
               lastTouch.get().channel
             else "direct"

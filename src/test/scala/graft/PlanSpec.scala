@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: the 100 TB design claims in the query Scaladoc
   * are checked here against the actual plans — pushdown reaches the scan,
@@ -332,6 +333,26 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("q_winnow", "q_cdc_chunks", "q_frame_dedup"))
       assert(!plans(name).contains("SinglePartition"),
         s"$name:\n${plans(name).take(2000)}")
+  }
+
+  test("triangle census keeps the degree-ordered orientation: keyed joins only") {
+    // q_triangles is the suite's most expensive query; its safety claim is
+    // the orientation — every join is an equi-join (wedge join keyed on the
+    // oriented apex u; closing join on the (tb, tc) pair key), never a
+    // product, and the corpus never funnels through one partition (the
+    // final limit-30 TakeOrdered is the only single-task stage).
+    for (df <- Seq(graft.queries.CorpusOps.qTriangles(spark, sf),
+        graft.operators.Clusters.triangleStats(
+          Tables.lineitem(spark, sf)
+            .select(col("l_orderkey").as("a"), col("l_partkey").as("b")),
+          "a", "b"))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    }
   }
 
   test("snapshot diff shuffles digests, not documents (projection before join)") {
