@@ -622,7 +622,23 @@ object Profile {
     * correctly-rounded IEEE divide, so the value is engine-independent.
     * One corpus pass for the cell counts; margins and totals are
     * cell-cardinality aggregates joined back on the bounded cell table. */
-  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chi2Cells(df, aCol, bCol)
+      .select(col("a"), col("b"), col("o").as("observed"),
+        expr("(CAST(1000 AS DECIMAL(38,0)) * r * c) div n").as("expected_milli"),
+        col("chi2_micro"))
+      .orderBy("a", "b")
+
+  /** Shared margin/deviation table for [[chi2Independence]] and
+    * [[cramersV]]: per OBSERVED cell — margins, total, the exact decimal
+    * deviation, and the pre-rounded chi2/expectation micro terms.
+    * Cross-products widen to DECIMAL(38,0) BEFORE the subtraction/divide
+    * (the keySkew/ksByGroup discipline): n·o and r·c each reach N² ≈ 10²⁰
+    * past ~3e9 rows, where int64 wraps silently while the DuckDB oracle's
+    * HUGEINT keeps going — the engines would diverge exactly when the
+    * answer matters. e_micro uses round-to-nearest integer division
+    * ((2·10⁶·r·c + n) div 2n) so it needs no float anywhere. */
+  private def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o"))
       .localCheckpoint(eager = false)
@@ -631,17 +647,183 @@ object Profile {
     val nTot = cells.agg(sum("o").as("n"))
     cells.join(rowTot, "a").join(colTot, "b")
       .crossJoin(broadcast(nTot))
-      // cross-products widen to DECIMAL(38,0) BEFORE the subtraction/divide
-      // (the keySkew/ksByGroup discipline): n·o and r·c each reach N² ≈
-      // 10²⁰ past ~3e9 rows, where int64 wraps silently while the DuckDB
-      // oracle's HUGEINT keeps going — the engines would diverge exactly
-      // when the answer matters.
       .withColumn("dev", expr(
         "CAST(CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c AS DOUBLE)"))
-      .select(col("a"), col("b"), col("o").as("observed"),
-        expr("(CAST(1000 AS DECIMAL(38,0)) * r * c) div n").as("expected_milli"),
+      .withColumn("chi2_micro",
         expr("CAST(floor(1000000 * dev * dev / " +
-          "(CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT)").as("chi2_micro"))
-      .orderBy("a", "b")
+          "(CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT)"))
+      .withColumn("e_micro", expr(
+        "(CAST(2000000 AS DECIMAL(38,0)) * r * c + n) div (2 * n)"))
+  }
+
+  /** Cramér's V — the [0,1]-normalized effect size over
+    * [[chi2Independence]]'s cells, the number that makes chi² comparable
+    * across tables of different shape. [[chi2Independence]] emits only
+    * OBSERVED cells, but a zero cell still contributes its full
+    * expectation to χ² ((0−e)²/e = e) — exactly the mass that makes a
+    * perfect association reach V = 1. Summing e over the missing cells
+    * needs no enumeration: Σ_missing e = n − Σ_observed r·c/n, so the
+    * correction is 10⁶·n minus the sum of PRE-ROUNDED per-observed-cell
+    * e_micro terms (round-to-nearest integer division — integer and
+    * order-immune, the q_benford discipline, like the chi2_micro terms
+    * themselves). V = sqrt(χ²/(n·(min(r,c)−1))) is one mirrored double
+    * over integer operands, milli-floored. One corpus pass (the cell
+    * count); everything after is bounded by category-pair cardinality. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    chi2Cells(df, aCol, bCol)
+      .withColumnRenamed("o", "observed")
+      .groupBy()
+      .agg(sum("observed").as("n"), countDistinct("a").as("r"),
+        countDistinct("b").as("c"), sum("chi2_micro").as("chi2_obs_micro"),
+        sum("e_micro").as("e_obs_micro"))
+      .select(col("n").cast("long").as("n"),
+        col("r").cast("long").as("r"), col("c").cast("long").as("c"),
+        expr("CAST(chi2_obs_micro + 1000000 * n - e_obs_micro AS BIGINT)")
+          .as("chi2_micro"),
+        when(least(col("r"), col("c")) > 1 && col("n") > 0, expr(
+          "CAST(floor(1000 * sqrt(" +
+            "((chi2_obs_micro + 1000000 * n - e_obs_micro) / 1000000.0) / " +
+            "(CAST(n AS DOUBLE) * (least(r, c) - 1))) + 0.5) AS BIGINT)"))
+          .as("v_milli"))
+  }
+
+  /** Per-group Spearman rank correlation from EXACT integer doubled
+    * average ranks. Ties take the average rank; to stay integer, ranks are
+    * carried DOUBLED: a value with `t` ties after `cum` smaller rows has
+    * 2·rank = 2·cum + t + 1 — exact for any tie profile. Rank assignment
+    * is a distinct-value-sized window per group (never a corpus-wide
+    * window), rows join their rank by (group, value), and ρ is Pearson
+    * over the doubled ranks via DECIMAL(38,0) moments — the doubling
+    * cancels in the ratio. Degenerate groups (constant column) → null.
+    * Shape: two bounded rank tables + two hash joins + one
+    * map-side-partial moment aggregate. */
+  def spearmanByGroup(df: DataFrame, groupCol: String,
+      xInt: Column, yInt: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        xInt.cast("long").as("x"), yInt.cast("long").as("y"))
+      .na.drop()
+      .localCheckpoint(eager = false) // read thrice: 2 rank tables + rows
+    def ranks2(vc: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("g"), col(vc).as("v"))
+        .agg(count(lit(1)).as("t"))
+        .select(col("g"), col("v"),
+          (coalesce(sum("t").over(w), lit(0L)) * 2 + col("t") + 1)
+            .as(s"r$vc"))
+    }
+    base
+      .join(ranks2("x").withColumnRenamed("v", "x"), Seq("g", "x"))
+      .join(ranks2("y").withColumnRenamed("v", "y"), Seq("g", "y"))
+      .select(col("g"), col("rx").cast("decimal(18,0)").as("rx"),
+        col("ry").cast("decimal(18,0)").as("ry"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+      .withColumn("cov", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("vx", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"))
+      .withColumn("vy", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"))
+      .select(col("g"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0, expr(
+          "CAST(floor(1000000 * cov / sqrt(vx * vy) + 0.5) AS BIGINT)"))
+          .as("rho_micro"))
+  }
+
+  /** Per-group Kendall τ-b over a QUANTIZED contingency grid: rows
+    * aggregate once into (x, y) cells, then concordant/discordant pair
+    * mass comes from the bounded CELL-pair join — never a row-pair join,
+    * so the cost is grid², fixed by the quantization regardless of corpus
+    * size (the 100 TB shape: one aggregation pass + arithmetic over a
+    * few-hundred-cell table). Tie corrections n₁/n₂ come from the grid
+    * margins; all pair counts are exact DECIMAL(38,0)
+    * (n·(n−1)/2 wraps int64 past n ≈ 4.3e9);
+    * τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one mirrored double over exact
+    * operands, micro-floored. */
+  def kendallTauCells(df: DataFrame, groupCol: String,
+      xInt: Column, yInt: Column): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"),
+        xInt.cast("long").as("x"), yInt.cast("long").as("y"))
+      .na.drop()
+      .groupBy("g", "x", "y").agg(count(lit(1)).cast("decimal(38,0)").as("m"))
+      .localCheckpoint(eager = false) // pairs two-sides + margins
+    val pairs = cells.as("p").join(cells.as("q"),
+        col("p.g") === col("q.g") && (col("p.x") < col("q.x")))
+      .groupBy(col("p.g").as("g"))
+      .agg(
+        sum(when(col("p.y") < col("q.y"), col("p.m") * col("q.m"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("cc"),
+        sum(when(col("p.y") > col("q.y"), col("p.m") * col("q.m"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("dd"))
+    // pair counts stay DECIMAL throughout — n(n−1)/2 wraps a long past
+    // n ≈ 4.3e9; the products are always even so the /2 is exact
+    val margins = cells.groupBy("g").agg(sum("m").as("n"))
+    val tx = cells.groupBy("g", "x").agg(sum("m").as("t"))
+      .groupBy("g")
+      .agg(expr("CAST(SUM(t * (t - 1)) / 2 AS DECIMAL(38,0))").as("n1"))
+    val ty = cells.groupBy("g", "y").agg(sum("m").as("t"))
+      .groupBy("g")
+      .agg(expr("CAST(SUM(t * (t - 1)) / 2 AS DECIMAL(38,0))").as("n2"))
+    pairs.join(margins, "g").join(tx, "g").join(ty, "g")
+      .withColumn("n0", expr("CAST(n * (n - 1) / 2 AS DECIMAL(38,0))"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"), expr(
+          "CAST(floor(1000000 * CAST(cc - dd AS DOUBLE) / " +
+            "sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) + 0.5)" +
+            " AS BIGINT)")).as("tau_micro"))
+  }
+
+  /** One-way ANOVA F over integer values: between/within sums of squares
+    * from EXACT per-group DECIMAL(38,0) moments, each group's SSB/SSW
+    * contribution PRE-ROUNDED to integer micro units before the sum (the
+    * q_benford discipline — the statistic is the sum of rounded terms, so
+    * group summation order is irrelevant and the engines cannot drift).
+    * SSB_g = (n·Σx_g − n_g·Σx)²/(n²·n_g), SSW_g = (n_g·Σx²_g − (Σx_g)²)/n_g
+    * — both exact rationals evaluated in double from exact integer
+    * operands. One map-side-partial group pass; the group table is
+    * k-cardinality, totals attach by one-row broadcast. */
+  def anovaF(df: DataFrame, groupCol: String, xInt: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("g"),
+        xInt.cast("decimal(18,0)").as("x"))
+      .na.drop()
+      .groupBy("g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+        sum(col("x").cast("decimal(38,0)")).as("sxg"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxxg"))
+    val tot = g.agg(count(lit(1)).cast("long").as("k"),
+      sum("ng").as("n"), sum("sxg").as("sx"))
+    g.crossJoin(broadcast(tot))
+      // devb squared as an explicit product, not pow(x, 2): libm pow is
+      // not guaranteed bit-identical across engines where x*x is
+      .withColumn("devb", expr("CAST(n * sxg - ng * sx AS DOUBLE)"))
+      .select(col("k"), col("n"),
+        expr("CAST(floor(1000000 * devb * devb / " +
+          "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE))" +
+          " + 0.5) AS BIGINT)").as("ssb_g_micro"),
+        expr("CAST(floor(1000000 * " +
+          "CAST(ng * sxxg - sxg * sxg AS DOUBLE) / CAST(ng AS DOUBLE)" +
+          " + 0.5) AS BIGINT)").as("ssw_g_micro"))
+      .groupBy("k", "n")
+      .agg(sum("ssb_g_micro").as("ssb_micro"),
+        sum("ssw_g_micro").as("ssw_micro"))
+      .select(col("k"), col("n").cast("long").as("n"),
+        col("ssb_micro").cast("long").as("ssb_micro"),
+        col("ssw_micro").cast("long").as("ssw_micro"),
+        when(col("k") > 1 && col("n") > col("k") && col("ssw_micro") > 0,
+          expr("CAST(floor(1000 * (CAST(ssb_micro AS DOUBLE) / (k - 1)) / " +
+            "(CAST(ssw_micro AS DOUBLE) / (n - k)) + 0.5) AS BIGINT)"))
+          .as("f_milli"),
+        when(col("ssb_micro") + col("ssw_micro") > 0,
+          expr("CAST(floor(1000 * CAST(ssb_micro AS DOUBLE) / " +
+            "(CAST(ssb_micro AS DOUBLE) + ssw_micro) + 0.5) AS BIGINT)"))
+          .as("eta2_milli"))
   }
 }

@@ -314,7 +314,48 @@ object StatOps extends QueryFamily {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_x", "col_y")
 
+  /** q_spearman — Spearman rank correlation (quantity vs. price) per
+    * returnflag: the monotone-association twin of q_corr's Pearson, robust
+    * to the price column's heavy tail. Doubled average ranks keep ties
+    * exact in integers; see [[graft.operators.Profile.spearmanByGroup]]. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.spearmanByGroup(Tables.lineitem(s, dir),
+        "l_returnflag", expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy("l_returnflag")
+
+  /** q_kendall — Kendall τ-b (quantity vs. $10k price bucket) per
+    * returnflag over the QUANTIZED contingency grid: concordance counted
+    * over bounded cells, never row pairs — the τ that still runs at 100 TB.
+    * See [[graft.operators.Profile.kendallTauCells]]. */
+  def qKendall(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.kendallTauCells(Tables.lineitem(s, dir),
+        "l_returnflag", expr("CAST(l_quantity AS BIGINT)"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 1000000"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy("l_returnflag")
+
+  /** q_cramers_v — Cramér's V effect size for order priority × status:
+    * the normalized "does it matter" number over q_chi2_indep's raw χ².
+    * See [[graft.operators.Profile.cramersV]]. */
+  def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.cramersV(Tables.orders(s, dir),
+      "o_orderpriority", "o_orderstatus")
+
+  /** q_anova — one-way ANOVA F of event value (cents) across event types:
+    * the k-group generalization of q_mannwhitney's two-sample test, from
+    * pre-rounded per-group SSB/SSW micro terms.
+    * See [[graft.operators.Profile.anovaF]]. */
+  def qAnova(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.anovaF(Tables.events(s, dir), "event_type",
+      expr("CAST(round(value * 100) AS BIGINT)"))
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman" -> (qSpearman _),
+    "q_kendall" -> (qKendall _),
+    "q_cramers_v" -> (qCramersV _),
+    "q_anova" -> (qAnova _),
     "q_corr" -> (qCorr _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_benford" -> (qBenford _),
@@ -354,6 +395,156 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Spearman: doubled average ranks (2·cum + t + 1) per (g, value),
+    // HUGEINT moments, mirrored double formula, micro-floored.
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |cx AS (SELECT g, x AS v, COUNT(*) AS t FROM base GROUP BY g, x),
+        |rx AS (SELECT g, v,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r
+        |  FROM cx),
+        |cy AS (SELECT g, y AS v, COUNT(*) AS t FROM base GROUP BY g, y),
+        |ry AS (SELECT g, v,
+        |    2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS r
+        |  FROM cy),
+        |j AS (
+        |  SELECT b.g, rx.r AS rx, ry.r AS ry
+        |  FROM base b
+        |  JOIN rx ON rx.g = b.g AND rx.v = b.x
+        |  JOIN ry ON ry.g = b.g AND ry.v = b.y),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n,
+        |    SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+        |    SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+        |  FROM j GROUP BY g),
+        |f AS (
+        |  SELECT g, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy
+        |  FROM m)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    CAST(floor(1000000 * cov / sqrt(vx * vy) + 0.5) AS BIGINT)
+        |  END AS rho_micro
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+    // Kendall τ-b: bounded cell-pair concordance, HUGEINT pair counts,
+    // mirrored double tau, micro-floored.
+    "q_kendall" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000 AS y
+        |  FROM lineitem),
+        |cells AS (SELECT g, x, y, CAST(COUNT(*) AS HUGEINT) AS m
+        |  FROM base GROUP BY g, x, y),
+        |pr AS (
+        |  SELECT p.g,
+        |    SUM(CASE WHEN p.y < q.y THEN p.m * q.m ELSE 0 END) AS cc,
+        |    SUM(CASE WHEN p.y > q.y THEN p.m * q.m ELSE 0 END) AS dd
+        |  FROM cells p JOIN cells q ON p.g = q.g AND p.x < q.x
+        |  GROUP BY p.g),
+        |mar AS (SELECT g, SUM(m) AS n FROM cells GROUP BY g),
+        |t1 AS (SELECT g, SUM(t * (t - 1)) / 2 AS n1
+        |  FROM (SELECT g, x, SUM(m) AS t FROM cells GROUP BY g, x)
+        |  GROUP BY g),
+        |t2 AS (SELECT g, SUM(t * (t - 1)) / 2 AS n2
+        |  FROM (SELECT g, y, SUM(m) AS t FROM cells GROUP BY g, y)
+        |  GROUP BY g),
+        |f AS (
+        |  SELECT pr.g, n, cc, dd, n * (n - 1) / 2 AS n0, n1, n2
+        |  FROM pr JOIN mar USING (g) JOIN t1 USING (g) JOIN t2 USING (g))
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+        |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+        |    CAST(floor(1000000 * CAST(cc - dd AS DOUBLE) /
+        |      sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+        |      + 0.5) AS BIGINT)
+        |  END AS tau_micro
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+    // Cramér's V: χ² = Σ observed-cell pre-rounded micro terms + the exact
+    // zero-cell mass (10⁶·n − Σ e_micro), then the normalized effect size.
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS n FROM cells),
+        |j AS (
+        |  SELECT cells.a, cells.b, CAST(o AS BIGINT) AS o,
+        |    CAST(rt.r AS BIGINT) AS r, CAST(ct.c AS BIGINT) AS c,
+        |    CAST(nt.n AS BIGINT) AS n,
+        |    CAST(CAST(nt.n AS HUGEINT) * o -
+        |      CAST(rt.r AS HUGEINT) * ct.c AS DOUBLE) AS dev
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt),
+        |terms AS (
+        |  SELECT a, b, o, n,
+        |    CAST(floor(1000000 * dev * dev /
+        |      (CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT) AS chi2_micro,
+        |    CAST((2000000 * CAST(r AS HUGEINT) * c + n) // (2 * n)
+        |      AS BIGINT) AS e_micro
+        |  FROM j),
+        |agg AS (
+        |  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+        |    SUM(chi2_micro) AS chi2_obs, SUM(e_micro) AS e_obs
+        |  FROM terms)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c,
+        |  CAST(chi2_obs + 1000000 * n - e_obs AS BIGINT) AS chi2_micro,
+        |  CASE WHEN least(r, c) > 1 AND n > 0 THEN
+        |    CAST(floor(1000 * sqrt(
+        |      ((chi2_obs + 1000000 * n - e_obs) / 1000000.0) /
+        |      (CAST(n AS DOUBLE) * (least(r, c) - 1))) + 0.5) AS BIGINT)
+        |  END AS v_milli
+        |FROM agg""".stripMargin,
+    // One-way ANOVA: HUGEINT moments, per-group pre-rounded SSB/SSW micro
+    // terms, mirrored double F and eta².
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT event_type AS g, CAST(COUNT(*) AS HUGEINT) AS ng,
+        |    SUM(CAST(round(value * 100) AS HUGEINT)) AS sxg,
+        |    SUM(CAST(round(value * 100) AS HUGEINT) *
+        |      CAST(round(value * 100) AS HUGEINT)) AS sxxg
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sxg) AS sx FROM g),
+        |terms AS (
+        |  SELECT k, n,
+        |    CAST(n * sxg - ng * sx AS DOUBLE) AS devb, ng, sxxg, sxg
+        |  FROM g CROSS JOIN tot),
+        |micro AS (
+        |  SELECT k, n,
+        |    CAST(floor(1000000 * devb * devb /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(ng AS DOUBLE))
+        |      + 0.5) AS BIGINT) AS ssb_g,
+        |    CAST(floor(1000000 *
+        |      CAST(ng * sxxg - sxg * sxg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS ssw_g
+        |  FROM terms),
+        |agg AS (
+        |  SELECT k, CAST(n AS BIGINT) AS n, SUM(ssb_g) AS ssb_micro,
+        |    SUM(ssw_g) AS ssw_micro
+        |  FROM micro GROUP BY k, n)
+        |SELECT CAST(k AS BIGINT) AS k, n,
+        |  CAST(ssb_micro AS BIGINT) AS ssb_micro,
+        |  CAST(ssw_micro AS BIGINT) AS ssw_micro,
+        |  CASE WHEN k > 1 AND n > k AND ssw_micro > 0 THEN
+        |    CAST(floor(1000 * (CAST(ssb_micro AS DOUBLE) / (k - 1)) /
+        |      (CAST(ssw_micro AS DOUBLE) / (n - k)) + 0.5) AS BIGINT)
+        |  END AS f_milli,
+        |  CASE WHEN ssb_micro + ssw_micro > 0 THEN
+        |    CAST(floor(1000 * CAST(ssb_micro AS DOUBLE) /
+        |      (CAST(ssb_micro AS DOUBLE) + ssw_micro) + 0.5) AS BIGINT)
+        |  END AS eta2_milli
+        |FROM agg""".stripMargin,
     "q_mannwhitney" ->
       """WITH ev AS (
         |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v

@@ -415,4 +415,67 @@ class StatOpsSpec extends SparkSpec {
     assert(cands.contains("k"))
     assert(!cands.contains(null))
   }
+
+  test("spearman: ±1e6 on monotone data regardless of shape; ties keep |rho| < 1e6") {
+    import graft.operators.Profile
+    // y = x³ is non-linear but perfectly monotone: Pearson < 1, Spearman = 1
+    val mono = (1L to 20L).map(i => ("up", i, i * i * i)) ++
+      (1L to 20L).map(i => ("dn", i, -i * i)) ++
+      (1L to 20L).map(i => ("tie", i, (i / 5) * 5)) // tied y blocks
+    val got = mono.toDF("g", "x", "y")
+      .groupBy("g", "x", "y").count().drop("count") // dedupe no-op, keeps types
+    val out = Profile.spearmanByGroup(got, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("up") === 1000000L)
+    assert(out("dn") === -1000000L)
+    assert(out("tie") > 900000L && out("tie") < 1000000L)
+  }
+
+  test("kendall: cell grid reproduces the O(n^2) brute force, ties corrected") {
+    import graft.operators.Profile
+    val xs = Seq(1L, 1L, 2L, 3L, 3L, 4L, 5L, 5L, 5L, 6L)
+    val ys = Seq(2L, 1L, 2L, 4L, 3L, 3L, 6L, 5L, 6L, 7L)
+    val rows = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+    // brute force over row pairs
+    val pairs = for (i <- xs.indices; j <- xs.indices if i < j)
+      yield (xs(i).compare(xs(j)), ys(i).compare(ys(j)))
+    val c = pairs.count(p => p._1 * p._2 > 0).toDouble
+    val d = pairs.count(p => p._1 * p._2 < 0).toDouble
+    val tiesX = pairs.count(_._1 == 0).toDouble
+    val tiesY = pairs.count(_._2 == 0).toDouble
+    val n0 = pairs.size.toDouble
+    val want = math.floor(
+      1e6 * (c - d) / math.sqrt((n0 - tiesX) * (n0 - tiesY)) + 0.5).toLong
+    val out = Profile.kendallTauCells(rows.toDF("g", "x", "y"), "g",
+        col("x"), col("y"))
+      .head()
+    assert(out.getAs[Long]("concordant") === c.toLong)
+    assert(out.getAs[Long]("discordant") === d.toLong)
+    assert(out.getAs[Long]("tau_micro") === want)
+  }
+
+  test("anova: F near zero for identical groups, large when a group shifts; eta2 tracks") {
+    import graft.operators.Profile
+    val same = (1L to 50L).flatMap(i => Seq(("a", i % 7), ("b", i % 7)))
+    val f0 = Profile.anovaF(same.toDF("g", "x"), "g", col("x"))
+      .head().getAs[Long]("f_milli")
+    assert(f0 === 0L)
+    val shifted = (1L to 50L).flatMap(i => Seq(("a", i % 7), ("b", i % 7 + 100)))
+    val row = Profile.anovaF(shifted.toDF("g", "x"), "g", col("x")).head()
+    assert(row.getAs[Long]("f_milli") > 1000000L)
+    assert(row.getAs[Long]("eta2_milli") > 900L)
+  }
+
+  test("cramers v: 1.0 for a deterministic association, near 0 for independence") {
+    import graft.operators.Profile
+    val dep = (1L to 60L).map(i => (s"a${i % 3}", s"b${i % 3}"))
+    val vDep = Profile.cramersV(dep.toDF("p", "q"), "p", "q")
+      .head().getAs[Long]("v_milli")
+    assert(vDep === 1000L)
+    val ind = for (i <- 0 until 3; j <- 0 until 4; _ <- 0 until 5)
+      yield (s"a$i", s"b$j")
+    val vInd = Profile.cramersV(ind.toDF("p", "q"), "p", "q")
+      .head().getAs[Long]("v_milli")
+    assert(vInd === 0L)
+  }
 }
