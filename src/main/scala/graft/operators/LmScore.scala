@@ -173,6 +173,48 @@ object LmScore {
     * `writePqLayout`. Four parquet tables under `path`; counts are
     * exact integers, so a stored-and-reloaded LM scores BIT-IDENTICALLY
     * to a fresh fit (LayoutSpec asserts it). */
+  /** DuckDB CTE chain computing the per-document KN bigram score table
+    * `per(doc_id, n_bigrams, n_unseen, nll_micro)` — the shared oracle
+    * head of `q_kn_bigram` (which LEFT JOINs it back to documents) and
+    * `q_ppl_filter` (which bands on ce = nll/n_bigrams per source). One
+    * generator so the two oracles can never drift from each other. */
+  val knPerDocOracleCtes: String =
+    """arr AS (
+      |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |tb AS (
+      |  SELECT array_to_string(a[i:i+1], ' ') AS bg
+      |  FROM arr, unnest(range(1, len(a))) AS r(i)
+      |  WHERE len(a) >= 2 AND doc_id % 10 = 0),
+      |c2 AS (SELECT bg, COUNT(*) AS c2 FROM tb GROUP BY bg),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c2) AS c1,
+      |    COUNT(*) AS nfwd FROM c2 GROUP BY 1),
+      |cont AS (SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS nrev
+      |  FROM c2 GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n1all FROM c2),
+      |sb AS (
+      |  SELECT doc_id, array_to_string(a[i:i+1], ' ') AS bg
+      |  FROM arr, unnest(range(1, len(a))) AS r(i)
+      |  WHERE len(a) >= 2),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN c2.bg IS NULL THEN 1 ELSE 0 END AS unseen,
+      |    CAST(round(-ln(
+      |      CASE WHEN ctx.c1 IS NOT NULL THEN
+      |        (COALESCE(c2.c2, 0.75) - 0.75) / ctx.c1
+      |          + (0.75 * ctx.nfwd / ctx.c1)
+      |            * (COALESCE(cont.nrev, 1) / CAST(n1all AS DOUBLE))
+      |      ELSE COALESCE(cont.nrev, 1) / CAST(n1all AS DOUBLE) END
+      |      ) * 1000000.0) AS BIGINT) AS nll_u
+      |  FROM sb
+      |  LEFT JOIN c2 USING (bg)
+      |  LEFT JOIN ctx ON split_part(sb.bg, ' ', 1) = ctx.w1
+      |  LEFT JOIN cont ON split_part(sb.bg, ' ', 2) = cont.w2
+      |  CROSS JOIN tot),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(unseen) AS n_unseen,
+      |    CAST(SUM(nll_u) AS BIGINT) AS nll_micro
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   def writeLmLayout(train: DataFrame, textCol: String, path: String): Unit = {
     val (c2t, ctx, cont, tot) = knCounts(train, textCol)
     c2t.write.mode("overwrite").parquet(s"$path/c2")

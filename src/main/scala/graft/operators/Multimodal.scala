@@ -157,6 +157,57 @@ object Multimodal {
         sums.getField("r").as("sum_r")))
   }
 
+  /** REAL 24bpp BMP block-pooling resize cell: integer per-channel sums
+    * and pixel count of ONE output cell of a gw×gh box resize — the
+    * thumbnail/pooling kernel behind `q_img_resize`, emitted as exact
+    * integers (no division) so the resized plane is engine-independent;
+    * the consumer divides sum/n_px at whatever precision it wants.
+    * Cell extents use the standard integer partition
+    * x ∈ [⌊cx·w/gw⌋, ⌊(cx+1)·w/gw⌋) in TOP-DOWN image coordinates (BMP
+    * stores rows bottom-up; y_img = h−1−y_file), so the output grid is a
+    * true partition of the image: cells tile exactly, and summing all
+    * cells reproduces [[bmpPixelStats]]'s totals. Header-driven like
+    * [[bmpPixelStats]] (offset, dimensions, 4-byte row stride), same
+    * narrow no-shuffle aggregate shape, same thumbnail-scale posture. */
+  def bmpCellStats(payload: Column, gw: Int, gh: Int,
+      cy: Column, cx: Column): Column = {
+    val off    = leUInt(payload, 11, 4)
+    val w      = leUInt(payload, 19, 4)
+    val h      = leUInt(payload, 23, 4)
+    val bpp    = leUInt(payload, 29, 2)
+    val comp   = leUInt(payload, 31, 4)
+    val stride = floor((w * 3 + 3) / 4).cast("long") * 4
+    val x0 = floor(cx * w / gw).cast("long")
+    val x1 = floor((cx + 1) * w / gw).cast("long")
+    val y0 = floor(cy * h / gh).cast("long")
+    val y1 = floor((cy + 1) * h / gh).cast("long")
+    val sums = aggregate(
+      filter(sequence(lit(0L), w * h - 1), i => {
+        val x = pmod(i, w)
+        val yImg = h - 1 - floor((i - x) / w).cast("long")
+        x >= x0 && x < x1 && yImg >= y0 && yImg < y1
+      }),
+      struct(lit(0L).as("b"), lit(0L).as("g"), lit(0L).as("r")),
+      (acc, i) => {
+        val x = pmod(i, w)
+        val yFile = floor((i - x) / w).cast("long")
+        val p = off + yFile * stride + x * 3 + 1 // 1-based byte position
+        struct(
+          (acc.getField("b") + byteAt(payload, p)).as("b"),
+          (acc.getField("g") + byteAt(payload, p + 1)).as("g"),
+          (acc.getField("r") + byteAt(payload, p + 2)).as("r"))
+      })
+    when(magic(payload, 1, 2) === "424D" && bpp === 24 && comp === 0 &&
+      w > 0 && h > 0 && w <= DimBound && h <= DimBound && off <= DimBound &&
+      length(payload) >= off + h * stride &&
+      cy >= 0 && cy < gh && cx >= 0 && cx < gw,
+      struct(
+        ((x1 - x0) * (y1 - y0)).as("n_px"),
+        sums.getField("b").as("sum_b"),
+        sums.getField("g").as("sum_g"),
+        sums.getField("r").as("sum_r")))
+  }
+
   /** REAL 16-bit PCM WAV sample decode: count / sum / sum-of-squares over
     * the data chunk's little-endian two's-complement samples (canonical
     * 44-byte header layout, data chunk at offset 37). Null unless the

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Boilerplate, Bpe, Dedup, Profile, Vocab}
+import graft.operators.{Boilerplate, Bpe, Dedup, LmScore, Profile, Vocab}
 import graft.functions.{TextFunctions => T}
 
 /** Corpus-curation operators, round 4: tokenizer-training pair statistics
@@ -215,7 +215,52 @@ object CurateOps extends QueryFamily {
       .orderBy("da", "db")
   }
 
+  /** q_ppl_filter — perplexity-band curation (the CCNet/Wikipedia-LM
+    * recipe): score every document under the q_kn_bigram Kneser–Ney LM
+    * (trained on the doc_id % 10 == 0 reference slice), then per source
+    * keep the middle band [p25, p75] of cross-entropy — too-predictable
+    * text is boilerplate, too-surprising is noise/garble. Band bounds by
+    * RANK over a (ce, doc_id) total order (type-1 quantiles — exact
+    * position selection, no interpolated-percentile float risk), the
+    * q_winsorize discipline. Reports per-source totals, band bounds, and
+    * kept counts. Shape: the LM score is vocabulary-bounded joins; the
+    * band is one source-keyed window + a group-cardinality broadcast. */
+  def qPplFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val scored = graft.operators.LmScore.knBigramCrossEntropy(
+        docs.select("doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id")
+      .select("doc_id", "ce_micro")
+      .filter(col("ce_micro").isNotNull)
+    val j = docs.select("doc_id", "source").join(scored, "doc_id")
+    val w = Window.partitionBy("source").orderBy("ce_micro", "doc_id")
+    val ranked = j.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .localCheckpoint(eager = false) // feeds bounds + the band count
+    val bounds = ranked
+      .withColumn("lo_pos",
+        greatest(lit(1L), expr("CAST(ceil(25 * n / 100.0) AS BIGINT)")))
+      .withColumn("hi_pos",
+        greatest(lit(1L), expr("CAST(ceil(75 * n / 100.0) AS BIGINT)")))
+      .groupBy("source")
+      .agg(max(when(col("rn") === col("lo_pos"), col("ce_micro")))
+          .as("lo_ce_micro"),
+        max(when(col("rn") === col("hi_pos"), col("ce_micro")))
+          .as("hi_ce_micro"))
+    ranked.join(broadcast(bounds), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        max("lo_ce_micro").as("lo_ce_micro"),
+        max("hi_ce_micro").as("hi_ce_micro"),
+        sum(when(col("ce_micro").between(
+          col("lo_ce_micro"), col("hi_ce_micro")), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("source")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppl_filter" -> (qPplFilter _),
     "q_ppjoin" -> (qPpjoin _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_profile" -> (qProfile _),
@@ -228,6 +273,36 @@ object CurateOps extends QueryFamily {
     "q_skew_profile" -> (qSkewProfile _))
 
   override val oracle: Map[String, String] = Map(
+    // Perplexity band: the shared KN per-doc CTE chain (one generator with
+    // q_kn_bigram so the LM arithmetic can never drift), then rank-based
+    // p25/p75 band bounds per source.
+    "q_ppl_filter" ->
+      s"""WITH ${LmScore.knPerDocOracleCtes},
+        |ce AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(nll_micro // n_bigrams AS BIGINT) AS ce_micro
+        |  FROM documents d JOIN per USING (doc_id) WHERE n_bigrams > 0),
+        |rk AS (
+        |  SELECT source, doc_id, ce_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ce_micro, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM ce),
+        |bd AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN rn = GREATEST(1,
+        |      CAST(ceil(25 * n / 100.0) AS BIGINT)) THEN ce_micro END)
+        |      AS lo_ce_micro,
+        |    MAX(CASE WHEN rn = GREATEST(1,
+        |      CAST(ceil(75 * n / 100.0) AS BIGINT)) THEN ce_micro END)
+        |      AS hi_ce_micro
+        |  FROM rk GROUP BY source)
+        |SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  MAX(lo_ce_micro) AS lo_ce_micro, MAX(hi_ce_micro) AS hi_ce_micro,
+        |  CAST(SUM(CASE WHEN ce_micro BETWEEN lo_ce_micro AND hi_ce_micro
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM rk r JOIN bd USING (source)
+        |GROUP BY r.source ORDER BY source""".stripMargin,
     // The oracle is the EXACT all-pairs join — no prefix filter — so a
     // hash match proves the blocking loses nothing (100% recall).
     "q_ppjoin" ->

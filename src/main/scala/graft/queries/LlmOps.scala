@@ -599,6 +599,33 @@ object LlmOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_img_resize — REAL image RESIZE (2×2 box pooling of the synthetic
+    * 3×3 BMP), oracle-checked end to end: the engine parses the container
+    * header, walks pixels through the bottom-up row order and 4-byte
+    * stride, partitions them into output cells in image space, and emits
+    * each cell's exact integer (n_px, Σb, Σg, Σr) — the thumbnail kernel
+    * of a multimodal ingest pipeline, with no division so nothing ever
+    * rounds. The DuckDB oracle recomputes every cell straight from the
+    * digest hex with the same cell partition and row flip but NO container
+    * parsing, so the decode-and-pool arithmetic is cross-checked exactly
+    * like q_multimodal_decode. Cells tile the image, so summing them
+    * reproduces bmpPixelStats (spec-asserted). */
+  def qImgResize(s: SparkSession, dir: String): DataFrame = {
+    val src = unhex(concat(sha2(col("text"), 256), md5(col("text"))))
+    val cells = array((for (cy <- 0 to 1; cx <- 0 to 1) yield
+      struct(lit(cy.toLong).as("cy"), lit(cx.toLong).as("cx"))): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Multimodal.syntheticBmp3x3(src).as("img"),
+        explode(cells).as("cell"))
+      .select(col("doc_id"), col("cell.cy").as("cy"), col("cell.cx").as("cx"),
+        Multimodal.bmpCellStats(col("img"), 2, 2,
+          col("cell.cy"), col("cell.cx")).as("st"))
+      .select(col("doc_id"), col("cy"), col("cx"),
+        col("st.n_px").as("n_px"), col("st.sum_b").as("sum_b"),
+        col("st.sum_g").as("sum_g"), col("st.sum_r").as("sum_r"))
+      .orderBy("doc_id", "cy", "cx")
+  }
+
   /** q_multimodal_inflate — ENTROPY-CODED container decode, oracle-checked:
     * per-row source bytes (sha256‖md5 of the text, 48 bytes) become a 4×4
     * RGB8 PNG through the real encoder (rotating Sub/Up/Average/Paeth
@@ -718,6 +745,7 @@ object LlmOps extends QueryFamily {
     "q_sim_ivf" -> (qSimIvf _),
     "q_sim_sq8" -> (qSimSq8 _),
     "q_multimodal_decode" -> (qMultimodalDecode _),
+    "q_img_resize" -> (qImgResize _),
     "q_multimodal_inflate" -> (qMultimodalInflate _),
     "q_multimodal_avi" -> (qMultimodalAvi _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -1335,6 +1363,35 @@ object LlmOps extends QueryFamily {
     // pixels are the first 27 bytes RGB-interleaved (scanline filter
     // bytes exist only inside the container, which the oracle never sees).
     // NULL text ⇒ NULL digest ⇒ the engine decodes nothing and every stat
+    // q_img_resize: the oracle reassembles every pixel byte straight from
+    // the digest hex (byte i of the pixel array; pad bytes i%12 >= 9
+    // skipped), maps file coords to IMAGE coords (y_img = 2 - y_file: BMP
+    // rows are bottom-up), assigns the same integer cell partition
+    // c = ((v+1)·2 − 1) // 3 the engine uses, and aggregates per cell —
+    // never parsing a container, so the engine's header walk, row flip,
+    // stride skip, and cell mapping are all cross-checked. NULL text ⇒
+    // NULL digest ⇒ all-NULL stats (COUNT(v)-guarded), matching the
+    // engine's null-payload struct. cellpx is one row per CHANNEL byte,
+    // so n_px = COUNT(v) // 3.
+    "q_img_resize" ->
+      """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, i,
+        |        CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
+        |             (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1) AS BIGINT) AS v
+        |      FROM h CROSS JOIN (SELECT unnest(range(0, 36)) AS i)),
+        |cellpx AS (
+        |  SELECT doc_id,
+        |    (5 - 2 * (i // 12)) // 3 AS cy,
+        |    (2 * ((i % 12) // 3) + 1) // 3 AS cx,
+        |    i % 3 AS c, v
+        |  FROM b WHERE i % 12 < 9)
+        |SELECT doc_id, CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx,
+        |  CAST(CASE WHEN COUNT(v) > 0 THEN COUNT(v) // 3 END AS BIGINT) AS n_px,
+        |  CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_r
+        |FROM cellpx GROUP BY doc_id, cy, cx
+        |ORDER BY doc_id, cy, cx""".stripMargin,
     // is NULL; the COUNT()-guarded CASEs (not ELSE-0 sums) reproduce that.
     "q_multimodal_decode" ->
       """WITH h AS (SELECT doc_id, sha256(text) || md5(text) AS hx FROM documents),

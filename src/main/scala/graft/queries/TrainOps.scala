@@ -291,7 +291,44 @@ object TrainOps extends QueryFamily {
         Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 8)
       .orderBy("rnk")
 
+  /** q_mix_apply — EXECUTE the temperature mixture plan as a
+    * deterministic hash sample: each source keeps documents whose
+    * content-independent md5(doc_id) permille falls under the source's
+    * keep rate, the rate being q_mixture_plan's T=2 sampling factor under
+    * the B = total/2 token budget (capped at 1000‰ — this is the
+    * downsampling executor; upsampled sources keep everything and epoch
+    * multiplicity is the loader's job). The rate is EXACT integer
+    * arithmetic end to end: factor·1000 = (sqq·total·500)/(sum_sqq·tokens)
+    * as a DECIMAL(38,0) integral divide — no float ever decides a keep,
+    * so the materialized mix is bit-stable across runs, engines, and
+    * partitionings. Shape: two tiny aggregates broadcast onto one corpus
+    * scan — no corpus shuffle at all. */
+  def qMixApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perSrc = docs.groupBy("source")
+      .agg(sum(T.tokenCount(col("text"))).as("tokens"))
+    val total = perSrc.agg(sum("tokens").as("total_tokens"))
+    val withP = perSrc.join(broadcast(total))
+      .withColumn("p", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("sqq", floor(sqrt(col("p")) * 1e6).cast("long"))
+    val sumQ = withP.agg(sum("sqq").as("sum_sqq"))
+    val rates = withP.join(broadcast(sumQ))
+      .select(col("source"),
+        least(lit(1000L), expr(
+          "(CAST(sqq AS DECIMAL(38,0)) * total_tokens * 500) div " +
+            "(CAST(sum_sqq AS DECIMAL(38,0)) * tokens)"))
+          .as("keep_permille"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|mix"))), 1, 3), 16, 10).cast("long") % 1000)
+      .filter(col("h") < col("keep_permille"))
+      .select(col("doc_id"), col("source"), col("keep_permille"))
+      .orderBy("doc_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_apply" -> (qMixApply _),
     "q_sample_fps" -> (qSampleFps _),
     "q_length_buckets" -> (qLengthBuckets _),
     "q_dsir" -> (qDsir _),
@@ -309,6 +346,37 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    // The keep rate is a pure-integer divide (sqq·total·500)//(sum_sqq·
+    // tokens) and the keep decision 3 md5 hex digits mod 1000 — nothing
+    // float anywhere near a row decision.
+    "q_mix_apply" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per),
+        |wp AS (
+        |  SELECT source, tokens, total_tokens,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE) / total_tokens) * 1000000)
+        |      AS BIGINT) AS sqq
+        |  FROM per, tot),
+        |sq AS (SELECT CAST(SUM(sqq) AS BIGINT) AS sum_sqq FROM wp),
+        |rates AS (
+        |  SELECT source,
+        |    LEAST(1000, CAST((CAST(sqq AS HUGEINT) * total_tokens * 500) //
+        |      (CAST(sum_sqq AS HUGEINT) * tokens) AS BIGINT))
+        |      AS keep_permille
+        |  FROM wp, sq)
+        |SELECT d.doc_id, d.source, r.keep_permille
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE ((strpos('0123456789abcdef',
+        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef',
+        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 2, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef',
+        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 3, 1)) - 1))
+        |  % 1000 < r.keep_permille
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_fps" -> graft.operators.Similarity.fpsOracleSql(8),
     "q_length_buckets" ->
       """WITH t AS (

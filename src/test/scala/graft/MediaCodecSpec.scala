@@ -290,4 +290,35 @@ class MediaCodecSpec extends SparkSpec {
     val out = df.select(col("s.n_px")).as[Option[Long]].collect()
     assert(out(0).contains(16L) && out(1).isEmpty)
   }
+
+  test("bmp block resize: cells tile the image — per-doc cell sums equal bmpPixelStats") {
+    import graft.operators.Multimodal
+    // the resize grid is a PARTITION of the pixel plane: summing every
+    // cell's (n_px, Σb, Σg, Σr) must reproduce the whole-image decoder
+    val cellTotals = LlmOps.qImgResize(spark, sf)
+      .groupBy("doc_id")
+      .agg(sum("n_px").as("n_px"), sum("sum_b").as("b"),
+        sum("sum_g").as("g"), sum("sum_r").as("r"))
+    val whole = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), Multimodal.bmpPixelStats(
+        Multimodal.syntheticBmp3x3(
+          unhex(concat(sha2(col("text"), 256), md5(col("text")))))).as("s"))
+      .select(col("doc_id"), col("s.n_px").as("w_n_px"),
+        col("s.sum_b").as("wb"), col("s.sum_g").as("wg"),
+        col("s.sum_r").as("wr"))
+    val mismatches = cellTotals.join(whole, "doc_id")
+      .filter(col("n_px") =!= col("w_n_px") || col("b") =!= col("wb") ||
+        col("g") =!= col("wg") || col("r") =!= col("wr"))
+      .count()
+    assert(mismatches === 0L)
+    // and a doc with NULL text yields NULL cell stats, not zeros
+    import spark.implicits._
+    val nullStats = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(Multimodal.bmpCellStats(
+        Multimodal.syntheticBmp3x3(
+          unhex(concat(sha2(col("text"), 256), md5(col("text"))))),
+        2, 2, lit(0L), lit(0L)).as("st"))
+      .select(col("st.n_px")).as[Option[Long]].head()
+    assert(nullStats.isEmpty)
+  }
 }
