@@ -156,6 +156,59 @@ object Layout {
         shiftleft(shiftright(binB, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
+  /** Hilbert-curve index of a (binA, binB) grid point — the locality
+    * upgrade over [[zorderValue]]: consecutive Hilbert values are ALWAYS
+    * grid neighbours (Morton jumps across the plane at power-of-two
+    * boundaries), so contiguous at-rest ranges cover even tighter boxes
+    * and 2-D box predicates prune better at the file tail. Standard
+    * top-down x,y→d conversion (Hilbert 1891; the bit-twiddling form of
+    * Butz/Lawder): per level, quadrant digit (3·rx)⊕ry weighted s², then
+    * reflect-and-swap the frame. The level loop is state-dependent —
+    * unrollable as independent bit ops like Morton it is NOT — so it runs
+    * as ONE `aggregate` fold over a static `bits`-element sequence
+    * carrying (x, y, d, s): linear expression size, codegen'd, no UDF,
+    * and mirrored level-for-level by [[hilbertOracleCtes]]. */
+  def hilbertValue(binA: Column, binB: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val init = struct(binA.cast("long").as("x"), binB.cast("long").as("y"),
+      lit(0L).as("d"), lit(1L << (bits - 1)).as("s"))
+    aggregate(
+      sequence(lit(1), lit(bits)),
+      init,
+      (acc, _) => {
+        val x = acc.getField("x"); val y = acc.getField("y")
+        val d = acc.getField("d"); val s = acc.getField("s")
+        val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+        val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+        struct(
+          when(ry === 0, when(rx === 1, s - 1 - y).otherwise(y))
+            .otherwise(x).as("x"),
+          when(ry === 0, when(rx === 1, s - 1 - x).otherwise(x))
+            .otherwise(y).as("y"),
+          (d + s * s * (lit(3L) * rx).bitwiseXOR(ry)).as("d"),
+          shiftright(s, 1).as("s"))
+      }).getField("d")
+  }
+
+  /** Unrolled DuckDB CTE chain mirroring [[hilbertValue]] level for level.
+    * The caller provides `l0(idCol, x, y, d, s)` with d = 0 and
+    * s = 2^(bits−1); the result of level `bits` carries the final d. */
+  def hilbertOracleCtes(idCol: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"""l${i + 1} AS (
+         |  SELECT $idCol,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & s) = 0 THEN
+         |      (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+         |    ELSE y END AS y,
+         |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+         |      (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)) AS d,
+         |    s // 2 AS s
+         |  FROM l$i)""".stripMargin
+    }.mkString(",\n")
+
   /** Persist a table z-order-clustered into `files` parquet files: range-
     * partition by the z value (contiguous z-ranges per file), sort within
     * each file so row groups get tight min/max stats on BOTH clustered

@@ -80,6 +80,35 @@ object PipelineOps extends QueryFamily {
       .orderBy("zfile")
   }
 
+  /** q_hilbert — Hilbert-curve clustering evidence on events (value ×
+    * time), the locality upgrade of q_zorder: same 10-bit binning against
+    * one-row broadcast stats, but the file index comes from the Hilbert
+    * d value (consecutive d are always grid NEIGHBOURS — Morton jumps at
+    * power-of-two seams), so per-file 2-D spans are tighter at the tail
+    * and parquet min/max stats prune box predicates better. Bit-exact
+    * cross-engine: identical IEEE binning, and the state-dependent level
+    * loop is mirrored level-for-level in the oracle's unrolled CTE chain
+    * ([[graft.operators.Layout.hilbertOracleCtes]]). */
+  def qHilbert(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("value"),
+        unix_micros(col("ts")).cast("double").as("tsu"))
+    val st = ev.agg(min("value").as("vmin"), max("value").as("vmax"),
+      min("tsu").as("tmin"), max("tsu").as("tmax"))
+    ev.crossJoin(broadcast(st))
+      .withColumn("vbin", Layout.rangeBin(col("value"), col("vmin"),
+        col("vmax"), 1024))
+      .withColumn("tbin", Layout.rangeBin(col("tsu"), col("tmin"),
+        col("tmax"), 1024))
+      .withColumn("hd", Layout.hilbertValue(col("vbin"), col("tbin"), 10))
+      .withColumn("hfile", shiftright(col("hd"), 14))
+      .groupBy("hfile")
+      .agg(count(lit(1)).as("n"),
+        min("vbin").as("vbin_min"), max("vbin").as("vbin_max"),
+        min("tbin").as("tbin_min"), max("tbin").as("tbin_max"))
+      .orderBy("hfile")
+  }
+
   /** q_chunk_overlap — RAG-style strided chunking: 128-token windows every
     * 32 tokens per document, last window clipped to the document end, docs
     * shorter than one window yield exactly one chunk. Pure per-row
@@ -165,7 +194,8 @@ object PipelineOps extends QueryFamily {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_dedup_incremental" -> (qDedupIncremental _),
-    "q_zorder" -> (qZorder _))
+    "q_zorder" -> (qZorder _),
+    "q_hilbert" -> (qHilbert _))
 
   override val oracle: Map[String, String] = Map(
     "q_doc_index" ->
@@ -307,5 +337,32 @@ object PipelineOps extends QueryFamily {
         |SELECT z >> 14 AS zfile, COUNT(*) AS n,
         |  MIN(vbin) AS vbin_min, MAX(vbin) AS vbin_max,
         |  MIN(tbin) AS tbin_min, MAX(tbin) AS tbin_max
-        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Hilbert: same binning head as q_zorder; the level loop is the
+    // shared unrolled CTE chain so the engine fold and the oracle cannot
+    // drift. l10's d is the final curve index.
+    "q_hilbert" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, value, CAST(epoch_us(ts) AS DOUBLE) AS tsu
+        |  FROM events),
+        |st AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+        |  MIN(tsu) AS tmin, MAX(tsu) AS tmax FROM ev),
+        |b AS (
+        |  SELECT event_id,
+        |    CASE WHEN vmax > vmin THEN CAST(least(greatest(
+        |      floor((value - vmin) / (vmax - vmin) * 1024.0), 0), 1023)
+        |      AS BIGINT) ELSE 0 END AS vbin,
+        |    CASE WHEN tmax > tmin THEN CAST(least(greatest(
+        |      floor((tsu - tmin) / (tmax - tmin) * 1024.0), 0), 1023)
+        |      AS BIGINT) ELSE 0 END AS tbin
+        |  FROM ev CROSS JOIN st),
+        |l0 AS (SELECT event_id, vbin AS x, tbin AS y,
+        |  CAST(0 AS BIGINT) AS d, CAST(512 AS BIGINT) AS s FROM b),
+        |${Layout.hilbertOracleCtes("event_id", 10)},
+        |hb AS (SELECT b.event_id, b.vbin, b.tbin, l10.d AS hd
+        |  FROM b JOIN l10 USING (event_id))
+        |SELECT hd >> 14 AS hfile, COUNT(*) AS n,
+        |  MIN(vbin) AS vbin_min, MAX(vbin) AS vbin_max,
+        |  MIN(tbin) AS tbin_min, MAX(tbin) AS tbin_max
+        |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin)
 }

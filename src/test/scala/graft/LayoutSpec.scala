@@ -141,4 +141,31 @@ class LayoutSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("hilbert curve: bijective on the grid and every step is a grid neighbour") {
+    // bits=5 → 32×32 grid; the curve must visit all 1024 cells exactly
+    // once (bijection) AND consecutive indices must be 4-neighbours —
+    // THE locality property Morton lacks (z jumps at power-of-two seams).
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d = grid.select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 5).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+    assert(d.map(_._1).toSet === (0L until 1024L).toSet) // bijection
+    val byD = d.toMap
+    val jumps = (0L until 1023L).count { i =>
+      val (x1, y1) = byD(i); val (x2, y2) = byD(i + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps === 0)
+    // Morton on the same grid DOES jump — the property is not vacuous
+    val z = grid.select(Layout.zorderValue(col("x"), col("y"), 5).as("z"),
+        col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val zJumps = (0L until 1023L).count { i =>
+      val (x1, y1) = z(i); val (x2, y2) = z(i + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(zJumps > 0)
+  }
 }
