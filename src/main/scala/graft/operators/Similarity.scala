@@ -834,7 +834,16 @@ object Similarity {
     * mismatch against the stored codebooks fails fast here — PqEncode's
     * malformed-input → null convention would otherwise append rows that
     * every probe silently drops. */
-  def appendIvfPqLayout(newVectors: DataFrame, path: String): Unit = {
+  def appendIvfPqLayout(newVectors: DataFrame, path: String): Unit =
+    encodeForIvfPqLayout(newVectors, path)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
+
+  /** Assign + residual-encode `newVectors` with the STORED quantizers of
+    * the layout at `path` — the shared encode step of [[appendIvfPqLayout]]
+    * (base-file append) and the streaming delta ingest
+    * (`Streams.annIngestSinkBatch`, which needs the codes as a DataFrame
+    * to write them batch-id-keyed for replay idempotence). */
+  def encodeForIvfPqLayout(newVectors: DataFrame, path: String): DataFrame = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$path/cells")
     val codebooks = readCodebooks(spark, path)
@@ -844,7 +853,32 @@ object Similarity {
       s"new vectors have dim $dNew but the layout at $path encodes d=$d")
     val nc = l2normalize(newVectors, "embedding")
     pqEncodeCodes(cellResiduals(nc, cents), codebooks)
-      .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
+  }
+
+  /** Serve IVF-PQ top-k from the at-rest layout INCLUDING streaming
+    * delta ingests (`$path/codes_deltas/delta=*` written by
+    * `Streams.annIngestSinkBatch`): the compacted base keeps its
+    * cell-partition pruning; deltas are the small recent tail (an L0
+    * level — periodic compaction folds them into the base via
+    * [[appendIvfPqLayout]] + delta delete, the rarer decision). Codes
+    * from both tiers score identically — same stored quantizers. */
+  def probeIvfPqLayoutAll(path: String, queries: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int = 2,
+      shortlistFactor: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    pqBatchGuard(queries)
+    val codebooks = readCodebooks(spark, path)
+    val base = spark.read.parquet(s"$path/codes")
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_deltas")
+    val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes =
+      if (fs.exists(deltaRoot))
+        base.unionByName(
+          spark.read.parquet(s"$path/codes_deltas").drop("delta"),
+          allowMissingColumns = false)
+      else base
+    ivfPqServe(codes, spark.read.parquet(s"$path/cells"), codebooks,
+      queries, corpus, k, nProbe, shortlistFactor)
   }
 
   /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED

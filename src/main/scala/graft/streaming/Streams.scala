@@ -24,6 +24,9 @@ case class DocIngest(doc_id: Long, ts: java.sql.Timestamp, text: String)
 case class DocSourced(doc_id: Long, ts: java.sql.Timestamp, text: String,
   source: String)
 
+/** New-vector ingest record for the continuous ANN index sink (S22). */
+case class VecIngest(vec_id: Long, embedding: Seq[Float])
+
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
@@ -561,6 +564,27 @@ object Streams {
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     Dedup.signatureStore(docs, "text", "doc_id")
       .write.mode("overwrite").parquet(s"$storeDir/delta=$batchId")
+  }
+
+  /** S22 — continuous ANN index maintenance: each micro-batch of new
+    * vectors is assigned and residual-encoded with the IVF-PQ layout's
+    * STORED quantizers (no re-fit — the [[graft.operators.Similarity
+    * .appendIvfPqLayout]] contract) and lands as a batch-id-keyed delta
+    * under `$layoutDir/codes_deltas/delta=<batchId>`, overwrite-mode, so
+    * a replayed batch rewrites its own delta instead of duplicating codes
+    * (the S15 exactly-once pattern; the base `codes` files are never
+    * touched). `Similarity.probeIvfPqLayoutAll` serves base + deltas;
+    * folding deltas into the cell-partitioned base is the rarer
+    * compaction decision, exactly like S15's signature-store deltas. */
+  def annIngestSinkBatch(layoutDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val nv = batch.select("vec_id", "embedding")
+    // an empty replay/heartbeat batch writes no delta (encode would choke
+    // on head() of the dimension probe) — absence is idempotent too
+    if (!nv.isEmpty)
+      graft.operators.Similarity.encodeForIvfPqLayout(nv, layoutDir)
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$layoutDir/codes_deltas/delta=$batchId")
   }
 }
 

@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.{DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick}
+import org.apache.spark.sql.functions.col
+import graft.streaming.{DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick, VecIngest}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
   * MemoryStream harness: windows close as the watermark advances, late data
@@ -742,6 +743,63 @@ class StreamingSpec extends SparkSpec {
     val deltas = new java.io.File(store).listFiles()
       .filter(_.getName.startsWith("delta=")).map(_.getName).sorted
     assert(deltas.toSeq === Seq("delta=0", "delta=1", "delta=2"))
+  }
+
+  test("S22 streaming ANN ingest: stored-quantizer deltas, replay rewrites, probe serves the union") {
+    import graft.operators.Similarity
+    val layout = java.nio.file.Files.createTempDirectory("s22_layout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s22_ckpt").toString
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    Similarity.writeIvfPqLayout(base, layout, nCells = 4)
+    val oddRows = odd.collect()
+      .map(r => VecIngest(r.getLong(0), r.getSeq[Float](1)))
+    val (wave1, wave2) = oddRows.splitAt(oddRows.length / 2)
+    val in = MemoryStream[VecIngest]
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.annIngestSinkBatch(layout) _)
+      .start()
+    val q1 = start()
+    try { in.addData(wave1.toSeq: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the checkpoint: the second wave lands as its own delta
+    val q2 = start()
+    try { in.addData(wave2.toSeq: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    // replay idempotence: re-running a batch id rewrites its delta
+    // in place — total stored code rows unchanged
+    val deltaRows = () =>
+      spark.read.parquet(s"$layout/codes_deltas").count()
+    val before = deltaRows()
+    assert(before === oddRows.length.toLong)
+    Streams.annIngestSinkBatch(layout)(
+      wave1.toSeq.toDF("vec_id", "embedding"), 0L)
+    assert(deltaRows() === before)
+    // streamed codes are BIT-IDENTICAL to the batch stored-quantizer
+    // encode of the same vectors (one contract, two ingest paths)
+    val streamed = spark.read.parquet(s"$layout/codes_deltas")
+      .select("vec_id", "cell_id", "codes")
+      .collect().map(_.toString).sorted.toSeq
+    val batchEnc = Similarity.encodeForIvfPqLayout(odd, layout)
+      .select("vec_id", "cell_id", "codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batchEnc)
+    // and the probe serves base + deltas: under full probe + wide
+    // shortlist the answer equals brute force over the whole union
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Similarity.probeIvfPqLayoutAll(layout, queries,
+        emb.select("vec_id", "embedding"), k = 10, nProbe = 4,
+        shortlistFactor = 1000)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(queries,
+        emb.select("vec_id", "embedding"), 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(got === exact)
   }
 
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
