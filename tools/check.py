@@ -70,7 +70,29 @@ def main():
             print(f"PASS {name} ({len(odf)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    survey_drift = check_survey_inventory(out)
+    sys.exit(1 if (n_fail or survey_drift) else 0)
+
+def check_survey_inventory(out):
+    """SURVEY.md section 2 is the audited inventory; the registry must not
+    outrun it (r8 verdict item 4). Only meaningful on a FULL verify dump
+    (every registered query present as an output dir)."""
+    import re
+    survey_path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    if not os.path.exists(survey_path):
+        return 0
+    dumped = {d for d in os.listdir(out)
+              if d.startswith("q_") and os.path.isdir(os.path.join(out, d))}
+    oracle = set(json.load(open(f"{out}/oracle_sql.json")))
+    if not dumped or len(dumped) < len(oracle):
+        return 0  # filtered/partial run — inventory check not applicable
+    survey = set(re.findall(r"`(q_[a-z0-9_]+)`", open(survey_path).read()))
+    undocumented = sorted(dumped - survey)
+    if undocumented:
+        print(f"SURVEY DRIFT: {len(undocumented)} registered queries have "
+              f"no SURVEY.md row: {', '.join(undocumented)}")
+        return 1
+    return 0
 
 if __name__ == "__main__":
     main()
