@@ -477,7 +477,112 @@ object CorpusOps extends QueryFamily {
       .orderBy("part", "rnk")
   }
 
+  /** q_bfs_hops — bounded multi-source BFS over the support-pruned
+    * co-purchase graph: every part reachable within 2 hops of the seed set
+    * (parts < 20), labelled with its minimum hop. THE distributed graph
+    * traversal shape: each round is one frontier equi-join + distinct +
+    * anti-join against the visited set — hash-keyed end to end, no
+    * driver-side frontier, rounds bounded by the hop cap (an unbounded
+    * reachability would switch to the `connectedComponents` loop with its
+    * O(log diameter) convergence). The co ≥ 2 support prune (q_item_cf's
+    * idiom) keeps the traversed graph to repeat relationships — here it
+    * also bounds frontier fan-out. */
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir)
+    val e = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("i", "j")
+      .localCheckpoint(eager = false) // joined once per hop round
+    val h0 = e.select(col("i").as("part")).distinct()
+      .filter(col("part") < 20).withColumn("hop", lit(0L))
+    val n1 = e.join(h0.select(col("part").as("i")), "i")
+      .select(col("j").as("part")).distinct()
+    val h1 = n1.join(h0.select("part"), Seq("part"), "left_anti")
+      .withColumn("hop", lit(1L))
+    val visited = h0.select("part").unionAll(h1.select("part"))
+    val n2 = e.join(h1.select(col("part").as("i")), "i")
+      .select(col("j").as("part")).distinct()
+    val h2 = n2.join(visited, Seq("part"), "left_anti")
+      .withColumn("hop", lit(2L))
+    h0.unionByName(h1).unionByName(h2).orderBy("part")
+  }
+
+  /** Integer ppm discount weights 1/log2(r+1) for NDCG@10, computed ONCE
+    * on the driver and embedded as literals in BOTH the engine expression
+    * and the generated oracle SQL — no cross-engine libm log anywhere
+    * near the compare. */
+  private val NdcgWeightsPpm: Seq[(Int, Long)] =
+    (1 to 10).map(r =>
+      r -> math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** q_ndcg — retrieval-quality evaluation: NDCG@10 of the sparse TF-IDF
+    * ranking (q_sparse_knn's lexical retriever) against EMBEDDING-cosine
+    * graded relevance — "how well does lexical retrieval approximate
+    * semantic similarity", the eval step of a hybrid-retrieval pipeline.
+    * rel = max(0, quantized-cosine·10⁶) where the cosine is built from
+    * EXACT integer dot/norms of micro-quantized vectors (the q_sparse_knn
+    * discipline: the only floats are CASTs of identical exact integers,
+    * sqrt — correctly rounded by IEEE-754 — and one mirrored divide, so
+    * the engines cannot drift an ulp; a float cosine kernel here measured
+    * ±1-micro flips on the wide ideal scan); DCG = Σ rel·w_r with the
+    * 1/log2(r+1) discounts as pre-computed integer ppm literals (shared
+    * verbatim with the oracle, so no libm log divergence is possible);
+    * IDCG from the ideal ordering; NDCG in milli via exact integer
+    * rounding ((2000·dcg + idcg) div 2·idcg). Queries broadcast; the
+    * ideal ranking is one broadcast scan of the embedding corpus. */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+      .withColumn("n2", aggregate(col("xq"), lit(0L), (a, v) => a + v * v))
+    val qe = quant.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("xq").as("qx"),
+        col("n2").as("qn2"))
+    val docsEmb = quant
+      .select(col("vec_id").as("doc_id"), col("xq").as("dx"),
+        col("n2").as("dn2"))
+    val w = broadcast(NdcgWeightsPpm.toDF("rnk", "w_ppm"))
+    def relMicro = greatest(lit(0L), floor(
+      lit(1e6) *
+        aggregate(zip_with(col("qx"), col("dx"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("dn2").cast("double")))
+        + 0.5).cast("long"))
+    val ranked = Ranking.sparseKnn(Tables.documents(s, dir), "doc_id",
+        "text", queryIds = Seq(0L, 1L, 2L), k = 10)
+      .select("q_id", "rnk", "doc_id")
+    val dcg = ranked
+      .join(broadcast(qe), "q_id").join(docsEmb, "doc_id")
+      .withColumn("rel", relMicro)
+      .join(w, "rnk")
+      .groupBy("q_id")
+      .agg(sum(expr("(rel * w_ppm) div 1000000")).as("dcg"))
+    val ideal = broadcast(qe).crossJoin(docsEmb)
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rel", relMicro)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("rel"), asc("doc_id"))))
+      .filter(col("rnk") <= 10)
+      .join(w, "rnk")
+      .groupBy("q_id")
+      .agg(sum(expr("(rel * w_ppm) div 1000000")).as("idcg"))
+    dcg.join(ideal, "q_id")
+      .select(col("q_id"), col("dcg").cast("long").as("dcg"),
+        col("idcg").cast("long").as("idcg"),
+        when(col("idcg") > 0,
+          expr("(2000 * dcg + idcg) div (2 * idcg)")).as("ndcg_milli"))
+      .orderBy("q_id")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bfs_hops" -> (qBfsHops _),
+    "q_ndcg" -> (qNdcg _),
     "q_triangles" -> (qTriangles _),
     "q_item_cf" -> (qItemCf _),
     "q_rank_fusion" -> (qRankFusion _),
@@ -502,6 +607,102 @@ object CorpusOps extends QueryFamily {
     "q_sample_stratified" -> (qSampleStratified _))
 
   override val oracle: Map[String, String] = Map(
+    // BFS: same support-pruned edge list; each hop a join + distinct +
+    // NOT IN against the visited set.
+    "q_bfs_hops" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |h0 AS (SELECT DISTINCT i AS part FROM e WHERE i < 20),
+        |n1 AS (SELECT DISTINCT j AS part FROM e JOIN h0 ON e.i = h0.part),
+        |h1 AS (SELECT part FROM n1
+        |  WHERE part NOT IN (SELECT part FROM h0)),
+        |n2 AS (SELECT DISTINCT j AS part FROM e JOIN h1 ON e.i = h1.part),
+        |h2 AS (SELECT part FROM n2 WHERE part NOT IN (
+        |  SELECT part FROM h0 UNION ALL SELECT part FROM h1))
+        |SELECT part, CAST(0 AS BIGINT) AS hop FROM h0
+        |UNION ALL SELECT part, CAST(1 AS BIGINT) FROM h1
+        |UNION ALL SELECT part, CAST(2 AS BIGINT) FROM h2
+        |ORDER BY part""".stripMargin,
+    // NDCG: the q_sparse_knn retrieval chain + cosine graded relevance;
+    // the 1/log2(r+1) discounts are the SAME Scala-computed ppm literals
+    // the engine uses, so no libm log is evaluated in either engine.
+    "q_ndcg" -> {
+      val disc = NdcgWeightsPpm
+        .map { case (r, w) => s"($r, CAST($w AS BIGINT))" }.mkString(", ")
+      s"""WITH tf AS (
+        |  SELECT doc, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc, tok),
+        |wt AS MATERIALIZED (
+        |  SELECT doc, tok, w FROM (
+        |    SELECT doc, tok,
+        |      CAST(round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df) * 1000.0) AS BIGINT) AS w
+        |    FROM (SELECT doc, tok, tf, COUNT(*) OVER (PARTITION BY tok) AS df
+        |          FROM tf))
+        |  WHERE w <> 0),
+        |norms AS (SELECT doc, CAST(SUM(w * w) AS BIGINT) AS n2 FROM wt GROUP BY doc),
+        |qp AS (SELECT doc AS q_id, tok, w AS qw FROM wt WHERE doc IN (0, 1, 2)),
+        |dots AS (
+        |  SELECT q.q_id, w.doc, CAST(SUM(w.w * q.qw) AS BIGINT) AS dot
+        |  FROM wt w JOIN qp q USING (tok) WHERE w.doc <> q.q_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT d.q_id, d.doc,
+        |    round(CAST(d.dot AS DOUBLE) /
+        |      (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(dn.n2 AS DOUBLE))), 6) AS sim
+        |  FROM dots d
+        |  JOIN norms qn ON qn.doc = d.q_id
+        |  JOIN norms dn ON dn.doc = d.doc),
+        |rk AS (
+        |  SELECT q_id, doc, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, doc) AS rnk
+        |  FROM sims QUALIFY rnk <= 10),
+        |disc AS (SELECT * FROM (VALUES $disc) t(rnk, w_ppm)),
+        |qn AS (
+        |  SELECT vec_id, xq,
+        |    list_sum(list_transform(xq, v -> v * v)) AS n2
+        |  FROM (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+        |  FROM embeddings)),
+        |rel AS (
+        |  SELECT r.q_id, r.rnk,
+        |    greatest(0, CAST(floor(1000000 *
+        |      CAST(list_sum(list_transform(list_zip(eq.xq, ed.xq),
+        |        p -> p[1] * p[2])) AS DOUBLE) /
+        |      (sqrt(CAST(eq.n2 AS DOUBLE)) * sqrt(CAST(ed.n2 AS DOUBLE)))
+        |      + 0.5) AS BIGINT)) AS rel
+        |  FROM rk r
+        |  JOIN qn eq ON eq.vec_id = r.q_id
+        |  JOIN qn ed ON ed.vec_id = r.doc),
+        |dcg AS (SELECT q_id, SUM((rel * w_ppm) // 1000000) AS dcg
+        |  FROM rel JOIN disc USING (rnk) GROUP BY q_id),
+        |irel AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS doc_id,
+        |    greatest(0, CAST(floor(1000000 *
+        |      CAST(list_sum(list_transform(list_zip(q.xq, d.xq),
+        |        p -> p[1] * p[2])) AS DOUBLE) /
+        |      (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(d.n2 AS DOUBLE)))
+        |      + 0.5) AS BIGINT)) AS rel
+        |  FROM qn q JOIN qn d
+        |    ON q.vec_id < 3 AND d.vec_id <> q.vec_id),
+        |irk AS (
+        |  SELECT q_id, rel, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY rel DESC, doc_id) AS rnk
+        |  FROM irel QUALIFY rnk <= 10),
+        |idcg AS (SELECT q_id, SUM((rel * w_ppm) // 1000000) AS idcg
+        |  FROM irk JOIN disc USING (rnk) GROUP BY q_id)
+        |SELECT d.q_id, CAST(dcg AS BIGINT) AS dcg,
+        |  CAST(idcg AS BIGINT) AS idcg,
+        |  CASE WHEN idcg > 0 THEN
+        |    CAST((2000 * dcg + idcg) // (2 * idcg) AS BIGINT)
+        |  END AS ndcg_milli
+        |FROM dcg d JOIN idcg USING (q_id) ORDER BY q_id""".stripMargin
+    },
     "q_triangles" ->
       """WITH po AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

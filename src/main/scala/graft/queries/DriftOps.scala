@@ -396,6 +396,47 @@ object DriftOps extends QueryFamily {
       .orderBy("event_type")
   }
 
+  /** q_theil_sen — Theil–Sen robust trend per event type: the MEDIAN of
+    * all pairwise slopes of the zero-filled daily count series — the
+    * outlier-immune complement of q_ols (one wild day moves an OLS fit;
+    * it moves at most half the pairwise slopes). The series is
+    * SLOT-CARDINALITY (30 days), so the all-pairs slope table is a
+    * bounded CELL-pair join (the q_kendall shape — 435 pairs per group,
+    * fixed regardless of corpus rows); the median is a type-1 rank pick
+    * over the (slope, t1, t2) total order, never an interpolated
+    * percentile. Slopes in micro-units/day via one mirrored double
+    * (floor(10⁶·dv/dt + 0.5)); everything after is integer. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("grp", "day").agg(count(lit(1)).as("n_ev"))
+    val grid = ev.select("grp").distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+        .as("day")))
+    val full = grid.join(daily, Seq("grp", "day"), "left")
+      .na.fill(0L, Seq("n_ev"))
+      .select(col("grp"),
+        datediff(col("day"), lit("2024-01-01")).cast("long").as("t"),
+        col("n_ev").cast("long").as("v"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val slopes = full.as("a").join(full.as("b"),
+        col("a.grp") === col("b.grp") && col("a.t") < col("b.t"))
+      .select(col("a.grp").as("grp"), col("a.t").as("t1"),
+        col("b.t").as("t2"),
+        expr("CAST(floor(1000000 * CAST(b.v - a.v AS DOUBLE) / " +
+          "CAST(b.t - a.t AS DOUBLE) + 0.5) AS BIGINT)").as("slope_micro"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy("slope_micro", "t1", "t2")
+    slopes.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")))
+      .filter(col("rn") === expr("CAST(ceil(n / 2.0) AS BIGINT)"))
+      .select(col("grp").as("event_type"), col("n").as("n_pairs"),
+        col("slope_micro").as("sen_slope_micro"))
+      .orderBy("event_type")
+  }
+
   /** q_seasonality — day-of-week profile per event type with a chi-square
     * test against the CALENDAR-CORRECTED uniform (the 30-day window holds
     * 5 Mondays/Tuesdays but 4 of every other day — naive uniform expected
@@ -475,6 +516,7 @@ object DriftOps extends QueryFamily {
     "q_chi2_indep" -> (qChi2Indep _),
     "q_seasonality" -> (qSeasonality _),
     "q_autocorr" -> (qAutocorr _),
+    "q_theil_sen" -> (qTheilSen _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
@@ -536,6 +578,37 @@ object DriftOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
+    // Theil–Sen: same zero-filled daily grid as q_autocorr; bounded
+    // pairwise slope table; type-1 rank median.
+    "q_theil_sen" ->
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS day
+        |  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+        |    INTERVAL 1 DAY) t(d)),
+        |daily AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day, COUNT(*) AS n_ev
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, datediff('day', DATE '2024-01-01', days.day) AS t,
+        |    COALESCE(daily.n_ev, 0) AS v
+        |  FROM (SELECT DISTINCT event_type AS grp FROM events) g
+        |  CROSS JOIN days
+        |  LEFT JOIN daily ON daily.grp = g.grp AND daily.day = days.day),
+        |slopes AS (
+        |  SELECT a.grp, a.t AS t1, b.t AS t2,
+        |    CAST(floor(1000000 * CAST(b.v - a.v AS DOUBLE) /
+        |      CAST(b.t - a.t AS DOUBLE) + 0.5) AS BIGINT) AS slope_micro
+        |  FROM grid a JOIN grid b ON a.grp = b.grp AND a.t < b.t),
+        |rk AS (
+        |  SELECT grp, slope_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY slope_micro, t1, t2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM slopes)
+        |SELECT grp AS event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  slope_micro AS sen_slope_micro
+        |FROM rk WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
     "q_autocorr" ->
       """WITH days AS (
         |  SELECT CAST(d AS DATE) AS day

@@ -314,6 +314,45 @@ object StatOps extends QueryFamily {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_x", "col_y")
 
+  /** q_kmv_distinct — KMV (k-minimum-values, Bar-Yossef et al. 2002)
+    * distinct-count sketch, FULLY oracle-checked: unlike HLL
+    * (q_agg_approx, engine-local by design) the KMV estimator is built
+    * from the md5 hash family, so build AND estimate reproduce in DuckDB
+    * bit-for-bit. Per event type: hash distinct users into [0, 2⁴⁸), take
+    * the k=32nd smallest distinct hash h_k, estimate
+    * (k−1)·2⁴⁸ div h_k — pure integer arithmetic end to end, no float
+    * anywhere. Reports exact distinct beside the estimate with the
+    * permille ratio, so the sketch's error is itself part of the checked
+    * output. Shape: one distinct-pairs aggregate + a k-bounded window. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val hv = Tables.events(s, dir)
+      .select(col("event_type").as("g"), col("user_id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .select("g", "h").distinct() // KMV is over distinct hash VALUES
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("h")
+    val kth = hv.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .select(col("g"), col("h").as("h_k"))
+    val exact = Tables.events(s, dir)
+      .groupBy(col("event_type").as("g"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(kth, Seq("g"), "left")
+      .select(col("g").as("event_type"), col("n_exact"),
+        col("h_k"),
+        when(col("h_k").isNotNull,
+          expr(s"(CAST(${k - 1} AS BIGINT) * ${1L << 48}) div h_k"))
+          .as("n_est"),
+        when(col("h_k").isNotNull, expr(
+          s"(1000 * ((CAST(${k - 1} AS BIGINT) * ${1L << 48}) div h_k)) " +
+            "div n_exact")).as("est_permille"))
+      .orderBy("event_type")
+  }
+
   /** q_spearman — Spearman rank correlation (quantity vs. price) per
     * returnflag: the monotone-association twin of q_corr's Pearson, robust
     * to the price column's heavy tail. Doubled average ranks keep ties
@@ -352,6 +391,7 @@ object StatOps extends QueryFamily {
       expr("CAST(round(value * 100) AS BIGINT)"))
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_spearman" -> (qSpearman _),
     "q_kendall" -> (qKendall _),
     "q_cramers_v" -> (qCramersV _),
@@ -395,6 +435,32 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // KMV: 12 md5 hex digits -> 48-bit integer via shifts; kth smallest
+    // distinct hash; pure-integer estimator.
+    "q_kmv_distinct" ->
+      s"""WITH hv AS (
+        |  SELECT DISTINCT g, h FROM (
+        |    SELECT event_type AS g,
+        |      CAST(list_sum(list_transform(range(1, 13), i ->
+        |        CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1
+        |          AS BIGINT) << (4 * (12 - CAST(i AS INTEGER))))) AS BIGINT) AS h
+        |    FROM (SELECT DISTINCT event_type, user_id FROM events))),
+        |kth AS (
+        |  SELECT g, h AS h_k FROM (
+        |    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        |    FROM hv) WHERE rn = 32),
+        |exact AS (
+        |  SELECT event_type AS g, COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT e.g AS event_type, CAST(n_exact AS BIGINT) AS n_exact, h_k,
+        |  CASE WHEN h_k IS NOT NULL
+        |    THEN CAST((31 * ${1L << 48}) // h_k AS BIGINT) END AS n_est,
+        |  CASE WHEN h_k IS NOT NULL
+        |    THEN CAST((1000 * ((31 * ${1L << 48}) // h_k)) // n_exact
+        |      AS BIGINT) END AS est_permille
+        |FROM exact e LEFT JOIN kth USING (g)
+        |ORDER BY event_type""".stripMargin,
     // Spearman: doubled average ranks (2·cum + t + 1) per (g, value),
     // HUGEINT moments, mirrored double formula, micro-floored.
     "q_spearman" ->
