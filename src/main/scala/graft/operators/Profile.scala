@@ -687,6 +687,33 @@ object Profile {
           .as("v_milli"))
   }
 
+  /** Mutual information between two categorical columns in micro-nats —
+    * the information-theoretic sibling of [[chi2Independence]] (χ² asks
+    * "is there dependence", MI says how many nats of one column the other
+    * carries; the feature-selection score). Per observed cell the
+    * pointwise MI (ln(n·o/(r·c)), micro) and the cell's PRE-ROUNDED
+    * contribution (o/n)·pmi; the total is the integer sum of the rounded
+    * terms (q_benford discipline — summation order can't flip a digit),
+    * attached via a window over the BOUNDED cell frame. Zero cells
+    * contribute exactly 0 (lim x·ln x = 0), so unlike [[cramersV]] no
+    * missing-mass correction exists. The `log()`-with-micro-rounding
+    * idiom is the oracle-proven Vocab.keyness G² pattern. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    chi2Cells(df, aCol, bCol)
+      .withColumn("pmi_micro",
+        round(log(col("o").cast("double") * col("n") /
+          (col("r").cast("double") * col("c"))) * 1e6).cast("long"))
+      .withColumn("term_micro",
+        round(col("o").cast("double") / col("n") *
+          log(col("o").cast("double") * col("n") /
+            (col("r").cast("double") * col("c"))) * 1e6).cast("long"))
+      .select(col("a"), col("b"), col("o").as("observed"),
+        col("pmi_micro"), col("term_micro"),
+        sum("term_micro").over(Window.partitionBy())
+          .cast("long").as("mi_micro"))
+      .orderBy("a", "b")
+  }
+
   /** Per-group Spearman rank correlation from EXACT integer doubled
     * average ranks. Ties take the average rank; to stay integer, ranks are
     * carried DOUBLED: a value with `t` ties after `cum` smaller rows has

@@ -382,6 +382,18 @@ object StatOps extends QueryFamily {
     graft.operators.Profile.cramersV(Tables.orders(s, dir),
       "o_orderpriority", "o_orderstatus")
 
+  /** q_mutual_info — mutual information event_type × ISO weekday in
+    * micro-nats with per-cell pointwise MI: the information-theoretic
+    * "how much does the weekday tell you about the event mix" beside
+    * q_seasonality's χ² and q_cramers_v's effect size — and the
+    * feature-selection score a training pipeline ranks categorical
+    * features by. See [[graft.operators.Profile.mutualInfo]]. */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.mutualInfo(
+      Tables.events(s, dir)
+        .select(col("event_type"), (weekday(col("ts")) + 1).as("dow")),
+      "event_type", "dow")
+
   /** q_anova — one-way ANOVA F of event value (cents) across event types:
     * the k-group generalization of q_mannwhitney's two-sample test, from
     * pre-rounded per-group SSB/SSW micro terms.
@@ -392,6 +404,7 @@ object StatOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_spearman" -> (qSpearman _),
     "q_kendall" -> (qKendall _),
     "q_cramers_v" -> (qCramersV _),
@@ -461,6 +474,31 @@ object StatOps extends QueryFamily {
         |      AS BIGINT) END AS est_permille
         |FROM exact e LEFT JOIN kth USING (g)
         |ORDER BY event_type""".stripMargin,
+    // Mutual information: chi2-cell margins + ln with micro rounding (the
+    // keyness G2 idiom); total = window sum of pre-rounded terms.
+    "q_mutual_info" ->
+      """WITH src AS (
+        |  SELECT event_type AS a, isodow(CAST(ts AS DATE)) AS b FROM events),
+        |cells AS (SELECT a, b, COUNT(*) AS o FROM src GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT SUM(o) AS n FROM cells),
+        |j AS (
+        |  SELECT cells.a, cells.b, CAST(o AS BIGINT) AS o,
+        |    CAST(rt.r AS BIGINT) AS r, CAST(ct.c AS BIGINT) AS c,
+        |    CAST(nt.n AS BIGINT) AS n
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nt),
+        |terms AS (
+        |  SELECT a, b, o AS observed,
+        |    CAST(round(ln(CAST(o AS DOUBLE) * n /
+        |      (CAST(r AS DOUBLE) * c)) * 1000000) AS BIGINT) AS pmi_micro,
+        |    CAST(round(CAST(o AS DOUBLE) / n *
+        |      ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))
+        |      * 1000000) AS BIGINT) AS term_micro
+        |  FROM j)
+        |SELECT a, b, observed, pmi_micro, term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS mi_micro
+        |FROM terms ORDER BY a, b""".stripMargin,
     // Spearman: doubled average ranks (2·cum + t + 1) per (g, value),
     // HUGEINT moments, mirrored double formula, micro-floored.
     "q_spearman" ->

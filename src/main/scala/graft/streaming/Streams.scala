@@ -27,6 +27,19 @@ case class DocSourced(doc_id: Long, ts: java.sql.Timestamp, text: String,
 /** New-vector ingest record for the continuous ANN index sink (S22). */
 case class VecIngest(vec_id: Long, embedding: Seq[Float])
 
+/** S23 input: one id sighting per group key. */
+case class UserSeen(event_type: String, ts: java.sql.Timestamp,
+  user_id: Long)
+
+/** S23 output: per (key, batch) cardinality estimate — `n_est` null until
+  * k distinct hashes have been seen. */
+case class KmvEstimate(event_type: String, n_hashes: Long,
+  n_est: Option[Long])
+
+/** S23's per-key state: the k smallest distinct hashes, sorted ascending
+  * and duplicate-free — canonical for any arrival order. */
+case class KmvState(mins: Seq[Long])
+
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
@@ -216,6 +229,26 @@ object Streams {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     docs.groupByKey(_.source)
       .transformWithState(new ShardAssignProcessor(budget),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S23 — streaming KMV cardinality monitor: the streaming twin of
+    * `q_kmv_distinct`. Each group key carries the k smallest distinct
+    * 48-bit md5 hashes of the ids it has seen — a FIXED-SIZE state record
+    * (k longs + a counter) per key no matter how many ids flow through,
+    * which is the whole point: continuous distinct-user monitoring with
+    * O(keys·k) state where exact distinct state grows without bound. The
+    * hash family is the SAME md5 prefix the batch query uses (first 12
+    * hex digits of md5(id as string)), so a streaming estimate equals the
+    * batch estimate over the same ids — spec-asserted via a Spark-SQL md5
+    * recompute, not a copy of this code. Emits one estimate row per
+    * (key, batch): null until k distinct hashes exist, then
+    * (k−1)·2⁴⁸ div h_k (the batch query's pure-integer estimator). */
+  def kmvDistinct(rows: Dataset[UserSeen], k: Int): Dataset[KmvEstimate] = {
+    import rows.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2, got $k")
+    rows.groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor(k),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -595,6 +628,55 @@ case class TaskState(slaveId: String, taskId: String)
   * per slave key in a `ValueState`, duplicate launches rejected, terminal
   * statuses clear the key (same contract as `Streams.keyedLifecycle`,
   * roots /root/reference/syscol/cluster.go:35-78 and scheduler.go:150-193). */
+/** S23's KMV processor (see `Streams.kmvDistinct`): one fixed-size
+  * `ValueState[KmvState]` per key holding the k smallest distinct 48-bit
+  * md5-prefix hashes. Rows inside a batch process user_id-sorted so
+  * replays are deterministic; the insert keeps the list sorted and
+  * duplicate-free, so the state record is canonical regardless of
+  * arrival order — the same ids always produce the same state, which is
+  * what makes the streaming estimate equal the batch one. */
+class KmvProcessor(k: Int)
+  extends StatefulProcessor[String, UserSeen, KmvEstimate] {
+
+  @transient private var st: ValueState[KmvState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[KmvState]("kmv",
+      Encoders.product[KmvState], TTLConfig.NONE)
+
+  /** First 48 bits of md5(user_id as decimal string) — byte-identical to
+    * the engine/oracle family `conv(substring(md5(CAST(id AS STRING)),
+    * 1, 12), 16, 10)`. */
+  private def hash48(userId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(userId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 6 bytes = first 12 hex digits
+    (0 until 6).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[UserSeen],
+      timers: TimerValues): Iterator[KmvEstimate] = {
+    var mins = if (st.exists()) st.get().mins.toVector else Vector.empty[Long]
+    rows.toSeq.sortBy(_.user_id).foreach { r =>
+      val h = hash48(r.user_id)
+      val idx = mins.search(h)(Ordering.Long)
+      idx match {
+        case scala.collection.Searching.Found(_) => // already retained
+        case scala.collection.Searching.InsertionPoint(p) =>
+          if (p < k) {
+            mins = (mins.take(p) :+ h) ++ mins.drop(p)
+            if (mins.length > k) mins = mins.take(k)
+          }
+      }
+    }
+    st.update(KmvState(mins))
+    val est =
+      if (mins.length == k) Some((k - 1).toLong * (1L << 48) / mins.last)
+      else None
+    Iterator.single(KmvEstimate(key, mins.length.toLong, est))
+  }
+}
+
 /** S13's TTL'd seen-mark (see `Streams.dedupTtl`): one `ValueState[Long]`
   * per digest holding the first-seen doc_id, with store-level TTL
   * eviction. Rows inside a batch replay in doc_id order so the

@@ -335,6 +335,32 @@ class PlanSpec extends SparkSpec {
         s"$name:\n${plans(name).take(2000)}")
   }
 
+  test("round-9 stats/pipeline queries: no products, bounded-frame windows only") {
+    // the rank/effect-size family must never plan a row-pair product:
+    // spearman ranks over distinct values, kendall/theil_sen pair CELLS
+    // (grid-bounded), anova/cramers/mutual_info aggregate margins
+    for (df <- Seq(
+        graft.queries.StatOps.qSpearman(spark, sf),
+        graft.queries.StatOps.qKendall(spark, sf),
+        graft.queries.StatOps.qAnova(spark, sf),
+        graft.queries.StatOps.qCramersV(spark, sf),
+        graft.queries.StatOps.qMutualInfo(spark, sf),
+        graft.queries.StatOps.qKmvDistinct(spark, sf),
+        graft.queries.DriftOps.qTheilSen(spark, sf),
+        graft.queries.CorpusOps.qBfsHops(spark, sf),
+        graft.queries.CorpusOps.qNdcg(spark, sf),
+        graft.queries.CurateOps.qPplFilter(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+    // q_mix_apply: the corpus never shuffles — the only exchanges are the
+    // tiny rate/total aggregates and the final dump sort; the doc scan
+    // joins the broadcast rate table in place
+    val mix = planString(graft.queries.TrainOps.qMixApply(spark, sf))
+    assert(mix.contains("BroadcastHashJoin"), mix.take(2000))
+    assert(!mix.contains("SortMergeJoin"), mix.take(2000))
+  }
+
   test("triangle census keeps the degree-ordered orientation: keyed joins only") {
     // q_triangles is the suite's most expensive query; its safety claim is
     // the orientation — every join is an equi-join (wedge join keyed on the

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, conv, md5, substring}
 import graft.streaming.{DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick, VecIngest}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
@@ -800,6 +800,69 @@ class StreamingSpec extends SparkSpec {
         emb.select("vec_id", "embedding"), 10)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
     assert(got === exact)
+  }
+
+  test("S23 streaming KMV: fixed-size state, batch-equal estimates, restart persistence") {
+    import graft.streaming.{KmvEstimate, UserSeen}
+    // transformWithState needs the RocksDB store; scoped + restored
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val ckpt = java.nio.file.Files.createTempDirectory("s23_ckpt").toString
+    val k = 8
+    val in = MemoryStream[UserSeen]
+    val sink = new scala.collection.mutable.ArrayBuffer[KmvEstimate]
+    def start() = Streams.kmvDistinct(in.toDS(), k).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KmvEstimate], _: Long) =>
+        sink.synchronized { sink ++= b.collect() }; ()
+      }
+      .start()
+    // transformWithState queries never settle under processAllAvailable
+    // (processing-time mode keeps scheduling batches) — poll the sink
+    // with a deadline instead, the S16 pattern
+    def await(n: Int): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (sink.synchronized(sink.length) < n &&
+        System.nanoTime() < deadline) Thread.sleep(100L)
+      assert(sink.synchronized(sink.length) >= n,
+        s"sink never reached $n rows")
+    }
+    val usersA = (1L to 40L)
+    val usersB = (100L to 105L) // below k -> estimate stays null
+    val q1 = start()
+    try {
+      in.addData(usersA.take(20).map(u => UserSeen("a", t(1), u)): _*)
+      await(1)
+    } finally q1.stop()
+    // restart: the k-min set must survive the checkpoint
+    val q2 = start()
+    try {
+      in.addData((usersA.drop(20).map(u => UserSeen("a", t(2), u)) ++
+        usersB.map(u => UserSeen("b", t(2), u))): _*)
+      await(3)
+    } finally q2.stop()
+    val last = sink.synchronized {
+      sink.groupBy(_.event_type).map { case (g, rows) => g -> rows.last }
+    }
+    assert(last("b").n_est.isEmpty && last("b").n_hashes === usersB.size.toLong)
+    assert(last("a").n_hashes === k.toLong)
+    // the estimate must equal the batch-side md5 family EXACTLY: recompute
+    // h_k with Spark SQL's md5/conv (the q_kmv_distinct recipe), not by
+    // calling the processor's own hash
+    val hk = usersA.toDF("user_id")
+      .select(conv(substring(md5(col("user_id").cast("string")), 1, 12),
+        16, 10).cast("long").as("h"))
+      .orderBy("h").limit(k).collect().map(_.getLong(0)).last
+    assert(last("a").n_est === Some((k - 1).toLong * (1L << 48) / hk))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
   }
 
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
