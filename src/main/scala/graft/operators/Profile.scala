@@ -687,6 +687,38 @@ object Profile {
           .as("v_milli"))
   }
 
+  /** Differentially-private count release (ε-DP Laplace mechanism,
+    * Dwork et al. 2006) with DETERMINISTIC noise: each group's count is
+    * perturbed by Laplace(1/ε) noise whose uniform draw comes from the
+    * md5 of the group key and a caller-supplied release tag — the
+    * derandomized-DP posture (one fixed draw per (key, release), so a
+    * re-run of the same release reproduces byte-identically and the
+    * oracle can check it, while a NEW release tag draws fresh noise;
+    * true DP's privacy accounting then charges per release, exactly as
+    * it would for any cached mechanism output). Inverse-CDF transform
+    * `-b·sgn(u−½)·ln(1−2|u−½|)` with u = (h + 0.5)/2²⁰ from 5 md5 hex
+    * digits — the ln-with-milli-rounding idiom keyness proved
+    * cross-engine. Completes the governance trio beside [[kAnonCounts]]
+    * (small-group suppression) and [[lDiversityCounts]] (homogeneity):
+    * DP releases EVERY group, hiding individuals in the noise instead
+    * of hiding groups. One map-side-partial count; noise is a per-row
+    * projection on the group-cardinality frame. */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      releaseTag: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("|", lit(releaseTag) +: groupCols.map(col): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (conv(substring(md5(key), 1, 5), 16, 10).cast("double") + 0.5) /
+          lit((1L << 20).toDouble))
+      .withColumn("noise_milli",
+        round(lit(-1000.0 / epsilon) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5))).cast("long"))
+      .select(groupCols.map(col) :+ col("n") :+ col("noise_milli") :+
+        (col("n") * 1000 + col("noise_milli")).as("released_milli"): _*)
+  }
+
   /** Mutual information between two categorical columns in micro-nats —
     * the information-theoretic sibling of [[chi2Independence]] (χ² asks
     * "is there dependence", MI says how many nats of one column the other

@@ -280,6 +280,17 @@ object DriftOps extends QueryFamily {
         Tables.documents(s, dir), Seq("lang", "source"), k = 5L)
       .orderBy("lang", "source")
 
+  /** q_dp_counts — ε-DP Laplace count release over (lang, source) with
+    * deterministic per-(group, release-tag) noise: the third governance
+    * mode beside q_kanon's suppression and q_ldiv's diversity floor —
+    * publish EVERY group, hide individuals in calibrated noise. ε = 1,
+    * release tag "r9" (a new tag = a new draw = a new privacy charge).
+    * See [[graft.operators.Profile.dpCounts]]. */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.dpCounts(Tables.documents(s, dir),
+        Seq("lang", "source"), epsilon = 1.0, releaseTag = "r9")
+      .orderBy("lang", "source")
+
   /** q_ldiv — l-diversity release over (lang, size-bucket) quasi groups
     * with `source` as the sensitive attribute (k=5, l=2): k-anonymity's
     * homogeneity-attack fix — a big-enough group whose members all come
@@ -517,6 +528,7 @@ object DriftOps extends QueryFamily {
     "q_seasonality" -> (qSeasonality _),
     "q_autocorr" -> (qAutocorr _),
     "q_theil_sen" -> (qTheilSen _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_cusum" -> (qCusum _),
     "q_source_gini" -> (qSourceGini _),
     "q_ks_test" -> (qKsTest _),
@@ -578,6 +590,31 @@ object DriftOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
+    // DP release: 5 md5 hex digits -> u in (0,1); Laplace inverse CDF
+    // with the keyness ln idiom, milli-rounded.
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT lang, source, n,
+        |    (CAST(list_sum(list_transform(range(1, 6), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5('r9' || '|' || lang || '|' || source),
+        |          CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << (4 * (5 - CAST(i AS INTEGER))))) AS DOUBLE) + 0.5)
+        |      / 1048576.0 AS u
+        |  FROM g)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n,
+        |  CAST(round(-1000.0 *
+        |    (CASE WHEN u - 0.5 > 0 THEN 1.0 WHEN u - 0.5 < 0 THEN -1.0
+        |      ELSE 0.0 END) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS noise_milli,
+        |  CAST(n * 1000 + CAST(round(-1000.0 *
+        |    (CASE WHEN u - 0.5 > 0 THEN 1.0 WHEN u - 0.5 < 0 THEN -1.0
+        |      ELSE 0.0 END) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5))) AS BIGINT) AS BIGINT)
+        |    AS released_milli
+        |FROM u ORDER BY lang, source""".stripMargin,
     // Theil–Sen: same zero-filled daily grid as q_autocorr; bounded
     // pairwise slope table; type-1 rank median.
     "q_theil_sen" ->

@@ -260,4 +260,31 @@ class DriftOpsSpec extends SparkSpec {
       .select("doc_id", "is_canonical").as[(Long, Boolean)].collect().toMap
     assert(out === Map(3L -> true, 5L -> false, 9L -> true))
   }
+
+  test("dpCounts: same release reproduces byte-identically, a new tag redraws, scale tracks 1/eps") {
+    import graft.operators.Profile
+    val df = (1L to 300L).map(i => (s"g${i % 30}", "x")).toDF("g", "s")
+    def run(tag: String, eps: Double) =
+      Profile.dpCounts(df, Seq("g"), eps, tag)
+        .select("g", "n", "noise_milli", "released_milli")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val a1 = run("rel-A", 1.0)
+    assert(a1 === run("rel-A", 1.0)) // derandomized: a release is a value
+    val a2 = run("rel-B", 1.0)
+    assert(a1.keySet === a2.keySet)
+    // a fresh tag redraws: not all 30 groups keep identical noise
+    assert(a1.count { case (g, v) => a2(g)._2 == v._2 } < 30)
+    // released = n*1000 + noise, and counts are untouched
+    a1.foreach { case (_, (n, nz, rel)) =>
+      assert(n === 10L); assert(rel === n * 1000 + nz)
+    }
+    // Laplace(1/eps): halving eps doubles every noise value EXACTLY up
+    // to the milli rounding (same u — the draw depends only on the tag)
+    val half = run("rel-A", 0.5)
+    a1.foreach { case (g, (_, nz, _)) =>
+      assert(math.abs(half(g)._2 - 2 * nz) <= 1L,
+        s"$g: eps=0.5 noise ${half(g)._2} vs 2x eps=1 noise ${2 * nz}")
+    }
+  }
 }
