@@ -399,15 +399,18 @@ object Similarity {
   def radProject(df: DataFrame, embCol: String, kOut: Int): DataFrame = {
     require(kOut >= 1, "kOut must be >= 1")
     val d = df.select(size(col(embCol))).head().getInt(0)
+    // quantize ONCE per row — the kOut per-dimension folds read the same
+    // micro array (quantizing inside each fold multiplied the HOF work
+    // by kOut; these lambdas evaluate interpreted, so it showed)
     val proj = array((0 until kOut).map { t =>
       val signs = array((0 until d).map(i =>
         lit(graft.expressions.RadSigns.sign(t, i).toLong)): _*)
-      aggregate(
-        zip_with(DetQuantizer.microQuantize(col(embCol)), signs,
-          (x, s) => x * s),
+      aggregate(zip_with(col("_xq"), signs, (x, s) => x * s),
         lit(0L), (acc, v) => acc + v)
     }: _*)
-    df.withColumn("proj", proj)
+    df.withColumn("_xq", DetQuantizer.microQuantize(col(embCol)))
+      .withColumn("proj", proj)
+      .drop("_xq")
   }
 
   /** Hard-negative mining for contrastive training: per query the k most
