@@ -196,9 +196,29 @@ object CurateOps extends QueryFamily {
     val prefix = td.join(dfreq, Seq("tok")).join(sz, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("m") - expr("(4 * m + 4) div 5") + 1)
-      .select("doc_id", "tok")
+      // a df==1 prefix token cannot witness any pair (a shared token has
+      // df >= 2 by definition) — drop it before the self-join, the same
+      // singleton prune every band join in the repo applies
+      .filter(col("df") >= 2)
+      .select("doc_id", "tok", "m", "rn")
+    // Two further PROVABLY-LOSSLESS prunes riding the same equi-join
+    // (both from the cited papers; the prefix alone left 1.5M candidates
+    // of 12.5M possible pairs on this shared-vocabulary corpus and the
+    // verify join dominated the whole bench at 34-48 s):
+    // - AllPairs LENGTH filter (Bayardo et al. 2007): Jaccard >= 0.8
+    //   forces 4*max(|A|,|B|) <= 5*min(|A|,|B|).
+    // - PPJoin POSITIONAL filter (Xiao et al. 2008): a match needs
+    //   overlap >= ceil(t/(1+t)*(ma+mb)) = (4*(ma+mb)+8) div 9, but a
+    //   pair first meeting at prefix positions (rna, rnb) can overlap at
+    //   most min(ma-rna, mb-rnb)+1 — matching on a LATE prefix token
+    //   cannot reach the required overlap, so the pair is dead on
+    //   arrival. Everything integer, no float ceil.
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.m") * 4 <= col("b.m") * 5 &&
+          col("b.m") * 4 <= col("a.m") * 5 &&
+          least(col("a.m") - col("a.rn"), col("b.m") - col("b.rn")) + 1 >=
+            expr("(4 * (a.m + b.m) + 8) div 9"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val inter = cands
