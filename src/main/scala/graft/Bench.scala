@@ -40,14 +40,27 @@ object Bench {
       catch { case e: Throwable =>
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
-    names.foreach(run) // warm-up: JIT, codegen cache, parquet footers
+    // Each query is independent; drop its localCheckpoint blocks before
+    // the next one runs. Without this the block manager accumulates
+    // every prior query's checkpointed RDDs across the 3 × 221-query
+    // passes and the heavy late-alphabet joins (q_ppjoin, q_triangles)
+    // paid eviction + GC pressure other queries caused — measured ~2x
+    // inflation vs a solo run. BLOCKING removal, and OUTSIDE the timed
+    // region: the removal of a big checkpoint is itself seconds of work
+    // that belongs to the harness, not the query (q_winnow read 3-5x
+    // its solo time when the unpersist sat inside its timing).
+    def cleanup(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    names.foreach { n => run(n); cleanup() } // warm-up: JIT, codegen, footers
     // Two timed passes, report the per-query MIN: transient host noise
     // (observed multi-second spikes on trivial queries) inflates single
     // samples; the min of two is a far better plan-cost estimate.
     def pass(): Map[String, (Double, Option[String])] = names.map { name =>
       val t0 = System.nanoTime()
       val err = run(name)
-      name -> ((System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> (dt, err)
     }.toMap
     val (p1, p2) = (pass(), pass())
     val timed = names.map { name =>

@@ -743,6 +743,17 @@ class StreamingSpec extends SparkSpec {
     val deltas = new java.io.File(store).listFiles()
       .filter(_.getName.startsWith("delta=")).map(_.getName).sorted
     assert(deltas.toSeq === Seq("delta=0", "delta=1", "delta=2"))
+    // store-format unity: the streaming deltas ARE the batch signature
+    // store's schema, field for field — the batch incremental-near path
+    // (oracle-checked via q_dedup_incr_near) can read this store directly
+    // (nullability normalized — a parquet round-trip relaxes it)
+    val streamedSchema = spark.read.parquet(s"$store/delta=0").schema
+    val batchSchema = graft.operators.Dedup.signatureStore(
+      Tables.documents(spark, sf).limit(0), "text", "doc_id").schema
+    def norm(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.map(f =>
+        (f.name, f.dataType.simpleString)).toSeq // type text drops nullability
+    assert(norm(streamedSchema) === norm(batchSchema))
   }
 
   test("S22 streaming ANN ingest: stored-quantizer deltas, replay rewrites, probe serves the union") {
