@@ -47,4 +47,31 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so a SQL-ONLY consumer can drive
+    * the engine through `spark.sql(...)` alone — the SQL twin of the Scala
+    * registry, mirroring how the reference exposed its control surface over
+    * HTTP rather than a host-language API. Views go through the SAME
+    * loaders as the Scala queries (the events timestamp normalization
+    * included), so SQL and Scala read identical data. Canonical examples
+    * live in README.md §"SQL entry point" and are smoke-tested in
+    * SqlSurfaceSpec. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+    documents(s, d).createOrReplaceTempView("documents")
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
+
+  /** Register an at-rest IVF-PQ layout (written by
+    * `Similarity.writeIvfPqLayout`) as `<prefix>_codes` / `<prefix>_cells`
+    * / `<prefix>_codebooks` temp views — the serving-index metadata a
+    * SQL consumer inspects (cell populations, code distributions,
+    * codebook shapes) without touching the Scala API. */
+  def registerLayoutViews(s: SparkSession, layoutDir: String,
+      prefix: String = "ann"): Unit =
+    Seq("codes", "cells", "codebooks").foreach { n =>
+      s.read.parquet(s"$layoutDir/$n").createOrReplaceTempView(s"${prefix}_$n")
+    }
 }

@@ -678,35 +678,60 @@ object Profile {
         sum("e_micro").as("e_obs_micro"))
       .select(col("n").cast("long").as("n"),
         col("r").cast("long").as("r"), col("c").cast("long").as("c"),
-        expr("CAST(chi2_obs_micro + 1000000 * n - e_obs_micro AS BIGINT)")
+        // The missing-mass correction 10⁶·n + chi2_obs reaches ~9.2e18
+        // (int64 max) past n ≈ 9.2e12 rows; carry the sum in DECIMAL(38,0)
+        // (the chi2Cells discipline) and cast to BIGINT only at the end so
+        // the engine matches the oracle's HUGEINT at any corpus size.
+        expr("CAST(CAST(chi2_obs_micro AS DECIMAL(38,0)) + " +
+          "CAST(1000000 AS DECIMAL(38,0)) * n - e_obs_micro AS BIGINT)")
           .as("chi2_micro"),
         when(least(col("r"), col("c")) > 1 && col("n") > 0, expr(
           "CAST(floor(1000 * sqrt(" +
-            "((chi2_obs_micro + 1000000 * n - e_obs_micro) / 1000000.0) / " +
+            "CAST(CAST(chi2_obs_micro AS DECIMAL(38,0)) + " +
+            "CAST(1000000 AS DECIMAL(38,0)) * n - e_obs_micro AS DOUBLE) " +
+            "/ 1000000.0 / " +
             "(CAST(n AS DOUBLE) * (least(r, c) - 1))) + 0.5) AS BIGINT)"))
           .as("v_milli"))
   }
 
   /** Differentially-private count release (ε-DP Laplace mechanism,
-    * Dwork et al. 2006) with DETERMINISTIC noise: each group's count is
+    * Dwork et al. 2006) with PRF-DERIVED noise: each group's count is
     * perturbed by Laplace(1/ε) noise whose uniform draw comes from the
-    * md5 of the group key and a caller-supplied release tag — the
-    * derandomized-DP posture (one fixed draw per (key, release), so a
-    * re-run of the same release reproduces byte-identically and the
-    * oracle can check it, while a NEW release tag draws fresh noise;
-    * true DP's privacy accounting then charges per release, exactly as
-    * it would for any cached mechanism output). Inverse-CDF transform
-    * `-b·sgn(u−½)·ln(1−2|u−½|)` with u = (h + 0.5)/2²⁰ from 5 md5 hex
-    * digits — the ln-with-milli-rounding idiom keyness proved
-    * cross-engine. Completes the governance trio beside [[kAnonCounts]]
-    * (small-group suppression) and [[lDiversityCounts]] (homogeneity):
-    * DP releases EVERY group, hiding individuals in the noise instead
-    * of hiding groups. One map-side-partial count; noise is a per-row
-    * projection on the group-cardinality frame. */
+    * md5 of (secretSeed, releaseTag, group key) — the derandomized-DP
+    * posture (one fixed draw per (key, release), so a re-run of the same
+    * release reproduces byte-identically, while a NEW release tag draws
+    * fresh noise; privacy accounting charges per release, exactly as it
+    * would for any cached mechanism output).
+    *
+    * PRIVACY CONTRACT: the ε-DP guarantee holds ONLY while `secretSeed`
+    * stays secret — derandomized DP is a keyed PRF construction (Mironov
+    * 2012 §5). With a known seed anyone can recompute `noise_milli` from
+    * the released group keys and subtract it, recovering exact counts;
+    * the release then degrades to deterministic perturbation with zero
+    * privacy. The release tag is assumed PUBLIC and provides none on its
+    * own. Test registrations deliberately use a fixed, visible seed so the
+    * cross-engine oracle can reproduce the draw — a correctness harness,
+    * not a private release.
+    *
+    * Null group values are coalesced to a sentinel before hashing so
+    * (null,'x') and ('x',null) draw independent noise and the engine
+    * matches oracles whose `||` operator would otherwise null the key.
+    * Inverse-CDF transform `-b·sgn(u−½)·ln(1−2|u−½|)` with
+    * u = (h + 0.5)/2²⁰ from 5 md5 hex digits — the ln-with-milli-rounding
+    * idiom keyness proved cross-engine. Completes the governance trio
+    * beside [[kAnonCounts]] (small-group suppression) and
+    * [[lDiversityCounts]] (homogeneity): DP releases EVERY group, hiding
+    * individuals in the noise instead of hiding groups. One
+    * map-side-partial count; noise is a per-row projection on the
+    * group-cardinality frame. */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-      releaseTag: String): DataFrame = {
+      releaseTag: String, secretSeed: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
-    val key = concat_ws("|", lit(releaseTag) +: groupCols.map(col): _*)
+    require(secretSeed.nonEmpty,
+      "secretSeed must be non-empty: the DP guarantee is void without a " +
+        "secret PRF key (see scaladoc privacy contract)")
+    val key = concat_ws("|", lit(secretSeed) +: lit(releaseTag) +:
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("<null>"))): _*)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("u",

@@ -200,7 +200,10 @@ object Similarity {
     val m = codebooks.length
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
-    // (batch boundedness already guarded at every public entry point)
+    // Guard HERE, not only at the public entry points: this is the method
+    // that actually collects the query batch, so a future internal caller
+    // cannot bypass the bound (limit+1 probe, never a full count).
+    pqBatchGuard(queries)
     // driver-built ADC tables, one per query, in a stable query order
     val qNorm = l2normalize(queries, "q_emb")
       .select(col("q_id"), col("q_emb")).orderBy("q_id").collect()
@@ -329,7 +332,9 @@ object Similarity {
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
     val d = m * dsub
-    // (batch boundedness already guarded at every public entry point)
+    // Guard HERE too (the pqAdcServe discipline): this method collects the
+    // probed query batch for per-(query, cell) ADC tables.
+    pqBatchGuard(queries)
     // probe on the SAME integer micro-unit metric the cells were fit with
     val qn = l2normalize(queries, "q_emb")
     val probeRows = DetQuantizer.probe(
@@ -874,11 +879,24 @@ object Similarity {
     val base = spark.read.parquet(s"$path/codes")
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_deltas")
     val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // An existing-but-empty deltas dir (every delta compacted away) must
+    // serve the base alone: a bare parquet read of it would fail with
+    // unable-to-infer-schema. Only delta=* children count as committed.
+    val hasDeltas = fs.exists(deltaRoot) &&
+      fs.listStatus(deltaRoot).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("delta="))
     val codes =
-      if (fs.exists(deltaRoot))
-        base.unionByName(
+      if (hasDeltas)
+        try base.unionByName(
           spark.read.parquet(s"$path/codes_deltas").drop("delta"),
           allowMissingColumns = false)
+        catch {
+          // every delta=* child is an IN-FLIGHT write (only _temporary
+          // committer files, which the reader's listing ignores): schema
+          // inference finds nothing — a committed-snapshot reader serves
+          // the base alone rather than failing (S24 pins this)
+          case _: org.apache.spark.sql.AnalysisException => base
+        }
       else base
     ivfPqServe(codes, spark.read.parquet(s"$path/cells"), codebooks,
       queries, corpus, k, nProbe, shortlistFactor)

@@ -44,13 +44,38 @@ object Aggregations extends QueryFamily {
         dsum(col("value")).as("sum_value"))
       .orderBy("event_type")
 
-  /** q_agg_approx — HLL distinct (no oracle: algo-specific; property-tested
-    * against exact ±5% in AggregationSpec). The 100 TB path for distincts. */
-  def qAggApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+  /** q_agg_approx — approximate distinct users per event type via a KMV
+    * (k-minimum-values, Bar-Yossef et al. 2002) sketch built from the md5
+    * hash family, FULLY oracle-checked: the same approximate-distinct use
+    * case Spark's HLL (`approx_count_distinct`, which stays property-tested
+    * in ApproxSpec as the native alternative) serves, but with
+    * engine-independent arithmetic so DuckDB reproduces the estimate
+    * bit-for-bit — the q_kmv_distinct trick retiring this query's former
+    * rows-only status. k = 64 (stderr ≈ 1/√62 ≈ 13%); a group with fewer
+    * than k distinct hashes saw everything, so its estimate IS its count.
+    * Shape: one distinct-pairs aggregate, then a rank-filtered window that
+    * Spark's InferWindowGroupLimit keeps k-bounded BELOW the exchange — at
+    * most k rows per group per map task ever shuffle, the 100 TB shape. */
+  def qAggApprox(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val hv = Tables.events(s, dir)
+      .select(col("event_type").as("g"), col("user_id")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .select("g", "h").distinct() // KMV is over distinct hash VALUES
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("h")
+    hv.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("cnt"), max("h").as("h_k"))
+      .select(col("g").as("event_type"),
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * ${1L << 48}) div h_k"))
+          .as("approx_users"))
       .orderBy("event_type")
+  }
 
   /** q_agg_rollup — hierarchical totals region→nation→(all), expressed as
     * explicit grouping sets ((r,n),(r),()) — semantically ROLLUP, same single
@@ -122,22 +147,36 @@ object Aggregations extends QueryFamily {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** q_agg_approx_pct — the registered t-digest twin of q_agg_percentile:
-    * single-pass mergeable sketches instead of a per-group sort, the swap a
-    * 100 TB job makes. Deterministic for a fixed input (the sketch is
-    * order-insensitive at this accuracy parameter) but algorithm-specific —
-    * rows-only like q_agg_approx; accuracy vs the exact percentile is
-    * asserted in ApproxSpec. */
-  def qAggApproxPct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  /** q_agg_approx_pct — approximate percentiles per group over a
+    * DETERMINISTIC md5 hash sample (10%), FULLY oracle-checked: the
+    * approximate-percentile use case Spark's t-digest
+    * (`approx_percentile`, which stays property-tested in ApproxSpec as
+    * the native mergeable alternative) serves, but with
+    * engine-independent arithmetic — the sample membership is a pure hash
+    * of the row key and the percentile over the sample is the exact
+    * interpolated one, so DuckDB reproduces the estimate bit-for-bit (the
+    * q_agg_approx KMV discipline applied to percentiles). Sample
+    * percentile error is O(1/√(p(1−p)·sample)) — the classic
+    * sample-quantile bound; `n` stays the exact full count so the checked
+    * output also exposes the sampling rate. Shape: the sample predicate
+    * rides the scan (a codegen projection, no pre-pass), then the same
+    * bounded per-group sort as q_agg_percentile over 10% of the rows. */
+  def qAggApproxPct(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val inSample =
+      conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))), 1, 12), 16, 10)
+        .cast("long") % 10 === 0
+    l.withColumn("in_sample", inSample)
       .groupBy("l_returnflag")
       .agg(
-        approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+        expr("percentile(IF(in_sample, l_quantity, NULL), 0.5)")
           .as("med_qty"),
-        approx_percentile(col("l_extendedprice"), lit(0.25), lit(10000))
+        expr("percentile(IF(in_sample, l_extendedprice, NULL), 0.25)")
           .as("p25_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+  }
 
   /** q_agg_collect — array-collecting aggregation: per-nation sorted key
     * list + distinct segment set (sorted for cross-engine determinism —
@@ -180,9 +219,17 @@ object Aggregations extends QueryFamily {
   /** q_agg_weighted — quantity-weighted mean price via the typed
     * `Aggregator` extension point (TypedAggregators.WeightedMean): the
     * engine's UDAF surface exercised by a production query, not only by
-    * tests. Double accumulation is partition-order-dependent → rows-only
-    * (the ±ulp-tolerance equivalence to the closed form is asserted in
-    * TextVectorSpec). */
+    * tests. FULLY oracle-checked since round 10: the UDAF's double sums
+    * are order-dependent in general, but over INTEGRAL-VALUED doubles
+    * they are exact in any order while below 2⁵³ (the q_agg_salted
+    * argument) — so the query feeds cent-quantized prices and integral
+    * quantities, every partial sum is an exact integer, and the final
+    * ratio is one correctly-rounded IEEE divide both engines perform on
+    * identical operands. Output in cents keeps the checked value one
+    * divide from the inputs. (At 100 TB the Σ(w·x) integer exceeds 2⁵³ —
+    * there the production path widens the accumulator to two Longs /
+    * DECIMAL, the chi2Cells discipline; the generic double UDAF keeps its
+    * ±ulp property test in TextVectorSpec.) */
   def qAggWeighted(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
     val wm = udaf(new graft.functions.TypedAggregators.WeightedMean(),
@@ -190,8 +237,8 @@ object Aggregations extends QueryFamily {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        wm(col("l_extendedprice").cast("double"),
-          col("l_quantity").cast("double")).as("wavg_price"),
+        wm(round(col("l_extendedprice") * 100).cast("double"),
+          col("l_quantity").cast("double")).as("wavg_price_cents"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
@@ -270,6 +317,28 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    // KMV approximate distinct: 12 md5 hex digits -> 48-bit hash, k-bounded
+    // rank window, pure-integer estimate — reproduces bit-for-bit.
+    "q_agg_approx" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT event_type AS g,
+        |    CAST(list_sum(list_transform(range(1, 13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)),
+        |          CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << (4 * (12 - CAST(i AS INTEGER))))) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        |  FROM hv),
+        |a AS (
+        |  SELECT g, COUNT(*) AS cnt, MAX(h) AS h_k
+        |  FROM r WHERE rn <= 64 GROUP BY g)
+        |SELECT g AS event_type,
+        |  CAST(CASE WHEN cnt < 64 THEN cnt
+        |    ELSE (CAST(63 AS BIGINT) * 281474976710656) // h_k END
+        |    AS BIGINT) AS approx_users
+        |FROM a ORDER BY event_type""".stripMargin,
     // RFM: quantile_cont mirrors Spark's exact percentile; boundary
     // comparisons cast to double identically on both sides.
     "q_rfm" ->
@@ -332,6 +401,35 @@ object Aggregations extends QueryFamily {
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Sample percentile: membership is 12 md5 hex digits of the row key
+    // mod 10; the percentile over the sample is the exact interpolated one.
+    "q_agg_approx_pct" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_quantity, l_extendedprice,
+        |    (CAST(list_sum(list_transform(range(1, 13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |            CAST(l_linenumber AS VARCHAR)),
+        |          CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << (4 * (12 - CAST(i AS INTEGER))))) AS BIGINT) % 10 = 0)
+        |      AS in_sample
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  quantile_cont(CASE WHEN in_sample THEN l_quantity END, 0.5)
+        |    AS med_qty,
+        |  quantile_cont(CASE WHEN in_sample THEN l_extendedprice END, 0.25)
+        |    AS p25_price,
+        |  COUNT(*) AS n
+        |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Weighted mean over cent-quantized integral doubles: every partial
+    // sum exact below 2^53 in any order, final divide identical IEEE.
+    "q_agg_weighted" ->
+      """SELECT l_returnflag,
+        |  SUM(CAST(round(l_extendedprice * 100) AS DOUBLE) *
+        |      CAST(l_quantity AS DOUBLE)) /
+        |    SUM(CAST(l_quantity AS DOUBLE)) AS wavg_price_cents,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_hash" ->

@@ -281,14 +281,18 @@ object DriftOps extends QueryFamily {
       .orderBy("lang", "source")
 
   /** q_dp_counts — ε-DP Laplace count release over (lang, source) with
-    * deterministic per-(group, release-tag) noise: the third governance
-    * mode beside q_kanon's suppression and q_ldiv's diversity floor —
-    * publish EVERY group, hide individuals in calibrated noise. ε = 1,
-    * release tag "r9" (a new tag = a new draw = a new privacy charge).
-    * See [[graft.operators.Profile.dpCounts]]. */
+    * PRF-derived per-(seed, group, release-tag) noise: the third
+    * governance mode beside q_kanon's suppression and q_ldiv's diversity
+    * floor — publish EVERY group, hide individuals in calibrated noise.
+    * ε = 1, release tag "r9" (a new tag = a new draw = a new privacy
+    * charge). The seed here is FIXED AND VISIBLE so the DuckDB oracle can
+    * reproduce the draw — this registration is a correctness harness, not
+    * a private release; production callers must keep the seed secret (see
+    * [[graft.operators.Profile.dpCounts]]'s privacy contract). */
   def qDpCounts(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.dpCounts(Tables.documents(s, dir),
-        Seq("lang", "source"), epsilon = 1.0, releaseTag = "r9")
+        Seq("lang", "source"), epsilon = 1.0, releaseTag = "r9",
+        secretSeed = "graft-test-seed")
       .orderBy("lang", "source")
 
   /** q_ldiv — l-diversity release over (lang, size-bucket) quasi groups
@@ -591,7 +595,9 @@ object DriftOps extends QueryFamily {
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
     // DP release: 5 md5 hex digits -> u in (0,1); Laplace inverse CDF
-    // with the keyness ln idiom, milli-rounded.
+    // with the keyness ln idiom, milli-rounded. Seed is visible here so
+    // the oracle can reproduce the PRF draw (correctness harness only);
+    // null group values coalesce to '<null>' on both sides.
     "q_dp_counts" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
@@ -599,7 +605,9 @@ object DriftOps extends QueryFamily {
         |  SELECT lang, source, n,
         |    (CAST(list_sum(list_transform(range(1, 6), i ->
         |      CAST(strpos('0123456789abcdef',
-        |        substr(md5('r9' || '|' || lang || '|' || source),
+        |        substr(md5('graft-test-seed' || '|' || 'r9' || '|' ||
+        |            COALESCE(CAST(lang AS VARCHAR), '<null>') || '|' ||
+        |            COALESCE(CAST(source AS VARCHAR), '<null>')),
         |          CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
         |        << (4 * (5 - CAST(i AS INTEGER))))) AS DOUBLE) + 0.5)
         |      / 1048576.0 AS u

@@ -318,10 +318,13 @@ object TrainOps extends QueryFamily {
           "(CAST(sqq AS DECIMAL(38,0)) * total_tokens * 500) div " +
             "(CAST(sum_sqq AS DECIMAL(38,0)) * tokens)"))
           .as("keep_permille"))
+    // 12 hex digits (48 bits) before the mod: 2^48 mod 1000 = 656, so the
+    // residue bias is ≤ 1/2^48 relative — 3 digits (2^12) would oversample
+    // small keep rates by up to ~22% (residues 0-95 occur 5/4096 vs 4/4096).
     docs.join(broadcast(rates), "source")
       .withColumn("h",
         conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("|mix"))), 1, 3), 16, 10).cast("long") % 1000)
+          lit("|mix"))), 1, 12), 16, 10).cast("long") % 1000)
       .filter(col("h") < col("keep_permille"))
       .select(col("doc_id"), col("source"), col("keep_permille"))
       .orderBy("doc_id")
@@ -347,8 +350,8 @@ object TrainOps extends QueryFamily {
 
   override val oracle: Map[String, String] = Map(
     // The keep rate is a pure-integer divide (sqq·total·500)//(sum_sqq·
-    // tokens) and the keep decision 3 md5 hex digits mod 1000 — nothing
-    // float anywhere near a row decision.
+    // tokens) and the keep decision 12 md5 hex digits (48 bits) mod 1000
+    // (bias ≤ 1/2^48) — nothing float anywhere near a row decision.
     "q_mix_apply" ->
       """WITH per AS (
         |  SELECT source,
@@ -369,12 +372,11 @@ object TrainOps extends QueryFamily {
         |  FROM wp, sq)
         |SELECT d.doc_id, d.source, r.keep_permille
         |FROM documents d JOIN rates r USING (source)
-        |WHERE ((strpos('0123456789abcdef',
-        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 1)) - 1) * 256
-        |  + (strpos('0123456789abcdef',
-        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 2, 1)) - 1) * 16
-        |  + (strpos('0123456789abcdef',
-        |    substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 3, 1)) - 1))
+        |WHERE CAST(list_sum(list_transform(range(1, 13), i ->
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'),
+        |        CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |      << (4 * (12 - CAST(i AS INTEGER))))) AS BIGINT)
         |  % 1000 < r.keep_permille
         |ORDER BY doc_id""".stripMargin,
     "q_sample_fps" -> graft.operators.Similarity.fpsOracleSql(8),

@@ -265,7 +265,7 @@ class DriftOpsSpec extends SparkSpec {
     import graft.operators.Profile
     val df = (1L to 300L).map(i => (s"g${i % 30}", "x")).toDF("g", "s")
     def run(tag: String, eps: Double) =
-      Profile.dpCounts(df, Seq("g"), eps, tag)
+      Profile.dpCounts(df, Seq("g"), eps, tag, secretSeed = "spec-seed")
         .select("g", "n", "noise_milli", "released_milli")
         .collect().map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

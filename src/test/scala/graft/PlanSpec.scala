@@ -381,6 +381,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ppjoin candidate join carries the length + positional filters, no product") {
+    // q_ppjoin's 4-6x round-9 win rests on two provably-lossless prunes
+    // riding the prefix-token equi-join (CurateOps.qPpjoin): the AllPairs
+    // LENGTH filter (4*max <= 5*min via m*4 <= m*5 both ways) and the
+    // PPJoin POSITIONAL filter (least(m-rn, m-rn)+1 >= (4*(ma+mb)+8) div 9).
+    // An innocent refactor that drops either silently returns the query to
+    // 34-48 s with every correctness check still green (the filters only
+    // prune candidates the exact verify would reject anyway) — so the plan
+    // itself is the only place the win is observable. Pin it.
+    val p = planString(graft.queries.CurateOps.qPpjoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // length filter: both (a.m * 4) <= (b.m * 5) directions survive into
+    // the physical join condition
+    assert("\\* 4\\)".r.findAllIn(p).size >= 2,
+      s"AllPairs length filter missing from the plan:\n${p.take(4000)}")
+    // positional filter: the least(...) overlap bound and its div-9
+    // required-overlap arithmetic survive
+    assert(p.contains("least("),
+      s"PPJoin positional filter (least) missing:\n${p.take(4000)}")
+    assert(p.contains("div 9"),
+      s"PPJoin positional filter (div 9 overlap bound) missing:\n${p.take(4000)}")
+  }
+
   test("snapshot diff shuffles digests, not documents (projection before join)") {
     val df = graft.operators.Layout.snapshotDiff(
       Tables.documents(spark, sf), Tables.documents(spark, sf),

@@ -876,6 +876,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S24 probe under concurrent append sees only committed deltas (snapshot isolation)") {
+    import graft.operators.Similarity
+    val layout = java.nio.file.Files.createTempDirectory("s24_layout").toString
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding").collect()
+    val (wave1, wave2) = odd.splitAt(odd.length / 2)
+    def df(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => VecIngest(r.getLong(0), r.getSeq[Float](1)))
+        .toSeq.toDF("vec_id", "embedding")
+    Similarity.writeIvfPqLayout(base, layout, nCells = 4)
+    Streams.annIngestSinkBatch(layout)(df(wave1), 0L) // committed delta=0
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select("vec_id", "embedding")
+    def probe(): Set[(Long, Long)] =
+      Similarity.probeIvfPqLayoutAll(layout, queries, corpus,
+          k = 10, nProbe = 4, shortlistFactor = 1000)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val committed = probe()
+    // Simulate wave2 IN FLIGHT: an output committer stages files under
+    // delta=1/_temporary until commit — the reader's listing must ignore
+    // them, so a concurrent probe serves exactly the pre-append union.
+    val inflight = new java.io.File(s"$layout/codes_deltas/delta=1/_temporary/0")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inflight.toString, "part-000-attempt.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // a truncated, uncommitted file
+    assert(probe() === committed,
+      "a probe mid-append must equal the pre-append committed union")
+    // The commit lands (overwrite of delta=1 — the replay-rewrite path
+    // also clears the staged files): the probe now serves everything,
+    // equal to brute force over the whole corpus.
+    Streams.annIngestSinkBatch(layout)(df(wave2), 1L)
+    val after = probe()
+    val exact = Similarity.cosineTopK(queries, corpus, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(after === exact)
+    // Degenerate sibling: a layout whose ONLY delta is in-flight (or an
+    // empty deltas dir after full compaction) serves the base alone
+    // instead of failing schema inference.
+    val layout2 = java.nio.file.Files.createTempDirectory("s24_l2").toString
+    Similarity.writeIvfPqLayout(base, layout2, nCells = 4)
+    val stage2 = new java.io.File(s"$layout2/codes_deltas/delta=0/_temporary/0")
+    assert(stage2.mkdirs())
+    val baseOnly = Similarity.probeIvfPqLayoutAll(layout2, queries, corpus,
+        k = 10, nProbe = 4, shortlistFactor = 1000)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val exactBase = Similarity.cosineTopK(queries, base, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(baseOnly === exactBase)
+  }
+
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(

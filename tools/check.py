@@ -92,6 +92,27 @@ def check_survey_inventory(out):
         print(f"SURVEY DRIFT: {len(undocumented)} registered queries have "
               f"no SURVEY.md row: {', '.join(undocumented)}")
         return 1
+    return check_streaming_inventory(survey_path)
+
+def check_streaming_inventory(survey_path):
+    """Every StreamingSpec scenario label (test names starting "S<N> ")
+    must have a B-9 row in SURVEY.md — the streaming twin of the q_* guard
+    above (r9 verdict item 2: S8/S22/S23 were implemented and green but
+    undocumented, and the q_*-only guard couldn't see it)."""
+    import re
+    spec_path = os.path.join(os.path.dirname(__file__), "..", "src", "test",
+                             "scala", "graft", "StreamingSpec.scala")
+    if not os.path.exists(spec_path):
+        return 0
+    spec = set(re.findall(r'test\("(S\d+)[ :]', open(spec_path).read()))
+    # B-9 rows start "| S<N> |"; prose mentions don't count as inventory
+    survey_rows = set(re.findall(r"^\| (S\d+) \|", open(survey_path).read(),
+                                 re.MULTILINE))
+    undocumented = sorted(spec - survey_rows, key=lambda s: int(s[1:]))
+    if undocumented:
+        print(f"SURVEY DRIFT: {len(undocumented)} streaming scenarios have "
+              f"no SURVEY.md B-9 row: {', '.join(undocumented)}")
+        return 1
     return 0
 
 if __name__ == "__main__":

@@ -12,6 +12,9 @@ import json
 import sys
 
 
+MAX_LEDGER_DRIFT = 1.15
+
+
 def load(path):
     s = open(path).read()
     d = json.loads(s[s.index('{'):])
@@ -19,6 +22,14 @@ def load(path):
         raise SystemExit(f"{path} has erroring queries: {d['errors']}")
     if "sf0.1" not in d.get("sf", ""):
         raise SystemExit(f"{path} is not an sf0.1 run: {d.get('sf')}")
+    # A loaded host inflates every timing; a ledger recorded from such a
+    # run silently raises the baseline and hides real regressions behind
+    # it (the round-7 incident). Refuse outright rather than warn.
+    drift = d.get("host_drift")
+    if drift is not None and drift > MAX_LEDGER_DRIFT:
+        raise SystemExit(
+            f"{path}: host_drift {drift} exceeds {MAX_LEDGER_DRIFT} — "
+            "re-measure on a quiet host before refreshing the ledger")
     return d["queries"]
 
 
