@@ -643,6 +643,42 @@ object Similarity {
           .otherwise(col(embCol)))
       .drop("_nrm")
 
+  /** Centroid-based silhouette over [[DetQuantizer]] cells (the simplified
+    * silhouette of Hruschka et al. 2004 — distances to centroids, never the
+    * O(n²) pairwise definition): per vector a² = micro-L2² to its OWN
+    * centroid, b² = min micro-L2² to any OTHER centroid,
+    * s = (b²−a²)/max(a²,b²) in integer permille — the squared-distance
+    * variant keeps the whole operator pure integer (truncating division,
+    * identical cross-engine). Per cluster: size, mean and min silhouette,
+    * and the count of NEGATIVE members (closer to a foreign centroid than
+    * their own — the misassignment signal that says k is wrong or the
+    * cluster is degenerate). The cluster-QUALITY number the fit-inspection
+    * pair (cluster sizes, cluster keywords) lacks.
+    *
+    * Scale shape: one broadcast k-row crossJoin on the assignment pass
+    * (k distances per vector instead of 1 — the same full pass assignment
+    * already makes); everything after is cluster-cardinality. Fit on a
+    * sample at 100 TB, like the whole det-fit family. */
+  def clusterSilhouette(corpus: DataFrame, k: Int): DataFrame = {
+    val cents = DetQuantizer.fit(corpus, "embedding", "vec_id", k)
+    DetQuantizer.assign(corpus, "embedding", "vec_id", cents)
+      .withColumn("_v", DetQuantizer.microQuantize(col("embedding")))
+      .crossJoin(broadcast(cents.select(col("cell_id").as("c2"), col("cent"))))
+      .withColumn("d2",
+        graft.functions.VectorFunctions.longL2Sq(col("_v"), col("cent")))
+      .groupBy("vec_id", "cell_id")
+      .agg(min(when(col("c2") === col("cell_id"), col("d2"))).as("a2"),
+        min(when(col("c2") =!= col("cell_id"), col("d2"))).as("b2"))
+      .withColumn("sil_pm",
+        when(greatest(col("a2"), col("b2")) === 0, lit(0L))
+          .otherwise(expr("(1000 * (b2 - a2)) div greatest(a2, b2)")))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(sil_pm) div count(1)").as("mean_sil_pm"),
+        min("sil_pm").as("min_sil_pm"),
+        sum(when(col("sil_pm") < 0, 1L).otherwise(0L)).as("n_negative"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, public method): semantic deduplication
     * by k-means clustering + within-cluster cosine pruning. For every
     * near-dup pair (cosine ≥ `simThreshold`) inside one cluster, the

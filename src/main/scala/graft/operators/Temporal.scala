@@ -90,6 +90,42 @@ object Temporal {
     * micro-unit values × 2^15 × 16 terms needs < 2^63 for any value
     * below ~8.8 billion. Returns (key, n_events, last_micro,
     * ewma_micro). */
+  /** Holt double-exponential smoothing (level + trend) with dyadic
+    * α = β = ½ over a per-group INTEGER series, plus the h-step forecast —
+    * the forecaster beside [[dyadicEwma]]'s level-only tracker. Values
+    * scale to milli-units so the halving steps keep precision:
+    * l' = (1000·v + l + b) div 2, b' = ((l' − l) + b) div 2, seeded
+    * l₀ = 1000·v₀, b₀ = 0. Every step is exact integer arithmetic with
+    * truncating division (Spark `div` and DuckDB `//` agree on negatives),
+    * so any number of rounds is bit-reproducible cross-engine — the
+    * oracle unrolls the same steps as generated CTEs.
+    *
+    * Shape: the recursion folds with `aggregate()` over each group's
+    * t-ordered value array — one codegen'd per-group O(series) pass. The
+    * collect_list is safe ONLY for slot-cardinality series (daily/hourly
+    * grids — bounded by the calendar, never by corpus rows); that is the
+    * operator's contract, same as every other grid op in the suite. */
+  def holtDyadic(series: DataFrame, groupCol: String, tCol: String,
+      vCol: String, horizon: Int = 7): DataFrame = {
+    require(horizon >= 0, s"horizon must be >= 0, got $horizon")
+    series.select(col(groupCol).as("g"), col(tCol).as("t"),
+        col(vCol).cast("long").as("v"))
+      .groupBy("g")
+      .agg(expr("transform(array_sort(collect_list(struct(t, v))), x -> x.v)")
+        .as("vs"))
+      .withColumn("hb", expr(
+        """aggregate(slice(vs, 2, size(vs) - 1),
+          |  named_struct('l', 1000L * vs[0], 'b', 0L),
+          |  (acc, v) -> named_struct(
+          |    'l', (1000L * v + acc.l + acc.b) div 2L,
+          |    'b', (((1000L * v + acc.l + acc.b) div 2L) - acc.l + acc.b)
+          |      div 2L))""".stripMargin))
+      .select(col("g"),
+        col("hb.l").as("level_milli"), col("hb.b").as("trend_milli"),
+        (col("hb.l") + col("hb.b") * horizon.toLong)
+          .as(s"forecast_${horizon}d_milli"))
+  }
+
   def dyadicEwma(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, depth: Int = 16): DataFrame = {
     require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")

@@ -185,6 +185,72 @@ object Vocab {
           .as("slope_micro"))
   }
 
+  /** Heaps'-law vocabulary-growth fit per corpus slice — [[zipfSlope]]'s
+    * natural sibling (Heaps 1978; the two laws are duals): distinct word
+    * TYPES grow as V(n) ≈ K·n^β with corpus size n, β ≈ 0.4–0.6 for
+    * natural text. β near 1 flags unbounded noise vocabularies (random
+    * ids, OCR garbage); β near 0 flags templated/boilerplate sources —
+    * and a dedup pass that worked SHOWS here as a β drop. The fit: docs
+    * process in ascending-id order, cumulative (tokens, types) is sampled
+    * at `nCkpt` evenly-spaced document checkpoints, and β is the OLS slope
+    * of ln(types) on ln(tokens) over those points (the zipfSlope
+    * micro-nat-long discipline — every aggregate exact integer, one final
+    * IEEE divide). ln K comes from the same fit (ȳ − β·x̄).
+    *
+    * Scale shape: ONE token explode read twice (per-(slice, type) first
+    * occurrence — vocabulary-bounded; per-doc counts — doc-bounded); the
+    * checkpoint table is nCkpt rows per slice and BROADCASTS onto the
+    * first-occurrence table (equi-join on slice + a ≤ filter), so the
+    * growth curve costs vocab × nCkpt, never corpus × anything. The doc
+    * rank/cumsum window partitions by slice over the doc-bounded count
+    * table. */
+  def heapsLaw(df: DataFrame, textCol: String, idCol: String,
+      srcCol: String, nCkpt: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(srcCol).as("source"), col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = false) // first-occurrence + per-doc counts
+    val firstOcc = toks.groupBy("source", "tok")
+      .agg(min("doc").as("first_doc"))
+    val wOrd = Window.partitionBy("source").orderBy("doc")
+    val ranked = toks.groupBy("source", "doc")
+      .agg(count(lit(1)).as("n_tok"))
+      .withColumn("rnk", row_number().over(wOrd))
+      .withColumn("cum_tok", sum("n_tok")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val nDocs = ranked.groupBy("source").agg(max("rnk").as("n_docs"))
+    // the LAST doc of each of the nCkpt equal-width rank buckets is a
+    // checkpoint — pure integer bucket arithmetic, no float quantiles
+    val ck = ranked.join(nDocs, "source")
+      .filter(expr(s"(rnk * $nCkpt) div n_docs > ((rnk - 1) * $nCkpt) div n_docs"))
+      .select(col("source"), col("doc").as("ck_doc"), col("cum_tok"),
+        expr(s"(rnk * $nCkpt) div n_docs").as("ck"))
+    val growth = firstOcc
+      .join(broadcast(ck), Seq("source"))
+      .filter(col("first_doc") <= col("ck_doc"))
+      .groupBy("source", "ck", "cum_tok")
+      .agg(count(lit(1)).as("cum_types"))
+    val pts = growth.select(col("source"),
+      round(log(col("cum_tok").cast("double")) * 1e6, 0).cast("long").as("x"),
+      round(log(col("cum_types").cast("double")) * 1e6, 0).cast("long").as("y"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n_ckpt"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_ckpt"),
+        when(col("n_ckpt") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_ckpt") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n_ckpt") * col("sxx") - col("sx") * col("sx")) * 1e6, 0)
+            .cast("long")).as("beta_micro"),
+        when(col("n_ckpt") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("sy").cast("double") -
+            ((col("n_ckpt") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n_ckpt") * col("sxx") - col("sx") * col("sx"))) *
+              col("sx")) / col("n_ckpt") / 1e6 * 1000.0, 0).cast("long"))
+          .as("ln_k_milli"))
+  }
+
   /** Jensen–Shannon divergence between every unordered pair of corpus
     * slices' unigram distributions — the symmetric, bounded (≤ ln 2)
     * corpus-drift distance ([[keyness]] names WHICH tokens drive a drift;

@@ -40,6 +40,16 @@ object DriftOps extends QueryFamily {
     Vocab.zipfSlope(Tables.documents(s, dir), "text", "source", topK = 100)
       .orderBy("source")
 
+  /** q_heaps_law — per-source Heaps'-law vocabulary-growth fit (the Zipf
+    * dual): β = OLS slope of ln(distinct types) on ln(tokens) over 10
+    * evenly-spaced document checkpoints in ascending doc_id order. Natural
+    * text β ≈ 0.4–0.6; β → 1 flags unbounded noise vocabularies, β → 0
+    * templated sources — and a dedup pass that worked shows as a β drop.
+    * See [[graft.operators.Vocab.heapsLaw]]. */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame =
+    Vocab.heapsLaw(Tables.documents(s, dir), "text", "doc_id", "source")
+      .orderBy("source")
+
   /** q_js_divergence — Jensen–Shannon divergence between every unordered
     * pair of sources' unigram distributions: the bounded corpus-drift
     * distance (0 = identical, ln 2 = disjoint). */
@@ -411,6 +421,75 @@ object DriftOps extends QueryFamily {
       .orderBy("event_type")
   }
 
+  /** q_holt_trend — Holt double-exponential smoothing (level + trend)
+    * per event type over the zero-filled daily grid, with the h-step
+    * forecast the pipeline actually wants from it — the FORECASTER
+    * beside the suite's descriptive trend ops (q_ols fits history,
+    * q_theil_sen robustly, q_ewma tracks level only; Holt extrapolates
+    * level AND trend). Dyadic smoothing (α = β = ½) in integer
+    * milli-units: l' = (1000·v + l + b) div 2, b' = ((l' − l) + b) div 2
+    * — every step exact integer arithmetic (both engines' integer
+    * division truncates toward zero), so 30 recursive rounds are
+    * bit-reproducible cross-engine. The engine folds the recursion with
+    * `aggregate()` over each group's slot-ordered 30-value array (a
+    * codegen'd per-group O(days) fold — the series is SLOT-cardinality,
+    * never corpus-cardinality); the oracle unrolls the same rounds as
+    * generated CTEs from the same constants (the q_pagerank discipline).
+    * Output: final level/trend and the 7-day-ahead forecast
+    * l + 7·b, all milli. */
+  def qHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("grp", "day").agg(count(lit(1)).as("n_ev"))
+    val grid = ev.select("grp").distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+        .as("day")))
+    val full = grid.join(daily, Seq("grp", "day"), "left")
+      .na.fill(0L, Seq("n_ev"))
+      .select(col("grp"),
+        datediff(col("day"), lit("2024-01-01")).cast("long").as("t"),
+        col("n_ev").cast("long").as("v"))
+    graft.operators.Temporal.holtDyadic(full, "grp", "t", "v", horizon = 7)
+      .withColumnRenamed("g", "event_type")
+      .orderBy("event_type")
+  }
+
+  /** Generated unrolled-recursion oracle for [[qHoltTrend]] — one CTE per
+    * smoothing step from the same constants as the engine fold. */
+  private def holtOracleSql(days: Int): String = {
+    val head =
+      """WITH ev AS (
+        |  SELECT event_type AS grp, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT grp, day, COUNT(*) AS n_ev FROM ev GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, datediff('day', DATE '2024-01-01', d.day) AS t,
+        |    CAST(COALESCE(daily.n_ev, 0) AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT grp FROM ev) g
+        |  CROSS JOIN (
+        |    SELECT CAST(x AS DATE) AS day
+        |    FROM generate_series(TIMESTAMP '2024-01-01',
+        |      TIMESTAMP '2024-01-30', INTERVAL 1 DAY) s(x)) d
+        |  LEFT JOIN daily ON daily.grp = g.grp AND daily.day = d.day),
+        |h0 AS (
+        |  SELECT grp, 1000 * v AS l, CAST(0 AS BIGINT) AS b
+        |  FROM grid WHERE t = 0)""".stripMargin
+    val steps = (1 until days).map { i =>
+      s"""h$i AS (
+         |  SELECT g.grp,
+         |    (1000 * g.v + h.l + h.b) // 2 AS l,
+         |    (((1000 * g.v + h.l + h.b) // 2) - h.l + h.b) // 2 AS b
+         |  FROM grid g JOIN h${i - 1} h USING (grp) WHERE g.t = $i)""".stripMargin
+    }
+    val tail =
+      s"""SELECT grp AS event_type, CAST(l AS BIGINT) AS level_milli,
+         |  CAST(b AS BIGINT) AS trend_milli,
+         |  CAST(l + 7 * b AS BIGINT) AS forecast_7d_milli
+         |FROM h${days - 1} ORDER BY event_type""".stripMargin
+    (head +: steps).mkString(",\n") + "\n" + tail
+  }
+
   /** q_theil_sen — Theil–Sen robust trend per event type: the MEDIAN of
     * all pairwise slopes of the zero-filled daily count series — the
     * outlier-immune complement of q_ols (one wild day moves an OLS fit;
@@ -546,6 +625,8 @@ object DriftOps extends QueryFamily {
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _),
     "q_zipf_slope" -> (qZipfSlope _),
+    "q_heaps_law" -> (qHeapsLaw _),
+    "q_holt_trend" -> (qHoltTrend _),
     "q_js_divergence" -> (qJsDivergence _),
     "q_url_dedup" -> (qUrlDedup _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1001,6 +1082,57 @@ object DriftOps extends QueryFamily {
         |    CAST(round(CAST(n_ranks * sxy - sx * sy AS DOUBLE) /
         |      CAST(n_ranks * sxx - sx * sx AS DOUBLE) * 1000000.0, 0)
         |      AS BIGINT) END AS slope_micro
+        |FROM a ORDER BY source""".stripMargin,
+    // Holt: generated 30-step unroll from the same constants as the
+    // engine's aggregate() fold.
+    "q_holt_trend" -> holtOracleSql(days = 30),
+    // Heaps: checkpoints are the last doc of each of 10 equal rank
+    // buckets; ln values micro-rounded to longs before the OLS sums.
+    "q_heaps_law" ->
+      """WITH st AS (
+        |  SELECT source, doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |fo AS (SELECT source, tok, MIN(doc) AS first_doc
+        |       FROM st GROUP BY 1, 2),
+        |pd AS (SELECT source, doc, COUNT(*) AS n_tok FROM st GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, doc, n_tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc) AS rnk,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM pd),
+        |nd AS (SELECT source, MAX(rnk) AS n_docs FROM rk GROUP BY 1),
+        |ck AS (
+        |  SELECT rk.source, rk.doc AS ck_doc, rk.cum_tok,
+        |    (rk.rnk * 10) // nd.n_docs AS ck
+        |  FROM rk JOIN nd USING (source)
+        |  WHERE (rk.rnk * 10) // nd.n_docs > ((rk.rnk - 1) * 10) // nd.n_docs),
+        |gr AS (
+        |  SELECT fo.source, ck.ck, ck.cum_tok, COUNT(*) AS cum_types
+        |  FROM fo JOIN ck ON ck.source = fo.source
+        |    AND fo.first_doc <= ck.ck_doc
+        |  GROUP BY 1, 2, 3),
+        |pts AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(cum_tok AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS x,
+        |    CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS y
+        |  FROM gr),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_ckpt, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT source, CAST(n_ckpt AS BIGINT) AS n_ckpt,
+        |  CASE WHEN n_ckpt * sxx - sx * sx <> 0 THEN
+        |    CAST(round(CAST(n_ckpt * sxy - sx * sy AS DOUBLE) /
+        |      CAST(n_ckpt * sxx - sx * sx AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) END AS beta_micro,
+        |  CASE WHEN n_ckpt * sxx - sx * sx <> 0 THEN
+        |    CAST(round((CAST(sy AS DOUBLE) -
+        |      (CAST(n_ckpt * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n_ckpt * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |      / n_ckpt / 1000000.0 * 1000.0, 0) AS BIGINT) END AS ln_k_milli
         |FROM a ORDER BY source""".stripMargin,
     "q_js_divergence" ->
       """WITH st AS (

@@ -331,6 +331,25 @@ object LlmOps extends QueryFamily {
       .orderBy("cell_id")
   }
 
+  /** q_cluster_silhouette — centroid-based silhouette over the
+    * [[DetQuantizer]] cells (the simplified silhouette of Hruschka et al.
+    * 2004, distances to centroids instead of O(n²) pairwise): per vector,
+    * a² = micro-L2² to its OWN centroid, b² = min micro-L2² to any other
+    * centroid, s = (b²−a²)/max(a²,b²) in integer permille (squared-
+    * distance variant — pure integer end to end, like the whole det-fit
+    * family). Per cluster: size, mean and min silhouette, and the count
+    * of NEGATIVE members (closer to a foreign centroid than their own —
+    * the misassignment signal that says k is wrong or the cluster is
+    * degenerate). The cluster-QUALITY number after q_emb_clusters' sizes
+    * and q_cluster_keywords' labels. Shape: one broadcast k-row crossJoin
+    * on the assignment pass (the q_emb_clusters shape, k distances per
+    * vector instead of 1); everything after is cluster-cardinality.
+    * Full-oracle via the same generated fit CTEs. */
+  def qClusterSilhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterSilhouette(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), k = 16)
+      .orderBy("cell_id")
+
   /** q_cluster_keywords — c-TF-IDF cluster labeling (the BERTopic recipe,
     * Grootendorst 2022): the top-5 terms that CHARACTERIZE each embedding
     * cluster, scored `tf_c · ln(K/cdf + 1)` where cdf = how many of the K
@@ -757,6 +776,7 @@ object LlmOps extends QueryFamily {
     "q_bitext_margin" -> (qBitextMargin _),
     "q_shard_manifest" -> (qShardManifest _),
     "q_emb_clusters" -> (qEmbClusters _),
+    "q_cluster_silhouette" -> (qClusterSilhouette _),
     "q_cluster_keywords" -> (qClusterKeywords _))
 
   /** Shared fit for the q_sim_ivf / q_dedup_semantic oracles: the
@@ -971,6 +991,32 @@ object LlmOps extends QueryFamily {
         |  FROM sc)
         |SELECT cell_id, rnk, tok, tf, score_milli
         |FROM rk WHERE rnk <= 5 ORDER BY cell_id, rnk""".stripMargin,
+    // Silhouette: same generated fit; d2 to ALL 16 centroids per vector,
+    // a2/b2 split on own-vs-other, integer permille with trunc div (Spark
+    // div and DuckDB // both truncate toward zero on negatives).
+    "q_cluster_silhouette" ->
+      s"""WITH $detFit,
+        |d AS (
+        |  SELECT a.vec_id, a.cell_id, c.cell_id AS c2,
+        |    CAST(list_sum(list_transform(list_zip(e.v, c.cent),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+        |  FROM asg a JOIN e ON e.vec_id = a.vec_id CROSS JOIN cfin c),
+        |ab AS (
+        |  SELECT vec_id, cell_id,
+        |    MIN(CASE WHEN c2 = cell_id THEN d2 END) AS a2,
+        |    MIN(CASE WHEN c2 <> cell_id THEN d2 END) AS b2
+        |  FROM d GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT vec_id, cell_id,
+        |    CASE WHEN GREATEST(a2, b2) = 0 THEN 0
+        |      ELSE (1000 * (b2 - a2)) // GREATEST(a2, b2) END AS sil_pm
+        |  FROM ab)
+        |SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(sil_pm) // COUNT(*) AS BIGINT) AS mean_sil_pm,
+        |  CAST(MIN(sil_pm) AS BIGINT) AS min_sil_pm,
+        |  CAST(SUM(CASE WHEN sil_pm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM sil GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     "q_emb_clusters" ->
       s"""WITH $detFit,
         |d AS (

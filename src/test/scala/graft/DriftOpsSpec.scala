@@ -286,5 +286,58 @@ class DriftOpsSpec extends SparkSpec {
       assert(math.abs(half(g)._2 - 2 * nz) <= 1L,
         s"$g: eps=0.5 noise ${half(g)._2} vs 2x eps=1 noise ${2 * nz}")
     }
+    // the PRF key is load-bearing: a different secret seed redraws, and
+    // an empty seed (no key = no privacy) is refused outright
+    val otherSeed = graft.operators.Profile
+      .dpCounts(df, Seq("g"), 1.0, "rel-A", secretSeed = "other-seed")
+      .select("g", "noise_milli").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1.count { case (g, v) => otherSeed(g) == v._2 } < 30)
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.dpCounts(df, Seq("g"), 1.0, "rel-A",
+        secretSeed = "")
+    }
+  }
+
+  test("heapsLaw: all-unique corpus fits beta ~ 1, templated corpus beta ~ 0") {
+    import graft.operators.Vocab
+    // 40 docs x 5 tokens; 'uniq' tokens are globally fresh (types = tokens
+    // exactly => ln types = ln tokens at every checkpoint => beta = 1);
+    // 'tmpl' docs repeat the same 5 words (types saturate at 5 => beta = 0)
+    val docs = (0L until 40L).flatMap { i => Seq(
+      (i, (0 until 5).map(j => s"w${i}_$j").mkString(" "), "uniq"),
+      (i, "a b c d e", "tmpl"))
+    }.toDF("doc_id", "text", "source")
+    val out = Vocab.heapsLaw(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out("uniq")._1 === 10L)
+    assert(math.abs(out("uniq")._2 - 1000000L) <= 1L,
+      s"unique corpus beta_micro ${out("uniq")._2} != ~1e6")
+    assert(math.abs(out("tmpl")._2) <= 1000L,
+      s"templated corpus beta_micro ${out("tmpl")._2} != ~0")
+  }
+
+  test("holtDyadic: converges to level+trend on a linear ramp and forecasts its continuation") {
+    import graft.operators.Temporal
+    // v_t = 100 + 10t: after enough dyadic rounds level ~ v_last and
+    // trend ~ 10 (each in milli), so the h-step forecast continues the line
+    val series = (0L until 40L).map(t => ("g", t, 100L + 10L * t))
+      .toDF("grp", "t", "v")
+    val r = Temporal.holtDyadic(series, "grp", "t", "v", horizon = 7)
+      .collect()(0)
+    val (level, trend, fc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val vLast = 100L + 10L * 39L
+    assert(math.abs(level - vLast * 1000L) <= 2000L,
+      s"level_milli $level vs ${vLast * 1000}")
+    assert(math.abs(trend - 10000L) <= 1000L, s"trend_milli $trend vs 10000")
+    assert(fc === level + 7L * trend)
+    // order independence: shuffled input folds identically (array_sort)
+    val shuffled = scala.util.Random.shuffle(
+        (0L until 40L).map(t => ("g", t, 100L + 10L * t)).toList)
+      .toDF("grp", "t", "v")
+    val r2 = Temporal.holtDyadic(shuffled, "grp", "t", "v", horizon = 7)
+      .collect()(0)
+    assert((r2.getLong(1), r2.getLong(2)) === ((level, trend)))
   }
 }

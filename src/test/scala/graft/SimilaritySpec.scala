@@ -436,6 +436,33 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").select("vec_id").as[Long].collect().toSeq)
   }
 
+  test("clusterSilhouette: separated blobs score all-positive, merged blobs go negative") {
+    val rnd = new scala.util.Random(11)
+    val d = 8
+    def blob(center: Float, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i,
+        Array.fill(d)(center + 0.01f * rnd.nextGaussian().toFloat)))
+    // two far-apart tight blobs: with k=2 every member hugs its own
+    // centroid => silhouette near +1000, zero negatives
+    val sep = (blob(1.0f, 20, 0L) ++ blob(-1.0f, 20, 100L))
+      .toDF("vec_id", "embedding")
+    val good = Similarity.clusterSilhouette(sep, k = 2).collect()
+    assert(good.length === 2)
+    good.foreach { r =>
+      assert(r.getLong(1) === 20L, s"blob split: $r")
+      assert(r.getLong(2) > 900L, s"mean_sil_pm low: $r")
+      assert(r.getLong(4) === 0L, s"negatives in separated blobs: $r")
+    }
+    // one blob over-split into k=4: members sit between the sub-centroids
+    // => silhouette collapses toward (or below) zero for some members
+    val one = blob(0.5f, 60, 0L).toDF("vec_id", "embedding")
+    val bad = Similarity.clusterSilhouette(one, k = 4).collect()
+    val worstMin = bad.map(_.getLong(3)).min
+    assert(worstMin < 500L,
+      s"over-split blob should not look cleanly separated: min=$worstMin")
+    assert(bad.map(_.getLong(1)).sum === 60L) // every vector classified
+  }
+
   test("semDedup: survivor set has no within-cell pair above threshold") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val out = Similarity.semDedup(emb, simThreshold = 0.45, nCells = 8)
