@@ -27,6 +27,9 @@ case class DocSourced(doc_id: Long, ts: java.sql.Timestamp, text: String,
 /** New-vector ingest record for the continuous ANN index sink (S22). */
 case class VecIngest(vec_id: Long, embedding: Seq[Float])
 
+/** S25 input: one positive metric value per group key. */
+case class ValSeen(grp: String, ts: java.sql.Timestamp, v: Long)
+
 /** S23 input: one id sighting per group key. */
 case class UserSeen(event_type: String, ts: java.sql.Timestamp,
   user_id: Long)
@@ -471,6 +474,79 @@ object Streams {
       .select(col("window.start").as("w_start"), col("source"),
         col("n_docs"), col("mean_q"), col("min_q"),
         (col("mean_q") < alertBelow).as("alert"))
+
+  /** S25 — streaming PSI drift monitor, the continuous twin of `q_psi`
+    * (`Profile.psiByGroup`): per closed tumbling window and group key, the
+    * Population Stability Index of that window's power-of-two bucket
+    * distribution against a STATIC reference distribution (yesterday's
+    * batch profile — the production posture: the reference comes from the
+    * at-rest table, the stream is today), Laplace-smoothed exactly like
+    * the batch twin, alert when PSI exceeds the threshold (industry rule
+    * of thumb: 0.1 watch, 0.2 act — default alerts at 0.2). Buckets
+    * missing from the window still contribute their smoothed term through
+    * the reference-driven fold — that asymmetry IS the drift signal.
+    *
+    * Shape: TWO chained event-time aggregations in append mode (Spark 4
+    * multiple-stateful-operator support) — (window, grp, bucket) counts,
+    * then (window, grp) folding the ≤ k observed buckets into a map; the
+    * PSI itself is a stateless projection folding over the BROADCAST
+    * reference bucket list (k ≈ dozens — literal-array sized). State per
+    * open window is O(groups × k), corpus-independent. The reference is
+    * collected driver-side once at plan build: it is the bounded output
+    * of a batch profile (bucket count ≈ 64 at int64 width), never corpus
+    * rows. */
+  def psiMonitor(values: Dataset[ValSeen], reference: DataFrame,
+      window_ : String = "10 seconds", watermark: String = "30 seconds",
+      alertAboveMicro: Long = 200000L): DataFrame = {
+    val refRows = reference
+      .select(col("bucket_hi").cast("long"), col("r").cast("long"))
+      .orderBy("bucket_hi").collect()
+    require(refRows.nonEmpty, "reference distribution is empty")
+    val k = refRows.length
+    val nAll = refRows.map(_.getLong(1)).sum
+    val refEntries = map(refRows.flatMap(r =>
+      Seq(lit(r.getLong(0)), lit(r.getLong(1)))): _*)
+    val refBuckets = array(refRows.map(r => lit(r.getLong(0))): _*)
+    val wb = values.toDF()
+      .filter(col("v") > 0)
+      .withColumn("bucket_hi", greatest(lit(16L),
+        expr("shiftleft(CAST(1 AS BIGINT), length(bin(v - 1)))")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("grp"), col("bucket_hi"))
+      .agg(count(lit(1)).as("c"))
+    wb.groupBy(window(window_time(col("window")), window_), col("grp"))
+      .agg(sum("c").as("n_g"),
+        map_from_entries(collect_list(struct(col("bucket_hi"), col("c"))))
+          .as("obs"))
+      .withColumn("term_sum_pico", aggregate(refBuckets, lit(0L),
+        (acc, b) => {
+          val cObs = coalesce(element_at(col("obs"), b), lit(0L))
+          val p = (cObs.cast("double") + 1.0) /
+            (col("n_g").cast("double") + k)
+          val q = (element_at(refEntries, b).cast("double") + 1.0) /
+            (lit(nAll.toDouble) + k)
+          acc + round((p - q) * log(p / q) * lit(1e12), 0).cast("long")
+        }))
+      // a window can land values in buckets the reference never saw (a new
+      // extreme — the strongest drift evidence there is): fold those in
+      // with the r = 0 smoothed reference mass instead of dropping them
+      .withColumn("term_sum_pico", col("term_sum_pico") +
+        aggregate(
+          filter(map_keys(col("obs")),
+            b => element_at(refEntries, b).isNull),
+          lit(0L),
+          (acc, b) => {
+            val p = (element_at(col("obs"), b).cast("double") + 1.0) /
+              (col("n_g").cast("double") + k)
+            val q = lit(1.0) / (lit(nAll.toDouble) + k)
+            acc + round((p - q) * log(p / q) * lit(1e12), 0).cast("long")
+          }))
+      .select(col("window.start").as("w_start"), col("grp"),
+        col("n_g"),
+        expr("CAST(round(CAST(term_sum_pico AS DOUBLE) / 1000000.0) AS BIGINT)")
+          .as("psi_micro"))
+      .withColumn("alert", col("psi_micro") > alertAboveMicro)
+  }
 
   /** S11 — windowed trending tokens: the Misra–Gries heavy-hitter sketch
     * (the engine's custom merge-safe `TypedImperativeAggregate`) running

@@ -951,6 +951,43 @@ class StreamingSpec extends SparkSpec {
     assert(closed === Map("good" -> ((2L, false)), "junk" -> ((1L, true))))
   }
 
+  test("S25 PSI monitor alerts on the shifted source, matches batch smoothing on the faithful one") {
+    import graft.streaming.ValSeen
+    // reference distribution: values 1..16 (one bucket, bucket_hi=16) and
+    // 17..32 (bucket_hi=32), 50/50 — the at-rest profile a batch run wrote
+    val reference = Seq((16L, 50L), (32L, 50L)).toDF("bucket_hi", "r")
+    val in = MemoryStream[ValSeen]
+    val out = runQuery(
+      Streams.psiMonitor(in.toDS(), reference, "10 seconds", "10 seconds"),
+      OutputMode.Append, "s25") { step =>
+      // "faithful" mirrors the reference 50/50; "shifted" puts everything
+      // in one bucket plus a value the reference never saw (bucket 64)
+      val faithful = (1 to 10).map(i =>
+        ValSeen("faithful", t(i % 9), if (i % 2 == 0) 10L else 20L))
+      val shifted = (1 to 10).map(i =>
+        ValSeen("shifted", t(i % 9), if (i == 1) 40L else 10L))
+      in.addData(faithful ++ shifted: _*)
+      step()
+      in.addData(ValSeen("faithful", t(60), 10L)) // close [0,10)
+    }
+    val closed = out.filter(_.getAs[Timestamp]("w_start") === t(0))
+      .map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("psi_micro"), r.getAs[Boolean]("alert"))).toMap
+    assert(closed.keySet === Set("faithful", "shifted"))
+    assert(!closed("faithful")._2,
+      s"faithful source must not alert: ${closed("faithful")}")
+    assert(closed("shifted")._2,
+      s"shifted source must alert: ${closed("shifted")}")
+    // the smoothing is the batch twin's: recompute faithful's PSI by hand
+    // (k=2, n_all=100, n_g=10, c=(5,5)) and require the exact micro value
+    val p = (5.0 + 1.0) / (10.0 + 2)
+    val q = (50.0 + 1.0) / (100.0 + 2)
+    val term = math.round((p - q) * math.log(p / q) * 1e12)
+    val expect = math.round(2 * term / 1e6)
+    assert(closed("faithful")._1 === expect,
+      s"faithful psi ${closed("faithful")._1} != hand-computed $expect")
+  }
+
   test("S11 trending tokens: the MG sketch surfaces the hot token per closed window") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(
