@@ -142,6 +142,37 @@ object CorpusOps extends QueryFamily {
         round(sum("value"), 4).as("bin_sum"))
       .orderBy("event_type", "bin")
 
+  /** q_record_linkage — entity resolution by multi-pass blocking + exact
+    * Levenshtein verify over a deterministic dirty-twin corpus: every 10th
+    * customer gets a twin whose name has ONE digit perturbed (position and
+    * replacement keyed to the custkey, so both engines build identical
+    * records — the q_url_dedup noisy-input discipline). Two DISJOINT
+    * digit-span blocking passes (digits 1-5, digits 6-9) give pigeonhole
+    * 100% recall at the 1-edit budget: one edit can break at most one
+    * span. Matches include the planted twins AND genuine 1-edit neighbor
+    * ids — the honest output of a 1-edit policy on a dense id space.
+    * See [[graft.operators.RecordLinkage.linkByBlocking]]. */
+  def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_nationkey", "c_name")
+    val clean = c.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("g"), col("c_name").as("nm"))
+    val dirty = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select((col("c_custkey") + 1000000L).as("rid"),
+        col("c_nationkey").as("g"),
+        concat(
+          expr("substring(c_name, 1, 9 + pmod(c_custkey, 9))"),
+          ((expr("CAST(substring(c_name, 10 + pmod(c_custkey, 9), 1) " +
+            "AS BIGINT)") + lit(1L) + pmod(col("c_custkey"), lit(8))) % 10)
+            .cast("string"),
+          expr("substring(c_name, 11 + pmod(c_custkey, 9))")).as("nm"))
+    graft.operators.RecordLinkage.linkByBlocking(
+        clean.unionAll(dirty), "rid", "g", "nm",
+        spans = Seq((10, 5), (15, 4)), maxEdits = 1)
+      .withColumnRenamed("g", "c_nationkey")
+      .orderBy("c_nationkey", "a_id", "b_id")
+  }
+
   /** q_edit_distance — fuzzy matching over the guarded near-dup pair list:
     * Levenshtein distance + length-normalized similarity for every
     * word-3-gram-Jaccard ≥ 0.05 pair. The quadratic-per-pair DP runs ONLY
@@ -595,6 +626,7 @@ object CorpusOps extends QueryFamily {
     "q_join_salted" -> (qJoinSalted _),
     "q_histogram" -> (qHistogram _),
     "q_edit_distance" -> (qEditDistance _),
+    "q_record_linkage" -> (qRecordLinkage _),
     "q_upsert" -> (qUpsert _),
     "q_scd2" -> (qScd2 _),
     "q_sample_hash" -> (qSampleHash _),
@@ -996,6 +1028,30 @@ object CorpusOps extends QueryFamily {
         |  round(MAX(value), 6) AS bin_max,
         |  round(CAST(SUM(value) AS DOUBLE), 4) AS bin_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Record linkage: identical dirty-twin construction, two substring
+    // blocking passes unioned, exact levenshtein verify.
+    "q_record_linkage" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS rid, c_nationkey AS g, c_name AS nm
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey,
+        |    substr(c_name, 1, 9 + (c_custkey % 9)) ||
+        |    CAST((CAST(substr(c_name, 10 + (c_custkey % 9), 1) AS BIGINT)
+        |      + 1 + c_custkey % 8) % 10 AS VARCHAR) ||
+        |    substr(c_name, 11 + (c_custkey % 9))
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |cands AS (
+        |  SELECT DISTINCT a.g, a.rid AS a_id, b.rid AS b_id,
+        |    a.nm AS a_nm, b.nm AS b_nm
+        |  FROM recs a JOIN recs b
+        |    ON a.g = b.g AND a.rid < b.rid
+        |    AND (substr(a.nm, 10, 5) = substr(b.nm, 10, 5)
+        |      OR substr(a.nm, 15, 4) = substr(b.nm, 15, 4)))
+        |SELECT g AS c_nationkey, a_id, b_id,
+        |  CAST(levenshtein(a_nm, b_nm) AS BIGINT) AS edits
+        |FROM cands WHERE levenshtein(a_nm, b_nm) <= 1
+        |ORDER BY c_nationkey, a_id, b_id""".stripMargin,
     "q_edit_distance" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id, g FROM (

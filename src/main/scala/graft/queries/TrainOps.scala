@@ -330,7 +330,27 @@ object TrainOps extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** q_pareto_docs — per-source 2-D Pareto frontier over documents:
+    * maximize distinct-token diversity while minimizing character cost —
+    * the multi-objective data-selection primitive (which docs are
+    * efficient per byte WITHOUT committing to one quality scalarization;
+    * a mixture planner selects from the frontier). Dominance strict on at
+    * least one axis; double ties are mutually undominated and kept. See
+    * [[graft.operators.Skyline.paretoFrontier]] — the sort-based skyline
+    * with the two-phase bucket discipline, no global-order window. */
+  def qParetoDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.paretoFrontier(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars"),
+          size(array_distinct(T.tokens(col("text")))).cast("long")
+            .as("distinct_toks")),
+        "source", "doc_id", "n_chars", "distinct_toks")
+      .select(col("g").as("source"), col("id").as("doc_id"),
+        col("c").as("n_chars"), col("u").as("distinct_tokens"))
+      .orderBy("source", "doc_id")
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_docs" -> (qParetoDocs _),
     "q_mix_apply" -> (qMixApply _),
     "q_sample_fps" -> (qSampleFps _),
     "q_length_buckets" -> (qLengthBuckets _),
@@ -349,6 +369,20 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    // Skyline: the oracle is the definitional NOT EXISTS dominance
+    // anti-join (exact at oracle scale; the engine's bucketed two-phase
+    // plan must reproduce it row-for-row).
+    "q_pareto_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS c,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS u
+        |  FROM documents)
+        |SELECT source, doc_id, c AS n_chars, u AS distinct_tokens
+        |FROM d a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b WHERE b.source = a.source
+        |    AND b.c <= a.c AND b.u >= a.u AND (b.c < a.c OR b.u > a.u))
+        |ORDER BY source, doc_id""".stripMargin,
     // The keep rate is a pure-integer divide (sqq·total·500)//(sum_sqq·
     // tokens) and the keep decision 12 md5 hex digits (48 bits) mod 1000
     // (bias ≤ 1/2^48) — nothing float anywhere near a row decision.

@@ -363,4 +363,63 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
+
+  test("record linkage recovers every planted twin (pigeonhole recall) with exact precision") {
+    import spark.implicits._
+    import graft.operators.RecordLinkage
+    // names 'ID-ddddddddd'; twin perturbs ONE digit at a position keyed to
+    // the id — disjoint spans (4,5)+(9,4) over the digits guarantee recall
+    val clean = (0L until 200L).map(i => (i, i % 3, f"ID-$i%09d"))
+    val twins = clean.filter(_._1 % 4 == 0).map { case (i, g, nm) =>
+      val p = (3 + i % 9).toInt // 0-based digit position in the string
+      val d = nm.charAt(p) - '0'
+      (i + 10000L, g, nm.updated(p, (('0' + (d + 1 + i % 8) % 10)).toChar))
+    }
+    val recs = (clean ++ twins).toDF("rid", "g", "nm")
+    val out = RecordLinkage.linkByBlocking(recs, "rid", "g", "nm",
+        spans = Seq((4, 5), (9, 4)), maxEdits = 1)
+      .select("a_id", "b_id", "edits").as[(Long, Long, Long)].collect()
+    val found = out.map(r => (r._1, r._2)).toSet
+    twins.foreach { case (tid, _, _) =>
+      assert(found.contains((tid - 10000L, tid)),
+        s"planted twin pair (${tid - 10000}, $tid) not recovered")
+    }
+    // exact precision: every emitted pair truly is <= 1 edit apart
+    val byId = (clean ++ twins).map(r => r._1 -> r._3).toMap
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    out.foreach { case (a, b, e) =>
+      assert(lev(byId(a), byId(b)) === e.toInt && e <= 1L)
+    }
+  }
+
+  test("pareto frontier equals brute force and respects dominance invariants") {
+    import spark.implicits._
+    import graft.operators.Skyline
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 300L).map(i =>
+      (s"s${i % 2}", i, rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+    val df = rows.toDF("source", "id", "c", "u")
+    // small bucketWidth forces the two-phase path across many buckets
+    val got = Skyline.paretoFrontier(df, "source", "id", "c", "u",
+        bucketWidth = 16L)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val brute = rows.filter { case (g, _, c, u) =>
+      !rows.exists { case (g2, _, c2, u2) =>
+        g2 == g && c2 <= c && u2 >= u && (c2 < c || u2 > u) }
+    }.map(r => (r._1, r._2)).toSet
+    assert(got === brute)
+    // exact double ties are mutually undominated: both must survive
+    val tied = Seq(("t", 1L, 10L, 10L), ("t", 2L, 10L, 10L),
+      ("t", 3L, 20L, 5L)).toDF("source", "id", "c", "u")
+    val keep = Skyline.paretoFrontier(tied, "source", "id", "c", "u")
+      .select("id").as[Long].collect().toSet
+    assert(keep === Set(1L, 2L))
+  }
 }
