@@ -475,6 +475,50 @@ object Streams {
         col("n_docs"), col("mean_q"), col("min_q"),
         (col("mean_q") < alertBelow).as("alert"))
 
+  /** S26 build step — materialize the decontamination gate ONCE: the eval
+    * benchmark's distinct word n-gram shingles land as an at-rest parquet
+    * store (the exact-verify side) and the ~1.2-byte/item Bloom sketch
+    * over them comes back as a VALUE to ride every future micro-batch as
+    * a literal (the production shape: the sketch is built at benchmark
+    * registration time, never per batch). */
+  def buildDecontaminationGate(eval: DataFrame, textCol: String, n: Int,
+      gateDir: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8000000L): Array[Byte] = {
+    val shingles = eval.select(explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col(textCol), n))).as("g"))
+      .distinct()
+    shingles.write.mode("overwrite").parquet(s"$gateDir/shingles")
+    eval.sparkSession.read.parquet(s"$gateDir/shingles")
+      .agg(graft.functions.SketchFunctions
+        .bloomFilterAgg(xxhash64(col("g")), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** S26 — streaming ingest decontamination, the continuous twin of
+    * `q_decontaminate_bloom`: each micro-batch of incoming documents is
+    * shingled, gated by the PRE-BUILT Bloom literal (no join, a codegen
+    * filter — false positives only), survivors are verified EXACTLY
+    * against the at-rest shingle store (left_semi — kills every false
+    * positive, so the flag set is bit-identical to the batch operator's),
+    * and the batch's contaminated ids land as a batch-id-keyed delta
+    * (overwrite mode ⇒ a replayed batch rewrites its own delta, the
+    * S15/S22 exactly-once pattern). Cost per batch ∝ batch shingles; the
+    * store is read only by the gated survivors' semi-join. */
+  def decontaminateSinkBatch(gateDir: String, bloom: Array[Byte], n: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val flagged = batch
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles(col("text"), n))).as("g"))
+      .filter(graft.functions.SketchFunctions
+        .mightContain(lit(bloom), xxhash64(col("g"))))
+      .join(batch.sparkSession.read.parquet(s"$gateDir/shingles"),
+        Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    if (!flagged.isEmpty)
+      flagged.write.mode("overwrite")
+        .parquet(s"$gateDir/contaminated/delta=$batchId")
+  }
+
   /** S25 — streaming PSI drift monitor, the continuous twin of `q_psi`
     * (`Profile.psiByGroup`): per closed tumbling window and group key, the
     * Population Stability Index of that window's power-of-two bucket

@@ -405,6 +405,28 @@ class PlanSpec extends SparkSpec {
       s"PPJoin positional filter (div 9 overlap bound) missing:\n${p.take(4000)}")
   }
 
+  test("pareto frontier has no global-order window and no product; linkage is equi-joins only") {
+    // q_pareto_docs' scale claim is the two-phase bucket discipline: the
+    // skyline computes with windows partitioned by (group, bucket) — never
+    // a global-order single-partition sort — and the bucket-summary join
+    // broadcasts. q_record_linkage's is blocking: every candidate pass is
+    // an equi-join on (group, span), never a product.
+    val pareto = planString(graft.queries.TrainOps.qParetoDocs(spark, sf))
+    assert(!pareto.contains("CartesianProduct"), pareto.take(2000))
+    assert(!pareto.contains("BroadcastNestedLoopJoin"), pareto.take(2000))
+    assert(!pareto.contains("Exchange SinglePartition"), pareto.take(2000))
+    val link = planString(graft.queries.CorpusOps.qRecordLinkage(spark, sf))
+    assert(!link.contains("CartesianProduct"), link.take(2000))
+    assert(!link.contains("BroadcastNestedLoopJoin"), link.take(2000))
+    assert(link.contains("BroadcastHashJoin") ||
+      link.contains("SortMergeJoin") || link.contains("ShuffledHashJoin"),
+      link.take(2000))
+    // heaps: checkpoint table joins broadcast onto the vocab table
+    val heaps = planString(graft.queries.DriftOps.qHeapsLaw(spark, sf))
+    assert(!heaps.contains("CartesianProduct"), heaps.take(2000))
+    assert(!heaps.contains("Exchange SinglePartition"), heaps.take(2000))
+  }
+
   test("snapshot diff shuffles digests, not documents (projection before join)") {
     val df = graft.operators.Layout.snapshotDiff(
       Tables.documents(spark, sf), Tables.documents(spark, sf),

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions.{col, conv, md5, substring}
-import graft.streaming.{DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick, VecIngest}
+import graft.streaming.{DocIngest, DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick, VecIngest}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
   * MemoryStream harness: windows close as the watermark advances, late data
@@ -929,6 +929,51 @@ class StreamingSpec extends SparkSpec {
     val exactBase = Similarity.cosineTopK(queries, base, 10)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
     assert(baseOnly === exactBase)
+  }
+
+  test("S26 streaming decontamination flags exactly the batch operator's ids across restarts") {
+    import graft.operators.Decontaminate
+    val gate = java.nio.file.Files.createTempDirectory("s26_gate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s26_ckpt").toString
+    val n = 3
+    // the benchmark: two eval docs whose 3-gram shingles define contamination
+    val eval = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val bloom = Streams.buildDecontaminationGate(eval, "text", n, gate)
+    // stream: 1 and 4 contain a full eval 3-gram run; 2 and 3 are clean
+    val wave1 = Seq(
+      DocIngest(1L, t(1), "note the quick brown fox appeared here"),
+      DocIngest(2L, t(2), "completely unrelated clean text body"))
+    val wave2 = Seq(
+      DocIngest(3L, t(3), "another clean document entirely fresh words"),
+      DocIngest(4L, t(4), "shipment pack my box with care today"))
+    val in = MemoryStream[DocIngest]
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.decontaminateSinkBatch(gate, bloom, n) _)
+      .start()
+    val q1 = start()
+    try { in.addData(wave1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start() // restart: second wave lands as its own delta
+    try { in.addData(wave2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    def flaggedIds() = spark.read.parquet(s"$gate/contaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flaggedIds() === Set(1L, 4L))
+    // one contract, two paths: equals the batch operator over the union
+    val union = (wave1 ++ wave2).map(d => (d.doc_id, d.text))
+      .toDF("doc_id", "text")
+    val batchIds = Decontaminate.contaminatedIds(union, eval, "text",
+        "doc_id", n)
+      .as[Long].collect().toSet
+    assert(flaggedIds() === batchIds)
+    // replay idempotence: re-running batch 0 rewrites its delta in place
+    Streams.decontaminateSinkBatch(gate, bloom, n)(
+      wave1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), 0L)
+    assert(flaggedIds() === Set(1L, 4L))
   }
 
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
