@@ -413,4 +413,45 @@ class EdgeCaseSpec extends SparkSpec {
       graft.operators.Bpe.trainOracleSql(nMerges = 0x8A01)
     }
   }
+
+  test("round-10 operators accept empty / single-row / degenerate inputs") {
+    // heapsLaw: empty corpus -> empty; one doc -> one checkpoint, null fit
+    // (n*sxx - sx*sx = 0 with a single point)
+    assert(graft.operators.Vocab
+      .heapsLaw(emptyDocs.withColumn("source", lit("s")),
+        "text", "doc_id", "source").count() === 0L)
+    val one = graft.operators.Vocab.heapsLaw(
+        Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source"),
+        "text", "doc_id", "source").collect()
+    assert(one.length === 1 && one(0).getLong(1) === 1L && one(0).isNullAt(2))
+    // holtDyadic: empty -> empty; a single slot -> level = 1000*v, trend 0
+    val emptySeries = Seq.empty[(String, Long, Long)].toDF("g", "t", "v")
+    assert(graft.operators.Temporal
+      .holtDyadic(emptySeries, "g", "t", "v").count() === 0L)
+    val single = graft.operators.Temporal.holtDyadic(
+        Seq(("g", 0L, 7L)).toDF("g", "t", "v"), "g", "t", "v").collect()(0)
+    assert(single.getLong(1) === 7000L && single.getLong(2) === 0L)
+    // paretoFrontier: empty -> empty; one row per group -> kept
+    val emptySky = Seq.empty[(String, Long, Long, Long)]
+      .toDF("g", "id", "c", "u")
+    assert(graft.operators.Skyline
+      .paretoFrontier(emptySky, "g", "id", "c", "u").count() === 0L)
+    assert(graft.operators.Skyline.paretoFrontier(
+        Seq(("s", 1L, 5L, 5L)).toDF("g", "id", "c", "u"),
+        "g", "id", "c", "u").count() === 1L)
+    // linkByBlocking: empty records -> empty; refuses spans <= maxEdits
+    val emptyRecs = Seq.empty[(Long, Long, String)].toDF("rid", "g", "nm")
+    assert(graft.operators.RecordLinkage.linkByBlocking(
+      emptyRecs, "rid", "g", "nm", Seq((1, 2), (3, 2)), 1).count() === 0L)
+    intercept[IllegalArgumentException] {
+      graft.operators.RecordLinkage.linkByBlocking(
+        emptyRecs, "rid", "g", "nm", Seq((1, 2)), 1)
+    }
+    // clusterSilhouette: a corpus smaller than k still classifies every
+    // vector (DetQuantizer pads/caps cells as it does for the ANN family)
+    val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sil = graft.operators.Similarity.clusterSilhouette(tiny, k = 2)
+    assert(sil.agg(sum("n_members")).head().getLong(0) === 2L)
+  }
 }
