@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   * precision is exact and the blocking is pure prune.
   *
   * Scale shape: each pass is one equi-join on (groupCol, span substring)
-  * — hash-partitioned, never all-pairs; the span keys inherit the id
-  * field's selectivity. The verify join runs only on the deduped
-  * candidate union. No window, no driver-side state. */
+  * — hash-partitioned, never all-pairs; the span keys inherit the span's
+  * ENTROPY, not the field's: on a dense sequential id space the leading
+  * digits are near-constant and a span there is one corpus-sized block
+  * (self-join quadratic in the corpus), while the same-width span on the
+  * trailing digits splits uniformly — since the match set is invariant to
+  * the span choice (any disjoint spans give the pigeonhole guarantee),
+  * ALWAYS place spans on high-entropy regions. The verify join runs only
+  * on the deduped candidate union. No window, no driver-side state. */
 object RecordLinkage {
 
   /** Match record pairs whose `nameCol` differs by ≤ `maxEdits` edits,
