@@ -603,10 +603,12 @@ object StatOps extends QueryFamily {
         |  FROM terms)
         |SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
         |  CAST(c AS BIGINT) AS c,
-        |  CAST(chi2_obs + 1000000 * n - e_obs AS BIGINT) AS chi2_micro,
+        |  CAST(CAST(chi2_obs AS HUGEINT) + CAST(1000000 AS HUGEINT) * n
+        |    - e_obs AS BIGINT) AS chi2_micro,
         |  CASE WHEN least(r, c) > 1 AND n > 0 THEN
         |    CAST(floor(1000 * sqrt(
-        |      ((chi2_obs + 1000000 * n - e_obs) / 1000000.0) /
+        |      CAST(CAST(chi2_obs AS HUGEINT) + CAST(1000000 AS HUGEINT) * n
+        |        - e_obs AS DOUBLE) / 1000000.0 /
         |      (CAST(n AS DOUBLE) * (least(r, c) - 1))) + 0.5) AS BIGINT)
         |  END AS v_milli
         |FROM agg""".stripMargin,
