@@ -525,6 +525,28 @@ object CorpusOps extends QueryFamily {
     * O(log diameter) convergence). The co ≥ 2 support prune (q_item_cf's
     * idiom) keeps the traversed graph to repeat relationships — here it
     * also bounds frontier fan-out. */
+  /** q_random_walks — DeepWalk-style deterministic random-walk corpus
+    * over the co-purchase graph (the q_bfs_hops edge set: co ≥ 2,
+    * directed both ways): 5-step walks from every part < 20, each step
+    * chosen by `md5(seed|walk|step) mod degree` — graph-embedding
+    * training sequences as a pure function of (graph, seed), so the
+    * sample replays identically and the oracle re-derives every step.
+    * See [[graft.operators.Walks.deterministicWalks]]. */
+  def qRandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir)
+    val e = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("i", "j")
+    val starts = e.select(col("i").as("node")).distinct()
+      .filter(col("node") < 20)
+    graft.operators.Walks.deterministicWalks(e, "i", "j", starts, "node",
+        steps = 5, seed = "dw-r10")
+      .orderBy("walk_id", "step")
+  }
+
   def qBfsHops(s: SparkSession, dir: String): DataFrame = {
     val po = orderPartPairs(s, dir)
     val e = po.as("a").join(po.as("b"),
@@ -620,6 +642,7 @@ object CorpusOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_hops" -> (qBfsHops _),
+    "q_random_walks" -> (qRandomWalks _),
     "q_ndcg" -> (qNdcg _),
     "q_triangles" -> (qTriangles _),
     "q_item_cf" -> (qItemCf _),
@@ -648,6 +671,19 @@ object CorpusOps extends QueryFamily {
   override val oracle: Map[String, String] = Map(
     // BFS: same support-pruned edge list; each hop a join + distinct +
     // NOT IN against the visited set.
+    // Walks: same co >= 2 graph as bfs_hops; per-step md5 choice unrolled
+    // from the same constants as the engine loop.
+    "q_random_walks" ->
+      (s"""WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS src, b.p AS dst
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |starts AS (SELECT DISTINCT src AS node FROM e WHERE src < 20),
+        |""".stripMargin +
+        graft.operators.Walks.walksOracleSql(steps = 5, seed = "dw-r10") +
+        "\nORDER BY walk_id, step"),
     "q_bfs_hops" ->
       """WITH po AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -364,6 +364,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("deterministic walks: every step follows an edge, replay is identical, a new seed redraws") {
+    import spark.implicits._
+    import graft.operators.Walks
+    // a known graph: cycle 0->1->2->3->0 plus chords, and a dead end 9
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (2L, 0L), (1L, 3L), (4L, 9L)).toDF("s", "d")
+    val starts = Seq(0L, 1L, 4L).toDF("node")
+    def run(seed: String) = Walks.deterministicWalks(
+        edges, "s", "d", starts, "node", steps = 4, seed = seed)
+      .select("walk_id", "step", "node").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val a = run("s1")
+    assert(a.toSeq === run("s1").toSeq) // pure function of (graph, seed)
+    // validity: consecutive steps of a walk are edges of the graph
+    val eset = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (2L, 0L), (1L, 3L), (4L, 9L)).toSet
+    a.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).sliding(2).foreach {
+        case Array((_, s1, n1), (_, s2, n2)) =>
+          assert(s2 === s1 + 1 && eset.contains((n1, n2)),
+            s"non-edge step $n1 -> $n2")
+        case _ =>
+      }
+    }
+    // the dead-end walk truncates: 4 -> 9 and stops (9 has no out-edges)
+    val w4 = a.filter(_._1 == 4L).sortBy(_._2).map(_._3).toSeq
+    assert(w4 === Seq(4L, 9L))
+    // walks from 0 and 1 run the full length on the strongly-closed core
+    Seq(0L, 1L).foreach { s =>
+      assert(a.count(_._1 == s) === 5, s"walk $s not full length")
+    }
+    // a different seed draws a different corpus (not all steps equal)
+    val b = run("s2")
+    assert(a.toSeq !== b.toSeq)
+  }
+
   test("record linkage recovers every planted twin (pigeonhole recall) with exact precision") {
     import spark.implicits._
     import graft.operators.RecordLinkage
