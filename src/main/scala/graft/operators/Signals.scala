@@ -120,4 +120,40 @@ object Signals {
           .cast("long"))
       .withColumn("keep", col("score_micro") > 0)
   }
+
+  /** Expected Calibration Error (Naeini et al. 2015; Guo et al. 2017) over
+    * (confidence, outcome) pairs — the eval that asks whether a scorer's
+    * confidence MEANS anything: bin rows by confidence, compare each bin's
+    * mean confidence against its empirical outcome rate, ECE = the
+    * n-weighted mean absolute gap. The number that gates "use the
+    * classifier's score as a sampling weight" decisions in a curation
+    * pipeline (an uncalibrated quality scorer silently distorts the
+    * mixture). Everything integer once confidence is milli-quantized:
+    * equal-width bins by integer division, per-bin means/rates by
+    * truncating division over exact counts, ECE one more integer divide —
+    * fully oracle-checkable. One map-side-partial aggregate over the
+    * scored frame; bins are nBins rows, the total a broadcast. */
+  def calibration(scored: DataFrame, confMilli: Column, outcome: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000]: $nBins")
+    val width = 1000 / nBins
+    val bins = scored
+      .select(confMilli.cast("long").as("conf_milli"),
+        outcome.cast("long").as("y"))
+      .withColumn("bin",
+        least(lit(nBins - 1L), expr(s"conf_milli div $width")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("conf_milli").as("cs"),
+        sum("y").as("ys"))
+      .withColumn("mean_conf_milli", expr("cs div n"))
+      .withColumn("acc_milli", expr("(1000 * ys) div n"))
+      .withColumn("gap_milli",
+        abs(col("mean_conf_milli") - col("acc_milli")))
+    bins
+      .crossJoin(broadcast(bins.agg(
+        sum(col("n") * col("gap_milli")).as("gsum"), sum("n").as("nt"))))
+      .select(col("bin"), col("n"), col("mean_conf_milli"),
+        col("acc_milli"), col("gap_milli"),
+        expr("gsum div nt").as("ece_milli"))
+  }
 }

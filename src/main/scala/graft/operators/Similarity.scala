@@ -649,11 +649,16 @@ object Similarity {
     * centroid, b² = min micro-L2² to any OTHER centroid,
     * s = (b²−a²)/max(a²,b²) in integer permille — the squared-distance
     * variant keeps the whole operator pure integer (truncating division,
-    * identical cross-engine). Per cluster: size, mean and min silhouette,
-    * and the count of NEGATIVE members (closer to a foreign centroid than
-    * their own — the misassignment signal that says k is wrong or the
-    * cluster is degenerate). The cluster-QUALITY number the fit-inspection
-    * pair (cluster sizes, cluster keywords) lacks.
+    * identical cross-engine). Per cluster: size, mean and min silhouette
+    * (→ 0 for members sitting between sub-centroids — the over-split /
+    * degenerate-cluster signal), and the count of NEGATIVE members. Note
+    * the invariant: under FRESH nearest-centroid assignment a² = min over
+    * all centroids, so s ≥ 0 and n_negative = 0 by construction —
+    * n_negative is a STALENESS guard, firing only when the scored
+    * assignment predates the current centroids (an appended at-rest
+    * layout whose deltas were assigned under an older fit, a serving
+    * index after re-training). The cluster-QUALITY number the
+    * fit-inspection pair (cluster sizes, cluster keywords) lacks.
     *
     * Scale shape: one broadcast k-row crossJoin on the assignment pass
     * (k distances per vector instead of 1 — the same full pass assignment

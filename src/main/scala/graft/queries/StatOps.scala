@@ -101,6 +101,30 @@ object StatOps extends QueryFamily {
         nBuckets = 64)
       .orderBy("doc_id")
 
+  /** q_ece — Expected Calibration Error of the q_classify_linear scorer
+    * against the lang = 'en' outcome: confidence = milli-rounded logistic
+    * of the hashed-linear score, 10 equal-width bins, per-bin mean
+    * confidence vs empirical rate, ECE = n-weighted mean absolute gap —
+    * the eval that gates "use this score as a sampling weight" (an
+    * uncalibrated quality scorer silently distorts the mixture; a random
+    * hash scorer, as here, should read as flat-rate miscalibration — the
+    * diagnostic working as intended). See
+    * [[graft.operators.Signals.calibration]]. */
+  def qEce(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = Signals.linearScore(docs, "text", "doc_id", nBuckets = 64)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        "doc_id")
+      // temperature 0.1: the hashed scores live within ~±0.1 of zero, so
+      // the raw logistic collapses into two bins — the steeper link
+      // spreads confidence across the bin range the diagnostic needs
+      .withColumn("conf_milli",
+        round(lit(1000.0) / (lit(1.0) +
+          exp(-col("score_micro").cast("double") / 1e5)), 0).cast("long"))
+    Signals.calibration(scored, col("conf_milli"), col("y"))
+      .orderBy("bin")
+  }
+
   /** q_char_entropy — per-document character-distribution Shannon entropy
     * (micro-nats) + distinct-char count: the cheap gibberish screen. */
   def qCharEntropy(s: SparkSession, dir: String): DataFrame =
@@ -419,12 +443,37 @@ object StatOps extends QueryFamily {
     "q_kn_bigram" -> (qKnBigram _),
     "q_cooccur_pmi" -> (qCooccurPmi _),
     "q_classify_linear" -> (qClassifyLinear _),
+    "q_ece" -> (qEce _),
     "q_char_entropy" -> (qCharEntropy _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_keyness" -> (qKeyness _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_novelty" -> (qNovelty _))
+
+  /** Shared CTE chain for the q_classify_linear / q_ece oracles: FNV-1a
+    * token hashing, bucket weights, per-doc (n_tokens, w_sum_micro) as
+    * `agg` — one definition so the two oracles cannot drift. */
+  private val linearScoreCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(2166136261::BIGINT,
+      |      list_transform(range(1, length(tok) + 1),
+      |        i -> ord(substr(tok, i, 1))::BIGINT)),
+      |    (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS hu
+      |  FROM toks),
+      |b AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN hs < 0 THEN -hs ELSE hs END) % 64 AS bucket
+      |  FROM (SELECT doc_id, CASE WHEN hu >= 2147483648
+      |    THEN hu - 4294967296 ELSE hu END AS hs FROM h)),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    SUM((bucket * 2654435761) % 2000001 - 1000000) AS w_sum_micro
+      |  FROM b GROUP BY doc_id)""".stripMargin
 
   /** TextRank oracle: the adjacency-graph head + the shared unrolled
     * PageRank CTE chain (`Clusters.pagerankOracleCtes`). */
@@ -841,31 +890,40 @@ object StatOps extends QueryFamily {
         |WHERE c_ab >= 5
         |ORDER BY pmi_micro DESC, lo, hi LIMIT 100""".stripMargin,
     "q_classify_linear" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, list_reduce(
-        |    list_prepend(2166136261::BIGINT,
-        |      list_transform(range(1, length(tok) + 1),
-        |        i -> ord(substr(tok, i, 1))::BIGINT)),
-        |    (acc, b) -> (xor(acc, b) * 16777619) % 4294967296) AS hu
-        |  FROM toks),
-        |b AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN hs < 0 THEN -hs ELSE hs END) % 64 AS bucket
-        |  FROM (SELECT doc_id, CASE WHEN hu >= 2147483648
-        |    THEN hu - 4294967296 ELSE hu END AS hs FROM h)),
-        |agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_tokens,
-        |    SUM((bucket * 2654435761) % 2000001 - 1000000) AS w_sum_micro
-        |  FROM b GROUP BY doc_id)
+      s"""WITH $linearScoreCtes
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(w_sum_micro AS BIGINT) AS w_sum_micro,
         |  CAST(floor(CAST(w_sum_micro AS DOUBLE) / n_tokens) AS BIGINT)
         |    AS score_micro,
         |  floor(CAST(w_sum_micro AS DOUBLE) / n_tokens) > 0 AS keep
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // ECE: shared linear-score CTEs, milli logistic confidence, integer
+    // bin/rate/gap arithmetic throughout.
+    "q_ece" ->
+      s"""WITH $linearScoreCtes,
+        |conf AS (
+        |  SELECT a.doc_id,
+        |    CAST(round(1000.0 / (1.0 + exp(
+        |      -(floor(CAST(a.w_sum_micro AS DOUBLE) / a.n_tokens))
+        |        / 100000.0)), 0) AS BIGINT) AS conf_milli,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM agg a JOIN documents d USING (doc_id)),
+        |bins AS (
+        |  SELECT LEAST(9, conf_milli // 100) AS bin, COUNT(*) AS n,
+        |    SUM(conf_milli) AS cs, SUM(y) AS ys
+        |  FROM conf GROUP BY 1),
+        |g AS (
+        |  SELECT bin, n, cs // n AS mean_conf_milli,
+        |    (1000 * ys) // n AS acc_milli,
+        |    abs(cs // n - (1000 * ys) // n) AS gap_milli
+        |  FROM bins),
+        |tot AS (SELECT SUM(n * gap_milli) AS gsum, SUM(n) AS nt FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(mean_conf_milli AS BIGINT) AS mean_conf_milli,
+        |  CAST(acc_milli AS BIGINT) AS acc_milli,
+        |  CAST(gap_milli AS BIGINT) AS gap_milli,
+        |  CAST(gsum // nt AS BIGINT) AS ece_milli
+        |FROM g, tot ORDER BY bin""".stripMargin,
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch

@@ -478,4 +478,27 @@ class StatOpsSpec extends SparkSpec {
       .head().getAs[Long]("v_milli")
     assert(vInd === 0L)
   }
+
+  test("calibration: a calibrated scorer reads ECE ~ 0, an anti-calibrated one ~ max gap") {
+    import spark.implicits._
+    // calibrated-by-construction: conf b*100+50, outcome rate = b/10 per bin
+    val exact = (0 until 10).flatMap { b =>
+      (0 until 100).map(i => (b * 100L + 50L, if (i < b * 10) 1L else 0L))
+    }.toDF("conf_milli", "y")
+    val out = Signals.calibration(exact, col("conf_milli"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // per bin: mean conf = b*100+50, accuracy = b*100 -> gap 50 everywhere,
+    // ece = 50 (the half-width quantization floor of equal-width bins)
+    (0 until 10).foreach { b =>
+      val (mc, acc, ece) = out(b.toLong)
+      assert(mc === b * 100L + 50L && acc === b * 100L && ece === 50L,
+        s"bin $b: $mc $acc $ece")
+    }
+    // anti-calibrated: high confidence, zero successes -> gap = confidence
+    val anti = (0 until 100).map(_ => (950L, 0L)).toDF("conf_milli", "y")
+    val eceAnti = Signals.calibration(anti, col("conf_milli"), col("y"))
+      .head().getAs[Long]("ece_milli")
+    assert(eceAnti === 950L)
+  }
 }
