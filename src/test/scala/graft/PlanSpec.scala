@@ -555,7 +555,11 @@ class PlanSpec extends SparkSpec {
     // dropped the rewrite must break this test, not an at-scale job.
     for (df <- Seq(graft.queries.LlmOps.qSimTopk(spark, sf),
         graft.queries.LlmOps.qSimPq(spark, sf),
-        graft.queries.LlmOps.qSimIvfPq(spark, sf))) {
+        graft.queries.LlmOps.qSimIvfPq(spark, sf),
+        // q_agg_approx's KMV rides the same rewrite: its rank window must
+        // keep only k rows per group per map task, or the "approximate"
+        // distinct shuffles the whole distinct-hash set
+        graft.queries.Aggregations.qAggApprox(spark, sf))) {
       val p = planString(df)
       assert(p.contains("WindowGroupLimit"), p.take(3000))
       assert(p.contains("Partial"), p.take(3000))
