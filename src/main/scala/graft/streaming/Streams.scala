@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import graft.operators.{Dedup, EnvelopeSink}
 import graft.sources.{HttpSnapshotScan, SnapshotTarget}
 
@@ -252,6 +253,25 @@ object Streams {
     require(k >= 2, s"k must be >= 2, got $k")
     rows.groupByKey(_.event_type)
       .transformWithState(new KmvProcessor(k),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S27 — continuous per-source exemplar sample: the streaming twin of
+    * `q_sample_stratified` (exact-quota content-hash sampling). Each
+    * source key maintains the k documents with the SMALLEST md5(text) in
+    * a `ListState` — the deterministic "reservoir": membership is a pure
+    * content function (the k-min set over everything seen), so the live
+    * sample equals the batch stratified sample over the same prefix,
+    * replays cannot change it, and a later document with a smaller hash
+    * evicts the current maximum. State is exactly ≤ k small records per
+    * source — the always-fresh inspection sample a curation dashboard
+    * reads without scanning the corpus. Emits the full current sample per
+    * (source, batch) so the sink always holds a complete snapshot. */
+  def exemplarSample(docs: Dataset[DocSourced], k: Int): Dataset[ExemplarRow] = {
+    import docs.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.groupByKey(_.source)
+      .transformWithState(new ExemplarProcessor(k),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -755,6 +775,56 @@ case class TaskState(slaveId: String, taskId: String)
   * duplicate-free, so the state record is canonical regardless of
   * arrival order — the same ids always produce the same state, which is
   * what makes the streaming estimate equal the batch one. */
+/** S27's per-source exemplar record: content hash (full md5 hex — the
+  * same `md5(text)` ordering key the batch stratified sample uses) plus
+  * the document id that carries it. */
+case class Exemplar(h: String, doc_id: Long)
+
+/** S27 output: one row per retained exemplar per (source, batch). */
+case class ExemplarRow(source: String, doc_id: Long, h: String,
+  sample_size: Long)
+
+/** S27's processor (see `Streams.exemplarSample`): the k smallest
+  * (md5(text), doc_id) records per source in a ListState — the state
+  * primitive fits the payload (a small LIST of records, not one scalar):
+  * the store serializes each element independently, so an update rewrites
+  * k small rows instead of one ever-larger blob. The retained set is
+  * canonical (sorted, deduped by id) regardless of arrival order — the
+  * same-ids ⇒ same-state argument every replayable processor here makes. */
+class ExemplarProcessor(k: Int)
+  extends StatefulProcessor[String, DocSourced, ExemplarRow] {
+
+  @transient private var st: ListState[Exemplar] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[Exemplar]("exemplars",
+      Encoders.product[Exemplar], TTLConfig.NONE)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  override def handleInputRows(key: String, rows: Iterator[DocSourced],
+      timers: TimerValues): Iterator[ExemplarRow] = {
+    val current = {
+      val it = st.get()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Exemplar]
+      while (it.hasNext) buf += it.next()
+      buf.toVector
+    }
+    val merged = (current ++
+        rows.map(r => Exemplar(md5hex(r.text), r.doc_id)))
+      .distinctBy(_.doc_id)
+      .sortBy(e => (e.h, e.doc_id))
+      .take(k)
+    st.clear()
+    merged.foreach(st.appendValue)
+    merged.iterator.map(e =>
+      ExemplarRow(key, e.doc_id, e.h, merged.size.toLong))
+  }
+}
+
 class KmvProcessor(k: Int)
   extends StatefulProcessor[String, UserSeen, KmvEstimate] {
 

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.functions.{col, conv, md5, substring}
+import org.apache.spark.sql.functions.{col, conv, md5, row_number, substring}
 import graft.streaming.{DocIngest, DocSourced, FunnelEvent, SeenDoc, Streams, TaskEvent, Tick, VecIngest}
 
 /** B-9 streaming semantics (SURVEY.md §2 S1–S7) with a deterministic
@@ -929,6 +929,76 @@ class StreamingSpec extends SparkSpec {
     val exactBase = Similarity.cosineTopK(queries, base, 10)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
     assert(baseOnly === exactBase)
+  }
+
+  test("S27 exemplar sample: k-min content set equals the batch stratified pick across restarts") {
+    import graft.streaming.{DocSourced => DS, ExemplarRow}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s27_ckpt").toString
+      val k = 3
+      val docsA = (1L to 8L).map(i => DS(i, t(i), s"alpha text $i", "sa"))
+      val docsB = (101L to 104L).map(i => DS(i, t(i), s"beta text $i", "sb"))
+      val in = MemoryStream[DS]
+      val sink = new scala.collection.mutable.ArrayBuffer[ExemplarRow]
+      def start() = Streams.exemplarSample(in.toDS(), k).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ExemplarRow],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink.synchronized(sink.length) < n &&
+          System.nanoTime() < deadline) Thread.sleep(100L)
+        assert(sink.synchronized(sink.length) >= n,
+          s"sink never reached $n rows")
+      }
+      // batch truth FIRST: the k smallest md5(text) per source over ALL
+      // docs, recomputed with Spark SQL's md5 (not the processor's hash)
+      import org.apache.spark.sql.expressions.Window
+      val all = (docsA ++ docsB).map(d => (d.doc_id, d.text, d.source))
+        .toDF("doc_id", "text", "source")
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      val expect: Map[String, Set[Long]] = all
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("source", "doc_id").as[(String, Long)].collect().toSeq
+        .groupBy(_._1).map { case (s0, r) => s0 -> r.map(_._2).toSet }
+      def lastSnapshot(): Map[String, Set[Long]] = sink.synchronized {
+        sink.groupBy(_.source).map { case (s0, rows) =>
+          val sz = rows.last.sample_size
+          s0 -> rows.reverse.take(sz.toInt).map(_.doc_id).toSet
+        }
+      }
+      // a restart may replay the last batch before new data runs, so
+      // await the CONDITION (final snapshot = batch truth), not a count
+      def awaitSnapshot(want: Map[String, Set[Long]]): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (lastSnapshot() != want && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(lastSnapshot() === want)
+      }
+      val q1 = start()
+      try { in.addData(docsA.take(4) ++ docsB.take(2): _*); await(5) }
+      finally q1.stop()
+      // restart: the retained list must survive the checkpoint; the
+      // second wave can only evict by having a SMALLER content hash
+      val q2 = start()
+      try {
+        in.addData(docsA.drop(4) ++ docsB.drop(2): _*)
+        awaitSnapshot(expect)
+      } finally q2.stop()
+      // bounded state: never more than k exemplars per source
+      assert(sink.synchronized(sink.map(_.sample_size).max) <= k.toLong)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
   }
 
   test("S26 streaming decontamination flags exactly the batch operator's ids across restarts") {
