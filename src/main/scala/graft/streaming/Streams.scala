@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import graft.operators.{Dedup, EnvelopeSink}
 import graft.sources.{HttpSnapshotScan, SnapshotTarget}
 
@@ -30,6 +30,15 @@ case class VecIngest(vec_id: Long, embedding: Seq[Float])
 
 /** S25 input: one positive metric value per group key. */
 case class ValSeen(grp: String, ts: java.sql.Timestamp, v: Long)
+
+/** S28 input: a language-tagged document sighting per source. */
+case class DocLang(doc_id: Long, ts: java.sql.Timestamp, lang: String,
+  source: String)
+
+/** S28 output: the live per-source language-mix snapshot — counts as a
+  * canonical "lang:count" sorted join (scalar contract), entropy milli. */
+case class MixSnapshot(source: String, n_langs: Long, total: Long,
+  mix: String, entropy_milli: Long)
 
 /** S23 input: one id sighting per group key. */
 case class UserSeen(event_type: String, ts: java.sql.Timestamp,
@@ -272,6 +281,26 @@ object Streams {
     require(k >= 1, s"k must be >= 1, got $k")
     docs.groupByKey(_.source)
       .transformWithState(new ExemplarProcessor(k),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S28 — running source-mix monitor: per source key a
+    * `MapState[lang → count]` accumulates the language mix over the WHOLE
+    * stream (the unwindowed RUNNING distribution, where S25's PSI scores
+    * per-window snapshots), emitting after each batch the live mix size,
+    * total, per-lang counts and the Shannon entropy of the mix in
+    * milli-nats — the "is this source's language composition drifting"
+    * number a mixture plan re-check reads. MapState is the right store
+    * primitive: per-lang counters update point-wise (one key read + one
+    * write per arriving lang) instead of rewriting a whole record, and
+    * state is bounded by the language cardinality per source. Entropy is
+    * one deterministic double expression over exact integer counts,
+    * milli-rounded — replays reproduce it exactly because the counts
+    * do. */
+  def sourceMixMonitor(docs: Dataset[DocLang]): Dataset[MixSnapshot] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new MixProcessor(),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -775,6 +804,45 @@ case class TaskState(slaveId: String, taskId: String)
   * duplicate-free, so the state record is canonical regardless of
   * arrival order — the same ids always produce the same state, which is
   * what makes the streaming estimate equal the batch one. */
+/** S28's processor (see `Streams.sourceMixMonitor`): per-lang counters in
+  * a `MapState` — point-wise key updates (one read + one write per
+  * arriving lang) instead of rewriting a whole record; state bounded by
+  * per-source language cardinality. Batch rows aggregate locally first so
+  * each lang touches the store once per batch regardless of row count. */
+class MixProcessor
+  extends StatefulProcessor[String, DocLang, MixSnapshot] {
+
+  @transient private var st: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getMapState[String, Long]("mix",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DocLang],
+      timers: TimerValues): Iterator[MixSnapshot] = {
+    rows.toSeq.groupBy(_.lang).toSeq.sortBy(_._1).foreach {
+      case (lang, rs) =>
+        val prev = if (st.containsKey(lang)) st.getValue(lang) else 0L
+        st.updateValue(lang, prev + rs.size)
+    }
+    val mix = {
+      val it = st.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) { val kv = it.next(); buf += (kv._1 -> kv._2) }
+      buf.sortBy(_._1).toVector
+    }
+    val total = mix.map(_._2).sum
+    // Shannon entropy of the mix, milli-nats: one deterministic double
+    // expression over exact integer counts (the ln-with-rounding idiom)
+    val entropy = math.round(mix.map { case (_, c) =>
+      val p = c.toDouble / total
+      -p * math.log(p)
+    }.sum * 1000.0)
+    Iterator.single(MixSnapshot(key, mix.size.toLong, total,
+      mix.map { case (l, c) => s"$l:$c" }.mkString(","), entropy))
+  }
+}
+
 /** S27's per-source exemplar record: content hash (full md5 hex — the
   * same `md5(text)` ordering key the batch stratified sample uses) plus
   * the document id that carries it. */

@@ -1001,6 +1001,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S28 source-mix monitor: running per-lang counts + entropy, MapState survives restart") {
+    import graft.streaming.{DocLang, MixSnapshot}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s28_ckpt").toString
+      val in = MemoryStream[DocLang]
+      val sink = new scala.collection.mutable.ArrayBuffer[MixSnapshot]
+      def start() = Streams.sourceMixMonitor(in.toDS()).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[MixSnapshot],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def awaitMix(source: String, want: String): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def last() = sink.synchronized(
+          sink.filter(_.source == source).lastOption.map(_.mix))
+        while (!last().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(last() === Some(want))
+      }
+      // wave 1: 3 en + 1 de for src0
+      val q1 = start()
+      try {
+        in.addData(
+          DocLang(1L, t(1), "en", "src0"), DocLang(2L, t(2), "en", "src0"),
+          DocLang(3L, t(3), "en", "src0"), DocLang(4L, t(4), "de", "src0"))
+        awaitMix("src0", "de:1,en:3")
+      } finally q1.stop()
+      // restart: the map must restore; wave 2 shifts the mix
+      val q2 = start()
+      try {
+        in.addData(
+          DocLang(5L, t(5), "fr", "src0"), DocLang(6L, t(6), "de", "src0"))
+        awaitMix("src0", "de:2,en:3,fr:1")
+      } finally q2.stop()
+      val snap = sink.synchronized(sink.filter(_.source == "src0").last)
+      assert(snap.n_langs === 3L && snap.total === 6L)
+      // entropy of (2/6, 3/6, 1/6), milli-nats, same rounding
+      val expected = math.round(Seq(2.0, 3.0, 1.0).map { c =>
+        val p = c / 6.0; -p * math.log(p)
+      }.sum * 1000.0)
+      assert(snap.entropy_milli === expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("S26 streaming decontamination flags exactly the batch operator's ids across restarts") {
     import graft.operators.Decontaminate
     val gate = java.nio.file.Files.createTempDirectory("s26_gate").toString
