@@ -820,10 +820,14 @@ class MixProcessor
 
   override def handleInputRows(key: String, rows: Iterator[DocLang],
       timers: TimerValues): Iterator[MixSnapshot] = {
-    rows.toSeq.groupBy(_.lang).toSeq.sortBy(_._1).foreach {
-      case (lang, rs) =>
-        val prev = if (st.containsKey(lang)) st.getValue(lang) else 0L
-        st.updateValue(lang, prev + rs.size)
+    // fold the iterator — never materialize the batch: per-key memory is
+    // O(langs), not O(rows), no matter how large a micro-batch gets
+    val batchCounts = scala.collection.mutable.TreeMap.empty[String, Long]
+    rows.foreach(r =>
+      batchCounts.update(r.lang, batchCounts.getOrElse(r.lang, 0L) + 1L))
+    batchCounts.foreach { case (lang, c) =>
+      val prev = if (st.containsKey(lang)) st.getValue(lang) else 0L
+      st.updateValue(lang, prev + c)
     }
     val mix = {
       val it = st.iterator()
@@ -881,15 +885,24 @@ class ExemplarProcessor(k: Int)
       while (it.hasNext) buf += it.next()
       buf.toVector
     }
-    val merged = (current ++
-        rows.map(r => Exemplar(md5hex(r.text), r.doc_id)))
-      .distinctBy(_.doc_id)
-      .sortBy(e => (e.h, e.doc_id))
-      .take(k)
+    // bounded insert (the KmvProcessor pattern): fold the batch iterator
+    // into a <= k sorted buffer — per-key memory is O(k), never O(batch)
+    // (membership checks scan `kept` directly: O(k) per row with small k,
+    // and no side set that could grow with insert-then-evict churn)
+    var kept = current.sortBy(e => (e.h, e.doc_id))
+    rows.foreach { r =>
+      if (!kept.exists(_.doc_id == r.doc_id)) {
+        val e = Exemplar(md5hex(r.text), r.doc_id)
+        val at = kept.indexWhere(x =>
+          x.h > e.h || (x.h == e.h && x.doc_id > e.doc_id))
+        val pos = if (at < 0) kept.length else at
+        if (pos < k) kept = ((kept.take(pos) :+ e) ++ kept.drop(pos)).take(k)
+      }
+    }
     st.clear()
-    merged.foreach(st.appendValue)
-    merged.iterator.map(e =>
-      ExemplarRow(key, e.doc_id, e.h, merged.size.toLong))
+    kept.foreach(st.appendValue)
+    kept.iterator.map(e =>
+      ExemplarRow(key, e.doc_id, e.h, kept.size.toLong))
   }
 }
 
