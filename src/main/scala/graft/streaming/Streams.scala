@@ -928,7 +928,11 @@ class KmvProcessor(k: Int)
   override def handleInputRows(key: String, rows: Iterator[UserSeen],
       timers: TimerValues): Iterator[KmvEstimate] = {
     var mins = if (st.exists()) st.get().mins.toVector else Vector.empty[Long]
-    rows.toSeq.sortBy(_.user_id).foreach { r =>
+    // fold the iterator directly — no materialized/sorted batch: the k-min
+    // set is CANONICAL for any arrival order (sorted, duplicate-free
+    // insert), so replay determinism needs no sort and per-key memory is
+    // O(k), never O(batch)
+    rows.foreach { r =>
       val h = hash48(r.user_id)
       val idx = mins.search(h)(Ordering.Long)
       idx match {
