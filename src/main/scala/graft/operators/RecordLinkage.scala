@@ -41,6 +41,20 @@ object RecordLinkage {
     require(spans.size > maxEdits,
       s"need > maxEdits=$maxEdits disjoint spans for guaranteed recall, " +
         s"got ${spans.size}")
+    // The pigeonhole holds only over DISJOINT spans: overlapping spans can
+    // both be broken by ONE edit, silently voiding the 100%-recall claim
+    // above — a misconfigured caller must fail fast, not lose matches.
+    spans.foreach { case (start, len) =>
+      require(start >= 1 && len >= 1,
+        s"span ($start, $len) invalid: 1-based start and positive length")
+    }
+    spans.sortBy(_._1).sliding(2).foreach {
+      case Seq((s1, l1), (s2, _)) =>
+        require(s1 + l1 <= s2,
+          s"spans ($s1, $l1) and ($s2, _) overlap: the pigeonhole recall " +
+            "guarantee requires pairwise non-overlapping spans")
+      case _ => ()
+    }
     val base = records.select(col(idCol).as("rid"), col(groupCol).as("g"),
       col(nameCol).as("nm"))
     val passes = spans.map { case (start, len) =>

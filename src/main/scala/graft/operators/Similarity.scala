@@ -161,6 +161,26 @@ object Similarity {
         "tables are driver-built per query; split the batch or use ivfTopK")
   }
 
+  /** Cardinality cap for the brute-force EVAL operators ([[bitextMargin]],
+    * [[annRadiusRecall]]) that broadcast their query/src side whole. The
+    * cap is deliberately higher than [[MaxPqQueryBatch]] — the broadcast
+    * payload is one embedding per row, not an m×ks ADC table — but finite:
+    * an uncapped side turns into a driver/broadcast OOM instead of an
+    * explained failure. */
+  val MaxBroadcastEvalSide: Int = 65536
+
+  /** Fail fast with a named limit before broadcasting an eval side — same
+    * limit(cap+1).count() idiom as [[pqBatchGuard]]: never count the full
+    * input just to reject it. */
+  private def broadcastEvalGuard(side: DataFrame, what: String): Unit = {
+    val probe = side.limit(MaxBroadcastEvalSide + 1).count()
+    require(probe <= MaxBroadcastEvalSide,
+      s"$what exceeds MaxBroadcastEvalSide=$MaxBroadcastEvalSide rows: " +
+        "this eval operator broadcasts that side whole; sample it " +
+        "(the estimate is a per-pair property, sampling stays unbiased) " +
+        "or split the batch")
+  }
+
   /** Per-subspace PQ codebooks over the L2-normalized corpus: m
     * deterministic fits on subvector slices ([[DetQuantizer]] —
     * engine-independent, so the WHOLE PQ pipeline is
@@ -920,24 +940,32 @@ object Similarity {
     val base = spark.read.parquet(s"$path/codes")
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_deltas")
     val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // An existing-but-empty deltas dir (every delta compacted away) must
-    // serve the base alone: a bare parquet read of it would fail with
-    // unable-to-infer-schema. Only delta=* children count as committed.
+    // A committed-snapshot reader serves the base alone unless at least one
+    // delta=* child holds a COMMITTED data file: an existing-but-empty
+    // deltas dir (every delta compacted away) or a child with only
+    // in-flight _temporary committer files must not trigger the union —
+    // and, crucially, must not be conflated with a real failure. The old
+    // shape caught AnalysisException around the read, which also swallowed
+    // schema drift in committed deltas (silently dropping committed
+    // vectors from the serving index); this pre-check keeps the
+    // base-alone fallback for the in-flight case ONLY and lets any read
+    // or unionByName error on committed data fail loudly (S24 pins the
+    // snapshot-isolation behavior).
+    def hasCommittedFiles(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) n != "_temporary" && hasCommittedFiles(st.getPath)
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
     val hasDeltas = fs.exists(deltaRoot) &&
       fs.listStatus(deltaRoot).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("delta="))
+        st.isDirectory && st.getPath.getName.startsWith("delta=") &&
+          hasCommittedFiles(st.getPath))
     val codes =
       if (hasDeltas)
-        try base.unionByName(
+        base.unionByName(
           spark.read.parquet(s"$path/codes_deltas").drop("delta"),
           allowMissingColumns = false)
-        catch {
-          // every delta=* child is an IN-FLIGHT write (only _temporary
-          // committer files, which the reader's listing ignores): schema
-          // inference finds nothing — a committed-snapshot reader serves
-          // the base alone rather than failing (S24 pins this)
-          case _: org.apache.spark.sql.AnalysisException => base
-        }
       else base
     ivfPqServe(codes, spark.read.parquet(s"$path/cells"), codebooks,
       queries, corpus, k, nProbe, shortlistFactor)
@@ -1136,6 +1164,7 @@ object Similarity {
   def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int,
       minMarginPermille: Long = 1000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    broadcastEvalGuard(src, "bitextMargin src side")
     def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
     val sims = broadcast(src.select(col("s_id"), col("s_emb")))
       .crossJoin(tgt.select(col("t_id"), col("t_emb")))
@@ -1186,6 +1215,7 @@ object Similarity {
   def annRadiusRecall(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 1.5,
       numHashTables: Int = 8): DataFrame = {
+    broadcastEvalGuard(queries, "annRadiusRecall query side")
     val cand = annCandidates(queries, corpus, maxDistance,
         bucketLength, numHashTables)
       .groupBy("q_id").agg(count(lit(1)).as("n_cand"))

@@ -563,9 +563,12 @@ object Streams {
       .join(batch.sparkSession.read.parquet(s"$gateDir/shingles"),
         Seq("g"), "left_semi")
       .select("doc_id").distinct()
-    if (!flagged.isEmpty)
-      flagged.write.mode("overwrite")
-        .parquet(s"$gateDir/contaminated/delta=$batchId")
+    // Write unconditionally: an `isEmpty` pre-check would execute the full
+    // gating plan (shingle explode + Bloom filter + semi-join) TWICE per
+    // batch with flagged rows, and an empty delta is harmless — the probe
+    // side unions deltas by name and replay-overwrite stays symmetric.
+    flagged.write.mode("overwrite")
+      .parquet(s"$gateDir/contaminated/delta=$batchId")
   }
 
   /** S25 — streaming PSI drift monitor, the continuous twin of `q_psi`
@@ -595,6 +598,16 @@ object Streams {
       .select(col("bucket_hi").cast("long"), col("r").cast("long"))
       .orderBy("bucket_hi").collect()
     require(refRows.nonEmpty, "reference distribution is empty")
+    // The reference feeds a map() literal whose build fails at RUNTIME
+    // with DUPLICATE_MAP_KEY (default mapKeyDedupPolicy=EXCEPTION) — far
+    // from the cause. Validate here with a named error instead: a profile
+    // emitting duplicate bucket rows is a caller bug, not a monitor bug.
+    val dupBuckets = refRows.groupBy(_.getLong(0))
+      .collect { case (b, rs) if rs.length > 1 => b }
+    require(dupBuckets.isEmpty,
+      s"reference distribution has duplicate bucket_hi rows: " +
+        s"${dupBuckets.toSeq.sorted.mkString(", ")} — aggregate the " +
+        "reference to one row per bucket before passing it to psiMonitor")
     val k = refRows.length
     val nAll = refRows.map(_.getLong(1)).sum
     val refEntries = map(refRows.flatMap(r =>

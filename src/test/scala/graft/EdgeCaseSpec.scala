@@ -454,4 +454,61 @@ class EdgeCaseSpec extends SparkSpec {
     val sil = graft.operators.Similarity.clusterSilhouette(tiny, k = 2)
     assert(sil.agg(sum("n_members")).head().getLong(0) === 2L)
   }
+
+  test("brute-force eval operators reject an over-cap broadcast side fast") {
+    // bitextMargin / annRadiusRecall broadcast their src/query side whole;
+    // an over-cap side must fail with the named limit BEFORE any kernel
+    // pass — the guard counts limit(cap+1) rows, never the full input.
+    import graft.operators.Similarity
+    val cap = Similarity.MaxBroadcastEvalSide
+    val bigSrc = spark.range(cap + 1).selectExpr("id AS s_id",
+      "cast(array(1.0, 0.0) AS array<float>) AS s_emb")
+    val tgt = Seq((1L, Array(1.0f, 0.0f))).toDF("t_id", "t_emb")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bitextMargin(bigSrc, tgt, k = 1)
+    }
+    assert(e1.getMessage.contains("MaxBroadcastEvalSide"))
+    val bigQ = spark.range(cap + 1).selectExpr("id AS q_id",
+      "cast(array(1.0, 0.0) AS array<float>) AS q_emb")
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.annRadiusRecall(bigQ, corpus, 0.5)
+    }
+    assert(e2.getMessage.contains("MaxBroadcastEvalSide"))
+  }
+
+  test("linkByBlocking rejects overlapping or malformed spans (recall guard)") {
+    // Overlapping spans silently void the pigeonhole recall guarantee —
+    // one edit can break BOTH passes — so a misconfigured caller must
+    // fail fast instead of losing matches.
+    val recs = Seq((1L, 1L, "abcdef")).toDF("rid", "g", "nm")
+    val eOverlap = intercept[IllegalArgumentException] {
+      graft.operators.RecordLinkage.linkByBlocking(
+        recs, "rid", "g", "nm", Seq((1, 3), (2, 3)), 1)
+    }
+    assert(eOverlap.getMessage.contains("overlap"))
+    intercept[IllegalArgumentException] { // 0-based start
+      graft.operators.RecordLinkage.linkByBlocking(
+        recs, "rid", "g", "nm", Seq((0, 2), (3, 2)), 1)
+    }
+    intercept[IllegalArgumentException] { // non-positive length
+      graft.operators.RecordLinkage.linkByBlocking(
+        recs, "rid", "g", "nm", Seq((1, 0), (3, 2)), 1)
+    }
+    // adjacent-but-disjoint spans stay accepted (s1 + l1 == s2)
+    assert(graft.operators.RecordLinkage.linkByBlocking(
+      recs, "rid", "g", "nm", Seq((1, 2), (3, 2)), 1).count() === 0L)
+  }
+
+  test("psiMonitor rejects a reference with duplicate bucket_hi rows") {
+    // A duplicate bucket would otherwise surface as DUPLICATE_MAP_KEY at
+    // runtime, far from the cause; the monitor validates at plan build.
+    import graft.streaming.{Streams, ValSeen}
+    val dupRef = Seq((16L, 5L), (16L, 7L), (32L, 3L)).toDF("bucket_hi", "r")
+    val vals = Seq.empty[ValSeen].toDS()
+    val e = intercept[IllegalArgumentException] {
+      Streams.psiMonitor(vals, dupRef)
+    }
+    assert(e.getMessage.contains("duplicate bucket_hi"))
+  }
 }

@@ -929,6 +929,16 @@ class StreamingSpec extends SparkSpec {
     val exactBase = Similarity.cosineTopK(queries, base, 10)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
     assert(baseOnly === exactBase)
+    // Schema DRIFT in a committed delta is a real failure, not an
+    // in-flight condition: the probe must fail loudly instead of silently
+    // dropping committed vectors from the serving index (the round-10
+    // blanket AnalysisException catch swallowed exactly this).
+    Seq((1L, "drifted")).toDF("vec_id", "not_codes")
+      .write.mode("overwrite").parquet(s"$layout2/codes_deltas/delta=7")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Similarity.probeIvfPqLayoutAll(layout2, queries, corpus,
+        k = 10, nProbe = 4, shortlistFactor = 1000).collect()
+    }
   }
 
   test("S27 exemplar sample: k-min content set equals the batch stratified pick across restarts") {
