@@ -482,6 +482,33 @@ object Streams {
         col("status"))
   }
 
+  /** S29 — watermark-bounded FULL OUTER stream-stream join: two-feed
+    * reconciliation (sent-message ticks vs acknowledgement events). A pair
+    * inside the ±30 s band emits joined; a send with no ack AND an ack
+    * with no send each emit null-padded — but, as in S17, only once the
+    * watermark proves no partner can still arrive: BOTH unmatched
+    * emission modes are absence-of-event facts, and full outer is the one
+    * join mode where absence on EITHER side is the signal (lost message
+    * vs phantom ack — operationally different pages). Completes the
+    * stream-stream join-mode matrix: S8 inner, S17 left-outer, S29 full.
+    * The symmetric time band plus both watermarks bound both state
+    * buffers to band + lateness per key, exactly as in S8 — the join
+    * mode changes what's EMITTED at eviction, not what's buffered. */
+  def streamStreamFullJoin(sends: DataFrame, acks: DataFrame): DataFrame = {
+    val sw = sends.withWatermark("ts", "30 seconds")
+      .select(col("slaveId"), col("ts").as("snd_ts"), col("value"))
+    val aw = acks.withWatermark("ack_ts", "30 seconds")
+      .select(col("slaveId").as("ack_slaveId"), col("ack_ts"), col("status"))
+    sw.join(aw,
+      col("slaveId") === col("ack_slaveId") &&
+        col("ack_ts") >= col("snd_ts") - expr("INTERVAL 30 SECONDS") &&
+        col("ack_ts") <= col("snd_ts") + expr("INTERVAL 30 SECONDS"),
+      "full_outer")
+      // one reconciliation key regardless of which side is null-padded
+      .select(coalesce(col("slaveId"), col("ack_slaveId")).as("key"),
+        col("snd_ts"), col("value"), col("ack_ts"), col("status"))
+  }
+
   /** S9 — continuous-ingest dedup: the streaming twin of
     * `graft.operators.Dedup.incremental`. New documents stream in;
     * within-stream repeats are dropped by event-time-bounded digest state

@@ -549,6 +549,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(_.getAs[String]("slaveId") == "s1") === 1)
   }
 
+  test("S29 full-outer stream join emits BOTH unmatched sides after the watermark") {
+    val sends = MemoryStream[Tick]
+    val acks = MemoryStream[(String, Timestamp, String)]
+    val ackDf = acks.toDF().toDF("slaveId", "ack_ts", "status")
+    val out = runQuery(Streams.streamStreamFullJoin(sends.toDF(), ackDf),
+      OutputMode.Append, "s29") { step =>
+      sends.addData(Tick("s0", t(10), 1.0, "{}"),  // acked at t(20)
+        Tick("s1", t(12), 2.0, "{}"))              // LOST: never acked
+      acks.addData(("s0", t(20), "ok"),
+        ("s2", t(15), "phantom"))                  // PHANTOM: never sent
+      step()
+      // advance event time on BOTH inputs past band + lateness so both
+      // absence facts become provable and the buffered rows evict
+      sends.addData(Tick("s9", t(500), 0.0, "{}"))
+      acks.addData(("s9", t(500), "noise"))
+      step()
+    }
+    val byKey = out.filter(r => Set("s0", "s1", "s2")(r.getAs[String]("key")))
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(byKey.keySet === Set("s0", "s1", "s2"))
+    // matched pair: both sides present
+    assert(byKey("s0").getAs[Timestamp]("snd_ts") === t(10))
+    assert(byKey("s0").getAs[Timestamp]("ack_ts") === t(20))
+    assert(byKey("s0").getAs[String]("status") === "ok")
+    // lost message: send side only, ack side null-padded
+    assert(byKey("s1").getAs[Timestamp]("snd_ts") === t(12))
+    assert(byKey("s1").getAs[Timestamp]("ack_ts") === null)
+    assert(byKey("s1").getAs[String]("status") === null)
+    // phantom ack: ack side only, send side null-padded — the emission
+    // mode neither S8 nor S17 can produce
+    assert(byKey("s2").getAs[Timestamp]("snd_ts") === null)
+    assert(byKey("s2").getAs[String]("status") === "phantom")
+    // exactly one row per key — unmatched facts emit once at eviction
+    Seq("s0", "s1", "s2").foreach { k =>
+      assert(out.count(_.getAs[String]("key") == k) === 1)
+    }
+  }
+
   test("A1 replay source streams a captured parquet dir through the pipeline") {
     val capture = java.nio.file.Files.createTempDirectory("replay_src").toString
     val events = Tables.events(spark, sf).limit(20)
