@@ -1147,6 +1147,160 @@ class StreamingSpec extends SparkSpec {
     assert(flaggedIds() === Set(1L, 4L))
   }
 
+  test("S26 chaos: gate REBUILT after a kill — resumed query still equals the batch twin") {
+    import graft.operators.Decontaminate
+    // A driver kill loses the in-memory Bloom literal; on restart the
+    // registration step re-runs buildDecontaminationGate against the
+    // at-rest shingle store. The rebuild must be bit-deterministic
+    // (Bloom insertion is an order-independent OR of bit sets) so the
+    // resumed query's gate decisions — and therefore the flag set — are
+    // identical to an unkilled run's.
+    val gate = java.nio.file.Files.createTempDirectory("s26c_gate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s26c_ckpt").toString
+    val n = 3
+    val eval = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val bloom1 = Streams.buildDecontaminationGate(eval, "text", n, gate)
+    val wave1 = Seq(
+      DocIngest(1L, t(1), "note the quick brown fox appeared here"),
+      DocIngest(2L, t(2), "completely unrelated clean text body"))
+    val wave2 = Seq(
+      DocIngest(3L, t(3), "another clean document entirely fresh words"),
+      DocIngest(4L, t(4), "shipment pack my box with care today"))
+    val in = MemoryStream[DocIngest]
+    def start(bloom: Array[Byte]) = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.decontaminateSinkBatch(gate, bloom, n) _)
+      .start()
+    val q1 = start(bloom1)
+    try { in.addData(wave1: _*); q1.processAllAvailable() }
+    finally q1.stop() // KILL: the driver-held bloom literal is gone
+    val bloom2 = Streams.buildDecontaminationGate(eval, "text", n, gate)
+    assert(java.util.Arrays.equals(bloom1, bloom2),
+      "gate rebuild must be bit-deterministic")
+    val q2 = start(bloom2)
+    try { in.addData(wave2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val flagged = spark.read.parquet(s"$gate/contaminated")
+      .select("doc_id").as[Long].collect().toSet
+    val union = (wave1 ++ wave2).map(d => (d.doc_id, d.text))
+      .toDF("doc_id", "text")
+    assert(flagged === Decontaminate.contaminatedIds(union, eval, "text",
+      "doc_id", n).as[Long].collect().toSet)
+  }
+
+  test("S27 chaos: ListState kill-and-resume (changelog) — recovered list still evicts correctly") {
+    import graft.streaming.{DocSourced => DS, ExemplarRow}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(provider, changelog).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s27c_ckpt").toString
+      val k = 2
+      // enough docs that the pre-kill list is FULL and has already evicted
+      // once — recovery must restore the exact retained set, because the
+      // post-kill eviction decision (keep/drop by content hash) is only
+      // correct against the recovered list, not an empty one
+      val wave1 = (1L to 4L).map(i => DS(i, t(i), s"doc text $i", "s"))
+      val wave2 = (5L to 8L).map(i => DS(i, t(i), s"doc text $i", "s"))
+      val in = MemoryStream[DS]
+      val sink = new scala.collection.mutable.ArrayBuffer[ExemplarRow]
+      def start() = Streams.exemplarSample(in.toDS(), k).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ExemplarRow],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      import org.apache.spark.sql.expressions.Window
+      val all = (wave1 ++ wave2).map(d => (d.doc_id, d.text, d.source))
+        .toDF("doc_id", "text", "source")
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("text")), col("doc_id"))
+      val expect = all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("doc_id").as[Long].collect().toSet
+      def lastSnapshot(): Set[Long] = sink.synchronized {
+        val rows = sink.filter(_.source == "s")
+        rows.lastOption.map(r => rows.reverse.take(r.sample_size.toInt)
+          .map(_.doc_id).toSet).getOrElse(Set.empty)
+      }
+      val q1 = start()
+      try {
+        in.addData(wave1: _*)
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (sink.synchronized(sink.length) < 1 &&
+          System.nanoTime() < deadline) Thread.sleep(100L)
+      } finally q1.stop() // kill with a full, already-evicted list in state
+      val q2 = start()
+      try {
+        in.addData(wave2: _*)
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (lastSnapshot() != expect && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(lastSnapshot() === expect,
+          "recovered ListState must yield the batch k-min over the union")
+      } finally q2.stop()
+      assert(sink.synchronized(sink.map(_.sample_size).max) <= k.toLong)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
+  test("S28 chaos: MapState kill-and-resume (changelog) — counts stay exact, nothing doubled") {
+    import graft.streaming.{DocLang, MixSnapshot}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(provider, changelog).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s28c_ckpt").toString
+      val in = MemoryStream[DocLang]
+      val sink = new scala.collection.mutable.ArrayBuffer[MixSnapshot]
+      def start() = Streams.sourceMixMonitor(in.toDS()).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[MixSnapshot],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def awaitMix(want: String): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def last() = sink.synchronized(
+          sink.filter(_.source == "src0").lastOption.map(_.mix))
+        while (!last().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(last() === Some(want))
+      }
+      val q1 = start()
+      try {
+        in.addData(
+          DocLang(1L, t(1), "en", "src0"), DocLang(2L, t(2), "de", "src0"))
+        awaitMix("de:1,en:1")
+      } finally q1.stop() // kill with two live map entries
+      // resume under changelog recovery: increments must land on the
+      // RECOVERED counters exactly once — a lost map reads de:1, a
+      // doubled replay reads en:3
+      val q2 = start()
+      try {
+        in.addData(
+          DocLang(3L, t(3), "en", "src0"), DocLang(4L, t(4), "de", "src0"))
+        awaitMix("de:2,en:2")
+      } finally q2.stop()
+      val snap = sink.synchronized(sink.filter(_.source == "src0").last)
+      assert(snap.total === 4L && snap.n_langs === 2L)
+    } finally prev.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   test("S10 quality monitor alerts on the degraded source, not the healthy one") {
     val in = MemoryStream[DocSourced]
     val out = runQuery(
