@@ -30,10 +30,18 @@ import org.apache.spark.sql.functions._
   *  - Entity NAMES (customer/supplier/part) get a replica suffix so
   *    blocking-based linkage sees R× blocks, not R×-deeper blocks of
   *    byte-identical names.
-  *  - Embeddings get a deterministic per-(vec_id, rep, dim) jitter of
-  *    ±1e-2: replicas land near the original manifold (same cluster
-  *    geometry, R× the points) without being byte-duplicates that every
-  *    cosine kernel would score at exactly 1.0.
+  *  - Embeddings get a per-replica CYCLIC DIMENSION SHIFT (an orthogonal
+  *    transform): intra-replica geometry — norms, cosines, cluster
+  *    structure — is preserved exactly, while cross-replica cosines are
+  *    incoherent. This is the embedding analog of the disjoint token
+  *    suffix: a 10× corpus has 10× the near-dup/cluster structure, NOT
+  *    every vector acquiring 9 brand-new near-duplicates. (A first
+  *    attempt used ±1e-2 jitter instead; it made each replica a TRUE
+  *    near-dup of its original, so near-dup outputs grew quadratically
+  *    in R — measured ×10 runtime at R=5 on q_dedup_embed — a generator
+  *    pathology, not a property of real 10× corpora.) A small
+  *    deterministic jitter is layered on top so replicas are not
+  *    byte-permutations either.
   *  - Event timestamps are PRESERVED: a 10× event table is 10× the events
   *    in the same wall-clock span (denser windows, same window count) —
   *    the production meaning of "more traffic".
@@ -146,12 +154,18 @@ object ScaleGen {
     val emb = src("embeddings")
     val vecBase = keyBase(emb, "vec_id")
     write(emb.crossJoin(repDf)
+      // cyclic shift by rep (orthogonal: intra-replica cosines exact,
+      // cross-replica incoherent), then ±0.01 deterministic jitter so a
+      // replica is not a byte-permutation of its original either
+      .withColumn("_sh", expr("CAST(pmod(rep, size(embedding)) AS INT)"))
       .withColumn("embedding", expr(
-        // ±0.01 deterministic jitter keyed on (vec_id, rep, dim): replicas
-        // stay near the original manifold without byte-identical vectors
-        """transform(embedding, (x, i) ->
-           CAST(x + (pmod(hash(vec_id, rep, i), 1001) - 500) / 50000.0
-           AS FLOAT))"""))
+        """transform(
+             concat(slice(embedding, _sh + 1, size(embedding) - _sh),
+                    slice(embedding, 1, _sh)),
+             (x, i) ->
+               CAST(x + (pmod(hash(vec_id, rep, i), 1001) - 500) / 50000.0
+               AS FLOAT))"""))
+      .drop("_sh")
       .withColumn("vec_id", col("vec_id") + col("rep") * vecBase)
       .drop("rep"), "embeddings", math.max(1, reps / 2))
   }

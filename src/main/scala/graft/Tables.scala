@@ -66,12 +66,29 @@ object Tables {
 
   /** Register an at-rest IVF-PQ layout (written by
     * `Similarity.writeIvfPqLayout`) as `<prefix>_codes` / `<prefix>_cells`
-    * / `<prefix>_codebooks` temp views — the serving-index metadata a
-    * SQL consumer inspects (cell populations, code distributions,
-    * codebook shapes) without touching the Scala API. */
+    * / `<prefix>_codebooks` temp views. `<prefix>_codes` is the COMMITTED
+    * SERVING SNAPSHOT — base ∪ committed streaming deltas, the exact
+    * definition `Similarity.probeIvfPqLayoutAll` serves — so a SQL
+    * consumer reads the same index the Scala probe does, and can run the
+    * whole ANN read path via `Similarity.annProbeSql` without touching
+    * the Scala API (README §"SQL entry point"; parity is spec-proven in
+    * SqlSurfaceSpec). */
   def registerLayoutViews(s: SparkSession, layoutDir: String,
-      prefix: String = "ann"): Unit =
-    Seq("codes", "cells", "codebooks").foreach { n =>
+      prefix: String = "ann"): Unit = {
+    graft.operators.Similarity.committedCodes(s, layoutDir)
+      .createOrReplaceTempView(s"${prefix}_codes")
+    Seq("cells", "codebooks").foreach { n =>
       s.read.parquet(s"$layoutDir/$n").createOrReplaceTempView(s"${prefix}_$n")
     }
+  }
+
+  /** Register an at-rest MinHash signature store (the `Dedup
+    * .signatureStore` format, grown by `Streams.nearDedupSinkBatch`
+    * deltas) as a temp view `(doc, shingles, bk)` — the store side of the
+    * near-dedup read path, so a SQL-only consumer can run
+    * `Dedup.nearDupProbeSql` against it. */
+  def registerSignatureStoreView(s: SparkSession, storeDir: String,
+      name: String = "sig_store"): Unit =
+    s.read.parquet(storeDir).select("doc", "shingles", "bk")
+      .createOrReplaceTempView(name)
 }

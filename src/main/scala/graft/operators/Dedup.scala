@@ -433,6 +433,63 @@ object Dedup {
       .select(col("doc"), col("shingles"), col("bk"))
   }
 
+  /** Generated Spark SQL reproducing [[incrementalNearAgainst]] over a
+    * signature-store VIEW (registered by `Tables.registerSignatureStoreView`)
+    * and a batch view with (doc_id, text) — the SQL door to the at-rest
+    * near-dedup read path: a SQL-only consumer shingles tonight's batch,
+    * minhashes it in the same md5 family (`md5('<h>|' || shingle)` — the
+    * exact formulation the DuckDB oracles already pin), band-joins against
+    * the store's at-rest `bk` keys and exact-Jaccard-verifies, with the
+    * identical closest-store-id tie rule (lexicographic struct min).
+    * Same generated-SQL discipline as [[graft.operators.DetQuantizer
+    * .fitSqlCtes]]; SqlSurfaceSpec proves row-identity with the Scala
+    * operator over the same store. Pure built-ins — no extension
+    * functions needed. */
+  def nearDupProbeSql(batchView: String, storeView: String,
+      maxDistance: Double, numBands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): String = {
+    val shingle = (1 to shingleN)
+      .map(o => s"element_at(ws, i + ${o - 1})").mkString("concat_ws(' ', ", ", ", ")")
+    val bandStructs = (0 until numBands).map { b =>
+      val mins = (0 until rowsPerBand).map { r =>
+        val h = b * rowsPerBand + r
+        s"array_min(transform(shingles, g -> md5(concat('$h', '|', g))))"
+      }.mkString("concat_ws('|', ", ", ", ")")
+      s"named_struct('band', $b, 'key', $mins)"
+    }.mkString("array(", ",\n       |      ", ")")
+    s"""WITH bdocs AS (
+       |  SELECT doc, shingles FROM (
+       |    SELECT doc_id AS doc,
+       |      array_distinct(CASE WHEN size(ws) >= $shingleN
+       |        THEN transform(sequence(1, size(ws) - ${shingleN - 1}),
+       |          i -> $shingle)
+       |        ELSE CAST(array() AS ARRAY<STRING>) END) AS shingles
+       |    FROM (SELECT doc_id, split(text, ' ') AS ws FROM $batchView))
+       |  WHERE size(shingles) > 0),
+       |bbands AS (
+       |  SELECT doc, explode($bandStructs) AS bk
+       |  FROM bdocs),
+       |sdocs AS (SELECT DISTINCT doc, shingles FROM $storeView),
+       |cands AS (
+       |  SELECT DISTINCT b.doc AS b_doc, s.doc AS s_doc
+       |  FROM bbands b JOIN $storeView s ON b.bk = s.bk),
+       |best AS (
+       |  SELECT b_doc, min(named_struct('dist', dist, 's_doc', s_doc)) AS m
+       |  FROM (
+       |    SELECT c.b_doc, c.s_doc,
+       |      round(1.0 - CAST(size(array_intersect(bd.shingles, sd.shingles)) AS DOUBLE)
+       |        / size(array_union(bd.shingles, sd.shingles)), 6) AS dist
+       |    FROM cands c
+       |    JOIN bdocs bd ON bd.doc = c.b_doc
+       |    JOIN sdocs sd ON sd.doc = c.s_doc)
+       |  WHERE dist <= $maxDistance
+       |  GROUP BY b_doc)
+       |SELECT t.doc_id, b.m.s_doc AS near_store_id, b.m.dist AS dist,
+       |  b.m.s_doc IS NULL AS is_novel
+       |FROM (SELECT doc_id FROM $batchView) t
+       |LEFT JOIN best b ON b.b_doc = t.doc_id""".stripMargin
+  }
+
   def incrementalNear(batch: DataFrame, store: DataFrame, textCol: String,
       idCol: String, maxDistance: Double, numBands: Int = 4,
       rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =

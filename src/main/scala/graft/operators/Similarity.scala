@@ -937,20 +937,28 @@ object Similarity {
     val spark = queries.sparkSession
     pqBatchGuard(queries)
     val codebooks = readCodebooks(spark, path)
+    ivfPqServe(committedCodes(spark, path),
+      spark.read.parquet(s"$path/cells"), codebooks,
+      queries, corpus, k, nProbe, shortlistFactor)
+  }
+
+  /** The committed code SNAPSHOT of an at-rest IVF-PQ layout: base ∪ every
+    * delta=* child holding at least one COMMITTED data file. An
+    * existing-but-empty deltas dir (every delta compacted away) or a child
+    * with only in-flight `_temporary` committer files serves the base
+    * alone — and, crucially, is not conflated with a real failure. An
+    * earlier shape caught AnalysisException around the read, which also
+    * swallowed schema drift in committed deltas (silently dropping
+    * committed vectors from the serving index); the pre-check keeps the
+    * base-alone fallback for the in-flight case ONLY and lets any read or
+    * unionByName error on committed data fail loudly (S24 pins the
+    * snapshot-isolation behavior). Public: this IS the serving-snapshot
+    * definition, shared by the Scala probe and the SQL layout views. */
+  def committedCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/codes")
     val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_deltas")
     val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // A committed-snapshot reader serves the base alone unless at least one
-    // delta=* child holds a COMMITTED data file: an existing-but-empty
-    // deltas dir (every delta compacted away) or a child with only
-    // in-flight _temporary committer files must not trigger the union —
-    // and, crucially, must not be conflated with a real failure. The old
-    // shape caught AnalysisException around the read, which also swallowed
-    // schema drift in committed deltas (silently dropping committed
-    // vectors from the serving index); this pre-check keeps the
-    // base-alone fallback for the in-flight case ONLY and lets any read
-    // or unionByName error on committed data fail loudly (S24 pins the
-    // snapshot-isolation behavior).
     def hasCommittedFiles(dir: org.apache.hadoop.fs.Path): Boolean =
       fs.listStatus(dir).exists { st =>
         val n = st.getPath.getName
@@ -961,14 +969,99 @@ object Similarity {
       fs.listStatus(deltaRoot).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("delta=") &&
           hasCommittedFiles(st.getPath))
-    val codes =
-      if (hasDeltas)
-        base.unionByName(
-          spark.read.parquet(s"$path/codes_deltas").drop("delta"),
-          allowMissingColumns = false)
-      else base
-    ivfPqServe(codes, spark.read.parquet(s"$path/cells"), codebooks,
-      queries, corpus, k, nProbe, shortlistFactor)
+    if (hasDeltas)
+      base.unionByName(
+        spark.read.parquet(s"$path/codes_deltas").drop("delta"),
+        allowMissingColumns = false)
+    else base
+  }
+
+  /** Generated Spark SQL reproducing [[probeIvfPqLayoutAll]] over the
+    * layout views registered by `Tables.registerLayoutViews` — the SQL
+    * door to the at-rest ANN index: a SQL-only consumer (notebook, BI
+    * tool, `spark-sql` shell) runs the ENTIRE read path — query
+    * normalization, integer micro-unit cell probe, residual ADC tables,
+    * IVF-gated shortlist, exact rerank — without touching the Scala API.
+    * Every stage mirrors the Scala operator's arithmetic exactly (the
+    * DetQuantizer micro metric is pure int64; residuals are
+    * double-subtract/float-store; subspace distances accumulate
+    * left-to-right in double), and the generated-SQL discipline is the
+    * same as [[DetQuantizer.fitSqlCtes]] / `Bpe.trainOracleSql`. The one
+    * permitted divergence: the per-vector ADC sum over subspaces is an
+    * unordered SQL SUM, so last-ulp float drift can reorder shortlist
+    * ties — invisible to the final top-k whenever the shortlist is not
+    * truncation-tight (SqlSurfaceSpec proves row-identical output against
+    * the Scala probe with a generous shortlist). Needs `cosine_sim` from
+    * [[graft.GraftExtensions]] for the exact rerank kernel.
+    *
+    * @param queriesView view with (q_id, q_emb) — the serving batch
+    * @param corpusView  view with (vec_id, embedding) — rerank source
+    * @param prefix      the `Tables.registerLayoutViews` prefix */
+  def annProbeSql(queriesView: String, corpusView: String, k: Int,
+      nProbe: Int = 2, shortlistFactor: Int = 8,
+      prefix: String = "ann"): String = {
+    val p = prefix
+    s"""WITH qn AS (
+       |  SELECT q_id,
+       |    CASE WHEN nrm > 0
+       |      THEN transform(q_emb, x -> CAST(x / nrm AS FLOAT))
+       |      ELSE q_emb END AS q_emb
+       |  FROM (SELECT q_id, q_emb,
+       |          sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE),
+       |            (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+       |        FROM $queriesView)),
+       |probed AS (
+       |  SELECT q_id, q_emb, cell_id, cent FROM (
+       |    SELECT q.q_id, q.q_emb, c.cell_id, c.cent,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        aggregate(zip_with(
+       |            transform(q.q_emb,
+       |              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+       |            c.cent, (a, b) -> (a - b) * (a - b)),
+       |          CAST(0 AS BIGINT), (s, x) -> s + x),
+       |        c.cell_id) AS rn
+       |    FROM qn q CROSS JOIN ${p}_cells c)
+       |  WHERE rn <= $nProbe),
+       |dims AS (SELECT size(cent) AS dsub FROM ${p}_codebooks LIMIT 1),
+       |resid AS (
+       |  SELECT q_id, cell_id,
+       |    zip_with(q_emb, cent,
+       |      (x, c) -> CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / 1000000.0 AS FLOAT)) AS qr
+       |  FROM probed),
+       |subdist AS (
+       |  SELECT r.q_id, r.cell_id, b.subspace, b.centroid_id,
+       |    aggregate(zip_with(slice(r.qr, b.subspace * d.dsub + 1, d.dsub), b.cent,
+       |        (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE), (s, dd) -> s + dd * dd) AS sd
+       |  FROM resid r CROSS JOIN dims d CROSS JOIN ${p}_codebooks b),
+       |codepos AS (
+       |  SELECT v.vec_id, v.cell_id, pe.j, pe.c
+       |  FROM ${p}_codes v LATERAL VIEW posexplode(v.codes) pe AS j, c),
+       |adc AS (
+       |  SELECT s.q_id, cp.vec_id, sum(s.sd) AS adc
+       |  FROM codepos cp
+       |  JOIN subdist s
+       |    ON s.cell_id = cp.cell_id AND s.subspace = cp.j
+       |      AND s.centroid_id = cp.c
+       |  GROUP BY s.q_id, cp.vec_id),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS srnk
+       |    FROM adc)
+       |  WHERE srnk <= ${k * shortlistFactor})
+       |SELECT q_id, rnk, vec_id, sim FROM (
+       |  SELECT s.q_id, c.vec_id,
+       |    round(cosine_sim(q.q_emb, c.embedding), 6) AS sim,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY round(cosine_sim(q.q_emb, c.embedding), 6) DESC,
+       |        c.vec_id) AS rnk
+       |  FROM shortlist s
+       |  JOIN $corpusView c ON c.vec_id = s.vec_id
+       |  JOIN $queriesView q ON q.q_id = s.q_id
+       |  WHERE s.q_id <> c.vec_id)
+       |WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Cosine-threshold SELF-join (embedding near-dup pairs) with a MEASURED

@@ -33,6 +33,69 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("SQL ANN probe over the layout views ≡ probeIvfPqLayoutAll (deltas included)") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val layout = java.nio.file.Files.createTempDirectory("sql_ann").toString
+    val emb = Tables.embeddings(spark, sf)
+    // base from even ids, one committed streaming delta from odd ids —
+    // the SQL view must serve the SAME committed snapshot the Scala
+    // probe serves, not the base alone
+    Similarity.writeIvfPqLayout(
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      layout, nCells = 4)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    graft.streaming.Streams.annIngestSinkBatch(layout)(odd, 0L)
+    Tables.registerLayoutViews(spark, layout)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select("vec_id", "embedding")
+    queries.createOrReplaceTempView("ann_q")
+    corpus.createOrReplaceTempView("ann_corpus")
+    // generous shortlist: the SQL ADC sum is unordered, so last-ulp float
+    // drift may reorder shortlist TIES — final top-k must not depend on a
+    // truncation-tight shortlist (the Scala probe gets the same factor)
+    val scala_ = Similarity.probeIvfPqLayoutAll(layout, queries, corpus,
+        k = 5, nProbe = 2, shortlistFactor = 1000)
+      .select("q_id", "rnk", "vec_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaSql = spark.sql(Similarity.annProbeSql("ann_q", "ann_corpus",
+        k = 5, nProbe = 2, shortlistFactor = 1000))
+      .select("q_id", "rnk", "vec_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaSql === scala_)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("SQL near-dedup probe over the signature-store view ≡ incrementalNearAgainst") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("sql_sig").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // store grows as deltas — exactly the S15 at-rest layout
+    Dedup.signatureStore(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$storeDir/delta=0")
+    Dedup.signatureStore(docs.filter(col("doc_id") % 3 === 1),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$storeDir/delta=1")
+    Tables.registerSignatureStoreView(spark, storeDir)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    batch.createOrReplaceTempView("batch_docs")
+    val storeSigs = spark.table("sig_store")
+    val scala_ = Dedup.incrementalNearAgainst(batch, storeSigs,
+        "text", "doc_id", maxDistance = 0.6)
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    val viaSql = spark.sql(Dedup.nearDupProbeSql("batch_docs", "sig_store",
+        maxDistance = 0.6))
+      .as[(Long, Option[Long], Option[Double], Boolean)].collect().toSet
+    assert(viaSql === scala_)
+    // the batch has real near-dups against the store at this threshold —
+    // a vacuously-all-novel comparison would prove nothing
+    assert(scala_.exists(!_._4), "fixture must contain at least one near-dup")
+  }
+
   test("SQL and Scala registries read identical data through the views") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(
