@@ -176,7 +176,22 @@ object CurateOps extends QueryFamily {
     * then verified EXACTLY, which is why the oracle can be the plain
     * all-pairs computation. No global rank anywhere: the frequency order
     * is a (df, tok) sort key, per-set prefixes come from a doc-bounded
-    * window, and ⌈0.8m⌉ is the integer (4m+4) div 5 — no float ceil. */
+    * window, and ⌈0.8m⌉ is the integer (4m+4) div 5 — no float ceil.
+    *
+    * MEASURED AND REJECTED (round 11): the PPJoin+ one-level SUFFIX filter
+    * (Xiao et al. 2008 §4 — bound the suffix overlap by a median-pivot
+    * partition of both sorted suffixes). On this shared-vocabulary corpus
+    * it kills only 26% of the candidates the length+positional filters
+    * admit (667,400 → 492,861 at sf0.1, verified lossless — oracle still
+    * green), far below the paper's corpora, while the bound arithmetic
+    * costs more than the verify join it starves: Spark's higher-order
+    * array functions are interpreted per element (465 s for the filter
+    * stage alone at sf0.1 on int-rank arrays, vs ~6 s for the whole
+    * exploded-join verify), and a custom codegen kernel would at best
+    * convert a 26% cut of a ~6 s stage — under the measurement noise
+    * floor. Same conclusion class as the round-10 rejection of per-pair
+    * array_intersect verify: at this candidate/doc-size ratio the
+    * exploded equi-join + count aggregate is the fastest exact verify. */
   def qPpjoin(s: SparkSession, dir: String): DataFrame = {
     val ws = T.tokens(col("text"))
     val bigrams = when(size(ws) > 1,
