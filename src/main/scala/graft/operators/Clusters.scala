@@ -157,6 +157,41 @@ object Clusters {
     * sum with map-side combine — hot destination nodes are hot COUNTERS,
     * never hot join keys; `localCheckpoint` truncates the growing lineage
     * each round exactly like [[connectedComponents]]. */
+  /** Synchronous label-propagation community labels (Raghavan et al. 2007,
+    * the deterministic synchronous variant): `rounds` rounds where every
+    * node adopts the PLURALITY label of its neighbors (ties → smallest
+    * label), labels initialized to the node id — so the whole trajectory
+    * is a pure function of the graph and an oracle can unroll the rounds
+    * (the [[pageRankWeighted]] discipline). Edges are treated as given:
+    * pass both directions for an undirected graph. Plurality voting
+    * splits dense regions that connectivity ([[connectedComponents]])
+    * cannot — the community primitive. Returns (node, lbl).
+    *
+    * Scale shape: per round ONE edge⋈label hash join + ONE (node, label)
+    * count with map-side combine + a min(struct) plurality pick — no
+    * window in the loop; the node-sized label table is localCheckpoint'd
+    * each round to cut lineage. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"))
+      .localCheckpoint(eager = false) // joined once per round
+    var labels = e.select(col("i").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.select(col("node").as("j"), col("lbl")), "j")
+        .groupBy(col("i"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("i"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("i").as("node"), col("m.l").as("lbl"))
+        .localCheckpoint() // node-sized; cuts the per-round lineage
+    }
+    labels
+  }
+
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 10,
       dampingMilli: Int = 850): DataFrame = {

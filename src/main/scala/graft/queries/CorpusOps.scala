@@ -547,6 +547,38 @@ object CorpusOps extends QueryFamily {
       .orderBy("walk_id", "step")
   }
 
+  /** q_communities — synchronous label-propagation community detection
+    * (Raghavan et al. 2007, the deterministic synchronous variant) over
+    * the support-pruned co-purchase graph (the q_bfs_hops edge set:
+    * co ≥ 2, directed both ways). Three rounds; each round every node
+    * adopts the label carried by the PLURALITY of its neighbors (ties →
+    * smallest label); labels initialize to the node id, so the whole
+    * trajectory is a pure function of the graph and the oracle unrolls
+    * the same three rounds (the q_pagerank iterative discipline).
+    * Distinct from connectivity (q_dup_clusters' components) and from
+    * centrality (q_pagerank): plurality voting splits dense regions that
+    * connectivity alone cannot — the community primitive behind source
+    * clustering and duplicate-family grouping. Per round: one edge×label
+    * equi-join, one (node, label) count, one plurality pick via
+    * min(struct(−count, label)) — map-side-partial-friendly, no windows
+    * in the loop, and the label table is node-sized with its per-round
+    * lineage cut by localCheckpoint (the PageRank discipline). */
+  def qCommunities(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir)
+    val e = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("i", "j")
+    graft.operators.Clusters.labelPropagation(e, "i", "j", rounds = 3)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"), min("node").as("min_part"))
+      .select(col("lbl").as("community"), col("n_members"), col("min_part"))
+      .orderBy(desc("n_members"), asc("community"))
+      .limit(30)
+  }
+
   def qBfsHops(s: SparkSession, dir: String): DataFrame = {
     val po = orderPartPairs(s, dir)
     val e = po.as("a").join(po.as("b"),
@@ -642,6 +674,7 @@ object CorpusOps extends QueryFamily {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_hops" -> (qBfsHops _),
+    "q_communities" -> (qCommunities _),
     "q_random_walks" -> (qRandomWalks _),
     "q_ndcg" -> (qNdcg _),
     "q_triangles" -> (qTriangles _),
@@ -702,6 +735,35 @@ object CorpusOps extends QueryFamily {
         |UNION ALL SELECT part, CAST(1 AS BIGINT) FROM h1
         |UNION ALL SELECT part, CAST(2 AS BIGINT) FROM h2
         |ORDER BY part""".stripMargin,
+    // Communities: three unrolled synchronous LPA rounds over the same
+    // co >= 2 edge set as q_bfs_hops; plurality pick = row_number over
+    // (COUNT(*) DESC, lbl) — the mirror of Spark's min(struct(-cnt, lbl)).
+    // CTEs MATERIALIZED so DuckDB cannot re-inline a round into the next.
+    "q_communities" -> {
+      val head =
+        """WITH po AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |e AS MATERIALIZED (
+          |  SELECT a.p AS i, b.p AS j
+          |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |l0 AS MATERIALIZED (SELECT DISTINCT i AS node, i AS lbl FROM e)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT e.i AS node, l.lbl, COUNT(*) AS c,
+           |      row_number() OVER (PARTITION BY e.i
+           |        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+           |    FROM e JOIN l${r - 1} l ON l.node = e.j
+           |    GROUP BY e.i, l.lbl) WHERE rn = 1)""".stripMargin
+      }
+      (head +: rounds).mkString(",\n") +
+        """
+          |SELECT lbl AS community, COUNT(*) AS n_members,
+          |  MIN(node) AS min_part
+          |FROM l3 GROUP BY lbl
+          |ORDER BY n_members DESC, community LIMIT 30""".stripMargin
+    },
     // NDCG: the q_sparse_knn retrieval chain + cosine graded relevance;
     // the 1/log2(r+1) discounts are the SAME Scala-computed ppm literals
     // the engine uses, so no libm log is evaluated in either engine.

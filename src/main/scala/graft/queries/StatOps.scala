@@ -426,7 +426,72 @@ object StatOps extends QueryFamily {
     graft.operators.Profile.anovaF(Tables.events(s, dir), "event_type",
       expr("CAST(round(value * 100) AS BIGINT)"))
 
+  /** q_subsample_ci — deterministic half-subsampling confidence band
+    * (Politis & Romano 1994, the m-out-of-n subsampling bootstrap) for
+    * the per-returnflag MEDIAN line-item price — the resampling-inference
+    * primitive the suite's point estimates lack: every statistic so far
+    * reports a value, this one reports how much that value moves under
+    * resampling. B = 16 replicates; row r enters replicate b iff hex
+    * digit b+1 of md5("ok|ln") < '8' — 16 independent exact fair coins
+    * from ONE md5 per row (measured: a per-(row, b) md5 was 16 hashes
+    * per row and dominated the query at ~9.6M evaluations), flipped
+    * identically by both engines, so the replicate MEMBERSHIP is
+    * oracle-checked, not just the statistic. Each replicate's median is
+    * the type-1 rank pick over (cents, ok, ln) (the q_winsorize
+    * discipline — no interpolation anywhere), and the band is the
+    * 2nd..15th order statistic of the 16 replicate medians, a rank-exact
+    * ~87.5% band. Scale shape: the ×B explode rides the scan (no
+    * pre-shuffle blowup — each copy carries 3 columns), each replicate
+    * median is one (flag, b)-keyed window whose partial WindowGroupLimit
+    * keeps map-side state to one row per key, and the band fold runs on
+    * the (flags × B)-row table. */
+  def qSubsampleCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 16
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false) // feeds the full median + B replicates
+    // group sizes come from broadcast-joined aggregates, NOT a second
+    // count-over-partition window: an unordered window is a SEPARATE
+    // Window exec (its own sort) beside the rank window — measured, the
+    // two-window shape cost ~2x on the 9.6M-row replicate table
+    val fullN = li.groupBy("flag").agg(count(lit(1)).as("n"))
+    val full = li
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("flag").orderBy("cents", "ok", "ln")))
+      .join(broadcast(fullN), "flag")
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("flag"), col("n").as("n_rows"),
+        col("cents").as("median_full_c"))
+    val repRows = li
+      .withColumn("h", md5(concat_ws("|", col("ok"), col("ln"))))
+      .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+      .filter(expr("substr(h, b + 1, 1) < '8'"))
+      .drop("h")
+      .localCheckpoint(eager = false) // feeds sizes + the rank window
+    val repN = repRows.groupBy("flag", "b").agg(count(lit(1)).as("n"))
+    val reps = repRows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("flag", "b").orderBy("cents", "ok", "ln")))
+      .join(broadcast(repN), Seq("flag", "b"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("flag"), col("b"), col("cents").as("med_c"))
+    reps
+      .withColumn("r", row_number().over(
+        Window.partitionBy("flag").orderBy("med_c", "b")))
+      .groupBy("flag")
+      .agg(min(when(col("r") === 2, col("med_c"))).as("ci_lo_c"),
+        min(when(col("r") === B - 1, col("med_c"))).as("ci_hi_c"))
+      .join(full, "flag")
+      .select(col("flag").as("l_returnflag"), col("n_rows"),
+        col("median_full_c"), col("ci_lo_c"), col("ci_hi_c"))
+      .orderBy("l_returnflag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subsample_ci" -> (qSubsampleCi _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_mutual_info" -> (qMutualInfo _),
     "q_spearman" -> (qSpearman _),
@@ -497,6 +562,47 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Subsampling CI: md5 coin replicated per (row, b); type-1 medians;
+    // both `//` and Spark's div floor on positives. round(x*100, 0) is
+    // half-away-from-zero in both engines on positive prices.
+    "q_subsample_ci" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_returnflag AS flag, l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |full_m AS (
+        |  SELECT flag, n AS n_rows, cents AS median_full_c FROM (
+        |    SELECT flag, cents,
+        |      row_number() OVER (PARTITION BY flag
+        |        ORDER BY cents, ok, ln) AS rn,
+        |      COUNT(*) OVER (PARTITION BY flag) AS n
+        |    FROM li) WHERE rn = (n + 1) // 2),
+        |reps AS (
+        |  SELECT flag, b, cents, ok, ln
+        |  FROM (SELECT flag, ok, ln, cents,
+        |          md5(CAST(ok AS VARCHAR) || '|' || CAST(ln AS VARCHAR)) AS h
+        |        FROM li) CROSS JOIN range(0, 16) t(b)
+        |  WHERE substr(h, CAST(b + 1 AS INTEGER), 1) < '8'),
+        |med AS (
+        |  SELECT flag, b, cents AS med_c FROM (
+        |    SELECT flag, b, cents,
+        |      row_number() OVER (PARTITION BY flag, b
+        |        ORDER BY cents, ok, ln) AS rn,
+        |      COUNT(*) OVER (PARTITION BY flag, b) AS n
+        |    FROM reps) WHERE rn = (n + 1) // 2),
+        |band AS (
+        |  SELECT flag,
+        |    MIN(CASE WHEN r = 2 THEN med_c END) AS ci_lo_c,
+        |    MIN(CASE WHEN r = 15 THEN med_c END) AS ci_hi_c
+        |  FROM (SELECT flag, med_c,
+        |          row_number() OVER (PARTITION BY flag
+        |            ORDER BY med_c, b) AS r
+        |        FROM med)
+        |  GROUP BY flag)
+        |SELECT f.flag AS l_returnflag, f.n_rows, f.median_full_c,
+        |  band.ci_lo_c, band.ci_hi_c
+        |FROM full_m f JOIN band ON band.flag = f.flag
+        |ORDER BY l_returnflag""".stripMargin,
     // KMV: 12 md5 hex digits -> 48-bit integer via shifts; kth smallest
     // distinct hash; pure-integer estimator.
     "q_kmv_distinct" ->

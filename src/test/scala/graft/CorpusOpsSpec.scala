@@ -92,6 +92,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(comp.size == 64 && comp.values.forall(_ == 0L))
   }
 
+  test("label propagation splits bridged cliques that components merge") {
+    // two 4-cliques bridged by ONE edge (4-5): connectivity sees one
+    // component, plurality voting keeps two communities — the semantic
+    // difference q_communities exists for. Undirected → both directions.
+    val cl1 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val cl2 = for (a <- 5L to 8L; b <- 5L to 8L if a != b) yield (a, b)
+    val edges = (cl1 ++ cl2 ++ Seq((4L, 5L), (5L, 4L))).toDF("i", "j")
+    val lbl = Clusters.labelPropagation(edges, "i", "j", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl.size === 8)
+    val c1 = (1L to 4L).map(lbl).toSet
+    val c2 = (5L to 8L).map(lbl).toSet
+    assert(c1.size === 1 && c2.size === 1, s"cliques must be uniform: $lbl")
+    assert(c1 != c2, s"bridged cliques must keep distinct labels: $lbl")
+    // one component under connectivity — the contrast that makes LPA
+    // a different operator, not a components twin
+    val comp = Clusters.connectedComponents(
+        edges.filter(col("i") < col("j")), "i", "j")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet.size === 1)
+  }
+
+  test("subsample CI band brackets the full median and orders correctly") {
+    val out = graft.queries.StatOps.qSubsampleCi(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (full, lo, hi) = (r.getAs[Long]("median_full_c"),
+        r.getAs[Long]("ci_lo_c"), r.getAs[Long]("ci_hi_c"))
+      assert(lo <= hi, s"band inverted: $r")
+      // half-subsample medians of a 6-digit-sized group concentrate
+      // tightly; the rank-2..15 band must bracket the full median
+      assert(lo <= full && full <= hi, s"band misses the full median: $r")
+    }
+  }
+
   test("single-task and iterative components agree on a random graph") {
     // deterministic pseudo-random edge set: multiplicative-hash endpoints
     // over 300 vertices, ~200 edges — chains, triangles, islands included
