@@ -448,6 +448,13 @@ object Dedup {
   def nearDupProbeSql(batchView: String, storeView: String,
       maxDistance: Double, numBands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3): String = {
+    // spliced into SQL text — identifiers only (see SqlIdent)
+    Seq(batchView, storeView).foreach(SqlIdent.require)
+    require(numBands >= 1 && rowsPerBand >= 1 && shingleN >= 1,
+      s"numBands, rowsPerBand, shingleN must be >= 1; " +
+        s"got ($numBands, $rowsPerBand, $shingleN)")
+    require(maxDistance >= 0.0 && maxDistance <= 1.0,
+      s"maxDistance must be in [0, 1], got $maxDistance")
     val shingle = (1 to shingleN)
       .map(o => s"element_at(ws, i + ${o - 1})").mkString("concat_ws(' ', ", ", ", ")")
     val bandStructs = (0 until numBands).map { b =>

@@ -1000,6 +1000,12 @@ object Similarity {
   def annProbeSql(queriesView: String, corpusView: String, k: Int,
       nProbe: Int = 2, shortlistFactor: Int = 8,
       prefix: String = "ann"): String = {
+    // view names and the prefix are spliced into SQL text: restrict them
+    // to plain identifiers so a caller cannot smuggle SQL through them
+    Seq(queriesView, corpusView, prefix).foreach(SqlIdent.require)
+    require(k >= 1 && nProbe >= 1 && shortlistFactor >= 1,
+      s"k, nProbe, shortlistFactor must be >= 1; " +
+        s"got ($k, $nProbe, $shortlistFactor)")
     val p = prefix
     s"""WITH qn AS (
        |  SELECT q_id,

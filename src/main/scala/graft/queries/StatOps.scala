@@ -437,14 +437,16 @@ object StatOps extends QueryFamily {
     * per row and dominated the query at ~9.6M evaluations), flipped
     * identically by both engines, so the replicate MEMBERSHIP is
     * oracle-checked, not just the statistic. Each replicate's median is
-    * the type-1 rank pick over (cents, ok, ln) (the q_winsorize
-    * discipline — no interpolation anywhere), and the band is the
-    * 2nd..15th order statistic of the 16 replicate medians, a rank-exact
-    * ~87.5% band. Scale shape: the ×B explode rides the scan (no
-    * pre-shuffle blowup — each copy carries 3 columns), each replicate
-    * median is one (flag, b)-keyed window whose partial WindowGroupLimit
-    * keeps map-side state to one row per key, and the band fold runs on
-    * the (flags × B)-row table. */
+    * the exact type-1 pick — no interpolation anywhere — selected from
+    * the replicate's VALUE HISTOGRAM by cumulative count (see the
+    * in-body rationale), and the band is the 2nd..15th order statistic
+    * of the 16 replicate medians, a rank-exact ~87.5% band. Scale shape:
+    * the ×B explode rides the scan and collapses immediately into the
+    * per-value aggregate (map-side combine — the shuffle carries value
+    * histograms, not rows); the cumulative-count window runs over
+    * distinct values, which barely grow with corpus size (measured flat
+    * at the sf1 rehearsal); the band fold runs on the (flags × B)-row
+    * table. */
   def qSubsampleCi(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 16
@@ -453,30 +455,44 @@ object StatOps extends QueryFamily {
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .localCheckpoint(eager = false) // feeds the full median + B replicates
-    // group sizes come from broadcast-joined aggregates, NOT a second
-    // count-over-partition window: an unordered window is a SEPARATE
-    // Window exec (its own sort) beside the rank window — measured, the
-    // two-window shape cost ~2x on the 9.6M-row replicate table
-    val fullN = li.groupBy("flag").agg(count(lit(1)).as("n"))
-    val full = li
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("flag").orderBy("cents", "ok", "ln")))
-      .join(broadcast(fullN), "flag")
-      .filter(col("rn") === expr("(n + 1) div 2"))
+    // The type-1 median VALUE is tie-independent, so every median here is
+    // selected from the (group, cents, multiplicity) VALUE HISTOGRAM, not
+    // from ranked rows: rows pre-aggregate by value (map-side combine),
+    // the window runs over distinct values only, and the pick is the
+    // value whose cumulative count first reaches (n+1) div 2. Measured
+    // rationale (sf1 scale rehearsal): ranking raw rows meant the window
+    // sorted the full xB exploded table — 48M rows at sf1, e(0.5->1) =
+    // 1.89 superlinear (spill) — while distinct cents barely grows with
+    // corpus size, so the histogram shape is flat at 10x (measured:
+    // 40.3 s -> 13.0 s at sf1). The trade is explicit: at sf0.1 the
+    // value domain is barely saturated (583k distinct of 600k rows) and
+    // the extra per-value aggregate costs ~1.5x there — accepted,
+    // because at production scale value domains always saturate and the
+    // histogram is what survives the 100x. Group sizes
+    // come from broadcast-joined aggregates, never a second
+    // count-over-partition window (a separate Window exec = a second
+    // sort — measured ~2x on the same table).
+    def medianByValue(rows: DataFrame, keys: Seq[String]): DataFrame = {
+      val hist = rows.groupBy((keys :+ "cents").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val sizes = hist.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
+      hist
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy(keys.map(col): _*).orderBy("cents")))
+        .join(broadcast(sizes), keys)
+        .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          col("cum") >= expr("(n + 1) div 2"))
+        .select((keys.map(col) :+ col("n") :+ col("cents")): _*)
+    }
+    val full = medianByValue(li, Seq("flag"))
       .select(col("flag"), col("n").as("n_rows"),
         col("cents").as("median_full_c"))
-    val repRows = li
-      .withColumn("h", md5(concat_ws("|", col("ok"), col("ln"))))
-      .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
-      .filter(expr("substr(h, b + 1, 1) < '8'"))
-      .drop("h")
-      .localCheckpoint(eager = false) // feeds sizes + the rank window
-    val repN = repRows.groupBy("flag", "b").agg(count(lit(1)).as("n"))
-    val reps = repRows
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("flag", "b").orderBy("cents", "ok", "ln")))
-      .join(broadcast(repN), Seq("flag", "b"))
-      .filter(col("rn") === expr("(n + 1) div 2"))
+    val reps = medianByValue(
+      li.withColumn("h", md5(concat_ws("|", col("ok"), col("ln"))))
+        .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
+        .filter(expr("substr(h, b + 1, 1) < '8'"))
+        .select("flag", "b", "cents"),
+      Seq("flag", "b"))
       .select(col("flag"), col("b"), col("cents").as("med_c"))
     reps
       .withColumn("r", row_number().over(
@@ -562,8 +578,10 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
-    // Subsampling CI: md5 coin replicated per (row, b); type-1 medians;
-    // both `//` and Spark's div floor on positives. round(x*100, 0) is
+    // Subsampling CI: 16 md5-nibble coins per row; type-1 medians picked
+    // from per-value histograms by cumulative count (mirrors the engine's
+    // scale shape — the median VALUE is tie-independent); both `//` and
+    // Spark's div floor on positives. round(x*100, 0) is
     // half-away-from-zero in both engines on positive prices.
     "q_subsample_ci" ->
       """WITH li AS MATERIALIZED (
@@ -571,25 +589,33 @@ object StatOps extends QueryFamily {
         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
         |  FROM lineitem),
         |full_m AS (
+        |  -- SUM() windows are HUGEINT in DuckDB: cast the emitted and
+        |  -- compared values back to BIGINT so the engine compare sees
+        |  -- int64 on both sides
         |  SELECT flag, n AS n_rows, cents AS median_full_c FROM (
-        |    SELECT flag, cents,
-        |      row_number() OVER (PARTITION BY flag
-        |        ORDER BY cents, ok, ln) AS rn,
-        |      COUNT(*) OVER (PARTITION BY flag) AS n
-        |    FROM li) WHERE rn = (n + 1) // 2),
+        |    SELECT flag, cents, cnt, n,
+        |      CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents)
+        |        AS BIGINT) AS cum
+        |    FROM (SELECT flag, cents, COUNT(*) AS cnt,
+        |            CAST(SUM(COUNT(*)) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |          FROM li GROUP BY flag, cents))
+        |  WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2),
         |reps AS (
-        |  SELECT flag, b, cents, ok, ln
-        |  FROM (SELECT flag, ok, ln, cents,
+        |  SELECT flag, b, cents
+        |  FROM (SELECT flag, cents,
         |          md5(CAST(ok AS VARCHAR) || '|' || CAST(ln AS VARCHAR)) AS h
         |        FROM li) CROSS JOIN range(0, 16) t(b)
         |  WHERE substr(h, CAST(b + 1 AS INTEGER), 1) < '8'),
         |med AS (
         |  SELECT flag, b, cents AS med_c FROM (
-        |    SELECT flag, b, cents,
-        |      row_number() OVER (PARTITION BY flag, b
-        |        ORDER BY cents, ok, ln) AS rn,
-        |      COUNT(*) OVER (PARTITION BY flag, b) AS n
-        |    FROM reps) WHERE rn = (n + 1) // 2),
+        |    SELECT flag, b, cents, cnt, n,
+        |      CAST(SUM(cnt) OVER (PARTITION BY flag, b ORDER BY cents)
+        |        AS BIGINT) AS cum
+        |    FROM (SELECT flag, b, cents, COUNT(*) AS cnt,
+        |            CAST(SUM(COUNT(*)) OVER (PARTITION BY flag, b)
+        |              AS BIGINT) AS n
+        |          FROM reps GROUP BY flag, b, cents))
+        |  WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2),
         |band AS (
         |  SELECT flag,
         |    MIN(CASE WHEN r = 2 THEN med_c END) AS ci_lo_c,

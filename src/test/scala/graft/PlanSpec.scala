@@ -427,6 +427,30 @@ class PlanSpec extends SparkSpec {
     assert(!heaps.contains("Exchange SinglePartition"), heaps.take(2000))
   }
 
+  test("subsample CI medians ride value histograms; LPA rollup is keyed, no products") {
+    // q_subsample_ci's sf1 rehearsal claim is the HISTOGRAM shape: the
+    // median path must aggregate per (flag, b, cents) BEFORE any window —
+    // a refactor back to ranking raw rows stays correct (the median value
+    // is tie-independent) but re-sorts the full xB exploded table and
+    // measured 3x slower at sf1 (e(0.5->1)=1.89). The plan is where the
+    // shape is observable; pin it. Group sizes broadcast.
+    val p = planString(graft.queries.StatOps.qSubsampleCi(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(
+      "HashAggregate\\(keys=\\[flag#\\d+[^\\]]*cents#\\d+".r
+        .findFirstIn(p).isDefined,
+      s"per-value histogram aggregate missing from the plan:\n${p.take(4000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // q_communities' final rollup: keyed aggregate + TakeOrdered only
+    // (the round-loop plans are behind their per-round localCheckpoints;
+    // the loop shape itself is asserted behaviorally in CorpusOpsSpec)
+    val c = planString(graft.queries.CorpusOps.qCommunities(spark, sf))
+    assert(!c.contains("CartesianProduct"), c.take(2000))
+    assert(!c.contains("BroadcastNestedLoopJoin"), c.take(2000))
+    assert(c.contains("TakeOrderedAndProject"), c.take(2000))
+  }
+
   test("snapshot diff shuffles digests, not documents (projection before join)") {
     val df = graft.operators.Layout.snapshotDiff(
       Tables.documents(spark, sf), Tables.documents(spark, sf),

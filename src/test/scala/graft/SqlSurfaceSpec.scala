@@ -96,6 +96,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scala_.exists(!_._4), "fixture must contain at least one near-dup")
   }
 
+  test("generated-SQL entry points reject non-identifier view names") {
+    import graft.operators.{Dedup, Similarity}
+    intercept[IllegalArgumentException] {
+      Similarity.annProbeSql("q; DROP TABLE x", "corpus", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.annProbeSql("q", "corpus", k = 5, prefix = "ann-codes")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupProbeSql("batch docs", "sig_store", 0.5)
+    }
+    intercept[IllegalArgumentException] { // bad parameter, named error
+      Dedup.nearDupProbeSql("batch_docs", "sig_store", 1.5)
+    }
+  }
+
   test("SQL and Scala registries read identical data through the views") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(
