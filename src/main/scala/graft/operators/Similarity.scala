@@ -169,6 +169,14 @@ object Similarity {
     * explained failure. */
   val MaxBroadcastEvalSide: Int = 65536
 
+  /** Max rows per block of [[cosinePairsExact]]'s adaptive tile grid: two
+    * tiles of this size bound each task's memory (2 × 500k × 64-dim
+    * floats ≈ 256 MB) — the executor-memory contract the grid exists to
+    * keep. Tile-grid economics: task memory = n/blocks rows, data
+    * replication = ×blocks, so the MINIMAL grid honoring the memory cap
+    * is blocks = ⌈n / MaxTileRows⌉ — any larger grid only adds shuffle. */
+  val MaxTileRows: Int = 500000
+
   /** Fail fast with a named limit before broadcasting an eval side — same
     * limit(cap+1).count() idiom as [[pqBatchGuard]]: never count the full
     * input just to reject it. */
@@ -1107,14 +1115,30 @@ object Similarity {
     * (elastic) block-pair count. Exact threshold-joins below the LSH-useful
     * regime are Ω(n²) by nature; what scale tuning controls is the constant
     * (single-pass codegen kernel, no candidate materialization) and the
-    * tile size (`nBlocks` ∝ √corpus). */
+    * tile size (`nBlocks` ∝ √corpus).
+    *
+    * `nBlocks` DEFAULTS TO ADAPTIVE (`nBlocks = 0`): one count() sizes the
+    * grid to `max(32, ceil(n / MaxTileRows))` — the count is noise against
+    * an Ω(n²) kernel pass, and a FIXED grid silently breaks the per-task
+    * memory claim above: 32 blocks over 10⁹ rows is a 31M-row (multi-GB)
+    * tile per task, an executor OOM no correctness check would ever see.
+    * The memory-minimal rule is linear in n (task memory = n/blocks;
+    * replication = ×blocks, so a larger-than-necessary grid only adds
+    * shuffle). At the test scales the adaptive grid resolves to the
+    * historical 32 (ledger-stable); it departs only when a tile would
+    * outgrow [[MaxTileRows]]. Pass an explicit positive `nBlocks` to pin
+    * the grid. */
   def cosinePairsExact(corpus: DataFrame, minSim: Double,
-      nBlocks: Int = 32): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     import corpus.sparkSession.implicits._
-    val bp = (for (i <- 0 until nBlocks; j <- i until nBlocks) yield (i, j))
+    val blocks =
+      if (nBlocks > 0) nBlocks
+      else math.max(32,
+        math.ceil(corpus.count().toDouble / MaxTileRows).toInt)
+    val bp = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
       .toDF("bi", "bj")
     val blocked = corpus.select(col("vec_id"), col("embedding"),
-      pmod(hash(col("vec_id")), lit(nBlocks)).as("blk"))
+      pmod(hash(col("vec_id")), lit(blocks)).as("blk"))
     blocked
       .select(col("vec_id").as("x_id"), col("embedding").as("x_emb"),
         col("blk").as("bi"))

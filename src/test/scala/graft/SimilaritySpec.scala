@@ -92,6 +92,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hi.subsetOf(exactPairSet(0.9)))
   }
 
+  test("cosinePairsExact is tile-grid invariant (adaptive default included)") {
+    // the block grid is a memory/shuffle knob, never semantics: a pinned
+    // tiny grid, a pinned odd grid, and the adaptive default (which sizes
+    // from a corpus count) must return identical pair sets
+    val adaptive = pairSet(Similarity.cosinePairsExact(corpus, 0.45))
+    assert(adaptive === pairSet(Similarity.cosinePairsExact(corpus, 0.45,
+      nBlocks = 1)))
+    assert(adaptive === pairSet(Similarity.cosinePairsExact(corpus, 0.45,
+      nBlocks = 7)))
+    assert(adaptive === exactPairSet(0.45))
+  }
+
   test("IVF at-rest layout: probe prunes to the probed cells; full probe is exact") {
     val dir = graft.operators.Scratch.dir("ivf_layout")
     val centroids = Similarity.writeIvfLayout(corpus, dir, nCells = 8)
