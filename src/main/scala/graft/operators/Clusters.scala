@@ -192,6 +192,59 @@ object Clusters {
     labels
   }
 
+  /** Bounded-round synchronous k-core peeling: `rounds` rounds where
+    * every node whose degree within the current survivor subgraph falls
+    * below `k` is removed; returns every node of the input graph as
+    * (node, deg0, removed_round, core_deg) — removed_round 0 marks a
+    * node still in after the last round, core_deg its degree inside the
+    * final survivor subgraph (0 for casualties, COALESCE 0 for a
+    * survivor whose last edges left with final-round casualties).
+    * Rounds are FIXED, not run to convergence — the [[labelPropagation]]
+    * bounded-unroll contract, which keeps the trajectory a pure function
+    * of the graph so an oracle can replay it as chained CTEs. Pass both
+    * directions for an undirected graph.
+    *
+    * Scale shape: per round ONE degree aggregate over the edge set
+    * restricted to survivors (two node-keyed semi-joins + groupBy with
+    * map-side combine — no windows, no driver frontier); survivor tables
+    * are node-sized and localCheckpoint'd to cut lineage. */
+  def boundedKcore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges.select(col(srcCol).as("i"), col(dstCol).as("j"))
+      .localCheckpoint(eager = false) // re-joined every peel round
+    val d0 = e.groupBy(col("i").as("node")).agg(count(lit(1)).as("d0"))
+      .localCheckpoint(eager = false)
+    def degWithin(surv: DataFrame): DataFrame =
+      e.join(surv.select(col("node").as("i")), Seq("i"))
+        .join(surv.select(col("node").as("j")), Seq("j"))
+        .groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
+    var surv = d0.filter(col("d0") >= k).select("node")
+      .localCheckpoint(eager = false)
+    var acc = d0.join(surv.withColumn("m", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("d0"),
+        when(col("m").isNull, lit(1L)).as("rr"))
+    var lastDeg = degWithin(surv)
+    for (r <- 2 to rounds) {
+      surv = lastDeg.filter(col("d") >= k).select("node")
+        .localCheckpoint(eager = false)
+      acc = acc.join(surv.withColumn("m", lit(1)), Seq("node"), "left")
+        .select(col("node"), col("d0"),
+          coalesce(col("rr"),
+            when(col("m").isNull, lit(r.toLong))).as("rr"))
+      lastDeg = degWithin(surv)
+    }
+    acc.join(surv.withColumn("m", lit(1)), Seq("node"), "left")
+      .join(lastDeg.select(col("node"), col("d").as("dfin")),
+        Seq("node"), "left")
+      .select(col("node"), col("d0").as("deg0"),
+        coalesce(col("rr"), lit(0L)).as("removed_round"),
+        when(col("m").isNotNull, coalesce(col("dfin"), lit(0L)))
+          .otherwise(lit(0L)).as("core_deg"))
+  }
+
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 10,
       dampingMilli: Int = 850): DataFrame = {

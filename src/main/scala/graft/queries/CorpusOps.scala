@@ -602,6 +602,157 @@ object CorpusOps extends QueryFamily {
     h0.unionByName(h1).unionByName(h2).orderBy("part")
   }
 
+  /** The support-pruned co-purchase edge list both directions (i≠j,
+    * co ≥ 2) — the q_bfs_hops/q_communities graph base, factored so the
+    * round-11 graph-analytics additions share ONE definition. */
+  private def prunedEdgesBothWays(s: SparkSession, dir: String): DataFrame = {
+    val po = orderPartPairs(s, dir)
+    po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("i", "j")
+  }
+
+  /** q_clustering_coef — per-node local clustering coefficient over the
+    * support-pruned co-purchase graph (co ≥ 2, undirected): how tightly
+    * each part's neighborhood interlinks — THE node-level cohesion
+    * feature behind link prediction and spam-subgraph detection, and the
+    * per-node refinement of q_triangles' census. Same degree-ordered
+    * orientation (Schank & Wagner): each triangle enumerates exactly
+    * once from its unique two-out-edge vertex, Σ out-deg² stays O(m^1.5)
+    * on any skew; the per-node count then explodes the three corners and
+    * re-aggregates — one extra node-keyed shuffle over the census.
+    * lcc_ppm = (2·10⁶·tri(v)) div (deg(v)·(deg(v)−1)) in exact integer
+    * arithmetic (DECIMAL(38,0) engine-side, HUGEINT oracle-side); only
+    * deg ≥ 2 nodes emit (lcc undefined below). Unlike q_triangles this
+    * runs on the PRUNED graph: the coefficient of the repeat-purchase
+    * relationship graph is the useful signal, and the prune bounds the
+    * densest wedge fan-out at any scale. */
+  def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val e2 = prunedEdgesBothWays(s, dir)
+      .filter(col("i") < col("j"))
+      .localCheckpoint(eager = false) // read thrice: degrees + both ends
+    val deg = e2.select(col("i").as("node"))
+      .unionAll(e2.select(col("j").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lower = struct(col("di"), col("i")) < struct(col("dj"), col("j"))
+    val o = e2
+      .join(deg.select(col("node").as("i"), col("d").as("di")), Seq("i"))
+      .join(deg.select(col("node").as("j"), col("d").as("dj")), Seq("j"))
+      .select(
+        when(lower, col("i")).otherwise(col("j")).as("u"),
+        when(lower, col("j")).otherwise(col("i")).as("v"),
+        when(lower, col("dj")).otherwise(col("di")).as("kd"))
+      .localCheckpoint(eager = false) // wedge two-sides + closing probe
+    val tri = o.as("w1").join(o.as("w2"),
+        col("w1.u") === col("w2.u") &&
+          struct(col("w1.kd"), col("w1.v")) <
+          struct(col("w2.kd"), col("w2.v")))
+      .select(col("w1.u").as("ta"), col("w1.v").as("tb"),
+        col("w2.v").as("tc"))
+      .join(o.select(col("u").as("tb"), col("v").as("tc")), Seq("tb", "tc"))
+    val perNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("nt"))
+    deg.join(perNode, Seq("node"), "left")
+      .filter(col("d") >= 2)
+      .select(col("node").as("part"), col("d").as("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_tri"),
+        expr("(CAST(2000000 AS DECIMAL(38,0)) * coalesce(nt, 0)) div " +
+          "(CAST(d AS DECIMAL(38,0)) * (d - 1))").as("lcc_ppm"))
+      .orderBy("part")
+  }
+
+  /** q_kcore — bounded-round k-core peeling (k=3, 4 synchronous rounds)
+    * over the support-pruned co-purchase graph: every node labelled with
+    * the round that removed it (0 = still in after round 4) plus its
+    * initial and final-subgraph degrees — the density-stratification
+    * primitive behind influence cores and graph sampling. Each round is
+    * one degree aggregation over the edge set restricted to survivors
+    * (two node-keyed semi-joins + one groupBy — no windows, no driver
+    * frontier); the survivor table is node-sized and localCheckpoint'd
+    * per round (the q_pagerank iterative discipline). Rounds are FIXED,
+    * not run to convergence — the same bounded-unroll contract as
+    * q_communities/q_pagerank, which is what makes the trajectory a pure
+    * function of the graph and lets the oracle replay it as chained
+    * CTEs; an exact core number would switch to the O(peel-depth) loop.
+    * core_deg is the degree inside the round-4 survivor subgraph
+    * (COALESCE 0 for a survivor whose last edges left with round-4
+    * casualties — honest bounded-round semantics, not a convergence
+    * claim). */
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clusters.boundedKcore(
+        prunedEdgesBothWays(s, dir), "i", "j", k = 3, rounds = 4)
+      .withColumnRenamed("node", "part")
+      .orderBy("part")
+
+  /** q_assortativity — degree assortativity (Newman 2002) of the
+    * support-pruned co-purchase graph: the Pearson correlation of
+    * endpoint degrees over every directed edge — do hubs co-purchase
+    * with hubs (r > 0) or with the periphery (r < 0)? One edge×degree
+    * double join + ONE global aggregate of exact integer moments
+    * (DECIMAL(38,0) engine / HUGEINT oracle — m·Σxy reaches ~10²⁰ at
+    * sf1, past int64); the only floats are the final mirrored casts of
+    * two identical exact integers and one correctly-rounded IEEE divide,
+    * so the engines cannot drift an ulp (the q_ndcg discipline). Listing
+    * each undirected edge in both directions IS Newman's estimator for
+    * undirected graphs — it symmetrizes the moments, so Σx = Σy and one
+    * moment triple suffices. Map-side-partial everywhere; output is one
+    * row regardless of scale. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = prunedEdgesBothWays(s, dir)
+    val deg = e.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
+    val xy = e
+      .join(deg.select(col("node").as("i"), col("d").as("x")), Seq("i"))
+      .join(deg.select(col("node").as("j"), col("d").as("y")), Seq("j"))
+    xy.agg(count(lit(1)).as("m"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
+      .select(col("m").cast("long").as("n_edges"),
+        col("sx").cast("long").as("sum_deg"),
+        col("sxy").cast("long").as("sum_xy"),
+        col("sx2").cast("long").as("sum_x2"),
+        expr("CASE WHEN m * sx2 - sx * sx = 0 THEN NULL ELSE " +
+          "CAST(m * sxy - sx * sx AS DOUBLE) / " +
+          "CAST(m * sx2 - sx * sx AS DOUBLE) END").as("assortativity"))
+  }
+
+  /** q_itemsets3 — frequent 3-itemsets by Apriori (Agrawal & Srikant
+    * 1994): parts bought together in ≥ 2 distinct orders, extending
+    * q_basket_pairs one level up the lattice. The scale story IS the
+    * candidate pruning: raw per-basket triple generation is Σ basket³,
+    * but joining per-order FREQUENT pairs ((a,b) with (a,c), a<b<c) and
+    * requiring the third side (b,c) frequent too (the full Apriori
+    * downward-closure prune) bounds candidates by the frequent-pair
+    * count — at 100 TB the infrequent tail (the overwhelming mass) never
+    * reaches the triple join. Everything is basket-bounded equi-joins +
+    * counts; the frequent-pair table is localCheckpoint'd (read three
+    * times: per-order gate twice via self-join, closure prune once). */
+  def qItemsets3(s: SparkSession, dir: String): DataFrame = {
+    val minSup = 2
+    val po = orderPartPairs(s, dir)
+    val pairs = po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.o").as("o"), col("a.p").as("i"), col("b.p").as("j"))
+    val f2 = pairs.groupBy("i", "j").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSup).select("i", "j")
+      .localCheckpoint(eager = false)
+    val op2 = pairs.join(f2, Seq("i", "j"))
+      .localCheckpoint(eager = false) // self-joined below
+    op2.as("x").join(op2.as("y"),
+        col("x.o") === col("y.o") && col("x.i") === col("y.i") &&
+          col("x.j") < col("y.j"))
+      .select(col("x.i").as("a"), col("x.j").as("b"), col("y.j").as("c"))
+      .join(f2.select(col("i").as("b"), col("j").as("c")), Seq("b", "c"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+      .orderBy(desc("support"), asc("a"), asc("b"), asc("c"))
+      .select("a", "b", "c", "support")
+  }
+
   /** Integer ppm discount weights 1/log2(r+1) for NDCG@10, computed ONCE
     * on the driver and embedded as literals in BOTH the engine expression
     * and the generated oracle SQL — no cross-engine libm log anywhere
@@ -675,6 +826,10 @@ object CorpusOps extends QueryFamily {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bfs_hops" -> (qBfsHops _),
     "q_communities" -> (qCommunities _),
+    "q_clustering_coef" -> (qClusteringCoef _),
+    "q_kcore" -> (qKcore _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_itemsets3" -> (qItemsets3 _),
     "q_random_walks" -> (qRandomWalks _),
     "q_ndcg" -> (qNdcg _),
     "q_triangles" -> (qTriangles _),
@@ -840,6 +995,126 @@ object CorpusOps extends QueryFamily {
         |  END AS ndcg_milli
         |FROM dcg d JOIN idcg USING (q_id) ORDER BY q_id""".stripMargin
     },
+    // Clustering coefficient: the q_triangles orientation on the PRUNED
+    // (co >= 2) undirected graph, per-corner counts, exact ppm ratio.
+    "q_clustering_coef" ->
+      """WITH po AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e2 AS MATERIALIZED (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT node, COUNT(*) AS d FROM (
+        |    SELECT i AS node FROM e2 UNION ALL SELECT j FROM e2)
+        |  GROUP BY node),
+        |o AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN (di.d, i) < (dj.d, j) THEN i ELSE j END AS u,
+        |    CASE WHEN (di.d, i) < (dj.d, j) THEN j ELSE i END AS v,
+        |    CASE WHEN (di.d, i) < (dj.d, j) THEN dj.d ELSE di.d END AS kd
+        |  FROM e2 JOIN deg di ON di.node = i JOIN deg dj ON dj.node = j),
+        |tri AS (
+        |  SELECT w1.u AS ta, w1.v AS tb, w2.v AS tc
+        |  FROM o w1 JOIN o w2
+        |    ON w1.u = w2.u AND (w1.kd, w1.v) < (w2.kd, w2.v)
+        |  JOIN o w3 ON w3.u = w1.v AND w3.v = w2.v),
+        |pn AS (
+        |  SELECT node, COUNT(*) AS nt FROM (
+        |    SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri
+        |    UNION ALL SELECT tc FROM tri) GROUP BY node)
+        |SELECT d.node AS part, d.d AS degree,
+        |  COALESCE(p.nt, 0) AS n_tri,
+        |  CAST((2000000 * CAST(COALESCE(p.nt, 0) AS HUGEINT)) //
+        |    (CAST(d.d AS HUGEINT) * (d.d - 1)) AS BIGINT) AS lcc_ppm
+        |FROM deg d LEFT JOIN pn p ON p.node = d.node
+        |WHERE d.d >= 2 ORDER BY part""".stripMargin,
+    // k-core: the same four peel rounds unrolled as chained CTEs; the
+    // engine's survivor joins become IN-list semi-joins.
+    "q_kcore" ->
+      """WITH po AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |d0 AS MATERIALIZED (SELECT i AS node, COUNT(*) AS d FROM e GROUP BY i),
+        |s1 AS MATERIALIZED (SELECT node FROM d0 WHERE d >= 3),
+        |d1 AS MATERIALIZED (
+        |  SELECT e.i AS node, COUNT(*) AS d FROM e
+        |  JOIN s1 a ON e.i = a.node JOIN s1 b ON e.j = b.node GROUP BY e.i),
+        |s2 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 3),
+        |d2 AS MATERIALIZED (
+        |  SELECT e.i AS node, COUNT(*) AS d FROM e
+        |  JOIN s2 a ON e.i = a.node JOIN s2 b ON e.j = b.node GROUP BY e.i),
+        |s3 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 3),
+        |d3 AS MATERIALIZED (
+        |  SELECT e.i AS node, COUNT(*) AS d FROM e
+        |  JOIN s3 a ON e.i = a.node JOIN s3 b ON e.j = b.node GROUP BY e.i),
+        |s4 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 3),
+        |d4 AS MATERIALIZED (
+        |  SELECT e.i AS node, COUNT(*) AS d FROM e
+        |  JOIN s4 a ON e.i = a.node JOIN s4 b ON e.j = b.node GROUP BY e.i)
+        |SELECT d0.node AS part, d0.d AS deg0,
+        |  CASE WHEN s1.node IS NULL THEN 1
+        |       WHEN s2.node IS NULL THEN 2
+        |       WHEN s3.node IS NULL THEN 3
+        |       WHEN s4.node IS NULL THEN 4 ELSE 0 END AS removed_round,
+        |  CASE WHEN s4.node IS NOT NULL THEN COALESCE(d4.d, 0)
+        |       ELSE 0 END AS core_deg
+        |FROM d0
+        |LEFT JOIN s1 ON s1.node = d0.node
+        |LEFT JOIN s2 ON s2.node = d0.node
+        |LEFT JOIN s3 ON s3.node = d0.node
+        |LEFT JOIN s4 ON s4.node = d0.node
+        |LEFT JOIN d4 ON d4.node = d0.node
+        |ORDER BY part""".stripMargin,
+    // Assortativity: exact HUGEINT moments, floats only in the two final
+    // mirrored casts + one IEEE divide (the q_ndcg discipline).
+    "q_assortativity" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT i AS node, COUNT(*) AS d FROM e GROUP BY i),
+        |xy AS (
+        |  SELECT di.d AS x, dj.d AS y FROM e
+        |  JOIN deg di ON di.node = e.i JOIN deg dj ON dj.node = e.j),
+        |s AS (
+        |  SELECT COUNT(*) AS m, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sx2
+        |  FROM xy)
+        |SELECT CAST(m AS BIGINT) AS n_edges, CAST(sx AS BIGINT) AS sum_deg,
+        |  CAST(sxy AS BIGINT) AS sum_xy, CAST(sx2 AS BIGINT) AS sum_x2,
+        |  CASE WHEN m * sx2 - sx * sx = 0 THEN NULL
+        |    ELSE CAST(m * sxy - sx * sx AS DOUBLE) /
+        |         CAST(m * sx2 - sx * sx AS DOUBLE) END AS assortativity
+        |FROM s""".stripMargin,
+    // Apriori 3-itemsets: frequent pairs gate the per-order pair table,
+    // the a-prefix self-join forms candidates, the (b,c) closure prune
+    // finishes downward closure — then one exact support count.
+    "q_itemsets3" ->
+      """WITH po AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |f2 AS MATERIALIZED (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |op2 AS MATERIALIZED (
+        |  SELECT a.o, a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  JOIN f2 ON f2.i = a.p AND f2.j = b.p),
+        |tri AS (
+        |  SELECT x.i AS a, x.j AS b, y.j AS c
+        |  FROM op2 x JOIN op2 y
+        |    ON x.o = y.o AND x.i = y.i AND x.j < y.j
+        |  JOIN f2 ON f2.i = x.j AND f2.j = y.j)
+        |SELECT a, b, c, COUNT(*) AS support FROM tri
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, a, b, c""".stripMargin,
     "q_triangles" ->
       """WITH po AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -605,7 +605,55 @@ object DriftOps extends QueryFamily {
         .select(col("n_name").as("a"), col("c_mktsegment").as("b")),
       "a", "b")
 
+  /** q_changepoint — single change-point detection per return-flag
+    * revenue series: the week whose split maximizes the between-segment
+    * sum of squares (binary-segmentation's scoring step / offline CUSUM
+    * argmax) — the "when did this source's behavior shift" primitive
+    * that complements q_cusum's sequential alarm with a retrospective
+    * localization. Scale discipline: aggregate FIRST (weekly cent sums —
+    * map-side partial, state O(weeks·flags) regardless of row count),
+    * window over the bounded series second, so the per-flag sort touches
+    * hundreds of rows at any SF. The score is exact integer arithmetic
+    * end to end: with prefix sum S1, total S, sizes n1/n, the
+    * between-SS is (n·S1 − n1·S)²/(n·n1·(n−n1)) — numerator squared (so
+    * sign-safe for floor division), DECIMAL(38,0) engine / HUGEINT
+    * oracle, scaled by 10⁻¹² to keep the reported score in int64 up to
+    * sf100 (num² ≈ 10³⁵ stays inside 38 digits). Argmax by (score desc,
+    * week asc) row_number — deterministic, replayed identically by the
+    * oracle. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("week"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val ordered = Window.partitionBy("flag").orderBy("week")
+    val whole = Window.partitionBy("flag")
+    val ser = wk.select(col("flag"), col("week"),
+      sum("cents").over(ordered).as("s1"),
+      row_number().over(ordered).as("n1"),
+      sum("cents").over(whole).as("s"),
+      count(lit(1)).over(whole).as("n"))
+    val scored = ser.filter(col("n1") < col("n"))
+      .withColumn("score", expr(
+        "((CAST(n AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s) *" +
+        " (CAST(n AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s))" +
+        " div (CAST(n AS DECIMAL(38,0)) * n1 * (n - n1) * 1000000000000)"))
+      .withColumn("mean1_cents", expr("s1 div n1"))
+      .withColumn("mean2_cents", expr("(s - s1) div (n - n1)"))
+    val best = Window.partitionBy("flag")
+      .orderBy(desc("score"), asc("week"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("flag"), col("week").as("cp_week"),
+        col("n").as("n_weeks"), col("score"),
+        col("mean1_cents"), col("mean2_cents"))
+      .orderBy("flag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> (qChangepoint _),
     "q_dq_checks" -> (qDqChecks _),
     "q_chi2_indep" -> (qChi2Indep _),
     "q_seasonality" -> (qSeasonality _),
@@ -673,6 +721,38 @@ object DriftOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Changepoint: same weekly cent series, prefix sums, exact HUGEINT
+    // between-SS score (scaled to int64), argmax replayed identically.
+    "q_changepoint" ->
+      """WITH wk AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+        |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT flag, week,
+        |    SUM(cents) OVER (PARTITION BY flag ORDER BY week) AS s1,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY week) AS n1,
+        |    SUM(cents) OVER (PARTITION BY flag) AS s,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM wk),
+        |sc AS (
+        |  SELECT flag, week, n,
+        |    CAST(((CAST(n AS HUGEINT) * s1 - CAST(n1 AS HUGEINT) * s) *
+        |          (CAST(n AS HUGEINT) * s1 - CAST(n1 AS HUGEINT) * s)) //
+        |      (CAST(n AS HUGEINT) * n1 * (n - n1) * 1000000000000)
+        |      AS BIGINT) AS score,
+        |    CAST(s1 // n1 AS BIGINT) AS mean1_cents,
+        |    CAST((s - s1) // (n - n1) AS BIGINT) AS mean2_cents
+        |  FROM ser WHERE n1 < n),
+        |best AS (
+        |  SELECT flag, week AS cp_week, CAST(n AS BIGINT) AS n_weeks,
+        |    score, mean1_cents, mean2_cents,
+        |    ROW_NUMBER() OVER (PARTITION BY flag
+        |      ORDER BY score DESC, week) AS rn
+        |  FROM sc)
+        |SELECT flag, cp_week, n_weeks, score, mean1_cents, mean2_cents
+        |FROM best WHERE rn = 1 ORDER BY flag""".stripMargin,
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
     // DP release: 5 md5 hex digits -> u in (0,1); Laplace inverse CDF

@@ -138,6 +138,32 @@ object Streams {
         col("session_window.end").as("s_end"), col("slaveId"),
         col("n_ticks"), col("sum_value"))
 
+  /** S30 — session window with a PER-ROW dynamic gap: the gap duration is
+    * an expression of the event (here: sources whose id carries a prefix
+    * get a longer inactivity allowance), so one query sessionizes a mixed
+    * population that a static gap would split or over-merge — the "VIP
+    * keep-alive" shape (paid tiers, long-poll agents, batch uploaders).
+    * Same state machinery as S3 (the gap changes how a row EXTENDS its
+    * session, not what is buffered): watermark-bounded per-key session
+    * state, merged on overlap, emitted once closed. The dynamic-gap
+    * overload of `session_window` is the Spark 4 surface this scenario
+    * exists to exercise; everything else is deliberately identical to S3
+    * so the spec isolates the gap semantics. */
+  def sessionDynamicGap(ticks: DataFrame, longPrefix: String = "vip",
+      longGap: String = "30 seconds", shortGap: String = "10 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"),
+          // string gaps: session_window casts them to CalendarInterval
+          // (an ANSI INTERVAL literal is DayTimeIntervalType — rejected)
+          when(col("slaveId").startsWith(longPrefix), lit(longGap))
+            .otherwise(lit(shortGap))),
+        col("slaveId"))
+      .agg(count(lit(1)).as("n_ticks"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("slaveId"),
+        col("n_ticks"), col("sum_value"))
+
   /** S4 — watermarked aggregate where late data (older than the watermark)
     * is dropped; the tumbling rollup IS the watermark consumer, this thin
     * wrapper just makes the late-drop interval explicit for the spec. */

@@ -493,4 +493,131 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(keep === Set(1L, 2L))
   }
+
+  /** The sf0.001 support-pruned undirected co-purchase edge list, collected
+    * once for the round-11 graph-analytics brute-force cross-checks. */
+  private lazy val prunedUndirected: Seq[(Long, Long)] = {
+    import spark.implicits._
+    val po = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    po.as("a").join(po.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("i", "j").as[(Long, Long)].collect().toSeq
+  }
+
+  private lazy val adjacency: Map[Long, Set[Long]] = {
+    val m = collection.mutable.Map[Long, Set[Long]]()
+    prunedUndirected.foreach { case (i, j) =>
+      m(i) = m.getOrElse(i, Set.empty) + j
+      m(j) = m.getOrElse(j, Set.empty) + i
+    }
+    m.toMap
+  }
+
+  test("clustering coefficient matches brute-force per-node triangles") {
+    import spark.implicits._
+    val out = CorpusOps.qClusteringCoef(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val triBF: Map[Long, Int] = adjacency.map { case (v, nb) =>
+      val ns = nb.toSeq
+      v -> (for (a <- ns; b <- ns if a < b && adjacency(a).contains(b))
+        yield 1).size
+    }
+    assert(out.length === adjacency.count(_._2.size >= 2))
+    assert(out.exists(_._3 > 0L), "sf0.001 pruned graph has triangles")
+    out.foreach { case (part, degree, nTri, lcc) =>
+      assert(degree === adjacency(part).size.toLong, s"deg of $part")
+      assert(nTri === triBF(part).toLong, s"tri of $part")
+      assert(lcc ===
+        (BigInt(2000000) * nTri / (BigInt(degree) * (degree - 1))).toLong)
+      assert(lcc >= 0L && lcc <= 1000000L)
+    }
+  }
+
+  test("k-core peeling matches a brute-force 4-round simulation") {
+    import spark.implicits._
+    val out = CorpusOps.qKcore(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    // simulate: survivors_0 = all; each round keep deg-in-subgraph >= 3
+    var surv = adjacency.keySet
+    val removedAt = collection.mutable.Map[Long, Long]()
+    for (round <- 1 to 4) {
+      val next = surv.filter(v => (adjacency(v) & surv).size >= 3)
+      (surv -- next).foreach(v => removedAt(v) = round.toLong)
+      surv = next
+    }
+    assert(out.length === adjacency.size)
+    out.foreach { case (part, deg0, rr, coreDeg) =>
+      assert(deg0 === adjacency(part).size.toLong)
+      assert(rr === removedAt.getOrElse(part, 0L), s"round of $part")
+      val expectCore =
+        if (surv.contains(part)) (adjacency(part) & surv).size.toLong else 0L
+      assert(coreDeg === expectCore, s"core_deg of $part")
+    }
+  }
+
+  test("k-core peels a planted pendant chain round by round") {
+    import spark.implicits._
+    import graft.operators.Clusters
+    // a 4-clique (1..4, 3-core) with a pendant path 4-5-6-7: the path
+    // peels INWARD one vertex per round (7 first — k=2 here), while the
+    // clique survives every round with its full internal degree
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val path = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 5L),
+      (6L, 7L), (7L, 6L))
+    val edges = (clique ++ path).toDF("i", "j")
+    val got = Clusters.boundedKcore(edges, "i", "j", k = 2, rounds = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 2; 6 -> 2; 7 -> 1
+    assert(got(7L) === ((1L, 1L, 0L)))  // deg 1 < 2: removed round 1
+    assert(got(6L) === ((2L, 2L, 0L)))  // loses 7, then deg 1: round 2
+    assert(got(5L) === ((2L, 3L, 0L)))  // loses 6, then deg 1: round 3
+    (1L to 3L).foreach(v => assert(got(v) === ((3L, 0L, 3L))))
+    assert(got(4L) === ((4L, 0L, 3L)))  // pendant gone, clique deg stays
+  }
+
+  test("assortativity matches exact BigInt moments over directed edges") {
+    val row = CorpusOps.qAssortativity(spark, sf).collect()(0)
+    val deg = adjacency.view.mapValues(_.size).toMap
+    val xs = prunedUndirected.flatMap { case (i, j) =>
+      Seq((deg(i), deg(j)), (deg(j), deg(i))) } // both directions
+    val m = BigInt(xs.size)
+    val sx = xs.map(p => BigInt(p._1)).sum
+    val sxy = xs.map(p => BigInt(p._1) * p._2).sum
+    val sx2 = xs.map(p => BigInt(p._1) * p._1).sum
+    assert(row.getAs[Long]("n_edges") === m.toLong)
+    assert(row.getAs[Long]("sum_deg") === sx.toLong)
+    assert(row.getAs[Long]("sum_xy") === sxy.toLong)
+    assert(row.getAs[Long]("sum_x2") === sx2.toLong)
+    val expected = (m * sxy - sx * sx).toDouble / (m * sx2 - sx * sx).toDouble
+    assert(row.getAs[Double]("assortativity") === expected)
+    assert(math.abs(row.getAs[Double]("assortativity")) < 1.0)
+  }
+
+  test("Apriori 3-itemsets equal the unpruned brute-force triple census") {
+    import spark.implicits._
+    val got = CorpusOps.qItemsets3(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute force WITHOUT the Apriori prune: count every per-order triple
+    // — downward closure says pruning is lossless, so the sets must match
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector)
+    val cnt = collection.mutable.Map[(Long, Long, Long), Long]()
+    baskets.foreach { case (_, ps) =>
+      for (x <- ps.indices; y <- x + 1 until ps.size;
+           z <- y + 1 until ps.size) {
+        val k = (ps(x), ps(y), ps(z))
+        cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+    }
+    val brute = cnt.filter(_._2 >= 2L)
+      .map { case ((a, b, c), s) => (a, b, c, s) }.toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "sf0.001 has frequent triples")
+  }
 }

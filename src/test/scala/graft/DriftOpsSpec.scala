@@ -340,4 +340,43 @@ class DriftOpsSpec extends SparkSpec {
       .collect()(0)
     assert((r2.getLong(1), r2.getLong(2)) === ((level, trend)))
   }
+
+  test("changepoint argmax matches a BigInt brute force over every split") {
+    import spark.implicits._
+    val out = graft.queries.DriftOps.qChangepoint(spark, sf).collect()
+    // the weekly series via the SAME truncation the operator uses (the
+    // test targets the scoring + argmax, not Spark's date_trunc)
+    val wk = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("week", col("l_shipdate")).cast("date").as("week"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1.getTime).toVector)
+      .toMap
+    assert(out.length === wk.size)
+    out.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val ser = wk(flag)
+      val n = BigInt(ser.size)
+      val s = ser.map(p => BigInt(p._2)).sum
+      var s1 = BigInt(0)
+      val scored = ser.dropRight(1).zipWithIndex.map { case ((w, c), i) =>
+        s1 += c
+        val n1 = BigInt(i + 1)
+        val num = n * s1 - n1 * s
+        val score = (num * num) / (n * n1 * (n - n1) * BigInt(10).pow(12))
+        (w, score, s1 / n1, (s - s1) / (n - n1))
+      }
+      val best = scored.maxBy(t => (t._2, -t._1.getTime))
+      assert(r.getAs[java.sql.Date]("cp_week") === best._1, s"week of $flag")
+      assert(r.getAs[Long]("score") === best._2.toLong)
+      assert(r.getAs[Long]("n_weeks") === n.toLong)
+      assert(r.getAs[Long]("mean1_cents") === best._3.toLong)
+      assert(r.getAs[Long]("mean2_cents") === best._4.toLong)
+      // every other split scores no higher (argmax is global, not local)
+      assert(scored.forall(_._2 <= best._2))
+    }
+  }
 }

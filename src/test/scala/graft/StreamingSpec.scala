@@ -83,6 +83,38 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("S30 dynamic gap: the SAME 19s silence merges a vip session and splits a normal one") {
+    val in = MemoryStream[Tick]
+    val out = runQuery(
+      Streams.sessionDynamicGap(in.toDF(), "vip", "30 seconds",
+        "10 seconds", "10 seconds"),
+      OutputMode.Append, "s30") { step =>
+      // identical timestamps for both populations — only the per-row gap
+      // expression distinguishes them
+      in.addData(
+        Tick("vip0", t(1), 1.0, "{}"), Tick("vip0", t(20), 2.0, "{}"),
+        Tick("s0", t(1), 4.0, "{}"), Tick("s0", t(20), 8.0, "{}"))
+      step()
+      in.addData(Tick("vip0", t(200), 9.0, "{}"),
+        Tick("s0", t(200), 9.0, "{}")) // advance both watermarks
+    }
+    val vip = out.filter(_.getAs[String]("slaveId") == "vip0")
+    val std = out.filter(_.getAs[String]("slaveId") == "s0")
+    // vip: 19s < 30s gap → ONE session holding both ticks
+    assert(vip.length === 1)
+    assert(vip(0).getAs[Long]("n_ticks") === 2L)
+    assert(vip(0).getAs[Double]("sum_value") === 3.0)
+    // normal: 19s > 10s gap → TWO single-tick sessions
+    assert(std.length === 2)
+    assert(std.forall(_.getAs[Long]("n_ticks") === 1L))
+    assert(std.map(_.getAs[Double]("sum_value")).sorted === Seq(4.0, 8.0))
+    // the session END reflects the row's own gap: vip end = last tick +
+    // 30s, normal ends = tick + 10s
+    assert(vip(0).getAs[Timestamp]("s_end") === t(50))
+    assert(std.map(_.getAs[Timestamp]("s_end")).toSet ===
+      Set(t(11), t(30)))
+  }
+
   test("S5 streaming dedup drops duplicate (slaveId, ts) records") {
     val in = MemoryStream[Tick]
     val out = runQuery(Streams.dedup(in.toDF(), "10 seconds"),
