@@ -753,6 +753,48 @@ object CorpusOps extends QueryFamily {
       .select("a", "b", "c", "support")
   }
 
+  /** q_link_predict — link-prediction candidate scoring over the
+    * support-pruned co-purchase graph: for every 2-hop pair that is NOT
+    * an edge, the three classic neighborhood scores — common-neighbor
+    * count, Jaccard (exact integer ppm), Adamic–Adar (Σ 1/ln(deg(z))
+    * over shared neighbors z, in micro) — the candidate-generation step
+    * of graph-completion / recommendation ("parts bought with both of
+    * these but never together"). Candidates come from the wedge join
+    * (center z × its neighbor pairs), so generation is Σ deg² on the
+    * PRUNED graph — support-bounded, never all-pairs; the non-edge
+    * filter is one anti-join AFTER aggregation (pair-sized, not
+    * wedge-sized). The AA term is rounded ONCE per center (the keyness
+    * ln idiom, shared verbatim with the oracle) and summed as exact
+    * integers, so no float accumulates; a wedge center has deg ≥ 2 by
+    * construction, keeping ln positive. Top-50 by (cn, aa, u, w) — a
+    * total order. */
+  def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val e = prunedEdgesBothWays(s, dir)
+      .localCheckpoint(eager = false) // wedge two-sides + non-edge probe
+    val deg = e.groupBy(col("i").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = false) // z-terms + both endpoint joins
+    val zt = deg.filter(col("d") >= 2).select(col("node").as("z"),
+      expr("CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)")
+        .as("aa_term"))
+    val wedge = e.as("x").join(e.as("y"),
+        col("x.i") === col("y.i") && col("x.j") < col("y.j"))
+      .select(col("x.j").as("u"), col("y.j").as("w"), col("x.i").as("z"))
+    val scored = wedge.join(zt, Seq("z"))
+      .groupBy("u", "w")
+      .agg(count(lit(1)).as("cn"), sum("aa_term").as("aa_micro"))
+    scored
+      .join(e.select(col("i").as("u"), col("j").as("w")),
+        Seq("u", "w"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("w"), col("d").as("dw")), Seq("w"))
+      .select(col("u"), col("w"), col("cn"),
+        expr("(CAST(cn AS DECIMAL(38,0)) * 1000000) div (du + dw - cn)")
+          .as("jaccard_ppm"),
+        col("aa_micro"))
+      .orderBy(desc("cn"), desc("aa_micro"), asc("u"), asc("w"))
+      .limit(50)
+  }
+
   /** Integer ppm discount weights 1/log2(r+1) for NDCG@10, computed ONCE
     * on the driver and embedded as literals in BOTH the engine expression
     * and the generated oracle SQL — no cross-engine libm log anywhere
@@ -830,6 +872,7 @@ object CorpusOps extends QueryFamily {
     "q_kcore" -> (qKcore _),
     "q_assortativity" -> (qAssortativity _),
     "q_itemsets3" -> (qItemsets3 _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_random_walks" -> (qRandomWalks _),
     "q_ndcg" -> (qNdcg _),
     "q_triangles" -> (qTriangles _),
@@ -1093,6 +1136,37 @@ object CorpusOps extends QueryFamily {
         |    ELSE CAST(m * sxy - sx * sx AS DOUBLE) /
         |         CAST(m * sx2 - sx * sx AS DOUBLE) END AS assortativity
         |FROM s""".stripMargin,
+    // Link prediction: wedge join on the pruned graph, per-center
+    // rounded AA terms (keyness ln idiom), post-aggregation anti-join.
+    "q_link_predict" ->
+      """WITH po AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.p AS i, b.p AS j
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT i AS node, COUNT(*) AS d FROM e GROUP BY i),
+        |zt AS (
+        |  SELECT node AS z,
+        |    CAST(round(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+        |      AS aa_term
+        |  FROM deg WHERE d >= 2),
+        |wedge AS (
+        |  SELECT x.j AS u, y.j AS w, x.i AS z
+        |  FROM e x JOIN e y ON x.i = y.i AND x.j < y.j),
+        |sc AS (
+        |  SELECT u, w, COUNT(*) AS cn, SUM(aa_term) AS aa_micro
+        |  FROM wedge JOIN zt ON zt.z = wedge.z GROUP BY u, w),
+        |ne AS (
+        |  SELECT sc.* FROM sc LEFT JOIN e ON e.i = sc.u AND e.j = sc.w
+        |  WHERE e.i IS NULL)
+        |SELECT u, w, cn,
+        |  CAST((CAST(cn AS HUGEINT) * 1000000) // (du.d + dw.d - cn)
+        |    AS BIGINT) AS jaccard_ppm,
+        |  CAST(aa_micro AS BIGINT) AS aa_micro
+        |FROM ne JOIN deg du ON du.node = ne.u JOIN deg dw ON dw.node = ne.w
+        |ORDER BY cn DESC, aa_micro DESC, u, w LIMIT 50""".stripMargin,
     // Apriori 3-itemsets: frequent pairs gate the per-order pair table,
     // the a-prefix self-join forms candidates, the (b,c) closure prune
     // finishes downward closure — then one exact support count.

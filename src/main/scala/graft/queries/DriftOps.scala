@@ -652,8 +652,45 @@ object DriftOps extends QueryFamily {
       .orderBy("flag")
   }
 
+  /** q_qq_drift — two-sample quantile–quantile comparison: the nine
+    * type-1 decile order statistics of order-total cents for two market
+    * segments side by side, with exact difference and ratio (ppm) — the
+    * distribution-shape drift diagnostic that LOCATES where two samples
+    * diverge (tails vs body), where q_ks_test reports only the max gap
+    * and q_psi bins on fixed boundaries. Scale discipline: NO row-level
+    * rank — the value HISTOGRAM aggregates first (map-side partial), the
+    * cumulative window runs over distinct cent values per segment (the
+    * q_mannwhitney shape), and the type-1 quantile is min(v) with
+    * cum ≥ ceil(k·n/10) — rank-exact, interpolation-free, so ties and
+    * engines cannot disagree. ceil as (k·n+9) div 10 keeps everything
+    * integer. */
+  def qQqDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+    val gv = src.groupBy("seg", "v").agg(count(lit(1)).as("cnt"))
+    val cum = gv.select(col("seg"), col("v"),
+      sum("cnt").over(Window.partitionBy("seg").orderBy("v")).as("cum"),
+      sum("cnt").over(Window.partitionBy("seg")).as("n"))
+    val dk = s.range(1, 10).select(col("id").as("decile"))
+    val pick = cum.crossJoin(broadcast(dk))
+      .filter(col("cum") >= expr("(decile * n + 9) div 10"))
+      .groupBy("decile", "seg").agg(min("v").as("qv"))
+    pick.groupBy("decile")
+      .agg(max(when(col("seg") === "BUILDING", col("qv"))).as("building_c"),
+        max(when(col("seg") === "MACHINERY", col("qv"))).as("machinery_c"))
+      .withColumn("diff_c", col("building_c") - col("machinery_c"))
+      .withColumn("ratio_ppm",
+        expr("(building_c * 1000000) div machinery_c"))
+      .orderBy("decile")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_changepoint" -> (qChangepoint _),
+    "q_qq_drift" -> (qQqDrift _),
     "q_dq_checks" -> (qDqChecks _),
     "q_chi2_indep" -> (qChi2Indep _),
     "q_seasonality" -> (qSeasonality _),
@@ -753,6 +790,35 @@ object DriftOps extends QueryFamily {
         |  FROM sc)
         |SELECT flag, cp_week, n_weeks, score, mean1_cents, mean2_cents
         |FROM best WHERE rn = 1 ORDER BY flag""".stripMargin,
+    // QQ drift: value histogram, per-segment cumulative over distinct
+    // values, type-1 decile = min v with cum >= ceil(k*n/10).
+    "q_qq_drift" ->
+      """WITH src AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |gv AS (SELECT seg, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT seg, v,
+        |    SUM(cnt) OVER (PARTITION BY seg ORDER BY v) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY seg) AS n
+        |  FROM gv),
+        |dk AS (SELECT CAST(k AS BIGINT) AS decile FROM range(1, 10) t(k)),
+        |pick AS (
+        |  SELECT decile, seg, MIN(v) AS qv
+        |  FROM cum CROSS JOIN dk
+        |  WHERE cum >= (decile * n + 9) // 10
+        |  GROUP BY 1, 2)
+        |SELECT decile,
+        |  MAX(CASE WHEN seg = 'BUILDING' THEN qv END) AS building_c,
+        |  MAX(CASE WHEN seg = 'MACHINERY' THEN qv END) AS machinery_c,
+        |  MAX(CASE WHEN seg = 'BUILDING' THEN qv END) -
+        |    MAX(CASE WHEN seg = 'MACHINERY' THEN qv END) AS diff_c,
+        |  CAST((MAX(CASE WHEN seg = 'BUILDING' THEN qv END) * 1000000) //
+        |    MAX(CASE WHEN seg = 'MACHINERY' THEN qv END) AS BIGINT)
+        |    AS ratio_ppm
+        |FROM pick GROUP BY decile ORDER BY decile""".stripMargin,
     // Seasonality: isodow mirrors Spark's weekday()+1 (both 1=Monday);
     // per-dow terms micro-rounded before the sum.
     // DP release: 5 md5 hex digits -> u in (0,1); Laplace inverse CDF

@@ -217,7 +217,12 @@ object StatOps extends QueryFamily {
     * plan ranks a trillion events. All sums are DECIMAL(38,0)
     * (order-immune); the tie-corrected z is one mirrored double
     * expression over exact integer moments, milli-rounded. */
-  def qMannwhitney(s: SparkSession, dir: String): DataFrame = {
+  /** Shared rank-moment table for the q_mannwhitney / q_cliffs_delta
+    * pair: per non-view event type vs the "view" baseline, exact
+    * (n1, n2, u2 = 2·U with ties as halves, tsum = Σ t³−t) from the
+    * value HISTOGRAM (never row-level ranks) — one definition so the
+    * test statistic and its effect size cannot drift apart. */
+  private def rankMoments(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type").as("g"),
       round(col("value") * 100).cast("long").as("v"))
     val b = ev.filter(col("g") === "view").groupBy("v")
@@ -230,8 +235,7 @@ object StatOps extends QueryFamily {
       .groupBy("g", "v").agg(sum("a").as("a"), sum("b").as("b"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
       .orderBy("v").rowsBetween(Long.MinValue, -1)
-    val m = u
-      .withColumn("cumb", coalesce(sum("b").over(w), lit(0L)))
+    u.withColumn("cumb", coalesce(sum("b").over(w), lit(0L)))
       .withColumn("t", col("a") + col("b"))
       .groupBy("g").agg(
         sum("a").as("n1"), sum("b").as("n2"),
@@ -239,6 +243,10 @@ object StatOps extends QueryFamily {
           (col("cumb") * 2 + col("b"))).cast("decimal(38,0)")).as("u2"),
         sum((col("t").cast("decimal(38,0)") * col("t") * col("t") -
           col("t")).cast("decimal(38,0)")).as("tsum"))
+  }
+
+  def qMannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val m = rankMoments(s, dir)
     m.select(col("g").as("event_type"),
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
         col("u2").cast("long").as("u2"),
@@ -253,6 +261,32 @@ object StatOps extends QueryFamily {
             * 1000 + 0.5).cast("long")).as("z_milli"))
       .orderBy("event_type")
   }
+
+  /** q_cliffs_delta — Cliff's delta effect size for each event type vs
+    * the "view" baseline: δ = P(x > y) − P(x < y) = 2U/(n1·n2) − 1, the
+    * nonparametric magnitude companion to q_mannwhitney's significance z
+    * (a huge sample makes a trivial shift "significant"; δ says whether
+    * it MATTERS). Built on the same [[rankMoments]] histogram table —
+    * u2 = 2·U with ties as halves, so δ = (u2 − n1·n2)/(n1·n2) exactly.
+    * The magnitude class uses the standard |δ| cutoffs (0.147 / 0.33 /
+    * 0.474, Romano et al. 2006) compared in EXACT integer arithmetic
+    * (|u2 − n1n2|·1000 vs cutoff·n1n2 in DECIMAL(38,0)/HUGEINT — no
+    * float ever decides a class); δ itself is the one mirrored IEEE
+    * divide of two identical exact integers (the q_ndcg discipline). */
+  def qCliffsDelta(s: SparkSession, dir: String): DataFrame =
+    rankMoments(s, dir).select(col("g").as("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("u2").cast("long").as("u2"),
+        expr("CAST(u2 - n1 * n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")
+          .as("delta"),
+        expr("CASE WHEN abs(CAST(u2 AS DECIMAL(38,0)) - n1 * n2) * 1000 " +
+          "< 147 * CAST(n1 AS DECIMAL(38,0)) * n2 THEN 'negligible' " +
+          "WHEN abs(CAST(u2 AS DECIMAL(38,0)) - n1 * n2) * 1000 " +
+          "< 330 * CAST(n1 AS DECIMAL(38,0)) * n2 THEN 'small' " +
+          "WHEN abs(CAST(u2 AS DECIMAL(38,0)) - n1 * n2) * 1000 " +
+          "< 474 * CAST(n1 AS DECIMAL(38,0)) * n2 THEN 'medium' " +
+          "ELSE 'large' END").as("magnitude"))
+      .orderBy("event_type")
 
   /** q_benford — Benford first-significant-digit audit of order totals
     * (the classic fabricated-numbers screen). The digit comes from integer
@@ -516,6 +550,7 @@ object StatOps extends QueryFamily {
     "q_anova" -> (qAnova _),
     "q_corr" -> (qCorr _),
     "q_mannwhitney" -> (qMannwhitney _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
     "q_benford" -> (qBenford _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_ols" -> (qOls _),
@@ -865,6 +900,40 @@ object StatOps extends QueryFamily {
         |        (CAST(n1+n2+1 AS DOUBLE) - CAST(tsum AS DOUBLE) /
         |          (CAST(n1+n2 AS DOUBLE)*(n1+n2-1)))/3.0)
         |      * 1000 + 0.5) AS BIGINT) END AS z_milli
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Cliff's delta: the q_mannwhitney histogram CTEs, effect size
+    // instead of z; magnitude classes decided in exact HUGEINT.
+    "q_cliffs_delta" ->
+      """WITH ev AS (
+        |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT v, COUNT(*) AS b FROM ev WHERE g='view' GROUP BY v),
+        |a AS (SELECT g, v, COUNT(*) AS a FROM ev WHERE g<>'view'
+        |  GROUP BY g, v),
+        |u AS (
+        |  SELECT g, v, SUM(a) AS a, SUM(b) AS b FROM (
+        |    SELECT g, v, a, 0 AS b FROM a
+        |    UNION ALL
+        |    SELECT gs.g, b.v, 0, b.b
+        |    FROM (SELECT DISTINCT g FROM a) gs CROSS JOIN b)
+        |  GROUP BY g, v),
+        |w AS (
+        |  SELECT g, v, a, b,
+        |    COALESCE(SUM(b) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM u),
+        |m AS (
+        |  SELECT g, SUM(a) AS n1, SUM(b) AS n2,
+        |    SUM(CAST(a AS HUGEINT) * (2*cumb + b)) AS u2
+        |  FROM w GROUP BY g)
+        |SELECT g AS event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(u2 - n1*n2 AS DOUBLE) / CAST(n1*n2 AS DOUBLE) AS delta,
+        |  CASE WHEN abs(u2 - n1*n2) * 1000 < 147 * n1 * n2
+        |    THEN 'negligible'
+        |  WHEN abs(u2 - n1*n2) * 1000 < 330 * n1 * n2 THEN 'small'
+        |  WHEN abs(u2 - n1*n2) * 1000 < 474 * n1 * n2 THEN 'medium'
+        |  ELSE 'large' END AS magnitude
         |FROM m ORDER BY event_type""".stripMargin,
     "q_benford" ->
       """WITH c AS (

@@ -53,6 +53,15 @@ case class KmvEstimate(event_type: String, n_hashes: Long,
   * and duplicate-free — canonical for any arrival order. */
 case class KmvState(mins: Seq[Long])
 
+/** S31's per-key session accumulator: count, value sum, max event-time
+  * millis seen (the timer anchor — re-arming deletes `lastMs + gap`). */
+case class SessAgg(n: Long, sum: Double, lastMs: Long)
+
+/** S31 output: one closed session per (key, quiet gap), emitted when the
+  * WATERMARK passes lastEvent + gap — never before. */
+case class SessionClosed(slaveId: String, n_ticks: Long, sum_value: Double,
+  last_ts: java.sql.Timestamp)
+
 /** Emitted state transition from the keyed lifecycle operator. */
 case class TaskTransition(slaveId: String, taskId: String, action: String)
 
@@ -428,6 +437,25 @@ object Streams {
     events.groupByKey(_.slaveId)
       .transformWithState(new TimeoutWatchdog(timeoutMs),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S31 — event-time-timer session finalization: the explicit-timer twin
+    * of S3's `session_window`, closing a key's session only when the
+    * WATERMARK passes lastEvent + gap (see [[EventTimeSessionizer]]).
+    * Completes the timer matrix: S14 proves absence-detection on
+    * PROCESSING time (wall-clock stalls), this proves it on EVENT time
+    * (stream-time quiet gaps — replayable, backfill-safe: rerunning
+    * yesterday's stream closes the same sessions at the same instants,
+    * where a processing-time gap detector would close everything
+    * immediately). */
+  def sessionizeEventTime(ticks: Dataset[Tick], gapMs: Long,
+      watermark: String = "10 seconds"): Dataset[SessionClosed] = {
+    import ticks.sparkSession.implicits._
+    require(gapMs > 0, s"gapMs must be > 0, got $gapMs")
+    ticks.withWatermark("ts", watermark)
+      .groupByKey(_.slaveId)
+      .transformWithState(new EventTimeSessionizer(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** A1 — fixed-interval tick source: the streaming analog of the
@@ -1243,6 +1271,57 @@ class TimeoutWatchdog(timeoutMs: Long)
       live.clear()
       armedAt.clear()
       Iterator(TaskTransition(key, t.taskId, "timed_out"))
+    } else Iterator.empty
+}
+
+/** S31's sessionizer (see `Streams.sessionizeEventTime`): explicit
+  * EVENT-TIME timer session finalization — every input batch folds into
+  * the per-key accumulator and re-arms ONE timer at maxEventTs + gap
+  * (delete-then-register, the S14 re-arm idiom); the session emits only
+  * when the WATERMARK passes that instant, i.e. when event time itself
+  * proves the quiet gap — processing-time stalls neither close nor extend
+  * a session. This is the hand-rolled twin of `session_window` (S3), kept
+  * deliberately minimal: the scenario exists to exercise
+  * `TimeMode.EventTime()` timers, the one state-primitive cell S14's
+  * processing-time watchdog leaves uncovered. One deliberate divergence
+  * from `session_window`: an event arriving BEFORE the watermark passes
+  * lastTs + gap merges into the open session even if its own timestamp
+  * is far beyond the gap — within-watermark data may still be late and
+  * reordered, so stream time has not yet proven any quiet gap; only the
+  * timer closes. */
+class EventTimeSessionizer(gapMs: Long)
+  extends StatefulProcessor[String, Tick, SessionClosed] {
+
+  @transient private var agg: ValueState[SessAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    agg = getHandle.getValueState[SessAgg]("agg",
+      Encoders.product[SessAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[Tick],
+      timers: TimerValues): Iterator[SessionClosed] = {
+    val cur = if (agg.exists()) agg.get() else SessAgg(0L, 0.0, Long.MinValue)
+    var (n, sum, last) = (cur.n, cur.sum, cur.lastMs)
+    rows.foreach { t =>
+      n += 1; sum += t.value
+      if (t.ts.getTime > last) last = t.ts.getTime
+    }
+    // re-arm: the armed instant is derivable from state (lastMs + gap),
+    // so no second ValueState is needed to delete the stale timer
+    if (cur.n > 0L) getHandle.deleteTimer(cur.lastMs + gapMs)
+    agg.update(SessAgg(n, sum, last))
+    getHandle.registerTimer(last + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: String, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+    : Iterator[SessionClosed] =
+    if (agg.exists()) {
+      val a = agg.get()
+      agg.clear()
+      Iterator(SessionClosed(key, a.n, a.sum,
+        new java.sql.Timestamp(a.lastMs)))
     } else Iterator.empty
 }
 

@@ -597,6 +597,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("assortativity")) < 1.0)
   }
 
+  test("link prediction matches brute-force CN/Jaccard/Adamic-Adar on 2-hop non-edges") {
+    import spark.implicits._
+    val got = CorpusOps.qLinkPredict(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val deg = adjacency.view.mapValues(_.size).toMap
+    def aaTerm(d: Int): Long = math.round(1e6 / math.log(d.toDouble))
+    val cand = collection.mutable.Map[(Long, Long), (Long, Long)]()
+    adjacency.foreach { case (z, nb) =>
+      val ns = nb.toSeq.sorted
+      for (a <- ns; b <- ns if a < b && !adjacency(a).contains(b)) {
+        val (cn, aa) = cand.getOrElse((a, b), (0L, 0L))
+        cand((a, b)) = (cn + 1L, aa + aaTerm(deg(z)))
+      }
+    }
+    val brute = cand.toSeq.map { case ((u, w), (cn, aa)) =>
+      (u, w, cn, BigInt(cn) * 1000000 / (deg(u) + deg(w) - cn), aa)
+    }.sortBy(t => (-t._3, -t._5, t._1, t._2)).take(50)
+      .map(t => (t._1, t._2, t._3, t._4.toLong, t._5))
+    assert(got.toSeq === brute)
+    assert(got.length === 50)
+  }
+
   test("Apriori 3-itemsets equal the unpruned brute-force triple census") {
     import spark.implicits._
     val got = CorpusOps.qItemsets3(spark, sf)

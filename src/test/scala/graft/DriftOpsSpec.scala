@@ -341,6 +341,31 @@ class DriftOpsSpec extends SparkSpec {
     assert((r2.getLong(1), r2.getLong(2)) === ((level, trend)))
   }
 
+  test("qq deciles are the exact type-1 order statistics of each segment") {
+    import spark.implicits._
+    val out = graft.queries.DriftOps.qQqDrift(spark, sf).collect()
+    assert(out.length === 9)
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def typ1(xs: Vector[Long], k: Int): Long =
+      xs((k * xs.size + 9) / 10 - 1) // ceil(k*n/10), 1-based → 0-based
+    out.foreach { r =>
+      val k = r.getAs[Long]("decile").toInt
+      val b = typ1(vals("BUILDING"), k)
+      val m = typ1(vals("MACHINERY"), k)
+      assert(r.getAs[Long]("building_c") === b, s"decile $k building")
+      assert(r.getAs[Long]("machinery_c") === m, s"decile $k machinery")
+      assert(r.getAs[Long]("diff_c") === b - m)
+      assert(r.getAs[Long]("ratio_ppm") === b * 1000000L / m)
+    }
+  }
+
   test("changepoint argmax matches a BigInt brute force over every split") {
     import spark.implicits._
     val out = graft.queries.DriftOps.qChangepoint(spark, sf).collect()

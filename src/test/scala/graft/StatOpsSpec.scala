@@ -501,4 +501,36 @@ class StatOpsSpec extends SparkSpec {
       .head().getAs[Long]("ece_milli")
     assert(eceAnti === 950L)
   }
+
+  test("Cliff's delta equals the exact pairwise win-loss fraction") {
+    import spark.implicits._
+    val out = graft.queries.StatOps.qCliffsDelta(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val base = ev.filter(_._1 == "view").map(_._2)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val xs = ev.filter(_._1 == g).map(_._2)
+      var (wins, losses, ties) = (0L, 0L, 0L)
+      for (x <- xs; y <- base) {
+        if (x > y) wins += 1 else if (x < y) losses += 1 else ties += 1
+      }
+      val (n1, n2) = (xs.length.toLong, base.length.toLong)
+      assert(r.getAs[Long]("n1") === n1)
+      assert(r.getAs[Long]("n2") === n2)
+      // u2 = 2U with ties counted as halves: 2*wins + ties
+      assert(r.getAs[Long]("u2") === 2L * wins + ties, s"u2 of $g")
+      val delta = (wins - losses).toDouble / (n1 * n2).toDouble
+      assert(r.getAs[Double]("delta") === delta, s"delta of $g")
+      val mag = math.abs(delta) match {
+        case d if d < 0.147 => "negligible"
+        case d if d < 0.33  => "small"
+        case d if d < 0.474 => "medium"
+        case _              => "large"
+      }
+      assert(r.getAs[String]("magnitude") === mag, s"magnitude of $g")
+    }
+  }
 }

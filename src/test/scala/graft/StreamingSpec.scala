@@ -115,6 +115,62 @@ class StreamingSpec extends SparkSpec {
       Set(t(11), t(30)))
   }
 
+  test("S31 event-time timers close sessions when the WATERMARK proves the gap") {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Tick]
+      // gap 10 s, watermark delay 10 s — all in EVENT time; wall-clock
+      // never closes anything (the S14 contrast)
+      val q = Streams.sessionizeEventTime(in.toDS(), gapMs = 10000L,
+          watermark = "10 seconds").toDF()
+        .writeStream.format("memory").queryName("s31")
+        .outputMode("append").start()
+      def await(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (spark.table("s31").count() < n && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(spark.table("s31").count() >= n, s"sink never reached $n rows")
+      }
+      try {
+        in.addData(Tick("s0", t(1), 1.0, "{}"), Tick("s0", t(5), 2.0, "{}"))
+        q.processAllAvailable() // timer armed at 15; wm = -5 — nothing fires
+        assert(spark.table("s31").count() === 0L)
+        // t(12) EXTENDS the session (re-arm 15 → 22); s9 seeds the
+        // watermark clock
+        in.addData(Tick("s0", t(12), 4.0, "{}"), Tick("s9", t(30), 16.0, "{}"))
+        q.processAllAvailable() // wm now 20 < 22: s0 still open
+        assert(spark.table("s31").count() === 0L)
+        in.addData(Tick("s9", t(35), 32.0, "{}")) // s9 extends; wm → 25
+        await(1) // wm 25 passes s0's 22: the 3-tick session closes
+        // a NEW s0 session after the close (fresh state); wm → 40
+        in.addData(Tick("s0", t(50), 8.0, "{}"))
+        q.processAllAvailable()
+        // extending s0 (re-arm 60 → 66) pushes wm to 46 > 45: s9's
+        // session closes BEFORE s9 speaks again — an event arriving
+        // before the watermark proves the gap would merge, by design
+        in.addData(Tick("s0", t(56), 64.0, "{}"))
+        await(2)
+        in.addData(Tick("s9", t(80), 128.0, "{}")) // wm → 70 > 66
+        await(3)
+      } finally q.stop()
+      val got = spark.table("s31")
+        .select("slaveId", "n_ticks", "sum_value", "last_ts")
+        .as[(String, Long, Double, Timestamp)].collect().toSet
+      assert(got === Set(
+        ("s0", 3L, 7.0, t(12)),   // 1+2 extended by 4; closed at wm > 22
+        ("s0", 2L, 72.0, t(56)),  // the post-close session is FRESH state
+        ("s9", 2L, 48.0, t(35)))) // s9's own first session (16+32)
+      // s9's t(80) session never closes: the watermark never passes 90 —
+      // emission is watermark-proven, not stop()-flushed
+    } finally prev match {
+      case Some(v) => spark.conf.set(provider, v)
+      case None => spark.conf.unset(provider)
+    }
+  }
+
   test("S5 streaming dedup drops duplicate (slaveId, ts) records") {
     val in = MemoryStream[Tick]
     val out = runQuery(Streams.dedup(in.toDF(), "10 seconds"),
