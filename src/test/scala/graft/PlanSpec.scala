@@ -639,4 +639,45 @@ class PlanSpec extends SparkSpec {
     assert(path.contains("TakeOrderedAndProject"), path.take(2000))
     assert(!path.contains("CartesianProduct"), path.take(2000))
   }
+
+  test("round-11 additions: keyed joins only; aggregate-first series shapes") {
+    // the graph/basket operators are equi-joins end to end — a
+    // CartesianProduct or BroadcastNestedLoopJoin anywhere is a scale bug
+    // (no bounded-broadcast attach exists in any of these plans)
+    for ((name, df) <- Seq(
+        "q_clustering_coef" ->
+          graft.queries.CorpusOps.qClusteringCoef(spark, sf),
+        "q_kcore" -> graft.queries.CorpusOps.qKcore(spark, sf),
+        "q_assortativity" -> graft.queries.CorpusOps.qAssortativity(spark, sf),
+        "q_itemsets3" -> graft.queries.CorpusOps.qItemsets3(spark, sf),
+        "q_link_predict" -> graft.queries.CorpusOps.qLinkPredict(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(2000)}")
+    }
+    // cliffs delta inherits rankMoments' group-list attach — a bounded
+    // (distinct event types) broadcast cross join is the accepted shape
+    // (the q_mannwhitney precedent); a CartesianProduct is not
+    val cd = planString(graft.queries.StatOps.qCliffsDelta(spark, sf))
+    assert(!cd.contains("CartesianProduct"), cd.take(2000))
+    // link prediction's top-50 must plan as TakeOrdered, never a global sort
+    val lp = planString(graft.queries.CorpusOps.qLinkPredict(spark, sf))
+    assert(lp.contains("TakeOrderedAndProject"), lp.take(2000))
+    // changepoint: the weekly HashAggregate must sit BELOW the series
+    // windows — the window input is the bounded (flag, week) table, so a
+    // plan whose first aggregate follows the Window means someone moved
+    // the rollup above the sort and re-ranked raw rows
+    val cp = planString(graft.queries.DriftOps.qChangepoint(spark, sf))
+    assert(cp.contains("HashAggregate") && cp.contains("Window"),
+      cp.take(2000))
+    assert(cp.indexOf("Window") < cp.lastIndexOf("HashAggregate"),
+      "weekly aggregate must feed the window, not follow it:\n" +
+        cp.take(3000))
+    // qq drift: the only non-equi join is the bounded 9-row decile
+    // attach; the histogram aggregate feeds the cumulative window
+    val qq = planString(graft.queries.DriftOps.qQqDrift(spark, sf))
+    assert(!qq.contains("CartesianProduct"), qq.take(2000))
+    assert(qq.contains("HashAggregate") && qq.contains("Window"),
+      qq.take(2000))
+  }
 }
