@@ -171,6 +171,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S31 chaos: an armed event-time timer survives kill-and-resume") {
+    // Kill the query with a session OPEN (state + registered timer in
+    // RocksDB, changelog checkpointing on); the resumed incarnation must
+    // recover BOTH — the session closes exactly once, with the pre-kill
+    // aggregate, when the watermark finally passes the armed instant.
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = Seq(provider, changelog).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelog, "true")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("s31_chaos_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("s31_chaos_ck").toString
+      val in = MemoryStream[Tick]
+      def sink(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/batch=$id")
+      def start() = Streams.sessionizeEventTime(in.toDS(), gapMs = 10000L,
+          watermark = "10 seconds").toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch(sink _)
+        .start()
+      val q1 = start()
+      try {
+        in.addData(Tick("s0", t(1), 1.0, "{}"), Tick("s0", t(5), 2.0, "{}"))
+        q1.processAllAvailable() // timer armed at 15; session OPEN
+      } finally q1.stop() // kill
+      val q2 = start()
+      try {
+        // watermark clock: 40−10 = 30 passes the RECOVERED timer at 15
+        in.addData(Tick("s9", t(40), 16.0, "{}"))
+        q2.processAllAvailable()
+        in.addData(Tick("s9", t(41), 32.0, "{}")) // firing batch
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(s"$dir/batch=*")
+        .select("slaveId", "n_ticks", "sum_value")
+        .as[(String, Long, Double)].collect().toSeq
+      // exactly once, with the pre-kill aggregate — a lost timer emits
+      // nothing; lost value state emits a wrong (or zero) aggregate
+      assert(rows === Seq(("s0", 2L, 3.0)), s"got $rows")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("S5 streaming dedup drops duplicate (slaveId, ts) records") {
     val in = MemoryStream[Tick]
     val out = runQuery(Streams.dedup(in.toDF(), "10 seconds"),
