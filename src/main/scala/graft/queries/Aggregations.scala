@@ -300,7 +300,43 @@ object Aggregations extends QueryFamily {
       .orderBy("o_custkey")
   }
 
+  /** q_lorenz — Lorenz curve of customer revenue concentration: per
+    * revenue decile the customer count, exact cent sum, and (cumulative)
+    * permille share — the inequality PROFILE behind the single number
+    * `q_source_gini` reports (which deciles carry the mass; "top decile
+    * = 17% of revenue" is the actionable form). Scale discipline is the
+    * q_rfm one: decile boundaries come from ONE exact-percentile
+    * aggregate broadcast back onto the per-customer table (comparisons
+    * against 9 boundary literals ride the scan) — never a global
+    * ntile/rank sort, which funnels every customer through one
+    * partition. Boundary interpolation lands on exact halves of integer
+    * cents, so the mirrored double comparisons cannot drift; shares are
+    * integer permille of exact cent sums; the cumulative window is a
+    * bounded 10-row frame (the q_benford discipline). */
+  def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val bounds = per.agg(array((1 to 9).map(k =>
+      percentile(col("cents"), lit(k / 10.0))): _*).as("qs"))
+    val assigned = per.crossJoin(broadcast(bounds))
+      .withColumn("decile", lit(1L) +
+        size(filter(col("qs"), q => q < col("cents").cast("double")))
+          .cast("long"))
+    val agg = assigned.groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("rev_cents"))
+    val tot = agg.agg(sum("rev_cents").as("total"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("share_permille", expr("(rev_cents * 1000) div total"))
+      .withColumn("cum_share_permille",
+        expr("(sum(rev_cents) OVER (ORDER BY decile) * 1000) div total"))
+      .select("decile", "n_cust", "rev_cents", "share_permille",
+        "cum_share_permille")
+      .orderBy("decile")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lorenz" -> (qLorenz _),
     "q_rfm" -> (qRfm _),
     "q_agg_salted" -> (qAggSalted _),
     "q_agg_weighted" -> (qAggWeighted _),
@@ -317,6 +353,32 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
+    // Lorenz: quantile_cont mirrors Spark's exact percentile (both
+    // interpolate at p*(n-1); integer cents make the halves exact).
+    "q_lorenz" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT quantile_cont(CAST(cents AS DOUBLE),
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |  FROM per),
+        |assigned AS (
+        |  SELECT cents,
+        |    1 + len(list_filter(b.qs, q -> CAST(cents AS DOUBLE) > q))
+        |      AS decile
+        |  FROM per, b),
+        |agg AS (
+        |  SELECT decile, COUNT(*) AS n_cust, SUM(cents) AS rev
+        |  FROM assigned GROUP BY decile),
+        |tot AS (SELECT SUM(rev) AS total FROM agg)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_cust AS BIGINT) AS n_cust, CAST(rev AS BIGINT) AS rev_cents,
+        |  CAST((rev * 1000) // total AS BIGINT) AS share_permille,
+        |  CAST((SUM(rev) OVER (ORDER BY decile) * 1000) // total AS BIGINT)
+        |    AS cum_share_permille
+        |FROM agg, tot ORDER BY decile""".stripMargin,
     // KMV approximate distinct: 12 md5 hex digits -> 48-bit hash, k-bounded
     // rank window, pure-integer estimate — reproduces bit-for-bit.
     "q_agg_approx" ->

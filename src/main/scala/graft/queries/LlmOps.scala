@@ -93,6 +93,45 @@ object LlmOps extends QueryFamily {
         T.langId(col("text")).as("predicted"))
       .orderBy("doc_id")
 
+  /** q_lang_confusion — per-class evaluation of the q_lang_id heuristic
+    * against the corpus's lang TRUTH column: for every true language the
+    * support, prediction count, true positives, and integer-permille
+    * precision / recall / F1 — the eval that decides whether the
+    * stopword predictor is good enough to gate a mixture (its zh row is
+    * the honest failure: no zh profile exists, so recall is 0 and
+    * precision NULL). One definition of the predictor
+    * ([[graft.functions.TextFunctions.langId]]) shared with q_lang_id;
+    * the oracle re-derives it so the eval cannot drift from the thing it
+    * evaluates. Cost: the scoring projection rides the scan; everything
+    * after is class-cardinality (≤ languages² cells). F1 in exact
+    * permille: (2·p·r) div (p+r), NULL when undefined — no float ever
+    * touches a metric. */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang").as("truth"), T.langId(col("text")).as("pred"))
+    val cells = scored.groupBy("truth", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // marginals + diagonal reuse it
+    val truthN = cells.groupBy("truth").agg(sum("n").as("n_true"))
+    val predN = cells.groupBy("pred").agg(sum("n").as("n_pred"))
+    val tp = cells.filter(col("truth") === col("pred"))
+      .select(col("truth"), col("n").as("tp"))
+    truthN
+      .join(predN.withColumnRenamed("pred", "truth"), Seq("truth"), "left")
+      .join(tp, Seq("truth"), "left")
+      .select(col("truth").as("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_permille",
+        expr("CASE WHEN n_pred > 0 THEN (tp * 1000) div n_pred END"))
+      .withColumn("recall_permille", expr("(tp * 1000) div n_true"))
+      .withColumn("f1_permille", expr(
+        "CASE WHEN precision_permille IS NOT NULL " +
+          "AND precision_permille + recall_permille > 0 THEN " +
+          "(2 * precision_permille * recall_permille) div " +
+          "(precision_permille + recall_permille) END"))
+      .orderBy("lang")
+  }
+
   /** q_rep_ngram — repetitiveness signals in the style of Gopher's quality
     * rules: per document, the occurrence share of its most frequent word
     * bigram and trigram (high shares mean boilerplate/templated text — a
@@ -743,6 +782,7 @@ object LlmOps extends QueryFamily {
     "q_tokens" -> (qTokens _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_fingerprint" -> (qFingerprint _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_sim_topk" -> (qSimTopk _),
@@ -1565,6 +1605,48 @@ object LlmOps extends QueryFamily {
         |    WHEN es_score = greatest(en_score, de_score, fr_score, es_score) AND es_score > 0 THEN 'es'
         |    ELSE 'und' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // Lang confusion: the q_lang_id scorer re-derived, then pure
+    // class-cardinality integer arithmetic.
+    "q_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang AS truth,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','and','of','is'))) AS DOUBLE) / len(string_split(text, ' ')) AS en_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','ist'))) AS DOUBLE) / len(string_split(text, ' ')) AS de_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','et','est'))) AS DOUBLE) / len(string_split(text, ' ')) AS fr_score,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y','es'))) AS DOUBLE) / len(string_split(text, ' ')) AS es_score
+        |  FROM documents),
+        |pr AS (
+        |  SELECT truth, CASE
+        |    WHEN en_score = greatest(en_score, de_score, fr_score, es_score) AND en_score > 0 THEN 'en'
+        |    WHEN de_score = greatest(en_score, de_score, fr_score, es_score) AND de_score > 0 THEN 'de'
+        |    WHEN fr_score = greatest(en_score, de_score, fr_score, es_score) AND fr_score > 0 THEN 'fr'
+        |    WHEN es_score = greatest(en_score, de_score, fr_score, es_score) AND es_score > 0 THEN 'es'
+        |    ELSE 'und' END AS pred
+        |  FROM scored),
+        |cells AS (SELECT truth, pred, COUNT(*) AS n FROM pr GROUP BY 1, 2),
+        |tn AS (SELECT truth, SUM(n) AS n_true FROM cells GROUP BY truth),
+        |pn AS (SELECT pred, SUM(n) AS n_pred FROM cells GROUP BY pred),
+        |tp AS (SELECT truth, n AS tp FROM cells WHERE truth = pred),
+        |base AS (
+        |  SELECT tn.truth AS lang, CAST(n_true AS BIGINT) AS n_true,
+        |    CAST(COALESCE(pn.n_pred, 0) AS BIGINT) AS n_pred,
+        |    CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+        |  FROM tn LEFT JOIN pn ON pn.pred = tn.truth
+        |  LEFT JOIN tp ON tp.truth = tn.truth),
+        |m AS (
+        |  SELECT lang, n_true, n_pred, tp,
+        |    CASE WHEN n_pred > 0 THEN CAST((tp * 1000) // n_pred AS BIGINT)
+        |      END AS precision_permille,
+        |    CAST((tp * 1000) // n_true AS BIGINT) AS recall_permille
+        |  FROM base)
+        |SELECT lang, n_true, n_pred, tp, precision_permille,
+        |  recall_permille,
+        |  CASE WHEN precision_permille IS NOT NULL
+        |    AND precision_permille + recall_permille > 0 THEN
+        |    CAST((2 * precision_permille * recall_permille) //
+        |      (precision_permille + recall_permille) AS BIGINT)
+        |  END AS f1_permille
+        |FROM m ORDER BY lang""".stripMargin,
     "q_fingerprint" ->
       """WITH sh AS (
         |  SELECT doc_id,

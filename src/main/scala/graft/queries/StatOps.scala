@@ -288,6 +288,41 @@ object StatOps extends QueryFamily {
           "ELSE 'large' END").as("magnitude"))
       .orderBy("event_type")
 
+  /** q_hill_tail — Hill estimator of the document-length tail index
+    * (Hill 1975): over the k = 100 longest documents,
+    * α⁻¹ = mean ln(x_i / x_(k+1)) — the heavy-tail exponent that decides
+    * sequence-packing bin sizes and length-bucket boundaries (a Pareto
+    * tail with α ≤ 1 has no mean; chunking policy must know). Complements
+    * `q_zipf_slope`, which regresses the FREQUENCY rank curve; Hill
+    * measures the LENGTH distribution's upper tail from order statistics
+    * alone. Scale shape: the only corpus-sized step is one
+    * TakeOrdered(k+1) (no global sort materializes); the window and sums
+    * run on the 101-row frame. ln is pre-rounded to integer micro per
+    * row (the keyness idiom, identical in the oracle), so the mean and
+    * the final α are exact integer arithmetic. */
+  def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_chars"), asc("doc_id")) // bounded: k+1 rows
+    val ranked = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(k + 1)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lmu", expr(
+        "CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val anchor = ranked.filter(col("rn") === k + 1)
+      .select(col("n_chars").as("x_kplus1"), col("lmu").as("lk1"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(anchor))
+      .agg(max("x_kplus1").as("x_kplus1"),
+        sum(col("lmu") - col("lk1")).as("sum_excess_micro"))
+      .select(lit(k.toLong).as("k"), col("x_kplus1"),
+        col("sum_excess_micro"),
+        expr(s"sum_excess_micro div $k").as("alpha_inv_micro"),
+        expr(s"CASE WHEN sum_excess_micro > 0 THEN " +
+          s"(CAST($k AS BIGINT) * 1000000000) div sum_excess_micro END")
+          .as("alpha_milli"))
+  }
+
   /** q_benford — Benford first-significant-digit audit of order totals
     * (the classic fabricated-numbers screen). The digit comes from integer
     * cents via string head — no logs, no float thresholds — so the digit
@@ -551,6 +586,7 @@ object StatOps extends QueryFamily {
     "q_corr" -> (qCorr _),
     "q_mannwhitney" -> (qMannwhitney _),
     "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_hill_tail" -> (qHillTail _),
     "q_benford" -> (qBenford _),
     "q_cms_topk" -> (qCmsTopk _),
     "q_ols" -> (qOls _),
@@ -901,6 +937,28 @@ object StatOps extends QueryFamily {
         |          (CAST(n1+n2 AS DOUBLE)*(n1+n2-1)))/3.0)
         |      * 1000 + 0.5) AS BIGINT) END AS z_milli
         |FROM m ORDER BY event_type""".stripMargin,
+    // Hill tail index: top-(k+1) order statistics, micro-rounded ln
+    // excesses over the anchor, exact integer mean and inverse.
+    "q_hill_tail" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |    CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lmu
+        |  FROM (SELECT doc_id, n_chars FROM documents
+        |        ORDER BY n_chars DESC, doc_id LIMIT 101)),
+        |anchor AS (
+        |  SELECT n_chars AS x_kplus1, lmu AS lk1 FROM ranked WHERE rn = 101),
+        |s AS (
+        |  SELECT MAX(x_kplus1) AS x_kplus1,
+        |    CAST(SUM(lmu - lk1) AS BIGINT) AS sum_excess_micro
+        |  FROM ranked, anchor WHERE rn <= 100)
+        |SELECT CAST(100 AS BIGINT) AS k, x_kplus1, sum_excess_micro,
+        |  CAST(sum_excess_micro // 100 AS BIGINT) AS alpha_inv_micro,
+        |  CASE WHEN sum_excess_micro > 0 THEN
+        |    CAST((100 * CAST(1000000000 AS HUGEINT)) // sum_excess_micro
+        |      AS BIGINT) END AS alpha_milli
+        |FROM s""".stripMargin,
     // Cliff's delta: the q_mannwhitney histogram CTEs, effect size
     // instead of z; magnitude classes decided in exact HUGEINT.
     "q_cliffs_delta" ->

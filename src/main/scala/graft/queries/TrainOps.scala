@@ -66,6 +66,52 @@ object TrainOps extends QueryFamily {
         (col("sq").cast("double") / (col("n") * 1e6)).as("centroid"))
       .orderBy("label", "dim")
 
+  /** q_emb_dimcorr — embedding dimension-redundancy audit: the 20 most
+    * correlated dimension PAIRS (Pearson over the corpus, micro-quantized
+    * components) — highly correlated dimensions mean the representation
+    * wastes capacity and PQ/SQ codebooks will alias; the diagnostic that
+    * decides whether a random-projection (q_emb_rp) or PCA step should
+    * precede quantization. Complements q_emb_isotropy (global dispersion)
+    * with a per-dimension-pair view. Scale shape: the component self-join
+    * is VECTOR-BOUNDED (each vec_id joins its own d components — d²
+    * rows per vector, the q_basket_pairs argument), and the aggregate
+    * lands on d(d−1)/2 cells with map-side combine, so the shuffle
+    * carries ~2k rows per partition regardless of corpus size. Moments
+    * are exact DECIMAL(38,0) of floor-quantized micros (the
+    * q_emb_centroid discipline — floor, not round, to avoid tie-break
+    * divergence); the final corr is the q_corr float recipe mirrored
+    * verbatim. */
+  def qEmbDimcorr(s: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e6).cast("decimal(18,0)").as("q"))
+      .localCheckpoint(eager = false) // self-joined + single-dim moments
+    val m1 = comp.groupBy("dim").agg(count(lit(1)).as("n"),
+        sum(col("q").cast("decimal(38,0)")).as("sx"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sxx"))
+      .localCheckpoint(eager = false) // joined on both pair ends
+    val sp = comp.as("a").join(comp.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum((col("a.q") * col("b.q")).cast("decimal(38,0)")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val vx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vy = d("n") * d("syy") - d("sy") * d("sy")
+    sp.join(m1.select(col("dim").as("i"), col("n"), col("sx"),
+        col("sxx")), Seq("i"))
+      .join(m1.select(col("dim").as("j"), col("sx").as("sy"),
+        col("sxx").as("syy")), Seq("j"))
+      .select(col("i"), col("j"),
+        when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+      .withColumn("abs_corr", abs(col("corr")))
+      .select("i", "j", "abs_corr", "corr")
+      .orderBy(desc("abs_corr"), asc("i"), asc("j"))
+      .limit(20)
+  }
+
   /** q_emb_isotropy — per-label embedding dispersion report via the
     * CENTROID TRICK: mean pairwise dot = (‖Σv‖² − Σ‖v‖²) / (n(n−1)),
     * computed from ONE pass of per-dimension sums — O(N·d), never the
@@ -349,7 +395,43 @@ object TrainOps extends QueryFamily {
         col("c").as("n_chars"), col("u").as("distinct_tokens"))
       .orderBy("source", "doc_id")
 
+  /** q_span_mask — deterministic span-corruption plan (the T5 §3.1.4 /
+    * UL2 denoising-objective preprocessing step): for every document,
+    * ~15% of characters selected as fixed-length spans whose positions
+    * are a PURE FUNCTION of (doc_id, span_idx, tag) — so the mask plan
+    * replays identically across reruns and engines (no RNG-state
+    * coordination problem), and the oracle re-derives every offset. The
+    * doc is partitioned into k = max(1, 15n/1200) equal windows with one
+    * 12-char span placed per window at an md5-derived offset — spans are
+    * DISJOINT BY CONSTRUCTION (window width n/k ≥ 80 ≥ 12 whenever
+    * k > 1), which hash-then-reject schemes only get probabilistically.
+    * The 48-bit hash before the mod is the q_mix_apply residue-bias
+    * discipline. Everything rides the scan: one sequence-explode (k
+    * rows per doc, bounded by n/80) and codegen'd string/hash ops — no
+    * shuffle before the dump sort. */
+  def qSpanMask(s: SparkSession, dir: String): DataFrame = {
+    val L = 12
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .filter(col("n") >= L)
+      .withColumn("k", greatest(lit(1L), expr(s"(n * 15) div (100 * $L)")))
+      .withColumn("w", expr("n div k"))
+      .select(col("doc_id"), col("text"), col("w"),
+        explode(expr("sequence(CAST(0 AS BIGINT), k - 1)")).as("span_idx"))
+      .withColumn("hv",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+          col("span_idx").cast("string"), lit("|spanmask"))), 1, 12),
+          16, 10).cast("long"))
+      .withColumn("start", expr(s"span_idx * w + 1 + hv % (w - $L + 1)"))
+      .withColumn("masked_span",
+        expr(s"substring(text, CAST(start AS INT), $L)"))
+      .select("doc_id", "span_idx", "start", "masked_span")
+      .orderBy("doc_id", "span_idx")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_mask" -> (qSpanMask _),
     "q_pareto_docs" -> (qParetoDocs _),
     "q_mix_apply" -> (qMixApply _),
     "q_sample_fps" -> (qSampleFps _),
@@ -358,6 +440,7 @@ object TrainOps extends QueryFamily {
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_emb_centroid" -> (qEmbCentroid _),
+    "q_emb_dimcorr" -> (qEmbDimcorr _),
     "q_emb_isotropy" -> (qEmbIsotropy _),
     "q_shuffle_det" -> (qShuffleDet _),
     "q_split_hash" -> (qSplitHash _),
@@ -369,6 +452,36 @@ object TrainOps extends QueryFamily {
     "q_quality_gate" -> (qQualityGate _))
 
   override val oracle: Map[String, String] = Map(
+    // Span mask: every offset re-derived — same window partition, same
+    // 48-bit md5 arithmetic (the q_mix_apply hex-fold idiom).
+    "q_span_mask" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 12),
+        |k AS (
+        |  SELECT doc_id, text, n,
+        |    GREATEST(1, (n * 15) // (100 * 12)) AS k,
+        |    n // GREATEST(1, (n * 15) // (100 * 12)) AS w
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id, text, w,
+        |    CAST(unnest(range(0, k)) AS BIGINT) AS span_idx
+        |  FROM k),
+        |h AS (
+        |  SELECT doc_id, text, span_idx, w,
+        |    CAST(list_sum(list_transform(range(1, 13), i ->
+        |      CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |          CAST(span_idx AS VARCHAR) || '|spanmask'),
+        |          CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+        |        << (4 * (12 - CAST(i AS INTEGER))))) AS BIGINT) AS hv
+        |  FROM sp)
+        |SELECT doc_id, span_idx,
+        |  span_idx * w + 1 + hv % (w - 12 + 1) AS start,
+        |  substr(text,
+        |    CAST(span_idx * w + 1 + hv % (w - 12 + 1) AS INTEGER), 12)
+        |    AS masked_span
+        |FROM h ORDER BY doc_id, span_idx""".stripMargin,
     // Skyline: the oracle is the definitional NOT EXISTS dominance
     // anti-join (exact at oracle scale; the engine's bucketed two-phase
     // plan must reproduce it row-for-row).
@@ -537,6 +650,40 @@ object TrainOps extends QueryFamily {
         |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |      AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // Dim-corr: same floor-micro quantization, HUGEINT moments, q_corr's
+    // float recipe (double casts of exact ints, sqrt, one divide, round 6).
+    "q_emb_dimcorr" ->
+      """WITH comp AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS HUGEINT) AS q
+        |  FROM embeddings),
+        |m1 AS (
+        |  SELECT dim, COUNT(*) AS n, SUM(q) AS sx, SUM(q * q) AS sxx
+        |  FROM comp GROUP BY dim),
+        |sp AS (
+        |  SELECT a.dim AS i, b.dim AS j, SUM(a.q * b.q) AS sxy
+        |  FROM comp a JOIN comp b
+        |    ON a.vec_id = b.vec_id AND a.dim < b.dim
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT i, j,
+        |    CASE WHEN
+        |      CAST(mi.n AS DOUBLE) * CAST(mi.sxx AS DOUBLE) -
+        |        CAST(mi.sx AS DOUBLE) * CAST(mi.sx AS DOUBLE) > 0
+        |      AND CAST(mi.n AS DOUBLE) * CAST(mj.sxx AS DOUBLE) -
+        |        CAST(mj.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) > 0
+        |    THEN round(
+        |      (CAST(mi.n AS DOUBLE) * CAST(sp.sxy AS DOUBLE) -
+        |        CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE)) /
+        |      (sqrt(CAST(mi.n AS DOUBLE) * CAST(mi.sxx AS DOUBLE) -
+        |          CAST(mi.sx AS DOUBLE) * CAST(mi.sx AS DOUBLE)) *
+        |       sqrt(CAST(mi.n AS DOUBLE) * CAST(mj.sxx AS DOUBLE) -
+        |          CAST(mj.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE))), 6)
+        |    END AS corr
+        |  FROM sp JOIN m1 mi ON mi.dim = sp.i JOIN m1 mj ON mj.dim = sp.j)
+        |SELECT i, j, abs(corr) AS abs_corr, corr FROM r
+        |ORDER BY abs_corr DESC, i, j LIMIT 20""".stripMargin,
     // Isotropy: HUGEINT mirrors of the engine's DECIMAL(38,0) moments;
     // sign-explicit truncating divisions (Spark div truncates toward
     // zero, DuckDB // floors — they agree only on non-negatives).

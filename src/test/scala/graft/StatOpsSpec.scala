@@ -502,6 +502,55 @@ class StatOpsSpec extends SparkSpec {
     assert(eceAnti === 950L)
   }
 
+  test("Hill tail index matches a brute force over the top-101 lengths") {
+    import spark.implicits._
+    val r = graft.queries.StatOps.qHillTail(spark, sf).collect()(0)
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .sortBy(t => (-t._2, t._1)).take(101).map(_._2)
+    def lmu(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val lk1 = lmu(lens(100))
+    val sum = lens.take(100).map(x => lmu(x) - lk1).sum
+    assert(r.getAs[Long]("k") === 100L)
+    assert(r.getAs[Long]("x_kplus1") === lens(100))
+    assert(r.getAs[Long]("sum_excess_micro") === sum)
+    assert(r.getAs[Long]("alpha_inv_micro") === sum / 100L)
+    assert(r.getAs[Long]("alpha_milli") === 100L * 1000000000L / sum)
+    assert(r.getAs[Long]("alpha_milli") > 0L)
+  }
+
+  test("lang confusion metrics re-derive from the lang_id predictions") {
+    import spark.implicits._
+    val out = graft.queries.LlmOps.qLangConfusion(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val preds = docs.select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred"))
+      .as[(String, String)].collect()
+    assert(out.map(_.getAs[Long]("n_true")).sum === preds.length.toLong)
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val nTrue = preds.count(_._1 == lang).toLong
+      val nPred = preds.count(_._2 == lang).toLong
+      val tp = preds.count(p => p._1 == lang && p._2 == lang).toLong
+      assert(r.getAs[Long]("n_true") === nTrue, s"n_true of $lang")
+      assert(r.getAs[Long]("n_pred") === nPred, s"n_pred of $lang")
+      assert(r.getAs[Long]("tp") === tp, s"tp of $lang")
+      if (nPred == 0) assert(r.isNullAt(r.fieldIndex("precision_permille")))
+      else assert(r.getAs[Long]("precision_permille") === tp * 1000 / nPred)
+      assert(r.getAs[Long]("recall_permille") === tp * 1000 / nTrue)
+    }
+    // zh has no profile: its recall is 0 by construction. en dominates
+    // the sf0.001 synthetic corpus (the non-en texts carry few of their
+    // own stopwords), so the eval must REPORT that honestly rather than
+    // flatter the predictor — en recall high, en precision well below
+    // 1000 (it absorbs the other languages).
+    val byLang = out.map(r => r.getAs[String]("lang") -> r).toMap
+    assert(byLang("zh").getAs[Long]("recall_permille") === 0L)
+    assert(byLang("en").getAs[Long]("recall_permille") > 800L)
+    assert(byLang("en").getAs[Long]("precision_permille") < 600L,
+      "en precision must expose the absorbed misclassifications")
+  }
+
   test("Cliff's delta equals the exact pairwise win-loss fraction") {
     import spark.implicits._
     val out = graft.queries.StatOps.qCliffsDelta(spark, sf).collect()

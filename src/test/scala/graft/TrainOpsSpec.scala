@@ -182,4 +182,62 @@ class TrainOpsSpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("min_kept_score")))
     }
   }
+
+  test("span mask: disjoint in-bounds spans, ~15% coverage, replayable offsets") {
+    import spark.implicits._
+    val out = TrainOps.qSpanMask(spark, sf)
+      .select("doc_id", "span_idx", "start", "masked_span")
+      .as[(Long, Long, Long, String)].collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.nonEmpty)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, spans) =>
+      val n = texts(id).length
+      val k = math.max(1L, n * 15L / 1200L)
+      val w = n / k
+      assert(spans.length === k.toInt, s"doc $id span count")
+      spans.foreach { case (_, s, start, masked) =>
+        // replay the offset from first principles
+        val hv = java.lang.Long.parseLong(
+          md5hex(s"$id|$s|spanmask").take(12), 16)
+        assert(start === s * w + 1 + hv % (w - 12 + 1), s"doc $id span $s")
+        assert(start >= s * w + 1 && start + 12 - 1 <= (s + 1) * w,
+          s"span outside its window: doc $id span $s")
+        assert(masked === texts(id).substring(start.toInt - 1,
+          start.toInt - 1 + 12), s"masked text mismatch: doc $id span $s")
+      }
+      // windows are disjoint, so spans are — assert anyway (the invariant
+      // the windowed construction exists to guarantee)
+      val ranges = spans.map(t => (t._3, t._3 + 11)).sorted.toSeq
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 < s2, s"overlap in doc $id")
+        case _ =>
+      }
+      // coverage ~15%: k*12 chars of n, within [7%, 16%] for n >= 160
+      if (n >= 160)
+        assert(k * 12 >= n * 7 / 100 && k * 12 <= n * 16 / 100,
+          s"coverage off: doc $id n=$n k=$k")
+    }
+  }
+
+  test("lorenz deciles partition customers; cumulative share hits exactly 1000") {
+    val out = graft.queries.Aggregations.qLorenz(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val nTotal = out.map(_.getAs[Long]("n_cust")).sum
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(nTotal === nCust)
+    // shares are non-decreasing by decile (higher deciles hold more
+    // revenue by construction) and the cumulative ends at exactly 1000
+    val shares = out.map(_.getAs[Long]("share_permille")).toSeq
+    assert(shares === shares.sorted, s"shares not monotone: $shares")
+    assert(out.last.getAs[Long]("cum_share_permille") === 1000L)
+    val cums = out.map(_.getAs[Long]("cum_share_permille")).toSeq
+    assert(cums === cums.sorted)
+  }
 }
