@@ -511,4 +511,27 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate bucket_hi"))
   }
+
+  test("round-11 operators accept empty / degenerate inputs and guard params") {
+    import graft.operators.Clusters
+    // boundedKcore: empty edges -> empty; k larger than any degree peels
+    // everything in round 1 with core_deg 0
+    val emptyE = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Clusters.boundedKcore(emptyE, "i", "j", 3, 4).count() === 0L)
+    val path2 = Seq((1L, 2L), (2L, 1L)).toDF("i", "j")
+    val peeled = Clusters.boundedKcore(path2, "i", "j", k = 5, rounds = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(peeled === Set((1L, 1L, 1L, 0L), (2L, 1L, 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Clusters.boundedKcore(path2, "i", "j", k = 0, rounds = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Clusters.boundedKcore(path2, "i", "j", k = 3, rounds = 0)
+    }
+    // sessionizeEventTime: a non-positive gap must fail at build time
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.sessionizeEventTime(
+        spark.emptyDataset[graft.streaming.Tick], gapMs = 0L)
+    }
+  }
 }

@@ -679,5 +679,32 @@ class PlanSpec extends SparkSpec {
     assert(!qq.contains("CartesianProduct"), qq.take(2000))
     assert(qq.contains("HashAggregate") && qq.contains("Window"),
       qq.take(2000))
+    // span mask is a pure narrow pipeline: scan → filter → explode →
+    // codegen hash/substring — any join or pre-sort shuffle means the
+    // plan stopped riding the scan
+    val sm = planString(graft.queries.TrainOps.qSpanMask(spark, sf))
+    assert(!sm.contains("Join"), sm.take(2000))
+    assert(!sm.contains("hashpartitioning"), sm.take(2000))
+    // hill tail: the corpus-sized step must be TakeOrdered, never a
+    // materialized global sort
+    val ht = planString(graft.queries.StatOps.qHillTail(spark, sf))
+    assert(ht.contains("TakeOrderedAndProject"), ht.take(2000))
+    // lorenz assigns deciles from broadcast percentile bounds (a
+    // partial-able ObjectHashAggregate) — never a global rank window
+    // over customers ("ntile" can't be substring-checked: percentile
+    // contains it; row_number absence covers the rank form)
+    val lz = planString(graft.queries.Aggregations.qLorenz(spark, sf))
+    assert(!lz.contains("CartesianProduct"), lz.take(2000))
+    assert(lz.contains("partial_percentile"), lz.take(2000))
+    assert(!lz.contains("row_number"), lz.take(2000))
+    // dim-corr and lang-confusion: keyed equi-joins only
+    for ((name, df) <- Seq(
+        "q_emb_dimcorr" -> graft.queries.TrainOps.qEmbDimcorr(spark, sf),
+        "q_lang_confusion" ->
+          graft.queries.LlmOps.qLangConfusion(spark, sf))) {
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(2000)}")
+    }
   }
 }
