@@ -458,6 +458,31 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** S32 — bounded backfill over a file-source directory: the
+    * "catch up on yesterday's files, then STOP" shape
+    * (`Trigger.AvailableNow` drives it in the spec). The stream is a
+    * stateless projection over a parquet directory source, so the
+    * interesting semantics live entirely in the trigger + checkpoint
+    * contract: one invocation drains everything present at start —
+    * honoring `maxFilesPerTrigger` across MULTIPLE micro-batches, the
+    * difference from the deprecated Trigger.Once — then terminates; a
+    * later invocation on the same checkpoint consumes ONLY files that
+    * arrived since, exactly once. At 100 TB this is the nightly
+    * ingest-catchup: rate-limited (bounded per-batch memory), resumable,
+    * and idempotent under the per-batchId sink discipline (S7). */
+  def backfillTicks(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    require(maxFilesPerTrigger > 0,
+      s"maxFilesPerTrigger must be > 0, got $maxFilesPerTrigger")
+    spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Tick].schema)
+      // a SOURCE option: rate limiting belongs to the reader, a sink
+      // option of the same name is silently ignored
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(srcDir)
+      .select(col("slaveId"), col("ts"), col("value"))
+  }
+
   /** A1 — fixed-interval tick source: the streaming analog of the
     * reference's 1 s reporting loop
     * (/root/reference/syscol/metrics_reporter.go:75-105). Each rate-source

@@ -171,6 +171,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S32 AvailableNow backfill drains in rate-limited batches, then stops; resume reads only new files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("s32_src").toString
+    val out = java.nio.file.Files.createTempDirectory("s32_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s32_ckpt").toString
+    def drop(name: String, ticks: (String, Int, Double)*): Unit =
+      ticks.map { case (id, sec, v) => Tick(id, t(sec), v, "{}") }
+        .toDF().coalesce(1).write.mode("overwrite").parquet(s"$src/$name")
+    // three single-file drops BEFORE the first run
+    drop("f1", ("s0", 1, 1.0)); drop("f2", ("s0", 2, 2.0))
+    drop("f3", ("s1", 3, 4.0))
+    val batchIds = collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val q = Streams.backfillTicks(spark, s"$src/*",
+          maxFilesPerTrigger = 1) // rate limit ACROSS batches
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batchIds.synchronized { batchIds += id }
+          df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .start()
+      // AvailableNow terminates on its own once the start-time snapshot
+      // is drained — the property Trigger.Once cannot give rate-limited
+      assert(q.awaitTermination(120000L), "backfill did not self-stop")
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$out/batch=*")
+    assert(first.count() === 3L)
+    // maxFilesPerTrigger=1 over 3 files ⇒ at least 3 distinct batches
+    assert(batchIds.distinct.size >= 3, s"got batches $batchIds")
+    // two more files AFTER the first run; resume on the SAME checkpoint
+    drop("f4", ("s1", 4, 8.0)); drop("f5", ("s0", 5, 16.0))
+    runOnce()
+    val all = spark.read.parquet(s"$out/batch=*")
+      .select("slaveId", "value")
+      .as[(String, Double)].collect().toSeq.sorted
+    // exactly once across both invocations: nothing re-read, nothing lost
+    assert(all === Seq(("s0", 1.0), ("s0", 2.0), ("s0", 16.0),
+      ("s1", 4.0), ("s1", 8.0)))
+  }
+
   test("S31 chaos: an armed event-time timer survives kill-and-resume") {
     // Kill the query with a session OPEN (state + registered timer in
     // RocksDB, changelog checkpointing on); the resumed incarnation must
