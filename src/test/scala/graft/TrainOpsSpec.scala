@@ -224,6 +224,37 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding dim-corr matches a BigInt brute force over all pairs") {
+    import spark.implicits._
+    val out = graft.queries.TrainOps.qEmbDimcorr(spark, sf).collect()
+    assert(out.length === 20)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val d = vecs.head._2.size
+    val q = vecs.map(_._2.map(x =>
+      BigInt(math.floor(x.toDouble * 1e6).toLong)).toArray)
+    val n = BigInt(q.length)
+    val sx = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val sxx = Array.tabulate(d)(i => q.map(v => v(i) * v(i)).sum)
+    def corr(i: Int, j: Int): Double = {
+      val sxy = q.map(v => v(i) * v(j)).sum
+      // mirror the ENGINE's float path exactly: each exact integer is
+      // cast to double FIRST, then the arithmetic runs in double
+      val cov = n.toDouble * sxy.toDouble - sx(i).toDouble * sx(j).toDouble
+      val vx = n.toDouble * sxx(i).toDouble - sx(i).toDouble * sx(i).toDouble
+      val vy = n.toDouble * sxx(j).toDouble - sx(j).toDouble * sx(j).toDouble
+      BigDecimal(cov / (math.sqrt(vx) * math.sqrt(vy)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = (for (i <- 0 until d; j <- i + 1 until d)
+      yield (i.toLong, j.toLong, corr(i, j)))
+      .map(t => (t._1, t._2, math.abs(t._3), t._3))
+      .sortBy(t => (-t._3, t._1, t._2)).take(20)
+    assert(out.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+      r.getAs[Double]("abs_corr"), r.getAs[Double]("corr"))).toSeq
+      === brute)
+  }
+
   test("lorenz deciles partition customers; cumulative share hits exactly 1000") {
     val out = graft.queries.Aggregations.qLorenz(spark, sf).collect()
     assert(out.length === 10)
