@@ -305,24 +305,36 @@ object Aggregations extends QueryFamily {
     * permille share — the inequality PROFILE behind the single number
     * `q_source_gini` reports (which deciles carry the mass; "top decile
     * = 17% of revenue" is the actionable form). Scale discipline is the
-    * q_rfm one: decile boundaries come from ONE exact-percentile
-    * aggregate broadcast back onto the per-customer table (comparisons
-    * against 9 boundary literals ride the scan) — never a global
-    * ntile/rank sort, which funnels every customer through one
-    * partition. Boundary interpolation lands on exact halves of integer
-    * cents, so the mirrored double comparisons cannot drift; shares are
-    * integer permille of exact cent sums; the cumulative window is a
-    * bounded 10-row frame (the q_benford discipline). */
+    * q_qq_drift one: the per-customer cents aggregate to a VALUE
+    * HISTOGRAM (map-side partial), the cumulative window runs over
+    * distinct cent values, and each decile boundary is the TYPE-1 order
+    * statistic min(v) with cum ≥ ceil(k·n/10) — a pure integer, so the
+    * boundary comparison is int64 < int64 on both engines and no
+    * cross-engine float interpolation can ever decide a customer's
+    * decile (an earlier interpolated-percentile form rested on Spark
+    * and DuckDB producing bit-identical interpolated doubles). The 9
+    * boundaries broadcast back onto the per-customer table — never a
+    * global ntile/rank sort over customers; shares are integer permille
+    * of exact cent sums; the cumulative window is a bounded 10-row
+    * frame (the q_benford discipline). */
   def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(s, dir).groupBy("o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .as("cents"))
-    val bounds = per.agg(array((1 to 9).map(k =>
-      percentile(col("cents"), lit(k / 10.0))): _*).as("qs"))
+    val cum = per.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .select(col("cents"),
+        sum("cnt").over(Window.orderBy("cents")).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+    val dk = s.range(1, 10).select(col("id").as("k"))
+    val bounds = cum.crossJoin(broadcast(dk))
+      .filter(col("cum") >= expr("(k * n + 9) div 10"))
+      .groupBy("k").agg(min("cents").as("b"))
+      .agg(array_sort(collect_list(struct(col("k"), col("b")))).as("kb"))
+      .select(transform(col("kb"), e => e.getField("b")).as("qs"))
     val assigned = per.crossJoin(broadcast(bounds))
       .withColumn("decile", lit(1L) +
-        size(filter(col("qs"), q => q < col("cents").cast("double")))
-          .cast("long"))
+        size(filter(col("qs"), q => q < col("cents"))).cast("long"))
     val agg = assigned.groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("cents").as("rev_cents"))
     val tot = agg.agg(sum("rev_cents").as("total"))
@@ -353,21 +365,26 @@ object Aggregations extends QueryFamily {
     "q_agg_minmax_by" -> (qAggMinmaxBy _))
 
   override val oracle: Map[String, String] = Map(
-    // Lorenz: quantile_cont mirrors Spark's exact percentile (both
-    // interpolate at p*(n-1); integer cents make the halves exact).
+    // Lorenz: type-1 decile boundaries from the value histogram (min v
+    // with cum >= ceil(k*n/10)) — all-integer, interpolation-free.
     "q_lorenz" ->
       """WITH per AS (
         |  SELECT o_custkey,
         |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         |  FROM orders GROUP BY o_custkey),
-        |b AS (
-        |  SELECT quantile_cont(CAST(cents AS DOUBLE),
-        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
-        |  FROM per),
+        |gv AS (SELECT cents, COUNT(*) AS cnt FROM per GROUP BY cents),
+        |cum AS (
+        |  SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM gv),
+        |dk AS (SELECT CAST(k AS BIGINT) AS k FROM range(1, 10) t(k)),
+        |bk AS (
+        |  SELECT k, MIN(cents) AS b FROM cum CROSS JOIN dk
+        |  WHERE cum >= (k * n + 9) // 10 GROUP BY k),
+        |b AS (SELECT list(b ORDER BY k) AS qs FROM bk),
         |assigned AS (
         |  SELECT cents,
-        |    1 + len(list_filter(b.qs, q -> CAST(cents AS DOUBLE) > q))
-        |      AS decile
+        |    1 + len(list_filter(b.qs, q -> q < cents)) AS decile
         |  FROM per, b),
         |agg AS (
         |  SELECT decile, COUNT(*) AS n_cust, SUM(cents) AS rev

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => T}
@@ -707,14 +707,25 @@ object CorpusOps extends QueryFamily {
     val xy = e
       .join(deg.select(col("node").as("i"), col("d").as("x")), Seq("i"))
       .join(deg.select(col("node").as("j"), col("d").as("y")), Seq("j"))
+    // guarded narrowing: Spark's non-ANSI decimal→long cast yields NULL
+    // on overflow while DuckDB's HUGEINT→BIGINT cast raises — a DIVERGENT
+    // failure mode where the NULL side would look like data. The moments
+    // stay exact DECIMAL(38,0) inside the CASE; crossing int64 fails
+    // loudly on BOTH engines (here via raise_error, there natively).
+    def i64(c: Column, name: String): Column =
+      when(c > lit("9223372036854775807").cast("decimal(38,0)") ||
+          c < lit("-9223372036854775808").cast("decimal(38,0)"),
+        raise_error(concat(lit(s"$name overflows int64: "),
+          c.cast("string"))).cast("long"))
+        .otherwise(c.cast("long"))
     xy.agg(count(lit(1)).as("m"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sx2"))
       .select(col("m").cast("long").as("n_edges"),
-        col("sx").cast("long").as("sum_deg"),
-        col("sxy").cast("long").as("sum_xy"),
-        col("sx2").cast("long").as("sum_x2"),
+        i64(col("sx"), "sum_deg").as("sum_deg"),
+        i64(col("sxy"), "sum_xy").as("sum_xy"),
+        i64(col("sx2"), "sum_x2").as("sum_x2"),
         expr("CASE WHEN m * sx2 - sx * sx = 0 THEN NULL ELSE " +
           "CAST(m * sxy - sx * sx AS DOUBLE) / " +
           "CAST(m * sx2 - sx * sx AS DOUBLE) END").as("assortativity"))
