@@ -72,38 +72,68 @@ object TrainOps extends QueryFamily {
     * wastes capacity and PQ/SQ codebooks will alias; the diagnostic that
     * decides whether a random-projection (q_emb_rp) or PCA step should
     * precede quantization. Complements q_emb_isotropy (global dispersion)
-    * with a per-dimension-pair view. Scale shape: the component self-join
-    * is VECTOR-BOUNDED (each vec_id joins its own d components — d²
-    * rows per vector, the q_basket_pairs argument), and the aggregate
-    * lands on d(d−1)/2 cells with map-side combine, so the shuffle
-    * carries ~2k rows per partition regardless of corpus size. Moments
-    * are exact DECIMAL(38,0) of floor-quantized micros (the
-    * q_emb_centroid discipline — floor, not round, to avoid tie-break
-    * divergence); the final corr is the q_corr float recipe mirrored
-    * verbatim. */
+    * with a per-dimension-pair view. Scale shape: JOIN-FREE — every
+    * (i, j, qᵢ, qⱼ) pair term comes straight off the embedding array in
+    * ONE projection (a d(d−1)/2-struct explode per row; an earlier form
+    * self-joined the exploded component table on vec_id, which shuffled
+    * ~d× corpus rows just to reunite components that already sat in the
+    * same array), and the single aggregate lands on d(d−1)/2 cells with
+    * map-side combine — the shuffle carries ~2k rows per partition
+    * regardless of corpus size, and the corpus itself never shuffles.
+    * All six moments ride the same cells (the per-dim sums are
+    * recomputed per pair — a few kB of duplicate aggregate state buys
+    * zero joins). Moments are exact DECIMAL(38,0) of floor-quantized
+    * micros (the q_emb_centroid discipline — floor, not round, to avoid
+    * tie-break divergence); the final corr is the q_corr float recipe
+    * mirrored verbatim. */
   def qEmbDimcorr(s: SparkSession, dir: String): DataFrame = {
-    val comp = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        floor(col("x").cast("double") * 1e6).cast("decimal(18,0)").as("q"))
-      .localCheckpoint(eager = false) // self-joined + single-dim moments
-    val m1 = comp.groupBy("dim").agg(count(lit(1)).as("n"),
-        sum(col("q").cast("decimal(38,0)")).as("sx"),
-        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sxx"))
-      .localCheckpoint(eager = false) // joined on both pair ends
-    val sp = comp.as("a").join(comp.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.dim") < col("b.dim"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum((col("a.q") * col("b.q")).cast("decimal(38,0)")).as("sxy"))
+    // the per-row pair expansion stays in LONG micros end-to-end (|q| ≤
+    // ~1e6·max|x|, so q·q ≤ ~1e12 ≪ 2⁶³ per term — boxed decimal math
+    // inside the d(d−1)/2-struct lambda measured 4× slower); only the
+    // corpus-wide SUMS widen to DECIMAL(38,0), where Σq² crosses int64
+    val qv0 = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"), x =>
+        floor(x.cast("double") * 1e6).cast("long")).as("q"))
+    // toy-scale adapter (the cosinePairsExact adaptive-grid precedent):
+    // the zero-shuffle plan's parallelism comes from the SCAN's input
+    // splits — abundant at corpus scale, where this branch is a no-op
+    // and the corpus never shuffles — but a sub-megabyte rehearsal file
+    // arrives as ONE split and would serialize the whole d(d−1)/2
+    // expansion behind one core; fan out only when the scan cannot (the
+    // shuffled payload is the tiny file itself). Output is exact
+    // integer sums either way — partitioning cannot move a bit.
+    val qv =
+      if (qv0.rdd.getNumPartitions >= 16) qv0 else qv0.repartition(32)
+    // two chained GENERATORS, not higher-order lambdas: posexplode and
+    // slice are codegen'd, while a transform(...) lambda evaluates
+    // interpreted per element — measured 3× slower across the d(d−1)/2
+    // expansion. Row i pairs with the tail slice q[i+2..], so j = i+1+dj
+    // and i = d−1 (empty tail) drops out via the empty-array explode.
+    val terms = qv
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("q"), col("i") + lit(2),
+          greatest(size(col("q")) - col("i") - 1, lit(0))))
+          .as(Seq("dj", "qj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + 1 + col("dj")).cast("long").as("j"),
+        col("qi"), col("qj"))
+    // sx/sy stay LONG (Σ|q| ≤ 1e6·rows — 1e16 at 10¹⁰ rows, inside
+    // int64); only the quadratic sums widen to DECIMAL(38,0), where
+    // Σq² reaches ~1e22. Each long sum saved is 4M fewer boxed adds in
+    // the single hash aggregate this query is.
+    val sp = terms.groupBy("i", "j").agg(
+      count(lit(1)).as("n"),
+      sum(col("qi")).as("sx"),
+      sum(col("qj")).as("sy"),
+      sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("qj") * col("qj")).cast("decimal(38,0)")).as("syy"),
+      sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sxy"))
     def d(c: String) = col(c).cast("double")
     val cov = d("n") * d("sxy") - d("sx") * d("sy")
     val vx = d("n") * d("sxx") - d("sx") * d("sx")
     val vy = d("n") * d("syy") - d("sy") * d("sy")
-    sp.join(m1.select(col("dim").as("i"), col("n"), col("sx"),
-        col("sxx")), Seq("i"))
-      .join(m1.select(col("dim").as("j"), col("sx").as("sy"),
-        col("sxx").as("syy")), Seq("j"))
-      .select(col("i"), col("j"),
+    sp.select(col("i"), col("j"),
         when(vx > 0 && vy > 0, round(cov / (sqrt(vx) * sqrt(vy)), 6))
           .otherwise(lit(null).cast("double")).as("corr"))
       .withColumn("abs_corr", abs(col("corr")))

@@ -689,22 +689,25 @@ class PlanSpec extends SparkSpec {
     // materialized global sort
     val ht = planString(graft.queries.StatOps.qHillTail(spark, sf))
     assert(ht.contains("TakeOrderedAndProject"), ht.take(2000))
-    // lorenz assigns deciles from broadcast percentile bounds (a
-    // partial-able ObjectHashAggregate) — never a global rank window
-    // over customers ("ntile" can't be substring-checked: percentile
-    // contains it; row_number absence covers the rank form)
+    // lorenz assigns deciles from broadcast type-1 bounds picked off the
+    // cents VALUE HISTOGRAM — the cumulative window must run over the
+    // distinct-value aggregate (keys=[cents...]), never a global
+    // rank/ntile window over customers (row_number absence covers the
+    // rank form; the keys=[cents] pin proves the histogram reduction
+    // happens BEFORE the single-partition window)
     val lz = planString(graft.queries.Aggregations.qLorenz(spark, sf))
     assert(!lz.contains("CartesianProduct"), lz.take(2000))
-    assert(lz.contains("partial_percentile"), lz.take(2000))
+    assert(lz.contains("keys=[cents"), lz.take(2000))
     assert(!lz.contains("row_number"), lz.take(2000))
-    // dim-corr and lang-confusion: keyed equi-joins only
-    for ((name, df) <- Seq(
-        "q_emb_dimcorr" -> graft.queries.TrainOps.qEmbDimcorr(spark, sf),
-        "q_lang_confusion" ->
-          graft.queries.LlmOps.qLangConfusion(spark, sf))) {
-      val p = planString(df)
-      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n${p.take(2000)}")
-    }
+    // dim-corr: ZERO joins — pair terms come off the embedding array in
+    // one projection (the q_corr/embIsotropy one-pass shape); the only
+    // shuffle is the d(d−1)/2-cell aggregate (an earlier form self-joined
+    // the exploded components on vec_id, shuffling ~d× corpus rows)
+    val dc = planString(graft.queries.TrainOps.qEmbDimcorr(spark, sf))
+    assert(!dc.contains("Join"), dc.take(2000))
+    // lang-confusion: keyed equi-joins only
+    val lc = planString(graft.queries.LlmOps.qLangConfusion(spark, sf))
+    assert(!lc.contains("CartesianProduct"), lc.take(2000))
+    assert(!lc.contains("BroadcastNestedLoopJoin"), lc.take(2000))
   }
 }
