@@ -139,7 +139,6 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, ks: Int = 16, shortlistFactor: Int = 8): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    pqBatchGuard(queries) // fail fast BEFORE paying the codebook fits
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"embedding dim $d not divisible by m=$m")
     val dsub = d / m
@@ -152,14 +151,18 @@ object Similarity {
     pqAdcServe(codes, codebooks, queries, corpus, k, shortlistFactor)
   }
 
-  /** Fail fast BEFORE collecting: count limit+1 rows, never the full
-    * batch — ADC tables live on the driver at m×ks doubles per query. */
-  private def pqBatchGuard(queries: DataFrame): Unit = {
-    val qProbe = queries.limit(MaxPqQueryBatch + 1).count()
-    require(qProbe <= MaxPqQueryBatch,
-      s"PQ query batch exceeds MaxPqQueryBatch=$MaxPqQueryBatch: ADC " +
-        "tables are driver-built per query; split the batch or use ivfTopK")
-  }
+  /** The ADC-table driver-memory guard, FUSED into the query-batch
+    * collect the serve methods already pay: the collect is capped at
+    * limit(cap+1) — bounding driver memory even on an oversized batch —
+    * and this require turns row cap+1 into an explained failure. Zero
+    * extra Spark actions (an earlier eager limit+count probe cost a full
+    * extra job per serve call — measured +26% on q_bitext_margin's
+    * ledger entry the round it landed). */
+  private def requirePqBatch(collected: Int, cap: Int, what: String): Unit =
+    require(collected <= cap,
+      s"$what exceeds MaxPqQueryBatch-derived cap $cap: ADC tables are " +
+        "driver-built per (query, probed cell); split the batch or use " +
+        "ivfTopK")
 
   /** Cardinality cap for the brute-force EVAL operators ([[bitextMargin]],
     * [[annRadiusRecall]]) that broadcast their query/src side whole. The
@@ -177,16 +180,42 @@ object Similarity {
     * is blocks = ⌈n / MaxTileRows⌉ — any larger grid only adds shuffle. */
   val MaxTileRows: Int = 500000
 
-  /** Fail fast with a named limit before broadcasting an eval side — same
-    * limit(cap+1).count() idiom as [[pqBatchGuard]]: never count the full
-    * input just to reject it. */
-  private def broadcastEvalGuard(side: DataFrame, what: String): Unit = {
-    val probe = side.limit(MaxBroadcastEvalSide + 1).count()
-    require(probe <= MaxBroadcastEvalSide,
-      s"$what exceeds MaxBroadcastEvalSide=$MaxBroadcastEvalSide rows: " +
-        "this eval operator broadcasts that side whole; sample it " +
-        "(the estimate is a per-pair property, sampling stays unbiased) " +
-        "or split the batch")
+  /** Default corpus cap for [[cosinePairsExact]]: the kernel is Ω(n²) BY
+    * NATURE (it exists precisely for thresholds below the
+    * LSH-discriminable regime — see [[cosinePairs]]), so while the tile
+    * grid bounds MEMORY at any n, nothing else bounds TIME: 2×10⁶ rows
+    * is ~2×10¹² kernel evals (minutes on a large cluster, the outer edge
+    * of sane), while an unguarded corpus-scale call would run for days.
+    * Above the cap the operator fails with the scale paths spelled out
+    * ([[semDedup]] cell-confined exact pairs; [[cosinePairsGated]] at a
+    * threshold where banding prunes) instead of silently burning the
+    * cluster; callers that mean it pass an explicit higher `maxRows`. */
+  val MaxExactPairRows: Long = 2000000L
+
+  /** Cardinality guard FUSED INTO THE PLAN of a to-be-broadcast eval
+    * side — zero extra Spark actions (an eager limit+count probe cost a
+    * measured +26% on q_bitext_margin's ledger entry the round it
+    * landed). A limit(cap+1) count (scans at most cap+1 rows of the
+    * side, bounded regardless of its true size) rides along as a 1-row
+    * broadcast, and every side row then passes through assert_true: an
+    * over-cap side fails on its FIRST evaluated row — during the
+    * broadcast relation build, BEFORE the driver materializes the
+    * oversized side. The price of keeping the probe free is deferral:
+    * the failure surfaces at action time as a SparkException wrapping
+    * the explained message, not an IllegalArgumentException at call
+    * time. */
+  private def broadcastEvalGuarded(side: DataFrame, what: String): DataFrame = {
+    val msg = s"$what exceeds MaxBroadcastEvalSide=$MaxBroadcastEvalSide " +
+      "rows: this eval operator broadcasts that side whole; sample it " +
+      "(the estimate is a per-pair property, sampling stays unbiased) " +
+      "or split the batch"
+    val probe = side.limit(MaxBroadcastEvalSide + 1)
+      .agg(count(lit(1)).as("_n_probe"))
+    side.crossJoin(broadcast(probe))
+      .filter(coalesce(
+        assert_true(col("_n_probe") <= lit(MaxBroadcastEvalSide.toLong),
+          lit(msg)), lit(true)))
+      .drop("_n_probe")
   }
 
   /** Per-subspace PQ codebooks over the L2-normalized corpus: m
@@ -228,13 +257,14 @@ object Similarity {
     val m = codebooks.length
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
-    // Guard HERE, not only at the public entry points: this is the method
-    // that actually collects the query batch, so a future internal caller
-    // cannot bypass the bound (limit+1 probe, never a full count).
-    pqBatchGuard(queries)
-    // driver-built ADC tables, one per query, in a stable query order
+    // driver-built ADC tables, one per query, in a stable query order.
+    // The batch cap is FUSED into this collect (limit(cap+1) bounds
+    // driver memory even on an oversized batch; the require explains
+    // row cap+1) — zero extra actions, and no entry point can bypass it.
     val qNorm = l2normalize(queries, "q_emb")
-      .select(col("q_id"), col("q_emb")).orderBy("q_id").collect()
+      .select(col("q_id"), col("q_emb")).orderBy("q_id")
+      .limit(MaxPqQueryBatch + 1).collect()
+    requirePqBatch(qNorm.length, MaxPqQueryBatch, "PQ query batch")
     val tables: Array[Array[Array[Double]]] = qNorm.map { r =>
       val q = r.getSeq[Float](1).toArray
       Array.tabulate(m, ks) { (j, c) =>
@@ -303,7 +333,7 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 8, nProbe: Int = 2, m: Int = 4, ks: Int = 16,
       shortlistFactor: Int = 8): DataFrame = {
-    pqBatchGuard(queries) // fail fast BEFORE paying the fits
+    // batch cap enforced inside ivfPqServe, fused into its probe collect
     val (codes, cents, codebooks) = ivfPqBuild(corpus, nCells, m, ks)
     ivfPqServe(codes, cents, codebooks, queries, corpus, k, nProbe,
       shortlistFactor)
@@ -360,15 +390,20 @@ object Similarity {
     val ks = codebooks(0).length
     val dsub = codebooks(0)(0).length
     val d = m * dsub
-    // Guard HERE too (the pqAdcServe discipline): this method collects the
-    // probed query batch for per-(query, cell) ADC tables.
-    pqBatchGuard(queries)
-    // probe on the SAME integer micro-unit metric the cells were fit with
+    // probe on the SAME integer micro-unit metric the cells were fit
+    // with. Driver state here is one ADC table per (query, probed cell),
+    // so the cap applies to the PROBE ROWS — fused into the collect this
+    // method already pays (the pqAdcServe discipline): limit(cap+1)
+    // bounds driver memory, the require explains row cap+1, zero extra
+    // actions, and no entry point can bypass it.
+    val probeCap = MaxPqQueryBatch * nProbe
     val qn = l2normalize(queries, "q_emb")
     val probeRows = DetQuantizer.probe(
         qn.select(col("q_id"), col("q_emb")), "q_emb", "q_id", cents, nProbe)
       .select("q_id", "q_emb", "cell_id")
-      .orderBy("q_id", "cell_id").collect()
+      .orderBy("q_id", "cell_id").limit(probeCap + 1).collect()
+    requirePqBatch(probeRows.length, probeCap,
+      s"IVF-PQ probe batch (queries × nProbe=$nProbe)")
     val centArr = cents.orderBy("cell_id").collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
     // one ADC table per (query, probed cell), from the query's residual
@@ -834,7 +869,7 @@ object Similarity {
   def probePqLayout(path: String, queries: DataFrame, corpus: DataFrame,
       k: Int, shortlistFactor: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    pqBatchGuard(queries)
+    // batch cap enforced in the serve tail, fused into its query collect
     val codebooks = readCodebooks(spark, path)
     pqAdcServe(spark.read.parquet(s"$path/codes"), codebooks, queries,
       corpus, k, shortlistFactor)
@@ -892,7 +927,7 @@ object Similarity {
   def probeIvfPqLayout(path: String, queries: DataFrame, corpus: DataFrame,
       k: Int, nProbe: Int = 2, shortlistFactor: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    pqBatchGuard(queries)
+    // batch cap enforced in the serve tail, fused into its query collect
     val codebooks = readCodebooks(spark, path)
     ivfPqServe(spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/cells"), codebooks, queries, corpus, k,
@@ -943,7 +978,7 @@ object Similarity {
       corpus: DataFrame, k: Int, nProbe: Int = 2,
       shortlistFactor: Int = 8): DataFrame = {
     val spark = queries.sparkSession
-    pqBatchGuard(queries)
+    // batch cap enforced in the serve tail, fused into its query collect
     val codebooks = readCodebooks(spark, path)
     ivfPqServe(committedCodes(spark, path),
       spark.read.parquet(s"$path/cells"), codebooks,
@@ -1127,14 +1162,27 @@ object Similarity {
     * shuffle). At the test scales the adaptive grid resolves to the
     * historical 32 (ledger-stable); it departs only when a tile would
     * outgrow [[MaxTileRows]]. Pass an explicit positive `nBlocks` to pin
-    * the grid. */
+    * the grid.
+    *
+    * `maxRows` guards the Ω(n²) time bill (see [[MaxExactPairRows]]):
+    * the same count() that sizes the grid feeds the guard — no extra
+    * action — and a corpus past the cap fails with the documented scale
+    * paths instead of running for days. maxRows <= 0 disables the guard
+    * (an explicit opt-in to unbounded quadratic work). */
   def cosinePairsExact(corpus: DataFrame, minSim: Double,
-      nBlocks: Int = 0): DataFrame = {
+      nBlocks: Int = 0, maxRows: Long = MaxExactPairRows): DataFrame = {
     import corpus.sparkSession.implicits._
+    val n = corpus.count()
+    require(maxRows <= 0 || n <= maxRows,
+      s"cosinePairsExact corpus has $n rows > MaxExactPairRows cap " +
+        s"$maxRows: the exact threshold self-join is Ω(n²) by nature " +
+        "below the LSH-discriminable regime. At corpus scale use " +
+        "Similarity.semDedup (cell-confined exact pairs), " +
+        "cosinePairsGated at a threshold >= ~0.7 where banding prunes, " +
+        "or pass a higher maxRows deliberately")
     val blocks =
       if (nBlocks > 0) nBlocks
-      else math.max(32,
-        math.ceil(corpus.count().toDouble / MaxTileRows).toInt)
+      else math.max(32, math.ceil(n.toDouble / MaxTileRows).toInt)
     val bp = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
       .toDF("bi", "bj")
     val blocked = corpus.select(col("vec_id"), col("embedding"),
@@ -1287,9 +1335,9 @@ object Similarity {
   def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int,
       minMarginPermille: Long = 1000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    broadcastEvalGuard(src, "bitextMargin src side")
     def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
-    val sims = broadcast(src.select(col("s_id"), col("s_emb")))
+    val sims = broadcast(broadcastEvalGuarded(
+        src.select(col("s_id"), col("s_emb")), "bitextMargin src side"))
       .crossJoin(tgt.select(col("t_id"), col("t_emb")))
       .select(col("s_id"), col("t_id"),
         micro(round(VectorFunctions.cosine(col("s_emb"), col("t_emb")), 6))
@@ -1338,11 +1386,12 @@ object Similarity {
   def annRadiusRecall(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 1.5,
       numHashTables: Int = 8): DataFrame = {
-    broadcastEvalGuard(queries, "annRadiusRecall query side")
     val cand = annCandidates(queries, corpus, maxDistance,
         bucketLength, numHashTables)
       .groupBy("q_id").agg(count(lit(1)).as("n_cand"))
-    val truth = broadcast(queries.select(col("q_id"), col("q_emb")))
+    val truth = broadcast(broadcastEvalGuarded(
+        queries.select(col("q_id"), col("q_emb")),
+        "annRadiusRecall query side"))
       .crossJoin(corpus.select(col("vec_id"), col("embedding")))
       .filter(col("q_id") =!= col("vec_id"))
       .filter(sqrt(greatest(lit(0.0),
