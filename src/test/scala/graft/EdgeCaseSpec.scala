@@ -387,8 +387,10 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("pqTopK fails fast on an over-limit query batch (driver ADC-table guard)") {
-    // The ADC tables are driver-built per query; an unbounded queries
-    // DataFrame must be rejected BEFORE any collect, not OOM the driver.
+    // The ADC tables are driver-built per query; an oversized queries
+    // DataFrame must fail explained, never OOM the driver — the cap is
+    // fused into the serve tail's limit(cap+1)-bounded collect, so the
+    // driver holds at most cap+1 rows even on the failure path.
     val corpus = (0L until 8L).map(i =>
       (i, Array.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
     val tooMany = spark.range(graft.operators.Similarity.MaxPqQueryBatch + 1)
@@ -457,24 +459,59 @@ class EdgeCaseSpec extends SparkSpec {
 
   test("brute-force eval operators reject an over-cap broadcast side fast") {
     // bitextMargin / annRadiusRecall broadcast their src/query side whole;
-    // an over-cap side must fail with the named limit BEFORE any kernel
-    // pass — the guard counts limit(cap+1) rows, never the full input.
+    // an over-cap side must fail with the named limit BEFORE the driver
+    // materializes it. The guard is FUSED into the side's plan (zero
+    // extra actions), so the failure surfaces at action time as a
+    // SparkException chain wrapping the explained message — and the
+    // broadcast build dies on its first evaluated row, never after
+    // collecting cap+1 rows.
     import graft.operators.Similarity
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     val cap = Similarity.MaxBroadcastEvalSide
     val bigSrc = spark.range(cap + 1).selectExpr("id AS s_id",
       "cast(array(1.0, 0.0) AS array<float>) AS s_emb")
     val tgt = Seq((1L, Array(1.0f, 0.0f))).toDF("t_id", "t_emb")
-    val e1 = intercept[IllegalArgumentException] {
-      Similarity.bitextMargin(bigSrc, tgt, k = 1)
+    val e1 = intercept[Exception] {
+      // bitextMargin checkpoints its kernel pass eagerly, so the fused
+      // guard fires inside the call
+      Similarity.bitextMargin(bigSrc, tgt, k = 1).count()
     }
-    assert(e1.getMessage.contains("MaxBroadcastEvalSide"))
+    assert(chain(e1).contains("MaxBroadcastEvalSide"), chain(e1))
     val bigQ = spark.range(cap + 1).selectExpr("id AS q_id",
       "cast(array(1.0, 0.0) AS array<float>) AS q_emb")
     val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.annRadiusRecall(bigQ, corpus, 0.5)
+    val e2 = intercept[Exception] {
+      // collect(), not count(): count() references no columns, so the
+      // optimizer legitimately ELIMINATES the unique-keyed left joins —
+      // including the guarded truth side — and the fused guard (like the
+      // kernel pass it protects) never runs. That elimination is the
+      // optimizer doing its job; the guard exists for plans that DO the
+      // work.
+      Similarity.annRadiusRecall(bigQ, corpus, 0.5).collect()
     }
-    assert(e2.getMessage.contains("MaxBroadcastEvalSide"))
+    assert(chain(e2).contains("MaxBroadcastEvalSide"), chain(e2))
+  }
+
+  test("cosinePairsExact rejects a corpus past the Ω(n²) time cap with the scale paths named") {
+    // The tile grid bounds MEMORY at any n, but nothing else bounds TIME:
+    // an unguarded corpus-scale call would run for days instead of
+    // failing toward semDedup / the gated path. The guard reuses the
+    // count() that sizes the adaptive grid — no extra action.
+    import graft.operators.Similarity
+    val six = spark.range(6).selectExpr("id AS vec_id",
+      "cast(array(1.0, 0.0) AS array<float>) AS embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsExact(six, 0.5, maxRows = 5L)
+    }
+    assert(e.getMessage.contains("MaxExactPairRows"))
+    assert(e.getMessage.contains("semDedup"))
+    // at-cap passes, and maxRows <= 0 is the explicit unbounded opt-in
+    assert(Similarity.cosinePairsExact(six, -1.0, maxRows = 6L)
+      .count() === 15L)
+    assert(Similarity.cosinePairsExact(six, -1.0, maxRows = 0L)
+      .count() === 15L)
   }
 
   test("linkByBlocking rejects overlapping or malformed spans (recall guard)") {
@@ -533,5 +570,68 @@ class EdgeCaseSpec extends SparkSpec {
       graft.streaming.Streams.sessionizeEventTime(
         spark.emptyDataset[graft.streaming.Tick], gapMs = 0L)
     }
+  }
+
+  test("round-11 statistical queries accept empty / degenerate table inputs") {
+    // The r11 wave is defined straight over the Tables loaders, so the
+    // degenerate cases get a degenerate SF DIR: tiny parquet tables with
+    // exactly the shapes the verdict called out — corpus smaller than
+    // Hill's k+1, fewer than 10 Lorenz customers, an empty Q-Q segment,
+    // all-tie Cliff's groups, a doc shorter than one span-mask window,
+    // and a language with zero predictions.
+    val dir = java.nio.file.Files.createTempDirectory("edge_sf").toString
+    Seq((1L, "abcdef", 6L, "en"),                       // shorter than L=12
+        (2L, "the of and to a in is it you that was", 39L, "zz"), // no zz profile
+        (3L, "exactly12chr", 12L, "en"))                // one full window
+      .toDF("doc_id", "text", "n_chars", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, 100.0), (2L, 250.0), (3L, 400.0))          // 3 customers < 10
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "MACHINERY"), (2L, "MACHINERY"), (3L, "MACHINERY")) // no BUILDING
+      .toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(("view", 5.0), ("view", 5.0), ("click", 5.0), ("click", 5.0))
+      .toDF("event_type", "value")                      // all-tie samples
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      .write.parquet(s"$dir/events.parquet")
+
+    // hill tail: 3 docs < k+1=101 — the (k+1)-th order statistic does not
+    // exist, so the estimator row is honestly null, never a throw
+    val ht = graft.queries.StatOps.qHillTail(spark, dir).collect()
+    assert(ht.length === 1 && ht(0).isNullAt(1) && ht(0).isNullAt(4))
+    // lorenz: 3 customers spread over tied type-1 boundaries — deciles
+    // partition all customers and the cumulative share still ends at 1000
+    val lz = graft.queries.Aggregations.qLorenz(spark, dir).collect()
+    assert(lz.map(_.getAs[Long]("n_cust")).sum === 3L)
+    assert(lz.last.getAs[Long]("cum_share_permille") === 1000L)
+    assert(lz.map(_.getAs[Long]("decile")).toSeq === Seq(1L, 4L, 7L))
+    // qq drift: the BUILDING segment is EMPTY — all 9 decile rows emit
+    // with null building-side stats instead of vanishing or throwing
+    val qq = graft.queries.DriftOps.qQqDrift(spark, dir).collect()
+    assert(qq.length === 9)
+    assert(qq.forall(r => r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4)))
+    assert(qq.forall(!_.isNullAt(2)))
+    // cliffs delta: both samples all-tie at one value — u2 = n1·n2
+    // exactly, delta 0, magnitude negligible (ties as halves)
+    val cd = graft.queries.StatOps.qCliffsDelta(spark, dir).collect()
+    assert(cd.length === 1)
+    assert(cd(0).getAs[Double]("delta") === 0.0)
+    assert(cd(0).getAs[String]("magnitude") === "negligible")
+    // span mask: the 6-char doc is shorter than one 12-char span and
+    // must drop out; the exactly-12-char doc masks its whole window
+    val sm = graft.queries.TrainOps.qSpanMask(spark, dir).collect()
+    assert(sm.map(_.getAs[Long]("doc_id")).toSet === Set(2L, 3L))
+    assert(sm.filter(_.getAs[Long]("doc_id") == 3L)
+      .map(_.getAs[String]("masked_span")).toSeq === Seq("exactly12chr"))
+    // lang confusion: truth 'zz' has no langId profile, so it is never
+    // predicted — precision and f1 are NULL (not 0, not a throw),
+    // recall is an honest 0
+    val lcRows = graft.queries.LlmOps.qLangConfusion(spark, dir).collect()
+    val zz = lcRows.filter(_.getAs[String]("lang") == "zz")
+    assert(zz.length === 1)
+    assert(zz(0).isNullAt(zz(0).fieldIndex("precision_permille")))
+    assert(zz(0).isNullAt(zz(0).fieldIndex("f1_permille")))
+    assert(zz(0).getAs[Long]("recall_permille") === 0L)
   }
 }
