@@ -89,6 +89,9 @@ object Tables {
     * `Dedup.nearDupProbeSql` against it. */
   def registerSignatureStoreView(s: SparkSession, storeDir: String,
       name: String = "sig_store"): Unit =
-    s.read.parquet(storeDir).select("doc", "shingles", "bk")
+    graft.operators.DeltaStore.snapshotPureDelta(s, storeDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no signature store at $storeDir"))
+      .select("doc", "shingles", "bk")
       .createOrReplaceTempView(name)
 }

@@ -108,4 +108,32 @@ object Decontaminate {
             col("n_shingles")) * lit(1000000.0)).cast("long"))
           .as("novelty_micro"))
   }
+
+  /** The committed set of contaminated doc ids an S26 streaming gate has
+    * flagged so far (`<gateDir>/contaminated/delta=<batchId>` written by
+    * `Streams.decontaminateSinkBatch`), folded base and live deltas
+    * alike — the read side a downstream training-set filter anti-joins
+    * against. Distinct: the same doc can be re-flagged across batches
+    * and across a fold boundary; the SET is the contract. */
+  def contaminatedStoreIds(spark: org.apache.spark.sql.SparkSession,
+      gateDir: String): DataFrame =
+    DeltaStore.snapshotPureDelta(spark, s"$gateDir/contaminated")
+      .map(_.select("doc_id").distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc_id")
+      }
+
+  /** Fold the committed contamination deltas below `uptoBatch` into one
+    * base generation — the S26 member of the delta-store compaction
+    * family (see [[Dedup.compactSignatureStore]] for the full contract:
+    * atomic manifest publish, snapshot-isolated concurrent readers,
+    * grace GC one cycle later, `uptoBatch` capped at the stream's last
+    * committed batch id so a checkpoint replay never races its own
+    * folded delta). */
+  def compactContaminatedStore(spark: org.apache.spark.sql.SparkSession,
+      gateDir: String, uptoBatch: Long,
+      midCompactionHook: () => Unit = () => ()): Unit =
+    DeltaStore.compactPureDelta(spark, s"$gateDir/contaminated", uptoBatch,
+      midCompactionHook)
 }

@@ -433,6 +433,28 @@ object Dedup {
       .select(col("doc"), col("shingles"), col("bk"))
   }
 
+  /** Fold the committed batch deltas of an S15 signature store (written
+    * by `Streams.nearDedupSinkBatch` as `<storeDir>/delta=<batchId>`)
+    * below `uptoBatch` into one base generation — the store-maintenance
+    * twin of [[graft.operators.Similarity.compactIvfPqLayout]]: with
+    * continuous ingest the per-batch listing grows without bound, and
+    * every future batch's store read pays it. Folded rows KEEP their
+    * batch id as a `delta` column, so the replay contract survives
+    * compaction: a replayed batch still reads exactly `delta < batchId`
+    * out of the folded base. `uptoBatch` must not exceed the stream's
+    * last committed batch id — never fold a batch the checkpoint may
+    * replay (the replay would rewrite a folded-and-ignored directory,
+    * which is harmless, but its own signatures would already sit in the
+    * base the exclusion filter then has to hide — keep the invariant
+    * simple instead). Readers racing the compaction resolve one atomic
+    * manifest — pre- or post-fold, identical content, never torn
+    * ([[DeltaStore]]). */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, uptoBatch: Long,
+      midCompactionHook: () => Unit = () => ()): Unit =
+    DeltaStore.compactPureDelta(spark, storeDir, uptoBatch,
+      midCompactionHook)
+
   /** Generated Spark SQL reproducing [[incrementalNearAgainst]] over a
     * signature-store VIEW (registered by `Tables.registerSignatureStoreView`)
     * and a batch view with (doc_id, text) — the SQL door to the at-rest

@@ -929,7 +929,7 @@ object Similarity {
     val spark = queries.sparkSession
     // batch cap enforced in the serve tail, fused into its query collect
     val codebooks = readCodebooks(spark, path)
-    ivfPqServe(spark.read.parquet(s"$path/codes"),
+    ivfPqServe(spark.read.parquet(currentCodesDir(spark, path)),
       spark.read.parquet(s"$path/cells"), codebooks, queries, corpus, k,
       nProbe, shortlistFactor)
   }
@@ -940,15 +940,18 @@ object Similarity {
     * append the code files into their cell partitions. No re-fit, and
     * existing files are never rewritten — ingest cost is proportional to
     * the NEW batch, which is what makes a continuously-fed vector store
-    * affordable (periodic re-fit + rewrite is a separate, rarer
-    * compaction decision). Callers own id uniqueness: appending an
-    * already-present vec_id stores a second code row for it. A dimension
-    * mismatch against the stored codebooks fails fast here — PqEncode's
-    * malformed-input → null convention would otherwise append rows that
-    * every probe silently drops. */
+    * affordable (periodic re-fit + rewrite stays a separate decision;
+    * delta-tier folding is [[compactIvfPqLayout]]). Callers own id
+    * uniqueness: appending an already-present vec_id stores a second
+    * code row for it. A dimension mismatch against the stored codebooks
+    * fails fast here — PqEncode's malformed-input → null convention
+    * would otherwise append rows that every probe silently drops.
+    * Appends resolve the CURRENT base generation, and like every
+    * maintenance write they serialize with compaction (single writer). */
   def appendIvfPqLayout(newVectors: DataFrame, path: String): Unit =
     encodeForIvfPqLayout(newVectors, path)
-      .write.mode("append").partitionBy("cell_id").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(currentCodesDir(newVectors.sparkSession, path))
 
   /** Assign + residual-encode `newVectors` with the STORED quantizers of
     * the layout at `path` — the shared encode step of [[appendIvfPqLayout]]
@@ -971,9 +974,9 @@ object Similarity {
     * delta ingests (`$path/codes_deltas/delta=*` written by
     * `Streams.annIngestSinkBatch`): the compacted base keeps its
     * cell-partition pruning; deltas are the small recent tail (an L0
-    * level — periodic compaction folds them into the base via
-    * [[appendIvfPqLayout]] + delta delete, the rarer decision). Codes
-    * from both tiers score identically — same stored quantizers. */
+    * level — [[compactIvfPqLayout]] periodically folds them into the
+    * next base generation with snapshot-isolated readers). Codes from
+    * both tiers score identically — same stored quantizers. */
   def probeIvfPqLayoutAll(path: String, queries: DataFrame,
       corpus: DataFrame, k: Int, nProbe: Int = 2,
       shortlistFactor: Int = 8): DataFrame = {
@@ -985,38 +988,84 @@ object Similarity {
       queries, corpus, k, nProbe, shortlistFactor)
   }
 
-  /** The committed code SNAPSHOT of an at-rest IVF-PQ layout: base ∪ every
-    * delta=* child holding at least one COMMITTED data file. An
-    * existing-but-empty deltas dir (every delta compacted away) or a child
-    * with only in-flight `_temporary` committer files serves the base
-    * alone — and, crucially, is not conflated with a real failure. An
-    * earlier shape caught AnalysisException around the read, which also
-    * swallowed schema drift in committed deltas (silently dropping
-    * committed vectors from the serving index); the pre-check keeps the
-    * base-alone fallback for the in-flight case ONLY and lets any read or
-    * unionByName error on committed data fail loudly (S24 pins the
-    * snapshot-isolation behavior). Public: this IS the serving-snapshot
+  /** The CURRENT base-codes directory of the layout at `path`: `codes`
+    * until the first compaction, then the generation directory the
+    * manifest names. Every reader and the base-append path resolve
+    * through here so compaction can retire old generations. */
+  def currentCodesDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    DeltaStore.baseDir(s"$path/codes", DeltaStore.current(spark, path))
+
+  /** The committed code SNAPSHOT of an at-rest IVF-PQ layout: the current
+    * base generation ∪ every UNFOLDED `delta=*` child holding at least
+    * one COMMITTED data file (ids below the manifest's `foldedBelow`
+    * watermark are already in the base — their directories, if a replay
+    * recreated them, are garbage awaiting GC, never re-counted). An
+    * existing-but-empty deltas dir (every delta compacted away) or a
+    * child with only in-flight `_temporary` committer files serves the
+    * base alone — and, crucially, is not conflated with a real failure.
+    * Deltas are read PER DIRECTORY and union'd by name, so schema drift
+    * in any committed delta fails loudly instead of silently dropping
+    * committed vectors (S24 pins both behaviors). The manifest read is
+    * one atomic small-file resolve ([[DeltaStore]]), so a probe racing
+    * [[compactIvfPqLayout]] sees the pre- or post-fold snapshot — equal
+    * in content — never a torn mix. Public: this IS the serving-snapshot
     * definition, shared by the Scala probe and the SQL layout views. */
   def committedCodes(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/codes")
-    val deltaRoot = new org.apache.hadoop.fs.Path(s"$path/codes_deltas")
-    val fs = deltaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasCommittedFiles(dir: org.apache.hadoop.fs.Path): Boolean =
-      fs.listStatus(dir).exists { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) n != "_temporary" && hasCommittedFiles(st.getPath)
-        else !n.startsWith("_") && !n.startsWith(".")
-      }
-    val hasDeltas = fs.exists(deltaRoot) &&
-      fs.listStatus(deltaRoot).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("delta=") &&
-          hasCommittedFiles(st.getPath))
-    if (hasDeltas)
-      base.unionByName(
-        spark.read.parquet(s"$path/codes_deltas").drop("delta"),
-        allowMissingColumns = false)
-    else base
+    val snap = DeltaStore.current(spark, path)
+    val base = spark.read.parquet(
+      DeltaStore.baseDir(s"$path/codes", snap))
+    DeltaStore.committedDeltaIds(spark, s"$path/codes_deltas",
+        snap.foldedBelow)
+      .map(i => spark.read.parquet(s"$path/codes_deltas/delta=$i"))
+      .foldLeft(base)(_.unionByName(_, allowMissingColumns = false))
+  }
+
+  /** Fold every committed streaming delta of the layout at `path` into
+    * the next base-codes generation (keeping the cell-partitioned
+    * at-rest shape — probing stays partition pruning) and atomically
+    * publish the new snapshot — the L0→base compaction the delta tier
+    * was designed around: with continuous S22 ingest the delta listing
+    * grows one directory per micro-batch, and the per-probe union plan
+    * grows with it; compaction returns the layout to one base scan.
+    *
+    * Concurrency contract (proven in StreamingSpec): a concurrent
+    * [[probeIvfPqLayoutAll]] reader resolves ONE manifest — before the
+    * publish it serves the old generation plus the folded deltas (all
+    * still on disk), after it the folded generation plus any newer
+    * deltas; both equal the same logical snapshot, so a probe
+    * mid-compaction ≡ a probe pre-compaction. The superseded generation
+    * and folded delta dirs are deleted by the NEXT compaction's grace GC
+    * ([[DeltaStore.gcSuperseded]]), one full cycle later. Deltas written
+    * WHILE this compaction runs (ids past the fold watermark) stay
+    * unfolded and serve normally; a replayed already-folded batch id
+    * rewrites a below-watermark directory that readers ignore and GC
+    * sweeps. Single maintenance writer at a time (ingest and compaction
+    * serialized by the caller — S22's operating posture).
+    *
+    * `midCompactionHook` is a test seam: it runs after the folded
+    * generation is fully written, before the manifest publish. */
+  def compactIvfPqLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, midCompactionHook: () => Unit = () => ()): Unit = {
+    val snap0 = DeltaStore.current(spark, path)
+    DeltaStore.gcSuperseded(spark, s"$path/codes", s"$path/codes_deltas",
+      snap0)
+    val ids = DeltaStore.committedDeltaIds(spark, s"$path/codes_deltas",
+      snap0.foldedBelow)
+    if (ids.isEmpty) return
+    val next = DeltaStore.Snapshot(snap0.gen + 1L, ids.max + 1L)
+    val base = spark.read.parquet(
+      DeltaStore.baseDir(s"$path/codes", snap0))
+    // fold EXACTLY the listed ids — a delta landing mid-compaction (id
+    // past the watermark) must stay out of this generation or it would
+    // be served twice
+    ids.map(i => spark.read.parquet(s"$path/codes_deltas/delta=$i"))
+      .foldLeft(base)(_.unionByName(_, allowMissingColumns = false))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(DeltaStore.baseDir(s"$path/codes", next))
+    midCompactionHook()
+    DeltaStore.publish(spark, path, next)
   }
 
   /** Generated Spark SQL reproducing [[probeIvfPqLayoutAll]] over the

@@ -866,20 +866,16 @@ object Streams {
       maxDistance: Double)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasDeltas = // an existing-but-empty root has no schema to infer
-      fs.globStatus(new org.apache.hadoop.fs.Path(storeDir, "delta=*")) match {
-        case null => false
-        case st => st.nonEmpty
-      }
-    val existing =
-      if (hasDeltas)
-        spark.read.parquet(storeDir)
-          .filter(col("delta") < batchId) // replay: ignore own/future deltas
-          .select("doc", "shingles", "bk")
-      else // first delta: an empty store with the operator's own schema
-        Dedup.signatureStore(docs.limit(0), "text", "doc_id")
+    // committed-snapshot read through the manifest-aware store reader:
+    // folded base + live deltas, both restricted to delta < batchId — a
+    // replayed batch sees exactly the store state it saw the first time
+    // WHETHER OR NOT a compaction ran in between (the folded base keeps
+    // per-row delta ids precisely so this exclusion survives folding)
+    val existing = graft.operators.DeltaStore
+      .snapshotPureDelta(spark, storeDir, uptoExclusive = batchId)
+      .map(_.select("doc", "shingles", "bk"))
+      .getOrElse( // first delta: an empty store with the operator's own schema
+        Dedup.signatureStore(docs.limit(0), "text", "doc_id"))
     Dedup.incrementalNearAgainst(docs, existing, "text", "doc_id",
         maxDistance)
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
@@ -907,6 +903,56 @@ object Streams {
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(s"$layoutDir/codes_deltas/delta=$batchId")
   }
+
+  /** S33 — streaming incremental-MV maintenance, the continuous twin of
+    * `q_agg_merge` (`Layout.partialAgg` + `Layout.mergePartialAggs`):
+    * each micro-batch folds to per-key PARTIAL aggregates (cnt, total —
+    * the mergeable algebra, ONE definition shared with the batch twin so
+    * the two sides can never double-count) and lands as a batch-id-keyed
+    * delta under `$viewDir/delta=<batchId>`, overwrite-mode, so a
+    * replayed batch rewrites its own partials instead of adding them
+    * twice — the S15/S22/S26 exactly-once pattern. Refresh cost per
+    * batch is O(batch keys), never O(view): the at-rest view is only
+    * ever APPENDED partials; [[mvViewSnapshot]] merges at read, and
+    * [[compactMvView]] pre-merges the fold so the base converges to one
+    * row per key. */
+  def mvMergeSinkBatch(viewDir: String, keyCols: Seq[String],
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Layout.partialAgg(batch, keyCols, valueCol)
+      .write.mode("overwrite").parquet(s"$viewDir/delta=$batchId")
+
+  /** The MERGED view an S33 store serves: per-key (cnt, total, avg) over
+    * the folded base plus every committed live delta — bit-identical to
+    * a from-scratch aggregate over all ingested rows, because the merge
+    * algebra is exact (long count, decimal/long-exact total; the derived
+    * avg is ONE double division at the end — `Layout.mergePartialAggs`'s
+    * contract). Empty store → empty view with the right schema. */
+  def mvViewSnapshot(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, keyCols: Seq[String]): DataFrame =
+    graft.operators.DeltaStore.snapshotPureDelta(spark, viewDir) match {
+      case Some(df) =>
+        df.groupBy(keyCols.map(col): _*)
+          .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+          .withColumn("avg_value",
+            col("total").cast("double") / col("cnt"))
+      case None => spark.emptyDataFrame
+    }
+
+  /** Fold an S33 view's committed partial-aggregate deltas below
+    * `uptoBatch` into a PRE-MERGED base generation (one row per key —
+    * the fold transform re-aggregates, which the mergeable algebra makes
+    * exact), with the full delta-store concurrency contract: atomic
+    * manifest publish, snapshot-isolated concurrent readers, grace GC
+    * one cycle later (see [[graft.operators.Dedup.compactSignatureStore]]).
+    * Keep `uptoBatch` at or below the stream's last committed batch id. */
+  def compactMvView(spark: org.apache.spark.sql.SparkSession,
+      viewDir: String, keyCols: Seq[String], uptoBatch: Long,
+      midCompactionHook: () => Unit = () => ()): Unit =
+    graft.operators.DeltaStore.compactPureDelta(spark, viewDir, uptoBatch,
+      midCompactionHook,
+      foldTransform = df => df.groupBy(keyCols.map(col): _*)
+        .agg(sum("cnt").as("cnt"), sum("total").as("total"),
+          max("delta").as("delta")))
 }
 
 /** Live task state held per slave key (S6). */

@@ -1577,4 +1577,246 @@ class StreamingSpec extends SparkSpec {
     assert(value.startsWith("""{"SlaveID":"s0","Hostname":"host-s0","Port":5051"""))
     assert(value.contains(""""Metrics":{"k":1}"""))
   }
+
+  test("S33 streaming incremental-MV merge: replay-idempotent partial deltas, view ≡ from-scratch, fold-compaction pre-merges") {
+    import graft.streaming.ValSeen
+    import graft.operators.DeltaStore
+    val view = java.nio.file.Files.createTempDirectory("s33_view").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s33_ckpt").toString
+    val keys = Seq("grp")
+    val in = MemoryStream[ValSeen]
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.mvMergeSinkBatch(view, keys, "v") _)
+      .start()
+    val wave1 = Seq(ValSeen("a", t(1), 10L), ValSeen("a", t(2), 20L),
+      ValSeen("b", t(3), 5L))
+    val wave2 = Seq(ValSeen("a", t(4), 30L), ValSeen("c", t(5), 7L))
+    val wave3 = Seq(ValSeen("b", t(6), 15L), ValSeen("c", t(7), 3L))
+    // CHAOS posture: every wave runs in its own query incarnation from
+    // the shared checkpoint — kill-and-resume between every batch
+    def wave(w: Seq[ValSeen]): Unit = {
+      val q = start()
+      try { in.addData(w: _*); q.processAllAvailable() } finally q.stop()
+    }
+    wave(wave1); wave(wave2) // delta=0, delta=1
+    def viewRows(): Seq[(String, Long, Long, Double)] =
+      Streams.mvViewSnapshot(spark, view, keys)
+        .selectExpr("grp", "cnt", "CAST(total AS BIGINT)", "avg_value")
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+    def scratch(rows: Seq[ValSeen]): Seq[(String, Long, Long, Double)] =
+      rows.toDF().groupBy("grp")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"),
+          org.apache.spark.sql.functions.sum("v").as("total"))
+        .selectExpr("grp", "cnt", "total",
+          "CAST(total AS DOUBLE) / cnt AS avg_value")
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+    val twoWaves = viewRows()
+    assert(twoWaves === scratch(wave1 ++ wave2),
+      "merged view must equal the from-scratch aggregate")
+    // replay idempotence: re-running a batch id rewrites its partials
+    Streams.mvMergeSinkBatch(view, keys, "v")(wave1.toDF(), 0L)
+    assert(viewRows() === twoWaves)
+    // fold-compaction pre-merges: base converges to ONE row per key and
+    // a reader racing the fold (mid-hook) still sees the same view
+    var midChecked = false
+    Streams.compactMvView(spark, view, keys, uptoBatch = 2L, () => {
+      assert(viewRows() === twoWaves); midChecked = true
+    })
+    assert(midChecked)
+    assert(viewRows() === twoWaves)
+    val snap = DeltaStore.current(spark, view)
+    assert(snap.gen === 1L && snap.foldedBelow === 2L)
+    val baseRows = spark.read.parquet(s"$view/folded_g1")
+    assert(baseRows.count() === baseRows.select("grp").distinct().count(),
+      "the fold must pre-merge to one row per key")
+    // ingest resumes onto the compacted view from the same checkpoint
+    wave(wave3) // delta=2
+    assert(viewRows() === scratch(wave1 ++ wave2 ++ wave3))
+  }
+
+  test("S34 IVF-PQ delta compaction: snapshot-isolated probes, grace GC, ingest resumes onto the folded store") {
+    import graft.operators.{DeltaStore, Similarity}
+    val layout = java.nio.file.Files.createTempDirectory("s34_layout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("s34_ckpt").toString
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding")
+    Similarity.writeIvfPqLayout(base, layout, nCells = 4)
+    val oddRows = odd.collect()
+      .map(r => VecIngest(r.getLong(0), r.getSeq[Float](1)))
+    val third = oddRows.length / 3
+    val (wave1, rest) = oddRows.splitAt(third)
+    val (wave2, wave3) = rest.splitAt(third)
+    val in = MemoryStream[VecIngest]
+    def start() = in.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Streams.annIngestSinkBatch(layout) _)
+      .start()
+    def wave(w: Seq[VecIngest]): Unit = {
+      val q = start()
+      try { in.addData(w: _*); q.processAllAvailable() } finally q.stop()
+    }
+    wave(wave1.toSeq) // delta=0
+    wave(wave2.toSeq) // delta=1
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select("vec_id", "embedding")
+    def probe(): Set[(Long, Long)] =
+      Similarity.probeIvfPqLayoutAll(layout, queries, corpus,
+          k = 10, nProbe = 4, shortlistFactor = 1000)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val pre = probe()
+    // MID-compaction (folded generation written, manifest not yet
+    // published): a concurrent probe resolves the OLD manifest and
+    // serves exactly the pre-compaction snapshot
+    var midChecked = false
+    Similarity.compactIvfPqLayout(spark, layout, () => {
+      assert(probe() === pre,
+        "a probe mid-compaction must equal the pre-compaction snapshot")
+      midChecked = true
+    })
+    assert(midChecked)
+    // POST-compaction: identical answers, now served from generation 1;
+    // the folded deltas and generation 0 survive until the NEXT
+    // compaction's grace GC
+    assert(probe() === pre)
+    assert(DeltaStore.current(spark, layout) ===
+      DeltaStore.Snapshot(1L, 2L))
+    assert(new java.io.File(s"$layout/codes_g1").isDirectory)
+    assert(new java.io.File(s"$layout/codes").isDirectory)
+    // a REPLAY of an already-folded batch rewrites a below-watermark
+    // directory that the serving snapshot ignores
+    Streams.annIngestSinkBatch(layout)(
+      wave1.toSeq.toDF("vec_id", "embedding"), 0L)
+    assert(probe() === pre)
+    // ingest RESUMES onto the compacted store from the same checkpoint
+    wave(wave3.toSeq) // delta=2, past the fold watermark
+    val after = probe()
+    val exact = Similarity.cosineTopK(queries, corpus, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(after === exact)
+    // SECOND compaction: folds delta=2 into generation 2 and grace-GCs
+    // generation 0 plus every below-watermark delta (the replay garbage
+    // included); answers unchanged
+    Similarity.compactIvfPqLayout(spark, layout)
+    assert(probe() === after)
+    assert(DeltaStore.current(spark, layout) ===
+      DeltaStore.Snapshot(2L, 3L))
+    assert(!new java.io.File(s"$layout/codes").exists)
+    def liveDeltas() = new java.io.File(s"$layout/codes_deltas").listFiles()
+      .filter(_.getName.startsWith("delta=")).map(_.getName).toSeq
+    // delta=2 was folded by THIS compaction, so its directory keeps the
+    // one-cycle grace; deltas 0/1 (and the replay garbage) are swept
+    assert(liveDeltas() === Seq("delta=2"))
+    // a further compaction with nothing new to fold still runs the
+    // grace GC — the store converges to one generation, zero deltas
+    Similarity.compactIvfPqLayout(spark, layout)
+    assert(liveDeltas().isEmpty,
+      s"graced deltas must be swept next cycle: ${liveDeltas()}")
+    assert(probe() === after)
+    // the SQL read path serves the same folded snapshot
+    Tables.registerLayoutViews(spark, layout, prefix = "s34")
+    assert(spark.table("s34_codes").count() ===
+      base.count() + oddRows.length)
+  }
+
+  test("S34 signature-store compaction: replays and decisions identical across the fold") {
+    import graft.operators.{Dedup, DeltaStore}
+    val store = java.nio.file.Files.createTempDirectory("s34_sig").toString
+    val out = java.nio.file.Files.createTempDirectory("s34_out").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(90).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val Array(b0, b1, b2) = docs.grouped(30).toArray
+    def df(b: Array[(Long, String)]) = b.toSeq.toDF("doc_id", "text")
+    val sink = Streams.nearDedupSinkBatch(store, out, 0.5) _
+    sink(df(b0), 0L)
+    sink(df(b1), 1L)
+    val out1 = spark.read.parquet(s"$out/batch=1").collect()
+      .map(_.toString).sorted.toSeq
+    // fold batch 0 (below the last committed id — batch 1 stays live);
+    // a probe through the store reader mid-fold sees the unfolded state
+    var midChecked = false
+    Dedup.compactSignatureStore(spark, store, uptoBatch = 1L, () => {
+      assert(DeltaStore.snapshotPureDelta(spark, store).get.count() ===
+        spark.read.parquet(s"$store/delta=0").count() +
+          spark.read.parquet(s"$store/delta=1").count())
+      midChecked = true
+    })
+    assert(midChecked)
+    // a REPLAYED batch 1 reads exactly the store state it saw first time
+    // (delta < 1 now comes out of the folded base) - decisions identical
+    sink(df(b1), 1L)
+    assert(spark.read.parquet(s"$out/batch=1").collect()
+      .map(_.toString).sorted.toSeq === out1)
+    // batch 2 runs against folded(b0) + live delta(b1): decisions equal
+    // the batch twin over the union store
+    sink(df(b2), 2L)
+    val expected = Dedup.incrementalNearAgainst(df(b2),
+        Dedup.signatureStore(df(b0).unionByName(df(b1)), "text", "doc_id"),
+        "text", "doc_id", 0.5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.read.parquet(s"$out/batch=2").collect()
+      .map(_.toString).sorted.toSeq === expected)
+    // second fold (everything below 3): the SQL view over the store
+    // serves the full folded signature set; batch-0 delta dir is GC'd
+    Dedup.compactSignatureStore(spark, store, uptoBatch = 3L)
+    Dedup.compactSignatureStore(spark, store, uptoBatch = 3L) // no-op + GC
+    val live = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("delta=")).map(_.getName).toSeq
+    assert(live.isEmpty, s"folded deltas must be GC'd: $live")
+    Tables.registerSignatureStoreView(spark, store, "s34_sigs")
+    assert(spark.table("s34_sigs").count() ===
+      Dedup.signatureStore(
+        df(b0).unionByName(df(b1)).unionByName(df(b2)),
+        "text", "doc_id").count())
+  }
+
+  test("S34 contamination-store compaction: the flagged id set survives folds and replay garbage") {
+    import graft.operators.{Decontaminate, DeltaStore}
+    val gate = java.nio.file.Files.createTempDirectory("s34_gate").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+      .orderBy("doc_id").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val Array(b0, b1) = train.grouped(30).toArray
+    def df(b: Array[(Long, String)]) = b.toSeq.toDF("doc_id", "text")
+    val bloom = Streams.buildDecontaminationGate(eval, "text", 5, gate)
+    val sink = Streams.decontaminateSinkBatch(gate, bloom, 5) _
+    sink(df(b0), 0L)
+    sink(df(b1), 1L)
+    val pre = Decontaminate.contaminatedStoreIds(spark, gate)
+      .as[Long].collect().sorted.toSeq
+    // the flag set equals the batch operator over the union (S26's
+    // existing contract), and folding must not move it
+    val batch = Decontaminate.contaminatedIds(
+        df(b0).unionByName(df(b1)), eval, "text", "doc_id", 5)
+      .as[Long].collect().sorted.toSeq
+    assert(pre === batch)
+    var midChecked = false
+    Decontaminate.compactContaminatedStore(spark, gate, uptoBatch = 2L,
+      () => {
+        assert(Decontaminate.contaminatedStoreIds(spark, gate)
+          .as[Long].collect().sorted.toSeq === pre)
+        midChecked = true
+      })
+    assert(midChecked)
+    assert(Decontaminate.contaminatedStoreIds(spark, gate)
+      .as[Long].collect().sorted.toSeq === pre)
+    // replay garbage: a restarted stream rewriting a folded batch's
+    // delta dir must not re-enter the snapshot
+    sink(df(b0), 0L)
+    assert(Decontaminate.contaminatedStoreIds(spark, gate)
+      .as[Long].collect().sorted.toSeq === pre)
+    // next compaction sweeps the garbage and keeps the set
+    Decontaminate.compactContaminatedStore(spark, gate, uptoBatch = 2L)
+    assert(Decontaminate.contaminatedStoreIds(spark, gate)
+      .as[Long].collect().sorted.toSeq === pre)
+    assert(DeltaStore.current(spark, s"$gate/contaminated").gen >= 1L)
+  }
 }
