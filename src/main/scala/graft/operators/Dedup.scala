@@ -433,6 +433,48 @@ object Dedup {
       .select(col("doc"), col("shingles"), col("bk"))
   }
 
+  /** MinHash-estimator quality audit — the measurement the banded-dedup
+    * thresholds rest on: for every md5-banded candidate pair, the
+    * Jaccard ESTIMATE from `kEst` minhashes (matching components / k —
+    * Broder 1997's unbiased estimator) against the EXACT shingle-set
+    * Jaccard, with the absolute error. The estimator hashes start AFTER
+    * the banding hashes (h = numBands·rowsPerBand …), so the estimate is
+    * INDEPENDENT of the collisions that selected the candidates — reusing
+    * the banding hashes would bias every estimate upward exactly on the
+    * pairs being audited. All integer permilles (match counts, exact
+    * |∩|·1000 div |∪|); the only strings are md5 hex. Scale shape: the
+    * candidate set is the banded join's (∝ true near-dup density, never
+    * all pairs); signatures are one kernel column per doc. */
+  def minhashEstimatorAudit(df: DataFrame, textCol: String, idCol: String,
+      kEst: Int = 16, numBands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val docs = md5ShingleDocs(df, textCol, idCol, shingleN)
+    val bands = pairableBands(md5Bands(docs, numBands, rowsPerBand))
+    val cand = bands.select(col("doc").as("a"), col("bk"))
+      .join(bands.select(col("doc").as("b"), col("bk")), "bk")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val sigs = docs.select(col("doc"),
+      TextFunctions.minhashSignature(col("shingles"),
+        numBands * rowsPerBand, kEst).as("sig"),
+      col("shingles"))
+    cand
+      .join(sigs.select(col("doc").as("a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a")), "a")
+      .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b")), "b")
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+          "m -> m))").cast("long").as("n_match"),
+        expr("size(array_intersect(sh_a, sh_b))").cast("long")
+          .as("n_inter"),
+        expr("size(array_union(sh_a, sh_b))").cast("long").as("n_union"))
+      .withColumn("est_permille", expr(s"(n_match * 1000) div $kEst"))
+      .withColumn("jaccard_permille", expr("(n_inter * 1000) div n_union"))
+      .withColumn("err_permille",
+        abs(col("est_permille") - col("jaccard_permille")))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Fold the committed batch deltas of an S15 signature store (written
     * by `Streams.nearDedupSinkBatch` as `<storeDir>/delta=<batchId>`)
     * below `uptoBatch` into one base generation — the store-maintenance

@@ -289,6 +289,105 @@ object CorpusOps extends QueryFamily {
         "user_id", "week")
       .orderBy("cohort_week", "week_offset")
 
+  /** q_kaplan_meier — Kaplan–Meier survival curve of customer ordering
+    * lifetime (Kaplan & Meier 1958): per churn tenure (days between a
+    * customer's first and last order) the at-risk count, churn count
+    * and the product-limit survival estimate — the censoring-correct
+    * answer to "how long do customers stay", where a naive mean tenure
+    * is biased low by every customer still active. Customers whose last
+    * order falls within 90 days of the dataset's horizon are CENSORED
+    * (still alive): they leave the risk set at their tenure without
+    * counting as churn — exactly the right-censoring the estimator
+    * exists for.
+    *
+    * Engine-exact recipe: tenures aggregate to a VALUE HISTOGRAM first
+    * (map-side partial; the windows below run over distinct tenure
+    * values — day-domain bounded, never customer-count sized, the
+    * q_qq_drift discipline), the at-risk count is total minus the
+    * cumulative departures window, each factor ln(1 − d/n) is
+    * pre-rounded to integer micro per tenure (the q_hill_tail keyness
+    * idiom), the product-limit log accumulates as an exact integer sum,
+    * and the survival permille is ONE mirrored exp at the end. A tenure
+    * where everyone at risk churns (d = n) pins S to exactly 0 instead
+    * of ln(0). */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.orders(s, dir).select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("day"))
+    val per = days.groupBy("o_custkey")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val study = days.agg(max("day").as("dmax"))
+    val pu = per.crossJoin(broadcast(study))
+      .select((col("d1") - col("d0")).as("tenure"),
+        (col("d1") <= col("dmax") - 90).cast("long").as("churn"))
+    val hist = pu.groupBy("tenure")
+      .agg(count(lit(1)).as("n_at"), sum("churn").as("d"))
+    val wBefore = Window.orderBy("tenure")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("tenure")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_risk",
+        sum("n_at").over(Window.partitionBy()) -
+          coalesce(sum("n_at").over(wBefore), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("term_micro",
+        when(col("d") < col("n_risk"), expr(
+          "CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000) " +
+            "AS BIGINT)")))
+      .withColumn("cum_micro", sum("term_micro").over(wCum))
+      .select(col("tenure").as("tenure_days"), col("n_risk"),
+        col("d").as("n_churn"),
+        when(col("d") >= col("n_risk"), lit(0L))
+          .otherwise(expr(
+            "CAST(round(exp(CAST(cum_micro AS DOUBLE) / 1000000) * 1000) " +
+              "AS BIGINT)")).as("s_milli"))
+      .orderBy("tenure_days")
+  }
+
+  /** q_markov_stationary — stationary distribution of the first-order
+    * event-type Markov chain: 8 unrolled power-iteration rounds over
+    * q_transitions' transition matrix, from a uniform start — "where
+    * does a long random session spend its time", the single-vector
+    * summary of the full transition matrix (and the q_pagerank idea
+    * applied to the behavioral chain instead of the link graph). The
+    * bounded-unroll contract of q_pagerank/q_communities: rounds are
+    * FIXED, so the trajectory is a pure function of the data and the
+    * oracle replays it as chained CTEs. All integer: probabilities in
+    * exact ppm (floor div), mass vectors in micro, one v·p product per
+    * edge per round (≤ types² terms — everything after the pair count
+    * is class-cardinality sized). Mass leaks at floor divisions and at
+    * types with no observed outflow — deterministic, mirrored, and
+    * irrelevant to the ranking the vector exists for. */
+  def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val p = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("(n * 1000000) div sum(n) over (partition by i)"))
+      .select("i", "j", "p_ppm")
+      .localCheckpoint(eager = false) // joined once per unrolled round
+    val states = p.select(col("i").as("st"))
+      .union(p.select(col("j"))).distinct()
+    val v0 = states.crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("st"), expr("1000000 div k").as("v"))
+    val vFinal = (1 to 8).foldLeft(v0) { (v, _) =>
+      v.join(p, v("st") === p("i"))
+        .groupBy(col("j"))
+        .agg(sum(expr("v * p_ppm")).as("num"))
+        .select(col("j").as("st"), expr("num div 1000000").as("v"))
+    }
+    vFinal.select(col("st").as("event_type"),
+        col("v").as("stationary_micro"))
+      .orderBy("event_type")
+  }
+
   /** q_cohort_ltv — the revenue LTV triangle: customers cohorted by
     * first-purchase month, per (cohort, offset) the active customers,
     * exact-cent revenue and running cumulative — q_retention's revenue
@@ -903,6 +1002,8 @@ object CorpusOps extends QueryFamily {
     "q_scd2" -> (qScd2 _),
     "q_sample_hash" -> (qSampleHash _),
     "q_retention" -> (qRetention _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_markov_stationary" -> (qMarkovStationary _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_winsorize" -> (qWinsorize _),
     "q_transitions" -> (qTransitions _),
@@ -1652,6 +1753,72 @@ object CorpusOps extends QueryFamily {
         |SELECT doc_id, source, rn, CAST(quota AS BIGINT) AS quota
         |FROM r WHERE rn <= quota
         |ORDER BY doc_id""".stripMargin,
+    // Kaplan-Meier: tenure VALUE HISTOGRAM, integer micro log-terms
+    // (round(ln*1e6), the keyness idiom), one mirrored exp at the end;
+    // d = n_risk pins S to exactly 0.
+    "q_kaplan_meier" ->
+      """WITH days AS (
+        |  SELECT o_custkey,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day
+        |  FROM orders),
+        |per AS (
+        |  SELECT o_custkey, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM days GROUP BY o_custkey),
+        |study AS (SELECT MAX(day) AS dmax FROM days),
+        |pu AS (
+        |  SELECT d1 - d0 AS tenure,
+        |    CASE WHEN d1 <= dmax - 90 THEN 1 ELSE 0 END AS churn
+        |  FROM per, study),
+        |hist AS (
+        |  SELECT tenure, COUNT(*) AS n_at, SUM(churn) AS d
+        |  FROM pu GROUP BY tenure),
+        |risk AS (
+        |  SELECT tenure, d,
+        |    SUM(n_at) OVER () - COALESCE(SUM(n_at) OVER (ORDER BY tenure
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM hist),
+        |r2 AS (
+        |  SELECT tenure, d, n_risk,
+        |    CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000)
+        |        AS BIGINT) END AS term_micro
+        |  FROM risk WHERE d > 0)
+        |SELECT tenure AS tenure_days, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_churn,
+        |  CASE WHEN d >= n_risk THEN 0 ELSE
+        |    CAST(round(exp(CAST(SUM(term_micro) OVER (ORDER BY tenure)
+        |      AS DOUBLE) / 1000000) * 1000) AS BIGINT) END AS s_milli
+        |FROM r2 ORDER BY tenure_days""".stripMargin,
+    // Markov stationary: q_transitions' matrix in exact ppm, 8 unrolled
+    // power-iteration CTEs in micro (floor div both engines, all
+    // non-negative so // and div agree).
+    "q_markov_stationary" ->
+      ("""WITH pairs AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type AS i, event_type AS j, COUNT(*) AS n
+        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT i, j,
+        |    (n * 1000000) // SUM(n) OVER (PARTITION BY i) AS p_ppm
+        |  FROM cnt),
+        |states AS (SELECT i AS st FROM p UNION SELECT j FROM p),
+        |kk AS (SELECT COUNT(*) AS k FROM states),
+        |v0 AS (SELECT st, 1000000 // k AS v FROM states, kk),
+        |""".stripMargin +
+        (1 to 8).map(r =>
+          s"""v$r AS (
+             |  SELECT p.j AS st, SUM(v${r - 1}.v * p.p_ppm) // 1000000 AS v
+             |  FROM v${r - 1} JOIN p ON v${r - 1}.st = p.i GROUP BY p.j)"""
+            .stripMargin).mkString(",\n") +
+        """
+          |SELECT st AS event_type, CAST(v AS BIGINT) AS stationary_micro
+          |FROM v8 ORDER BY event_type""".stripMargin),
     "q_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

@@ -68,6 +68,47 @@ object LlmOps extends QueryFamily {
           .as("long_tokens"))
       .orderBy("doc_id")
 
+  /** q_ttr — lexical-diversity quality signals: per document the
+    * type-token ratio and MATTR (moving-average TTR over 10-token
+    * windows — Covington & McFall 2010), both in exact permille. Raw
+    * TTR shrinks with document length (long docs repeat function
+    * words), so it cannot gate a mixed-length corpus; MATTR scores
+    * every 10-token window identically regardless of length, which is
+    * what makes it the curation-grade diversity signal next to
+    * q_rep_ngram's repetition shares. All integer: per-window distinct
+    * counts sum exactly, MATTR = Σdistinct·1000 div (10·windows) — no
+    * float ever touches a score. A doc shorter than one window keeps
+    * its row with NULL mattr (the q_rep_ngram left-join posture).
+    * Scale shape: one generator per doc (windows ≤ tokens, slice +
+    * posexplode are codegen'd — the q_emb_dimcorr lesson: no HOF
+    * lambdas in the hot expansion) and a doc-keyed map-side-combined
+    * aggregate. */
+  def qTtr(s: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), T.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("n_types"))
+      .localCheckpoint(eager = false) // head row + window expansion
+    val mattr = toks.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(1), (col("n_tokens") - (W - 1)).cast("int")))
+          .as(Seq("wi", "start")))
+      .select(col("doc_id"),
+        size(array_distinct(slice(col("ws"), col("start"), lit(W))))
+          .cast("long").as("w_types"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum("w_types").as("sum_types"))
+      .select(col("doc_id"),
+        expr(s"(sum_types * 1000) div ($W * n_windows)")
+          .as("mattr_permille"))
+    toks.select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("(n_types * 1000) div n_tokens").as("ttr_permille"))
+      .join(mattr, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   /** q_quality_score — length/stopword/repetition signals + composite. */
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -780,6 +821,7 @@ object LlmOps extends QueryFamily {
     "q_text_stats" -> (qTextStats _),
     "q_text_filter" -> (qTextFilter _),
     "q_tokens" -> (qTokens _),
+    "q_ttr" -> (qTtr _),
     "q_quality_score" -> (qQualityScore _),
     "q_lang_id" -> (qLangId _),
     "q_lang_confusion" -> (qLangConfusion _),
@@ -1580,6 +1622,29 @@ object LlmOps extends QueryFamily {
         |  len(list_distinct(string_split(text, ' '))) AS uniq_tokens,
         |  len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS long_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // TTR/MATTR: all-integer permilles; DuckDB list slices are 1-based
+    // inclusive like Spark's slice(start, length) after the +9 offset.
+    "q_ttr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_types
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, n_tokens - 8),
+        |      i -> len(list_distinct(ws[i:i+9])))) AS w_types
+        |  FROM toks WHERE n_tokens >= 10),
+        |m AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows, SUM(w_types) AS sum_types
+        |  FROM win GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(t.n_types AS BIGINT) AS n_types,
+        |  CAST((t.n_types * 1000) // t.n_tokens AS BIGINT) AS ttr_permille,
+        |  CAST((m.sum_types * 1000) // (10 * m.n_windows) AS BIGINT)
+        |    AS mattr_permille
+        |FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id,
         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,

@@ -33,6 +33,15 @@ object TrainOps extends QueryFamily {
         maxDistance = 0.5)
       .orderBy("a_id", "b_id")
 
+  /** q_minhash_est — MinHash estimator audit over the banded candidate
+    * pairs: 16-hash Jaccard estimate vs exact shingle Jaccard with the
+    * absolute error, estimator hashes disjoint from the banding hashes
+    * (selection-bias-free). The measurement the whole near-dedup
+    * threshold family rests on. See
+    * [[graft.operators.Dedup.minhashEstimatorAudit]]. */
+  def qMinhashEst(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatorAudit(Tables.documents(s, dir), "text", "doc_id")
+
   /** q_dedup_recall — the MinHash band gate's recall CURVE, measured
     * in-engine: exact-Jaccard truth pairs vs q_dedup_near_md5's verified
     * output, counted per distance decile — banded-LSH recall falls with
@@ -468,6 +477,7 @@ object TrainOps extends QueryFamily {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_dsir" -> (qDsir _),
     "q_dedup_near_md5" -> (qDedupNearMd5 _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_emb_centroid" -> (qEmbCentroid _),
     "q_emb_dimcorr" -> (qEmbDimcorr _),
@@ -608,6 +618,58 @@ object TrainOps extends QueryFamily {
         |WHERE round(1.0 - CAST(len(list_intersect(da.gs, db.gs)) AS DOUBLE) /
         |    len(list_distinct(list_concat(da.gs, db.gs))), 6) <= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // MinHash estimator audit: q_dedup_near_md5's candidate chain, then
+    // per pair the 16-hash estimate (hashes 8..23 — disjoint from the
+    // banding hashes 0..7) vs exact Jaccard, all integer permilles.
+    "q_minhash_est" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS gs
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |mh AS (
+        |  SELECT doc_id, gs, [
+        |    list_aggregate(list_transform(gs, g -> md5('0|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('1|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('2|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('3|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('4|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('5|' || g)), 'min'),
+        |    list_aggregate(list_transform(gs, g -> md5('6|' || g)), 'min') || '|' ||
+        |      list_aggregate(list_transform(gs, g -> md5('7|' || g)), 'min')
+        |  ] AS keys
+        |  FROM docs),
+        |bands AS (
+        |  SELECT doc_id, unnest(range(0, 4)) AS band, unnest(keys) AS key
+        |  FROM mh),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |sig AS (
+        |  SELECT doc_id, gs,
+        |    list_transform(range(8, 24), h ->
+        |      list_aggregate(list_transform(gs,
+        |        g -> md5(CAST(h AS VARCHAR) || '|' || g)), 'min')) AS sg
+        |  FROM docs),
+        |paired AS (
+        |  SELECT a_id, b_id,
+        |    len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i]))
+        |      AS n_match,
+        |    len(list_intersect(sa.gs, sb.gs)) AS n_inter,
+        |    len(list_distinct(list_concat(sa.gs, sb.gs))) AS n_union
+        |  FROM cand
+        |  JOIN sig sa ON a_id = sa.doc_id
+        |  JOIN sig sb ON b_id = sb.doc_id)
+        |SELECT a_id, b_id, CAST(n_match AS BIGINT) AS n_match,
+        |  CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(n_union AS BIGINT) AS n_union,
+        |  CAST((n_match * 1000) // 16 AS BIGINT) AS est_permille,
+        |  CAST((n_inter * 1000) // n_union AS BIGINT) AS jaccard_permille,
+        |  CAST(abs((n_match * 1000) // 16 - (n_inter * 1000) // n_union)
+        |    AS BIGINT) AS err_permille
+        |FROM paired ORDER BY a_id, b_id""".stripMargin,
     // MinHash recall curve: the q_dedup_near_md5 candidate chain (found)
     // against an exact shingle-equi-join truth set, counted per distance
     // decile (round(dist·1e6) // 1e5) — integer counts, floor division.

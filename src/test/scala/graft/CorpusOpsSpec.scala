@@ -642,4 +642,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty, "sf0.001 has frequent triples")
   }
+
+  test("kaplan-meier: survival is monotone non-increasing, risk set counts down, censoring holds rows out of churn") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.CorpusOps.qKaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty, "orders must yield churn tenures")
+    val s = rows.map(_.getAs[Long]("s_milli")).toSeq
+    assert(s === s.sorted.reverse, s"survival must be non-increasing: $s")
+    assert(s.head <= 1000L && s.forall(_ >= 0L))
+    val risk = rows.map(_.getAs[Long]("n_risk")).toSeq
+    assert(risk === risk.sorted.reverse, "risk set can only shrink")
+    // censoring: churners are strictly fewer than customers (the sf data
+    // has active-to-the-horizon customers), and the at-risk count at the
+    // first churn tenure is bounded by the customer total
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").distinct().count()
+    val nChurn = rows.map(_.getAs[Long]("n_churn")).sum
+    assert(nChurn < nCust, "right-censoring must hold some customers out")
+    assert(risk.head <= nCust)
+  }
+
+  test("markov stationary: mass ≈ 1, ranking matches a BigInt replay of the unrolled iteration") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.CorpusOps.qMarkovStationary(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // floor-div leak only: total mass within 1% of 1e6
+    val mass = got.map(_._2).sum
+    assert(mass > 990000L && mass <= 1000000L, s"mass=$mass")
+    // exact replay: rebuild p_ppm and iterate 8 rounds in BigInt with the
+    // same floor divisions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val p = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val out = p.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ppm = p.map { case (i, j, n) => (i, j) -> n * 1000000L / out(i) }.toMap
+    val states = (p.map(_._1) ++ p.map(_._2)).distinct.sorted
+    var v = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 8)
+      v = states.map { j =>
+        j -> ppm.collect { case ((a, b), pp) if b == j =>
+          v.getOrElse(a, 0L) * pp }.sum / 1000000L
+      }.toMap
+    // the query emits one row per state with INBOUND edges (a state with
+    // zero inflow carries zero mass either way)
+    val expected = p.map(_._2).distinct.sorted.map(st => (st, v(st)))
+    assert(got === expected)
+  }
 }

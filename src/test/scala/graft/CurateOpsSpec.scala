@@ -133,4 +133,27 @@ class CurateOpsSpec extends SparkSpec {
     val out = Dedup.incrementalNear(batch, store, "text", "doc_id", 0.5)
     assert(out.collect().forall(_.getAs[Boolean]("is_novel")))
   }
+
+
+  test("ttr: MATTR equals a hand-rolled sliding-window mean; short docs keep NULL mattr") {
+    val out = graft.queries.LlmOps.qTtr(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.length === docs.size, "every document keeps its row")
+    out.foreach { r =>
+      val ws = docs(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(r.getAs[Long]("n_tokens") === ws.length.toLong)
+      assert(r.getAs[Long]("n_types") === ws.distinct.length.toLong)
+      assert(r.getAs[Long]("ttr_permille") ===
+        ws.distinct.length.toLong * 1000 / ws.length)
+      if (ws.length < 10)
+        assert(r.isNullAt(r.fieldIndex("mattr_permille")))
+      else {
+        val wins = ws.sliding(10).map(_.distinct.length.toLong).toSeq
+        assert(r.getAs[Long]("mattr_permille") ===
+          wins.sum * 1000 / (10 * wins.length))
+      }
+    }
+  }
 }

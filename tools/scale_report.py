@@ -42,10 +42,23 @@ ACCEPTED = {
         "LSH-discriminable regime (random-pair cosine concentrates as "
         "N(0, 1/sqrt(d)); the measured bucket gate passed 98.4% of pairs "
         "and tripled runtime), so the operator is Ω(n²) by nature; the "
-        "blocked-GEMM kernel controls the constant and per-task memory. "
+        "blocked-GEMM kernel controls the constant and per-task memory, "
+        "and since r12 the MaxExactPairRows guard (2M rows) bounds the "
+        "total bill — a corpus-scale call fails toward semDedup / the "
+        "gated path instead of running for days. "
         "See Similarity.cosinePairsExact scaladoc. At the measured sizes "
         "it is still shuffle-bound (e(0.5→1)=0.8, not 2.0); the decade "
         "ratio reflects leaving the overhead-bound regime."),
+    "q_bitext_margin": (
+        "brute-force EVAL operator: one src×tgt exact kernel pass is the "
+        "operator's definition (the margin needs both directional "
+        "neighbourhoods), so doubling both sides quadruples kernel evals "
+        "— e(1→2)≈2 is the semantics, not a plan defect. The bill is "
+        "HARD-BOUNDED since r12: the broadcast side is capped at "
+        "MaxBroadcastEvalSide=65536 rows (in-plan guard, explained "
+        "failure), and the operator's scaladoc documents the production "
+        "swap (ANN candidate stack + this exact scoring tail). Kept in "
+        "the solo sweep precisely to measure the quadratic honestly."),
 }
 
 
@@ -172,8 +185,16 @@ def main():
             w("Second-doubling flags: " + ", ".join(f"`{k}`" for k in bad))
         else:
             w("No non-accepted query exceeds the 1.35 exponent gate over "
-              "the second doubling (suite-context artifacts adjudicated "
-              "below).")
+              "the second doubling" +
+              (" (suite-context artifacts adjudicated below)."
+               if any(k in SPOT_NOTES for k, *_ in spot) else "."))
+        accepted2 = [k for k, _, _, e2 in spot
+                     if e2 > 1.35 and k in ACCEPTED]
+        if accepted2:
+            w("")
+            w("Accepted-cost over the second doubling:")
+            for k in accepted2:
+                w(f"- `{k}`: {ACCEPTED[k]}")
         noted = [k for k, *_ in spot if k in SPOT_NOTES]
         if noted:
             w("")
