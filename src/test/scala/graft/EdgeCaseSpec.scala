@@ -634,4 +634,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(zz(0).isNullAt(zz(0).fieldIndex("f1_permille")))
     assert(zz(0).getAs[Long]("recall_permille") === 0L)
   }
+
+  test("round-12 queries accept degenerate table inputs") {
+    // the same degenerate-SF-dir treatment the r10/r11 waves got, applied
+    // in the SAME round the operators land
+    val dir = java.nio.file.Files.createTempDirectory("edge12_sf").toString
+    // every customer's last order sits at the horizon -> zero churners
+    Seq((1L, java.sql.Timestamp.valueOf("1998-08-01 00:00:00"), 100.0),
+        (2L, java.sql.Timestamp.valueOf("1998-08-01 00:00:00"), 200.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    // single-user single-event stream -> no transitions at all
+    Seq((7L, "view", 1.0))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      .withColumn("event_id", lit(1L))
+      .write.parquet(s"$dir/events.parquet")
+    // two docs with zero shared shingles -> no banded candidates
+    Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // kaplan-meier: everyone censored -> NO churn tenures, empty curve
+    // (not a throw, not a fabricated S=1000 row)
+    assert(graft.queries.CorpusOps.qKaplanMeier(spark, dir).count() === 0L)
+    // markov stationary: an empty transition matrix -> empty vector
+    assert(graft.queries.CorpusOps.qMarkovStationary(spark, dir)
+      .count() === 0L)
+    // minhash estimator audit: no candidate pairs -> empty audit
+    assert(graft.queries.TrainOps.qMinhashEst(spark, dir).count() === 0L)
+    // ttr: both docs keep rows; the 5/6-token docs are shorter than one
+    // 10-token MATTR window -> null mattr, live ttr
+    val tt = graft.queries.LlmOps.qTtr(spark, dir).collect()
+    assert(tt.length === 2)
+    assert(tt.forall(_.isNullAt(tt(0).fieldIndex("mattr_permille"))))
+    assert(tt.forall(_.getAs[Long]("ttr_permille") === 1000L))
+  }
 }
