@@ -58,7 +58,13 @@ object DeltaStore {
 
   private def manifestDir(root: String) = new Path(s"$root/_manifests")
 
-  private val ManifestName = """v(\d{6})\.json""".r
+  // {6,} not {6}: the writer pads to AT LEAST six digits (f"v$v%06d"), so
+  // version 1,000,000 is v1000000.json — a {6} match would silently stop
+  // seeing new manifests there and every reader would revert to the last
+  // six-digit snapshot. Versions compare numerically (.toLong), so longer
+  // names order correctly; non-matching names stay ignored because
+  // publish() parks its temp file in this same directory.
+  private val ManifestName = """v(\d{6,})\.json""".r
   private val ManifestBody =
     """\{"gen":\s*(-?\d+),\s*"foldedBelow":\s*(-?\d+)\}""".r
 

@@ -81,31 +81,40 @@ object Outliers {
     * would otherwise move the mean. Everything integer: `valueCents`
     * must be an exact integer column expression.
     *
-    * Scale shape: one shuffle on the group key computes the rank window
-    * AND (after the bounds join) the clipped aggregate; bounds are a
-    * group-cardinality table attached by broadcast. percentile bounds by
-    * RANK, not `percentile()` — interpolated percentiles are doubles and
+    * Scale shape (the [[Ranks]] two-phase discipline): the bounds are two
+    * order statistics per group, so the corpus never rides a
+    * group-partitioned rank window (a group here can be a third of the
+    * table — the 100 TB killer). Phase 1 value-bucket counts
+    * (map-side-partial aggregate, `bucketWidth`-cent bands); phase 2 ranks
+    * ONLY the buckets straddling the ⌈p·n⌉ positions; the picked bounds
+    * broadcast back onto the clipped aggregate. percentile bounds by RANK,
+    * not `percentile()` — interpolated percentiles are doubles and
     * engine-ordering-sensitive; position selection is exact. */
   def winsorizedStats(df: DataFrame, groupCol: String, idCol: String,
       valueCents: org.apache.spark.sql.Column,
-      pLowPct: Int = 5, pHighPct: Int = 95): DataFrame = {
+      pLowPct: Int = 5, pHighPct: Int = 95,
+      bucketWidth: Long = 100000L): DataFrame = {
     require(pLowPct >= 0 && pHighPct <= 100 && pLowPct < pHighPct,
       s"need 0 <= pLow < pHigh <= 100, got $pLowPct/$pHighPct")
-    val w = Window.partitionBy(groupCol).orderBy(col("cents"), col(idCol))
-    val ranked = df
+    require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    val base = df
       .select(col(groupCol), col(idCol), valueCents.as("cents"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(groupCol)))
-      .localCheckpoint(eager = false) // feeds bounds + the clipped agg
-    val bounds = ranked
-      .withColumn("lo_pos",
-        greatest(lit(1L), expr(s"CAST(ceil($pLowPct * n / 100.0) AS BIGINT)")))
-      .withColumn("hi_pos",
-        greatest(lit(1L), expr(s"CAST(ceil($pHighPct * n / 100.0) AS BIGINT)")))
-      .groupBy(groupCol)
-      .agg(max(when(col("rn") === col("lo_pos"), col("cents"))).as("low_cents"),
-        max(when(col("rn") === col("hi_pos"), col("cents"))).as("high_cents"))
-    ranked.join(broadcast(bounds), groupCol)
+      .localCheckpoint(eager = false) // feeds offsets, picks + clipped agg
+    val bucket = expr(s"cents div $bucketWidth")
+    val offs = Ranks.bucketOffsets(base, Seq(groupCol), bucket)
+    val positions = Ranks.totals(offs, Seq(groupCol))
+      .selectExpr(groupCol,
+        s"stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil($pLowPct * n / 100.0) AS BIGINT))," +
+          s" 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil($pHighPct * n / 100.0) AS BIGINT))) AS (stat, pos)")
+    val picked = Ranks.orderStatAt(base, Seq(groupCol), bucket,
+      Seq(col("cents"), col(idCol)), "cents", offs, positions, "pos",
+      "bound_cents")
+    val bounds = picked.groupBy(groupCol)
+      .agg(max(when(col("stat") === "lo", col("bound_cents")))
+          .as("low_cents"),
+        max(when(col("stat") === "hi", col("bound_cents")))
+          .as("high_cents"))
+    base.join(broadcast(bounds), groupCol)
       .withColumn("clipped",
         least(greatest(col("cents"), col("low_cents")), col("high_cents")))
       .groupBy(groupCol)

@@ -304,32 +304,38 @@ object Aggregations extends QueryFamily {
     * revenue decile the customer count, exact cent sum, and (cumulative)
     * permille share — the inequality PROFILE behind the single number
     * `q_source_gini` reports (which deciles carry the mass; "top decile
-    * = 17% of revenue" is the actionable form). Scale discipline is the
-    * q_qq_drift one: the per-customer cents aggregate to a VALUE
-    * HISTOGRAM (map-side partial), the cumulative window runs over
-    * distinct cent values, and each decile boundary is the TYPE-1 order
-    * statistic min(v) with cum ≥ ceil(k·n/10) — a pure integer, so the
-    * boundary comparison is int64 < int64 on both engines and no
-    * cross-engine float interpolation can ever decide a customer's
-    * decile (an earlier interpolated-percentile form rested on Spark
-    * and DuckDB producing bit-identical interpolated doubles). The 9
+    * = 17% of revenue" is the actionable form). Each decile boundary is
+    * the TYPE-1 order statistic at position ⌈k·n/10⌉ of the (cents,
+    * custkey) total order — a pure integer, so the boundary comparison
+    * is int64 < int64 on both engines and no cross-engine float
+    * interpolation can ever decide a customer's decile (an earlier
+    * interpolated-percentile form rested on Spark and DuckDB producing
+    * bit-identical interpolated doubles).
+    *
+    * Scale discipline is the [[graft.operators.Ranks]] two-phase one —
+    * per-customer revenue cents are near-unique, so a distinct-value
+    * histogram gives NO reduction and its cumulative window would drag
+    * every customer through one task. Instead $10k cent bands aggregate
+    * map-side, only the 9 straddling buckets are ranked, and the picked
     * boundaries broadcast back onto the per-customer table — never a
-    * global ntile/rank sort over customers; shares are integer permille
-    * of exact cent sums; the cumulative window is a bounded 10-row
-    * frame (the q_benford discipline). */
+    * global ntile/rank/cum sort over customers; shares are integer
+    * permille of exact cent sums; the cumulative share window is a
+    * bounded 10-row frame (the q_benford discipline). */
   def qLorenz(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(s, dir).groupBy("o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .as("cents"))
-    val cum = per.groupBy("cents").agg(count(lit(1)).as("cnt"))
-      .select(col("cents"),
-        sum("cnt").over(Window.orderBy("cents")).as("cum"),
-        sum("cnt").over(Window.partitionBy()).as("n"))
+      .localCheckpoint(eager = false) // feeds offsets, picks + assign
+    val bucket = expr("cents div 1000000")
+    val offs = graft.operators.Ranks.bucketOffsets(per, Seq(), bucket)
     val dk = s.range(1, 10).select(col("id").as("k"))
-    val bounds = cum.crossJoin(broadcast(dk))
-      .filter(col("cum") >= expr("(k * n + 9) div 10"))
-      .groupBy("k").agg(min("cents").as("b"))
+    val positions = graft.operators.Ranks.totals(offs, Seq())
+      .crossJoin(broadcast(dk))
+      .select(col("k"), expr("(k * n + 9) div 10").as("pos"))
+    val picked = graft.operators.Ranks.orderStatAt(per, Seq(), bucket,
+      Seq(col("cents"), col("o_custkey")), "cents", offs, positions,
+      "pos", "b")
+    val bounds = picked
       .agg(array_sort(collect_list(struct(col("k"), col("b")))).as("kb"))
       .select(transform(col("kb"), e => e.getField("b")).as("qs"))
     val assigned = per.crossJoin(broadcast(bounds))

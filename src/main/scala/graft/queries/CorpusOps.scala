@@ -258,17 +258,33 @@ object CorpusOps extends QueryFamily {
     * keep exactly min(quota, available) documents, chosen by md5(text)
     * order — like `q_sample_hash` the kept set is a pure content function
     * (stable across runs/engines/partitionings), but with hard per-stratum
-    * quotas instead of a global rate. One per-source window, the same
-    * shuffle shape as q_mix_sources. */
+    * quotas instead of a global rate.
+    *
+    * Scale shape (the [[graft.operators.Ranks]] discipline — a whole
+    * source never rides one rank-window task): the md5 hex prefix is a
+    * uniform 256-way range bucket of the order key, the bucket-count
+    * offsets prune every bucket whose offset already exceeds the quota
+    * (at corpus scale that leaves ~one 1/256 slice per source), and the
+    * kept rank is bucket offset + in-bucket row_number — identical to the
+    * single-window rank by construction. */
   def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
-    Tables.documents(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("quota",
-        when(col("source") === "src0", 20)
-          .when(col("source").isin("src1", "src2", "src3", "src4"), 10)
-          .otherwise(5))
+    def quota(src: Column): Column =
+      when(src === "src0", 20L)
+        .when(src.isin("src1", "src2", "src3", "src4"), 10L)
+        .otherwise(5L)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val bucket = substring(col("h"), 1, 2)
+    val offs = graft.operators.Ranks.bucketOffsets(base, Seq("source"),
+      bucket)
+    val live = offs.filter(col("_off") < quota(col("source")))
+      .select("source", "_bkt", "_off")
+    val wIn = Window.partitionBy("source", "_bkt").orderBy("h", "doc_id")
+    base.withColumn("_bkt", bucket)
+      .join(broadcast(live), Seq("source", "_bkt"))
+      .withColumn("rn", col("_off") + row_number().over(wIn))
+      .withColumn("quota", quota(col("source")))
       .filter(col("rn") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
         col("quota").cast("long").as("quota"))

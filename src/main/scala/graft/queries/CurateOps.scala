@@ -256,12 +256,15 @@ object CurateOps extends QueryFamily {
     * keep the middle band [p25, p75] of cross-entropy — too-predictable
     * text is boilerplate, too-surprising is noise/garble. Band bounds by
     * RANK over a (ce, doc_id) total order (type-1 quantiles — exact
-    * position selection, no interpolated-percentile float risk), the
-    * q_winsorize discipline. Reports per-source totals, band bounds, and
-    * kept counts. Shape: the LM score is vocabulary-bounded joins; the
-    * band is one source-keyed window + a group-cardinality broadcast. */
+    * position selection, no interpolated-percentile float risk), computed
+    * with the [[graft.operators.Ranks]] two-phase discipline: a whole
+    * source never rides one rank-window task — quarter-nat ce bands
+    * aggregate map-side, only the two straddling buckets per source are
+    * ranked, and the picked bounds broadcast onto the band count. Shape:
+    * the LM score is vocabulary-bounded joins; the corpus-sized table is
+    * touched by one bucket aggregate, one broadcast-pruned pick window,
+    * and the final source-keyed aggregate. */
   def qPplFilter(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val scored = graft.operators.LmScore.knBigramCrossEntropy(
         docs.select("doc_id", "text"),
@@ -269,21 +272,22 @@ object CurateOps extends QueryFamily {
       .select("doc_id", "ce_micro")
       .filter(col("ce_micro").isNotNull)
     val j = docs.select("doc_id", "source").join(scored, "doc_id")
-    val w = Window.partitionBy("source").orderBy("ce_micro", "doc_id")
-    val ranked = j.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-      .localCheckpoint(eager = false) // feeds bounds + the band count
-    val bounds = ranked
-      .withColumn("lo_pos",
-        greatest(lit(1L), expr("CAST(ceil(25 * n / 100.0) AS BIGINT)")))
-      .withColumn("hi_pos",
-        greatest(lit(1L), expr("CAST(ceil(75 * n / 100.0) AS BIGINT)")))
-      .groupBy("source")
-      .agg(max(when(col("rn") === col("lo_pos"), col("ce_micro")))
+      .localCheckpoint(eager = false) // feeds offsets, picks + band count
+    val bucket = expr("ce_micro div 250000")
+    val offs = graft.operators.Ranks.bucketOffsets(j, Seq("source"), bucket)
+    val positions = graft.operators.Ranks.totals(offs, Seq("source"))
+      .selectExpr("source",
+        "stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil(25 * n / 100.0) AS BIGINT))," +
+          " 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil(75 * n / 100.0) AS BIGINT))) AS (stat, pos)")
+    val picked = graft.operators.Ranks.orderStatAt(j, Seq("source"), bucket,
+      Seq(col("ce_micro"), col("doc_id")), "ce_micro", offs, positions,
+      "pos", "bound_ce")
+    val bounds = picked.groupBy("source")
+      .agg(max(when(col("stat") === "lo", col("bound_ce")))
           .as("lo_ce_micro"),
-        max(when(col("rn") === col("hi_pos"), col("ce_micro")))
+        max(when(col("stat") === "hi", col("bound_ce")))
           .as("hi_ce_micro"))
-    ranked.join(broadcast(bounds), "source")
+    j.join(broadcast(bounds), "source")
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),
         max("lo_ce_micro").as("lo_ce_micro"),

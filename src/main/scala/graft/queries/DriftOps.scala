@@ -657,28 +657,31 @@ object DriftOps extends QueryFamily {
     * segments side by side, with exact difference and ratio (ppm) — the
     * distribution-shape drift diagnostic that LOCATES where two samples
     * diverge (tails vs body), where q_ks_test reports only the max gap
-    * and q_psi bins on fixed boundaries. Scale discipline: NO row-level
-    * rank — the value HISTOGRAM aggregates first (map-side partial), the
-    * cumulative window runs over distinct cent values per segment (the
-    * q_mannwhitney shape), and the type-1 quantile is min(v) with
-    * cum ≥ ceil(k·n/10) — rank-exact, interpolation-free, so ties and
-    * engines cannot disagree. ceil as (k·n+9) div 10 keeps everything
-    * integer. */
+    * and q_psi bins on fixed boundaries. Scale discipline
+    * ([[graft.operators.Ranks]] two-phase): order-total cents are
+    * near-unique, so a distinct-value histogram gives no reduction and a
+    * per-segment cumulative window would drag half the orders through
+    * one task. Instead $10k cent bands aggregate map-side, only the
+    * straddling bucket per (segment, decile) is ranked, and the type-1
+    * quantile is the value at position ⌈k·n/10⌉ of the (v, orderkey)
+    * total order — rank-exact, interpolation-free, so ties and engines
+    * cannot disagree. ceil as (k·n+9) div 10 keeps everything integer. */
   def qQqDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val src = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-      .select(col("c_mktsegment").as("seg"),
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
-    val gv = src.groupBy("seg", "v").agg(count(lit(1)).as("cnt"))
-    val cum = gv.select(col("seg"), col("v"),
-      sum("cnt").over(Window.partitionBy("seg").orderBy("v")).as("cum"),
-      sum("cnt").over(Window.partitionBy("seg")).as("n"))
+      .localCheckpoint(eager = false) // feeds offsets + the pick window
+    val bucket = expr("v div 1000000")
+    val offs = graft.operators.Ranks.bucketOffsets(src, Seq("seg"), bucket)
     val dk = s.range(1, 10).select(col("id").as("decile"))
-    val pick = cum.crossJoin(broadcast(dk))
-      .filter(col("cum") >= expr("(decile * n + 9) div 10"))
-      .groupBy("decile", "seg").agg(min("v").as("qv"))
+    val positions = graft.operators.Ranks.totals(offs, Seq("seg"))
+      .crossJoin(broadcast(dk))
+      .select(col("seg"), col("decile"),
+        expr("(decile * n + 9) div 10").as("pos"))
+    val pick = graft.operators.Ranks.orderStatAt(src, Seq("seg"), bucket,
+      Seq(col("v"), col("o_orderkey")), "v", offs, positions, "pos", "qv")
     pick.groupBy("decile")
       .agg(max(when(col("seg") === "BUILDING", col("qv"))).as("building_c"),
         max(when(col("seg") === "MACHINERY", col("qv"))).as("machinery_c"))

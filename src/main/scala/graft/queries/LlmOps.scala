@@ -302,24 +302,26 @@ object LlmOps extends QueryFamily {
   /** q_mix_sources — deterministic mixture downsampling: per-source keep
     * every k-th document by rank (k from a per-source weight table) — the
     * reproducible, shuffle-light analog of weighted source sampling when
-    * composing a training mix. Exactly one shuffle (the per-source window);
-    * no RNG, so the mix is stable across runs and engines. */
-  def qMixSources(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(w))
+    * composing a training mix. No RNG, so the mix is stable across runs
+    * and engines. Every row's rank matters (the modulo keeps rows
+    * throughout the order), so this is the full two-phase
+    * [[graft.operators.Ranks.rowNumber]]: contiguous 1000-id buckets
+    * (exactly width-bounded, the q_shard_manifest discipline) rank
+    * independently and add their broadcast prefix offsets — a whole
+    * source never rides one window task. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranks.rowNumber(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("source"), expr("doc_id div 1000"), Seq(col("doc_id")), "rn")
       .withColumn("keep_every",
-        when(col("source") === "src0", 1)
-          .when(col("source").isin("src1", "src2", "src3", "src4"), 2)
-          .otherwise(4))
+        when(col("source") === "src0", 1L)
+          .when(col("source").isin("src1", "src2", "src3", "src4"), 2L)
+          .otherwise(4L))
       .filter((col("rn") - 1) % col("keep_every") === 0)
       .select(col("doc_id"), col("source"),
         col("rn").cast("long").as("rn"),
         col("keep_every").cast("long").as("keep_every"))
       .orderBy("doc_id")
-  }
 
   /** q_multimodal_meta — binary payload + typed metadata extraction. */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =

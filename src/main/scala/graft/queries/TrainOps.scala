@@ -127,14 +127,17 @@ object TrainOps extends QueryFamily {
       .select(col("i").cast("long").as("i"),
         (col("i") + 1 + col("dj")).cast("long").as("j"),
         col("qi"), col("qj"))
-    // sx/sy stay LONG (Σ|q| ≤ 1e6·rows — 1e16 at 10¹⁰ rows, inside
-    // int64); only the quadratic sums widen to DECIMAL(38,0), where
-    // Σq² reaches ~1e22. Each long sum saved is 4M fewer boxed adds in
-    // the single hash aggregate this query is.
+    // ALL corpus-wide sums widen to DECIMAL(38,0) at the aggregate (the
+    // house rule: long in the per-row hot path, decimal only at the
+    // aggregate boundary). An earlier form kept sx/sy as plain long sums
+    // on a 1e10-row headroom argument — but non-ANSI long sums WRAP
+    // silently past int64 (no null, no error: the divergent-failure mode
+    // the q_assortativity i64 guard exists to prevent), and unnormalized
+    // large-magnitude embeddings eat that headroom fast.
     val sp = terms.groupBy("i", "j").agg(
       count(lit(1)).as("n"),
-      sum(col("qi")).as("sx"),
-      sum(col("qj")).as("sy"),
+      sum(col("qi").cast("decimal(38,0)")).as("sx"),
+      sum(col("qj").cast("decimal(38,0)")).as("sy"),
       sum((col("qi") * col("qi")).cast("decimal(38,0)")).as("sxx"),
       sum((col("qj") * col("qj")).cast("decimal(38,0)")).as("syy"),
       sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sxy"))
@@ -308,20 +311,46 @@ object TrainOps extends QueryFamily {
     * high-register ones — production filters gate RELATIVE to the source).
     * The cut uses percent_rank over a (score, doc_id) total order: an exact
     * rational (rank−1)/(n−1) of integers, so the boundary is bit-identical
-    * in any engine — no interpolated-percentile last-ulp risk. One window +
-    * one aggregate, both keyed by source. */
+    * in any engine — no interpolated-percentile last-ulp risk.
+    *
+    * Scale shape (the [[graft.operators.Ranks]] two-phase discipline — a
+    * whole source never rides one percent_rank task): pr ≥ 0.1 is monotone
+    * in rank (IEEE division by a positive constant), so the kept set is a
+    * rank SUFFIX — n_kept = n − rc + 1 and min_kept_score is the order
+    * statistic at the cut rank rc. rc is found by evaluating the SAME
+    * double predicate (rank−1)/(n−1) ≥ 0.1 on the ±2 integer neighborhood
+    * of the rational boundary ⌈(n−1)/10⌉ + 1 (a double's relative error
+    * 2⁻⁵³ cannot move the comparison by more than one rank step while the
+    * rank gap is 1/(n−1) ≥ 2⁻⁵², i.e. for any n below 2⁵²) — so no
+    * per-row pr is ever computed. The corpus is touched by one
+    * score-band aggregate and one broadcast-pruned pick window over the
+    * single straddling bucket per source. n = 1 sources keep nothing:
+    * percent_rank of a lone row is 0 < 0.1 in both engines. */
   def qQualityGate(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         T.qualityScore(col("text")).as("score"))
-    val pr = percent_rank().over(
-      Window.partitionBy("source").orderBy("score", "doc_id"))
-    scored.withColumn("pr", pr)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("pr") >= 0.1, 1L).otherwise(0L)).as("n_kept"),
-        round(min(when(col("pr") >= 0.1, col("score"))), 6)
-          .as("min_kept_score"))
+      .localCheckpoint(eager = false) // feeds offsets + the pick window
+    val bucket = floor(col("score") * 4096).cast("long")
+    val offs = graft.operators.Ranks.bucketOffsets(scored, Seq("source"),
+      bucket)
+    val totals = graft.operators.Ranks.totals(offs, Seq("source"))
+    val cut = totals.filter(col("n") > 1)
+      .withColumn("r0", expr("(n - 1 + 9) div 10 + 1"))
+      .withColumn("r",
+        explode(sequence(greatest(lit(1L), col("r0") - 2),
+          least(col("n"), col("r0") + 2))))
+      .filter((col("r") - 1).cast("double") / (col("n") - 1).cast("double")
+        >= 0.1)
+      .groupBy("source").agg(min("r").as("pos"))
+    val picked = graft.operators.Ranks.orderStatAt(scored, Seq("source"),
+      bucket, Seq(col("score"), col("doc_id")), "score", offs, cut, "pos",
+      "cut_score")
+    totals.join(broadcast(picked.select("source", "pos", "cut_score")),
+        Seq("source"), "left")
+      .select(col("source"), col("n").as("n_total"),
+        coalesce(col("n") - col("pos") + 1, lit(0L)).as("n_kept"),
+        round(col("cut_score"), 6).as("min_kept_score"))
       .orderBy("source")
   }
 

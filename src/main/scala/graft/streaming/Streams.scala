@@ -926,17 +926,29 @@ object Streams {
     * a from-scratch aggregate over all ingested rows, because the merge
     * algebra is exact (long count, decimal/long-exact total; the derived
     * avg is ONE double division at the end — `Layout.mergePartialAggs`'s
-    * contract). Empty store → empty view with the right schema. */
+    * contract). Empty store → empty view with the right schema: a
+    * never-ingested view runs the SAME merge pipeline over a zero-row
+    * partial frame (string keys — the S33 key contract — exact-long
+    * partials), so `.select(keyCols)` / unions against the snapshot work
+    * before the first delta lands and the two cases can never drift. */
   def mvViewSnapshot(spark: org.apache.spark.sql.SparkSession,
-      viewDir: String, keyCols: Seq[String]): DataFrame =
+      viewDir: String, keyCols: Seq[String]): DataFrame = {
+    def merged(df: DataFrame): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+        .withColumn("avg_value",
+          col("total").cast("double") / col("cnt"))
     graft.operators.DeltaStore.snapshotPureDelta(spark, viewDir) match {
-      case Some(df) =>
-        df.groupBy(keyCols.map(col): _*)
-          .agg(sum("cnt").as("cnt"), sum("total").as("total"))
-          .withColumn("avg_value",
-            col("total").cast("double") / col("cnt"))
-      case None => spark.emptyDataFrame
+      case Some(df) => merged(df)
+      case None =>
+        import org.apache.spark.sql.types._
+        val partialSchema = StructType(
+          keyCols.map(k => StructField(k, StringType)) ++
+            Seq(StructField("cnt", LongType), StructField("total", LongType)))
+        merged(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), partialSchema))
     }
+  }
 
   /** Fold an S33 view's committed partial-aggregate deltas below
     * `uptoBatch` into a PRE-MERGED base generation (one row per key —

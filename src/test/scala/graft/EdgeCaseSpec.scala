@@ -585,8 +585,8 @@ class EdgeCaseSpec extends SparkSpec {
         (3L, "exactly12chr", 12L, "en"))                // one full window
       .toDF("doc_id", "text", "n_chars", "lang")
       .write.parquet(s"$dir/documents.parquet")
-    Seq((1L, 100.0), (2L, 250.0), (3L, 400.0))          // 3 customers < 10
-      .toDF("o_custkey", "o_totalprice")
+    Seq((1L, 1L, 100.0), (2L, 2L, 250.0), (3L, 3L, 400.0)) // 3 custs < 10
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
       .write.parquet(s"$dir/orders.parquet")
     Seq((1L, "MACHINERY"), (2L, "MACHINERY"), (3L, "MACHINERY")) // no BUILDING
       .toDF("c_custkey", "c_mktsegment")

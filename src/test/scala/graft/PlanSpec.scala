@@ -14,6 +14,16 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every row_number window in the plan must partition by the
+    * [[graft.operators.Ranks]] bucket column — a rank window partitioned
+    * by a bare group (or by nothing) funnels a data-proportional slice of
+    * the corpus through ONE window task, the 100 TB plan defect the
+    * two-phase discipline exists to remove. */
+  private def rankWindowsKeyedByBucket(p: String): Unit =
+    for (line <- p.linesIterator if line.contains("row_number()"))
+      assert(line.contains("_bkt#"),
+        s"rank window not bucket-keyed: $line\n" + p.take(2000))
+
   test("q_scan_parquet pushes its predicate into the parquet scan") {
     val p = planString(graft.queries.Filters.qScanParquet(spark, sf))
     assert(p.contains("PushedFilters: ["), p)
@@ -674,11 +684,14 @@ class PlanSpec extends SparkSpec {
       "weekly aggregate must feed the window, not follow it:\n" +
         cp.take(3000))
     // qq drift: the only non-equi join is the bounded 9-row decile
-    // attach; the histogram aggregate feeds the cumulative window
+    // attach; the bucket-count aggregate feeds broadcast-pruned
+    // straddling-bucket rank picks (near-unique cents ⇒ a histogram
+    // window would have been corpus-proportional)
     val qq = planString(graft.queries.DriftOps.qQqDrift(spark, sf))
     assert(!qq.contains("CartesianProduct"), qq.take(2000))
     assert(qq.contains("HashAggregate") && qq.contains("Window"),
       qq.take(2000))
+    rankWindowsKeyedByBucket(qq)
     // span mask is a pure narrow pipeline: scan → filter → explode →
     // codegen hash/substring — any join or pre-sort shuffle means the
     // plan stopped riding the scan
@@ -689,16 +702,14 @@ class PlanSpec extends SparkSpec {
     // materialized global sort
     val ht = planString(graft.queries.StatOps.qHillTail(spark, sf))
     assert(ht.contains("TakeOrderedAndProject"), ht.take(2000))
-    // lorenz assigns deciles from broadcast type-1 bounds picked off the
-    // cents VALUE HISTOGRAM — the cumulative window must run over the
-    // distinct-value aggregate (keys=[cents...]), never a global
-    // rank/ntile window over customers (row_number absence covers the
-    // rank form; the keys=[cents] pin proves the histogram reduction
-    // happens BEFORE the single-partition window)
+    // lorenz assigns deciles from broadcast type-1 bounds picked with the
+    // two-phase Ranks discipline: per-customer cents are near-unique, so
+    // the earlier distinct-value histogram window was corpus-proportional
+    // in disguise — now the only rank window runs inside a cents band
+    // (the straddling-bucket pick) and the bounds attach by broadcast
     val lz = planString(graft.queries.Aggregations.qLorenz(spark, sf))
     assert(!lz.contains("CartesianProduct"), lz.take(2000))
-    assert(lz.contains("keys=[cents"), lz.take(2000))
-    assert(!lz.contains("row_number"), lz.take(2000))
+    rankWindowsKeyedByBucket(lz)
     // dim-corr: ZERO joins — pair terms come off the embedding array in
     // one projection (the q_corr/embIsotropy one-pass shape); the only
     // shuffle is the d(d−1)/2-cell aggregate (an earlier form self-joined
@@ -709,5 +720,53 @@ class PlanSpec extends SparkSpec {
     val lc = planString(graft.queries.LlmOps.qLangConfusion(spark, sf))
     assert(!lc.contains("CartesianProduct"), lc.take(2000))
     assert(!lc.contains("BroadcastNestedLoopJoin"), lc.take(2000))
+  }
+
+  test("two-phase rank family: no rank window is data-proportional") {
+    // the r12-audit defect class: a row_number/percent_rank window
+    // partitioned by a whole source / returnflag / segment (or nothing)
+    // puts a data-proportional slice through ONE task. All seven former
+    // offenders now rank via Ranks buckets — every rank window in their
+    // plans must carry the _bkt key; the only remaining small-table
+    // windows are the bounded bucket-table prefixes
+    for (df <- Seq(
+        graft.queries.CorpusOps.qWinsorize(spark, sf),
+        graft.queries.TrainOps.qQualityGate(spark, sf),
+        graft.queries.CurateOps.qPplFilter(spark, sf),
+        graft.queries.CorpusOps.qSampleStratified(spark, sf),
+        graft.queries.LlmOps.qMixSources(spark, sf),
+        graft.queries.Aggregations.qLorenz(spark, sf),
+        graft.queries.DriftOps.qQqDrift(spark, sf))) {
+      val p = planString(df)
+      rankWindowsKeyedByBucket(p)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
+  test("r12 wave plans: kaplan/markov/ttr/minhash_est scale shapes hold") {
+    // kaplan-meier: the survival windows run over the TENURE HISTOGRAM
+    // aggregate (day-domain bounded), never a customer-sized rank window
+    val km = planString(graft.queries.CorpusOps.qKaplanMeier(spark, sf))
+    assert(km.contains("keys=[tenure"), km.take(2000))
+    assert(!km.contains("row_number"), km.take(2000))
+    assert(!km.contains("CartesianProduct"), km.take(2000))
+    // markov stationary: the 8 unrolled power-iteration rounds are keyed
+    // equi-joins on the state (types²-bounded matrix), never a product
+    // (the lag window sits behind the matrix localCheckpoint and is the
+    // q_transitions shape pinned elsewhere)
+    val mk = planString(graft.queries.CorpusOps.qMarkovStationary(spark, sf))
+    assert(!mk.contains("CartesianProduct"), mk.take(2000))
+    assert(mk.contains("BroadcastHashJoin"), mk.take(2000))
+    // ttr: narrow generate (posexplode of aligned slices, no HOF lambda
+    // fallback) + doc-keyed aggregates only
+    val tt = planString(graft.queries.LlmOps.qTtr(spark, sf))
+    assert(tt.contains("Generate"), tt.take(2000))
+    assert(tt.contains("keys=[doc_id"), tt.take(2000))
+    assert(!tt.contains("CartesianProduct"), tt.take(2000))
+    // minhash estimator audit: band-key equi-join candidates only — an
+    // all-pairs product would silently bias the audit AND blow up at scale
+    val me = planString(graft.queries.TrainOps.qMinhashEst(spark, sf))
+    assert(!me.contains("CartesianProduct"), me.take(2000))
+    assert(!me.contains("BroadcastNestedLoopJoin"), me.take(2000))
   }
 }
