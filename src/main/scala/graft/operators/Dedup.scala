@@ -463,8 +463,15 @@ object Dedup {
       .join(sigs.select(col("doc").as("b"), col("sig").as("sig_b"),
         col("shingles").as("sh_b")), "b")
       .select(col("a").as("a_id"), col("b").as("b_id"),
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
-          "m -> m))").cast("long").as("n_match"),
+        // static kEst-term codegen sum, not zip_with/filter lambdas:
+        // HOF lambdas evaluate interpreted (CodegenFallback — the
+        // repo's measured 3-4× lesson), and kEst is a compile-time
+        // constant, so the match count unrolls into one flat
+        // whole-stage-codegen expression on the candidate-pair path
+        (0 until kEst).map(i =>
+            when(element_at(col("sig_a"), i + 1) ===
+              element_at(col("sig_b"), i + 1), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_match"),
         expr("size(array_intersect(sh_a, sh_b))").cast("long")
           .as("n_inter"),
         expr("size(array_union(sh_a, sh_b))").cast("long").as("n_union"))

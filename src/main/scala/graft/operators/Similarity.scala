@@ -132,8 +132,16 @@ object Similarity {
     * the shortlist join. */
   /** Hard cap on the PQ serving batch: ADC tables live on the driver at
     * m×ks doubles per query, so an unbounded queries DataFrame must fail
-    * fast instead of OOMing the driver mid-collect. 4096 queries × 4×16
-    * doubles ≈ 2 MB — generous for a serving batch, trivial for the heap. */
+    * instead of OOMing the driver mid-collect. 4096 queries × 4×16
+    * doubles ≈ 2 MB — generous for a serving batch, trivial for the heap.
+    *
+    * Enforcement point (applies to [[pqTopK]] and [[ivfPqTopK]]): the cap
+    * probe is FUSED into the serve tail's query collect, so an over-cap
+    * batch fails only AFTER the codebook fit (and IVF build) has already
+    * run — the earlier eager pre-fit guard was dropped because its extra
+    * action cost a measured +26% on the probe path. When the query batch
+    * is already materialized driver-side, pre-check its size yourself to
+    * keep the failure cheap. */
   val MaxPqQueryBatch: Int = 4096
 
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -1380,7 +1388,15 @@ object Similarity {
     * neighbourhood sums aggregate bounded data. At 100 TB the pair scan
     * is the cost — swap it for the ANN candidate stack (IVF-PQ shortlist
     * + exact rerank yields the same top-k with measured recall) and keep
-    * this exact scoring tail. */
+    * this exact scoring tail.
+    *
+    * Guard contract: the src side rides the fused in-plan cardinality
+    * guard ([[MaxBroadcastEvalSide]]) — an over-cap side fails at ACTION
+    * time as a `SparkException` wrapping the explanatory message, not an
+    * `IllegalArgumentException` at call time (the probe is fused into
+    * the plan precisely so the happy path pays nothing, and the
+    * optimizer may even elide it under aggressive pruning). Callers must
+    * not rely on fail-before-work or catch IAE around this call. */
   def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int,
       minMarginPermille: Long = 1000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
@@ -1431,7 +1447,15 @@ object Similarity {
     * slice (recall is a per-pair property; sampling the corpus estimates
     * it unbiased), while the candidate side is the production operator
     * unchanged. The estimate then decides whether to widen buckets or add
-    * tables BEFORE the full-corpus run — measured, not guessed. */
+    * tables BEFORE the full-corpus run — measured, not guessed.
+    *
+    * Guard contract: the query side rides the fused in-plan cardinality
+    * guard ([[MaxBroadcastEvalSide]]) — an over-cap side fails at ACTION
+    * time as a `SparkException` wrapping the explanatory message, not an
+    * `IllegalArgumentException` at call time; a plan that prunes the
+    * guarded side entirely (e.g. a bare `count()` of the other branch)
+    * may not evaluate the guard at all. Best-effort by construction —
+    * never catch IAE around this call. */
   def annRadiusRecall(queries: DataFrame, corpus: DataFrame,
       maxDistance: Double, bucketLength: Double = 1.5,
       numHashTables: Int = 8): DataFrame = {

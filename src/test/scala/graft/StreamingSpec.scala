@@ -1636,6 +1636,21 @@ class StreamingSpec extends SparkSpec {
     assert(viewRows() === scratch(wave1 ++ wave2 ++ wave3))
   }
 
+  test("mvViewSnapshot of a never-ingested store is an empty TYPED view") {
+    // the scaladoc contract: selecting the key columns (or unioning
+    // against the snapshot) must work BEFORE the first delta lands —
+    // an untyped emptyDataFrame here used to throw AnalysisException
+    val view = java.nio.file.Files.createTempDirectory("s33_empty").toString
+    val snap = Streams.mvViewSnapshot(spark, view, Seq("grp"))
+    assert(snap.columns.toSeq === Seq("grp", "cnt", "total", "avg_value"))
+    assert(snap.select("grp", "cnt", "total", "avg_value").count() === 0L)
+    // and it merges with a non-empty snapshot of the same key contract
+    Streams.mvMergeSinkBatch(view, Seq("grp"), "v")(
+      Seq(("a", 4L)).toDF("grp", "v"), 0L)
+    val one = Streams.mvViewSnapshot(spark, view, Seq("grp"))
+    assert(one.unionByName(snap).count() === 1L)
+  }
+
   test("S34 IVF-PQ delta compaction: snapshot-isolated probes, grace GC, ingest resumes onto the folded store") {
     import graft.operators.{DeltaStore, Similarity}
     val layout = java.nio.file.Files.createTempDirectory("s34_layout").toString
@@ -1818,5 +1833,123 @@ class StreamingSpec extends SparkSpec {
     assert(Decontaminate.contaminatedStoreIds(spark, gate)
       .as[Long].collect().sorted.toSeq === pre)
     assert(DeltaStore.current(spark, s"$gate/contaminated").gen >= 1L)
+  }
+
+  test("S35 compactor crash between fold write and publish: manifest untouched, retry overwrites the orphan (all four stores)") {
+    // the single-writer/self-healing argument as a checked fact: kill the
+    // compactor AFTER the folded generation is written but BEFORE the
+    // manifest publish (the midCompactionHook seam), assert readers still
+    // resolve the old snapshot and the orphan generation sits
+    // unreferenced on disk, then re-run the compactor and assert it
+    // recomputes the SAME next generation, overwrites the orphan
+    // (mode=overwrite) and converges — no manual cleanup, no double-serve
+    import graft.operators.{Decontaminate, Dedup, DeltaStore, Similarity}
+    class Crash extends RuntimeException("injected compactor crash")
+    val boom: () => Unit = () => throw new Crash
+
+    // --- S33 MV partial-aggregate store (fold = key re-merge) ---
+    val view = java.nio.file.Files.createTempDirectory("s35_view").toString
+    val keys = Seq("grp")
+    Streams.mvMergeSinkBatch(view, keys, "v")(
+      Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("grp", "v"), 0L)
+    Streams.mvMergeSinkBatch(view, keys, "v")(
+      Seq(("a", 30L), ("c", 7L)).toDF("grp", "v"), 1L)
+    def mvRows(): Seq[String] = Streams.mvViewSnapshot(spark, view, keys)
+      .collect().map(_.toString).sorted.toSeq
+    val mvPre = mvRows()
+    intercept[Crash] {
+      Streams.compactMvView(spark, view, keys, uptoBatch = 2L, boom)
+    }
+    assert(DeltaStore.current(spark, view) === DeltaStore.Gen0,
+      "a crash before publish must leave the manifest untouched")
+    assert(mvRows() === mvPre)
+    assert(new java.io.File(s"$view/folded_g1").isDirectory,
+      "the orphan folded generation stays on disk, unreferenced")
+    Streams.compactMvView(spark, view, keys, uptoBatch = 2L)
+    assert(DeltaStore.current(spark, view) === DeltaStore.Snapshot(1L, 2L))
+    assert(mvRows() === mvPre)
+    // crash again on the NEXT cycle (gen1 → gen2, with grace GC in play):
+    // the orphan folded_g2 is rewritten on retry, gen1 survives as the
+    // serving base throughout
+    Streams.mvMergeSinkBatch(view, keys, "v")(
+      Seq(("b", 15L), ("c", 3L)).toDF("grp", "v"), 2L)
+    val mvThree = mvRows()
+    intercept[Crash] {
+      Streams.compactMvView(spark, view, keys, uptoBatch = 3L, boom)
+    }
+    assert(DeltaStore.current(spark, view) === DeltaStore.Snapshot(1L, 2L))
+    assert(mvRows() === mvThree)
+    Streams.compactMvView(spark, view, keys, uptoBatch = 3L)
+    assert(DeltaStore.current(spark, view) === DeltaStore.Snapshot(2L, 3L))
+    assert(mvRows() === mvThree)
+
+    // --- S15 MinHash signature store (identity fold) ---
+    val store = java.nio.file.Files.createTempDirectory("s35_sig").toString
+    val out = java.nio.file.Files.createTempDirectory("s35_out").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .orderBy("doc_id").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val Array(c0, c1) = docs.grouped(20).toArray
+    val sink = Streams.nearDedupSinkBatch(store, out, 0.5) _
+    sink(c0.toSeq.toDF("doc_id", "text"), 0L)
+    sink(c1.toSeq.toDF("doc_id", "text"), 1L)
+    def sigRows(): Seq[String] = DeltaStore.snapshotPureDelta(spark, store)
+      .get.collect().map(_.toString).sorted.toSeq
+    val sigPre = sigRows()
+    intercept[Crash] { Dedup.compactSignatureStore(spark, store, 2L, boom) }
+    assert(DeltaStore.current(spark, store) === DeltaStore.Gen0)
+    assert(sigRows() === sigPre)
+    assert(new java.io.File(s"$store/folded_g1").isDirectory)
+    Dedup.compactSignatureStore(spark, store, 2L)
+    assert(DeltaStore.current(spark, store) === DeltaStore.Snapshot(1L, 2L))
+    assert(sigRows() === sigPre)
+
+    // --- S26 contamination-id store (identity fold) ---
+    val gate = java.nio.file.Files.createTempDirectory("s35_gate").toString
+    val all = Tables.documents(spark, sf).select("doc_id", "text")
+    val eval = all.filter(col("doc_id") % 25 === 0)
+    val train = all.filter(col("doc_id") % 25 =!= 0)
+      .orderBy("doc_id").limit(30)
+    val bloom = Streams.buildDecontaminationGate(eval, "text", 5, gate)
+    Streams.decontaminateSinkBatch(gate, bloom, 5)(train, 0L)
+    def flagged(): Seq[Long] = Decontaminate.contaminatedStoreIds(spark, gate)
+      .as[Long].collect().sorted.toSeq
+    val flaggedPre = flagged()
+    intercept[Crash] {
+      Decontaminate.compactContaminatedStore(spark, gate, 1L, boom)
+    }
+    assert(DeltaStore.current(spark, s"$gate/contaminated") ===
+      DeltaStore.Gen0)
+    assert(flagged() === flaggedPre)
+    Decontaminate.compactContaminatedStore(spark, gate, 1L)
+    assert(DeltaStore.current(spark, s"$gate/contaminated") ===
+      DeltaStore.Snapshot(1L, 1L))
+    assert(flagged() === flaggedPre)
+
+    // --- S22 IVF-PQ codes store (cell-partitioned fold) ---
+    val layout = java.nio.file.Files.createTempDirectory("s35_ivf").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writeIvfPqLayout(
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+      layout, nCells = 2)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(20)
+    Streams.annIngestSinkBatch(layout)(odd, 0L)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select("vec_id", "embedding")
+    def probe(): Set[(Long, Long)] =
+      Similarity.probeIvfPqLayoutAll(layout, queries, corpus,
+          k = 5, nProbe = 2, shortlistFactor = 1000)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)]
+        .collect().toSet
+    val probePre = probe()
+    intercept[Crash] { Similarity.compactIvfPqLayout(spark, layout, boom) }
+    assert(DeltaStore.current(spark, layout) === DeltaStore.Gen0)
+    assert(probe() === probePre)
+    assert(new java.io.File(s"$layout/codes_g1").isDirectory)
+    Similarity.compactIvfPqLayout(spark, layout)
+    assert(DeltaStore.current(spark, layout) === DeltaStore.Snapshot(1L, 1L))
+    assert(probe() === probePre)
   }
 }
