@@ -377,6 +377,17 @@ object CorpusOps extends QueryFamily {
     * types with no observed outflow — deterministic, mirrored, and
     * irrelevant to the ranking the vector exists for. */
   def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val (_, vFinal) = markovChain(s, dir)
+    vFinal.select(col("st").as("event_type"),
+        col("v").as("stationary_micro"))
+      .orderBy("event_type")
+  }
+
+  /** The (transition matrix, 8-round stationary vector) pair shared by
+    * q_markov_stationary and q_markov_entropy — one definition so the two
+    * reports can never disagree about the chain they describe. */
+  private def markovChain(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val p = Tables.events(s, dir)
@@ -399,8 +410,43 @@ object CorpusOps extends QueryFamily {
         .agg(sum(expr("v * p_ppm")).as("num"))
         .select(col("j").as("st"), expr("num div 1000000").as("v"))
     }
-    vFinal.select(col("st").as("event_type"),
-        col("v").as("stationary_micro"))
+    (p, vFinal)
+  }
+
+  /** q_markov_entropy — entropy rate of the behavioral Markov chain:
+    * per state its stationary mass (q_markov_stationary's vector), the
+    * Shannon entropy of its OUTGOING transition row (micro-nats — how
+    * unpredictable the next step is FROM here), and the state's
+    * contribution π·H(row) to the chain's entropy rate H = Σ π_i·H_i
+    * (Shannon 1948's per-step information of the session process; sum
+    * the column for the single rate number). A state the chain visits
+    * often AND leaves unpredictably dominates — the "where do sessions
+    * diverge" diagnostic beside q_transitions' raw matrix.
+    *
+    * All integer, divergence-proof: each −ln(p) pre-rounds to integer
+    * micro-nats per edge (the q_kaplan_meier idiom), row entropies are
+    * Σ p_ppm·(−ln p)_micro over NON-NEGATIVE terms followed by one
+    * `div 1e6` (non-negative, so Spark's truncating div and DuckDB's
+    * flooring `//` agree), and the contribution is one more integer
+    * product-div. Terminal states (no observed outflow) carry H = 0.
+    * Scale: the q_markov_stationary shape — one user-keyed lag window,
+    * then everything is types²-bounded. */
+  def qMarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    val (p, vFinal) = markovChain(s, dir)
+    val rows = p
+      .withColumn("neg_lnp_micro",
+        expr("CAST(round(-ln(p_ppm / 1000000.0) * 1000000) AS BIGINT)"))
+      .groupBy("i")
+      .agg(expr("sum(p_ppm * neg_lnp_micro) div 1000000")
+        .as("h_row_micro"))
+    vFinal.select(col("st"), col("v").as("stationary_micro"))
+      .join(broadcast(rows.select(col("i").as("st"), col("h_row_micro"))),
+        Seq("st"), "left")
+      .withColumn("h_row_micro", coalesce(col("h_row_micro"), lit(0L)))
+      .withColumn("contrib_micro",
+        expr("(stationary_micro * h_row_micro) div 1000000"))
+      .select(col("st").as("event_type"), col("stationary_micro"),
+        col("h_row_micro"), col("contrib_micro"))
       .orderBy("event_type")
   }
 
@@ -1020,12 +1066,41 @@ object CorpusOps extends QueryFamily {
     "q_retention" -> (qRetention _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_markov_stationary" -> (qMarkovStationary _),
+    "q_markov_entropy" -> (qMarkovEntropy _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_winsorize" -> (qWinsorize _),
     "q_transitions" -> (qTransitions _),
     "q_path_3gram" -> (qPath3gram _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_sample_stratified" -> (qSampleStratified _))
+
+  /** The behavioral-chain CTE block (pairs → transition ppm matrix →
+    * uniform start → 8 unrolled power-iteration rounds) shared by the
+    * q_markov_stationary and q_markov_entropy oracles — one text, so the
+    * oracles replay the same chain the engine's shared
+    * [[markovChain]] builds. */
+  private val markovOracleCtes: String =
+    """WITH pairs AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type AS i, event_type AS j, COUNT(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT i, j,
+      |    (n * 1000000) // SUM(n) OVER (PARTITION BY i) AS p_ppm
+      |  FROM cnt),
+      |states AS (SELECT i AS st FROM p UNION SELECT j FROM p),
+      |kk AS (SELECT COUNT(*) AS k FROM states),
+      |v0 AS (SELECT st, 1000000 // k AS v FROM states, kk),
+      |""".stripMargin +
+      (1 to 8).map(r =>
+        s"""v$r AS (
+           |  SELECT p.j AS st, SUM(v${r - 1}.v * p.p_ppm) // 1000000 AS v
+           |  FROM v${r - 1} JOIN p ON v${r - 1}.st = p.i GROUP BY p.j)"""
+          .stripMargin).mkString(",\n")
 
   override val oracle: Map[String, String] = Map(
     // BFS: same support-pruned edge list; each hop a join + distinct +
@@ -1811,30 +1886,26 @@ object CorpusOps extends QueryFamily {
     // power-iteration CTEs in micro (floor div both engines, all
     // non-negative so // and div agree).
     "q_markov_stationary" ->
-      ("""WITH pairs AS (
-        |  SELECT user_id, event_type,
-        |    LAG(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
-        |  FROM events),
-        |cnt AS (
-        |  SELECT prev_type AS i, event_type AS j, COUNT(*) AS n
-        |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-        |p AS (
-        |  SELECT i, j,
-        |    (n * 1000000) // SUM(n) OVER (PARTITION BY i) AS p_ppm
-        |  FROM cnt),
-        |states AS (SELECT i AS st FROM p UNION SELECT j FROM p),
-        |kk AS (SELECT COUNT(*) AS k FROM states),
-        |v0 AS (SELECT st, 1000000 // k AS v FROM states, kk),
-        |""".stripMargin +
-        (1 to 8).map(r =>
-          s"""v$r AS (
-             |  SELECT p.j AS st, SUM(v${r - 1}.v * p.p_ppm) // 1000000 AS v
-             |  FROM v${r - 1} JOIN p ON v${r - 1}.st = p.i GROUP BY p.j)"""
-            .stripMargin).mkString(",\n") +
+      (markovOracleCtes +
         """
           |SELECT st AS event_type, CAST(v AS BIGINT) AS stationary_micro
           |FROM v8 ORDER BY event_type""".stripMargin),
+    // Entropy rate: same chain CTEs; −ln(p) pre-rounded to micro per edge
+    // (kaplan idiom), all downstream divisions over non-negative integers
+    // so `//` and Spark's div agree.
+    "q_markov_entropy" ->
+      (markovOracleCtes +
+        """,
+          |rows_h AS (
+          |  SELECT i, SUM(p_ppm * CAST(round(-ln(p_ppm / 1000000.0)
+          |      * 1000000) AS BIGINT)) // 1000000 AS h_row_micro
+          |  FROM p GROUP BY i)
+          |SELECT v8.st AS event_type, CAST(v8.v AS BIGINT) AS stationary_micro,
+          |  CAST(COALESCE(rows_h.h_row_micro, 0) AS BIGINT) AS h_row_micro,
+          |  CAST((v8.v * COALESCE(rows_h.h_row_micro, 0)) // 1000000
+          |    AS BIGINT) AS contrib_micro
+          |FROM v8 LEFT JOIN rows_h ON v8.st = rows_h.i
+          |ORDER BY event_type""".stripMargin),
     "q_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

@@ -575,7 +575,88 @@ object StatOps extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
+  /** q_quantile_grid — per-returnflag exact percentile grid (p1, p5, p25,
+    * p50, p75, p95, p99 of extended-price cents): the distribution summary
+    * a monitoring dashboard keys on, every cell a TYPE-1 order statistic
+    * at ⌈p·n/100⌉ of the (cents, line-id) total order — rank-exact
+    * integers, no interpolation, so no cross-engine float risk anywhere.
+    *
+    * Scale shape: the [[graft.operators.Ranks]] two-phase discipline born
+    * this round — $1000 cent-band counts aggregate map-side, only the ≤7
+    * straddling buckets per group are ranked, the picks ride one
+    * broadcast; the corpus NEVER rides a group-partitioned rank window
+    * (a returnflag is a third of the table). */
+  def qQuantileGrid(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("l_orderkey * 10 + l_linenumber").as("id"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false) // feeds offsets + the pick window
+    val bucket = expr("cents div 100000")
+    val offs = graft.operators.Ranks.bucketOffsets(base, Seq("flag"), bucket)
+    val positions = graft.operators.Ranks.totals(offs, Seq("flag"))
+      .select(col("flag"), col("n"),
+        explode(array(Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).map(lit): _*))
+          .as("p"))
+      .withColumn("pos",
+        greatest(lit(1L), expr("CAST(ceil(p * n / 100.0) AS BIGINT)")))
+    val picked = graft.operators.Ranks.orderStatAt(base, Seq("flag"), bucket,
+      Seq(col("cents"), col("id")), "cents", offs, positions, "pos",
+      "value_cents")
+    picked.select("flag", "p", "n", "pos", "value_cents")
+      .orderBy("flag", "p")
+  }
+
+  /** q_iqr_fences — Tukey boxplot fence report per returnflag: type-1
+    * p25/p75, IQR, and how much of the tail sits outside the 1.5·IQR
+    * fences — the third robust-outlier view beside q_outliers (per-row
+    * MAD z) and q_winsorize (clipping): it counts what a boxplot would
+    * flag instead of flagging rows or clipping them. Everything integer:
+    * fences compare in DOUBLED cents (2·cents vs 2·q25 − 3·iqr), so the
+    * ×1.5 never touches a float and both engines decide every row with
+    * int64 comparisons.
+    *
+    * Scale shape: two [[graft.operators.Ranks]] order-statistic picks
+    * (straddling buckets only) + one broadcast-fence clipped-count
+    * aggregate — the q_winsorize plan with a different tail. */
+  def qIqrFences(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("l_orderkey * 10 + l_linenumber").as("id"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint(eager = false) // feeds offsets, picks + fence agg
+    val bucket = expr("cents div 100000")
+    val offs = graft.operators.Ranks.bucketOffsets(base, Seq("flag"), bucket)
+    val positions = graft.operators.Ranks.totals(offs, Seq("flag"))
+      .selectExpr("flag",
+        "stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil(25 * n / 100.0) AS BIGINT))," +
+          " 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil(75 * n / 100.0) AS BIGINT))) AS (stat, pos)")
+    val picked = graft.operators.Ranks.orderStatAt(base, Seq("flag"), bucket,
+      Seq(col("cents"), col("id")), "cents", offs, positions, "pos", "q")
+    val fences = picked.groupBy("flag")
+      .agg(max(when(col("stat") === "lo", col("q"))).as("p25_cents"),
+        max(when(col("stat") === "hi", col("q"))).as("p75_cents"))
+      .withColumn("iqr_cents", col("p75_cents") - col("p25_cents"))
+      .withColumn("lo2", lit(2L) * col("p25_cents") - lit(3L) * col("iqr_cents"))
+      .withColumn("hi2", lit(2L) * col("p75_cents") + lit(3L) * col("iqr_cents"))
+    base.join(broadcast(fences), "flag")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        max("p25_cents").as("p25_cents"),
+        max("p75_cents").as("p75_cents"),
+        max("iqr_cents").as("iqr_cents"),
+        sum(when(col("cents") * 2 < col("lo2"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("cents") * 2 > col("hi2"), 1L).otherwise(0L))
+          .as("n_above"))
+      .withColumn("outlier_permille",
+        expr("((n_below + n_above) * 1000) div n"))
+      .orderBy("flag")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_grid" -> (qQuantileGrid _),
+    "q_iqr_fences" -> (qIqrFences _),
     "q_subsample_ci" -> (qSubsampleCi _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_mutual_info" -> (qMutualInfo _),
@@ -649,6 +730,61 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Quantile grid: the oracle states the SPEC (naive per-group rank
+    // window) that the engine's two-phase Ranks plan must reproduce
+    // bit-for-bit; type-1 positions, GREATEST(1, ceil) as in the engine.
+    "q_quantile_grid" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey * 10 + l_linenumber AS id
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents, id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM v),
+        |p AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS p)
+        |SELECT flag, p, n,
+        |  GREATEST(1, CAST(ceil(p * n / 100.0) AS BIGINT)) AS pos,
+        |  cents AS value_cents
+        |FROM r JOIN p
+        |  ON rn = GREATEST(1, CAST(ceil(p * n / 100.0) AS BIGINT))
+        |ORDER BY flag, p""".stripMargin,
+    // IQR fences: doubled-cents comparisons keep the 1.5x fence integer;
+    // both engines decide every row with int64 compares.
+    "q_iqr_fences" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    l_orderkey * 10 + l_linenumber AS id
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents, id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY flag) AS n
+        |  FROM v),
+        |b AS (
+        |  SELECT flag,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(25 * n / 100.0) AS BIGINT))
+        |      THEN cents END) AS p25,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(75 * n / 100.0) AS BIGINT))
+        |      THEN cents END) AS p75
+        |  FROM r GROUP BY flag),
+        |agg AS (
+        |  SELECT v.flag, COUNT(*) AS n, MAX(p25) AS p25_cents,
+        |    MAX(p75) AS p75_cents, MAX(p75 - p25) AS iqr_cents,
+        |    SUM(CASE WHEN 2 * cents < 2 * p25 - 3 * (p75 - p25)
+        |      THEN 1 ELSE 0 END) AS n_below,
+        |    SUM(CASE WHEN 2 * cents > 2 * p75 + 3 * (p75 - p25)
+        |      THEN 1 ELSE 0 END) AS n_above
+        |  FROM v JOIN b USING (flag) GROUP BY v.flag)
+        |SELECT flag, n, p25_cents, p75_cents, iqr_cents,
+        |  CAST(n_below AS BIGINT) AS n_below,
+        |  CAST(n_above AS BIGINT) AS n_above,
+        |  CAST(((n_below + n_above) * 1000) // n AS BIGINT)
+        |    AS outlier_permille
+        |FROM agg ORDER BY flag""".stripMargin,
     // Subsampling CI: 16 md5-nibble coins per row; type-1 medians picked
     // from per-value histograms by cumulative count (mirrors the engine's
     // scale shape — the median VALUE is tie-independent); both `//` and

@@ -75,6 +75,47 @@ object TrainOps extends QueryFamily {
         (col("sq").cast("double") / (col("n") * 1e6)).as("centroid"))
       .orderBy("label", "dim")
 
+  /** q_emb_sq8_err — SQ8 quantization reconstruction-error audit, per
+    * dimension: for the q_sim_sq8 8-bit scalar quantizer (per-dim min/max
+    * range, 255 levels) the dimension's value range plus the max and mean
+    * absolute reconstruction error in micro units — the measurement that
+    * justifies (or vetoes) serving from SQ8 codes before any recall is
+    * spent, the quantization twin of q_ann_recall. Theory says max err ≤
+    * range/510 (half a level); this measures it, and a dimension whose
+    * error rides the bound while its range dwarfs the others is the one
+    * to keep in float.
+    *
+    * Engine-exact: the dequantized value is the q_sim_sq8 formula in the
+    * SAME operation order on both engines; each |x − dq| rounds to 6 dp
+    * then micro-quantizes to int64 BEFORE aggregation (the mmrTopK
+    * discipline), so sums/max/divisions are pure integers. Scale shape:
+    * two narrow passes over the exploded components (per-dim min/max —
+    * d-row map-side partials — then a broadcast-stats error pass into a
+    * d-row aggregate); no window, no corpus shuffle. */
+  def qEmbSq8Err(s: SparkSession, dir: String): DataFrame = {
+    val flat = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("i").cast("long").as("i"),
+        col("xf").cast("double").as("x"))
+    val st = flat.groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+    flat.join(broadcast(st), "i")
+      .withColumn("dq", when(col("mx") > col("mn"),
+        col("mn") + round((col("x") - col("mn")) * lit(255.0) /
+          (col("mx") - col("mn"))) * (col("mx") - col("mn")) / lit(255.0))
+        .otherwise(col("mn")))
+      .withColumn("e_micro",
+        expr("CAST(round(round(abs(x - dq), 6) * 1000000) AS BIGINT)"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(round(round(max(mx) - min(mn), 6) * 1000000) AS BIGINT)")
+          .as("range_micro"),
+        max("e_micro").as("max_err_micro"),
+        sum("e_micro").as("sum_err_micro"))
+      .withColumn("mean_err_micro", expr("sum_err_micro div n"))
+      .select("i", "n", "range_micro", "max_err_micro", "mean_err_micro")
+      .orderBy("i")
+  }
+
   /** q_emb_dimcorr — embedding dimension-redundancy audit: the 20 most
     * correlated dimension PAIRS (Pearson over the corpus, micro-quantized
     * components) — highly correlated dimensions mean the representation
@@ -509,6 +550,7 @@ object TrainOps extends QueryFamily {
     "q_minhash_est" -> (qMinhashEst _),
     "q_dedup_recall" -> (qDedupRecall _),
     "q_emb_centroid" -> (qEmbCentroid _),
+    "q_emb_sq8_err" -> (qEmbSq8Err _),
     "q_emb_dimcorr" -> (qEmbDimcorr _),
     "q_emb_isotropy" -> (qEmbIsotropy _),
     "q_shuffle_det" -> (qShuffleDet _),
@@ -771,6 +813,27 @@ object TrainOps extends QueryFamily {
         |  CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |      AS DOUBLE) / (COUNT(*) * 1000000.0) AS centroid
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // SQ8 error audit: the dequantize formula is q_sim_sq8's in the same
+    // operation order; |x − dq| rounds to 6 dp then micro-quantizes to
+    // int64 before any aggregate, so the whole report is integer.
+    "q_emb_sq8_err" ->
+      """WITH flat AS (
+        |  SELECT unnest(range(0, len(embedding))) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY i),
+        |e AS (
+        |  SELECT i, mn, mx,
+        |    CAST(round(round(abs(x - (CASE WHEN mx > mn
+        |      THEN mn + round((x - mn) * 255.0 / (mx - mn)) * (mx - mn) / 255.0
+        |      ELSE mn END)), 6) * 1000000) AS BIGINT) AS e_micro
+        |  FROM flat JOIN st USING (i))
+        |SELECT i, COUNT(*) AS n,
+        |  CAST(round(round(MAX(mx) - MIN(mn), 6) * 1000000) AS BIGINT)
+        |    AS range_micro,
+        |  MAX(e_micro) AS max_err_micro,
+        |  CAST(SUM(e_micro) // COUNT(*) AS BIGINT) AS mean_err_micro
+        |FROM e GROUP BY i ORDER BY i""".stripMargin,
     // Dim-corr: same floor-micro quantization, HUGEINT moments, q_corr's
     // float recipe (double casts of exact ints, sqrt, one divide, round 6).
     "q_emb_dimcorr" ->

@@ -671,4 +671,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(tt.forall(_.isNullAt(tt(0).fieldIndex("mattr_permille"))))
     assert(tt.forall(_.getAs[Long]("ttr_permille") === 1000L))
   }
+
+  test("round-13 queries accept degenerate table inputs") {
+    val dir = java.nio.file.Files.createTempDirectory("edge13_sf").toString
+    // one single-line group and one two-line group: every percentile of a
+    // 1-element multiset is that element; a 2-element IQR spans the pair
+    Seq((1L, 1, "A", 100.0), (2L, 1, "B", 50.0), (3L, 1, "B", 150.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // a constant dimension (mx == mn) and a two-level dimension
+    Seq((1L, Seq(0.5f, 0.0f), 0), (2L, Seq(0.5f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // a deterministic a->b->a->b chain: every transition certain
+    Seq((7L, 1L, "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+        (7L, 2L, "b", java.sql.Timestamp.valueOf("2026-01-01 00:00:02")),
+        (7L, 3L, "a", java.sql.Timestamp.valueOf("2026-01-01 00:00:03")),
+        (7L, 4L, "b", java.sql.Timestamp.valueOf("2026-01-01 00:00:04")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.parquet(s"$dir/events.parquet")
+
+    // quantile grid: group A (n=1) answers 100_00 cents at EVERY p;
+    // group B (n=2) switches value at the ceil boundary pos 1 -> 2
+    val qg = graft.queries.StatOps.qQuantileGrid(spark, dir).collect()
+    assert(qg.length === 14)
+    assert(qg.filter(_.getAs[String]("flag") == "A")
+      .forall(_.getAs[Long]("value_cents") === 10000L))
+    val bVals = qg.filter(_.getAs[String]("flag") == "B")
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("value_cents")).toMap
+    assert(bVals(1L) === 5000L && bVals(50L) === 5000L &&
+      bVals(75L) === 15000L && bVals(99L) === 15000L)
+    // IQR fences: n=1 -> iqr 0, fences collapse to the point, 0 outliers;
+    // n=2 -> p25 = p75 never flags its own quartile points
+    val iq = graft.queries.StatOps.qIqrFences(spark, dir).collect()
+    assert(iq.length === 2)
+    assert(iq.forall(r => r.getAs[Long]("n_below") === 0L &&
+      r.getAs[Long]("n_above") === 0L &&
+      r.getAs[Long]("outlier_permille") === 0L))
+    // SQ8 error: a constant dimension dequantizes to mn exactly (err 0);
+    // endpoints of a spanned dimension are exact too (levels 0 and 255)
+    val sq = graft.queries.TrainOps.qEmbSq8Err(spark, dir).collect()
+    assert(sq.length === 2)
+    assert(sq.forall(_.getAs[Long]("max_err_micro") === 0L))
+    assert(sq.filter(_.getAs[Long]("i") == 0L)
+      .head.getAs[Long]("range_micro") === 0L)
+    // markov entropy: a deterministic chain has zero entropy rate — all
+    // probabilities are 1, every row entropy and contribution exactly 0
+    val mh = graft.queries.CorpusOps.qMarkovEntropy(spark, dir).collect()
+    assert(mh.length === 2)
+    assert(mh.forall(r => r.getAs[Long]("h_row_micro") === 0L &&
+      r.getAs[Long]("contrib_micro") === 0L))
+    assert(mh.map(_.getAs[Long]("stationary_micro")).sum >= 999998L)
+  }
 }

@@ -769,4 +769,27 @@ class PlanSpec extends SparkSpec {
     assert(!me.contains("CartesianProduct"), me.take(2000))
     assert(!me.contains("BroadcastNestedLoopJoin"), me.take(2000))
   }
+
+  test("r13 wave plans: quantile grid / IQR fences / SQ8 error / markov entropy") {
+    // quantile grid + IQR fences: born on the Ranks discipline — every
+    // rank window keys on the cents band, never a bare returnflag
+    for (df <- Seq(graft.queries.StatOps.qQuantileGrid(spark, sf),
+        graft.queries.StatOps.qIqrFences(spark, sf))) {
+      val p = planString(df)
+      rankWindowsKeyedByBucket(p)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+    // SQ8 error audit: two narrow passes — the only join is the d-row
+    // stats broadcast; no window, no sort-merge, no product
+    val sq = planString(graft.queries.TrainOps.qEmbSq8Err(spark, sf))
+    assert(sq.contains("BroadcastHashJoin"), sq.take(2000))
+    assert(!sq.contains("SortMergeJoin"), sq.take(2000))
+    assert(!sq.contains("Window"), sq.take(2000))
+    assert(!sq.contains("CartesianProduct"), sq.take(2000))
+    // markov entropy: the chain rounds are keyed equi-joins (the
+    // q_markov_stationary shape); the row-entropy attach is a broadcast
+    val mh = planString(graft.queries.CorpusOps.qMarkovEntropy(spark, sf))
+    assert(!mh.contains("CartesianProduct"), mh.take(2000))
+    assert(mh.contains("BroadcastHashJoin"), mh.take(2000))
+  }
 }
