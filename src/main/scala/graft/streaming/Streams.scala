@@ -31,6 +31,15 @@ case class VecIngest(vec_id: Long, embedding: Seq[Float])
 /** S25 input: one positive metric value per group key. */
 case class ValSeen(grp: String, ts: java.sql.Timestamp, v: Long)
 
+/** S36 input: one integer-valued observation (cents/ms/bytes) per group. */
+case class ValObs(grp: String, ts: java.sql.Timestamp, cents: Long)
+
+/** S36 output: per (group, percentile, batch) the type-1 position and the
+  * straddling bucket's inclusive value bounds at the monitor's
+  * resolution. */
+case class QuantileRow(grp: String, n: Long, p: Long, pos: Long,
+  q_lo_cents: Long, q_hi_cents: Long)
+
 /** S28 input: a language-tagged document sighting per source. */
 case class DocLang(doc_id: Long, ts: java.sql.Timestamp, lang: String,
   source: String)
@@ -336,6 +345,36 @@ object Streams {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
       .transformWithState(new MixProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S36 — streaming bucket-histogram quantile monitor: the continuous
+    * twin of `q_quantile_grid`, built from the same insight that makes
+    * the batch two-phase rank scale ([[graft.operators.Ranks]]): a
+    * MONOTONE value bucketing turns order statistics into bounded-state
+    * prefix counting. Per group one `MapState[bucket → count]`
+    * (bucket = floorDiv(value, width) — well-defined for negatives);
+    * after every micro-batch the monitor emits, for each requested
+    * percentile, the type-1 position ⌈p·n/100⌉ and the inclusive value
+    * bounds of the bucket straddling it — the exact quantile bracketed
+    * to the monitor's resolution. State is O(value domain / width) per
+    * group REGARDLESS of stream length — the deterministic,
+    * replay-stable alternative to approximate quantile sketches when
+    * the value domain is bounded (prices, latencies, sizes): counts are
+    * order-independent, so the emitted rows are a pure function of the
+    * observed prefix. The batch twin goes one step further and picks
+    * the exact value inside the straddling bucket with one bounded
+    * window; the two agree on the bucket by construction (same counts,
+    * same positions) — the spec pins that equality against a Spark-SQL
+    * recompute. */
+  def quantileMonitor(obs: Dataset[ValObs], bucketWidth: Long,
+      ps: Seq[Int]): Dataset[QuantileRow] = {
+    import obs.sparkSession.implicits._
+    require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $ps")
+    obs.groupByKey(_.grp)
+      .transformWithState(new QuantileProcessor(bucketWidth, ps),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -1021,6 +1060,57 @@ class MixProcessor
     }.sum * 1000.0)
     Iterator.single(MixSnapshot(key, mix.size.toLong, total,
       mix.map { case (l, c) => s"$l:$c" }.mkString(","), entropy))
+  }
+}
+
+/** S36's processor (see `Streams.quantileMonitor`): per-group bucket
+  * counts in a `MapState` — point-wise key updates (batch rows pre-fold
+  * per bucket so each bucket touches the store once per batch, the
+  * MixProcessor discipline), state bounded by the value domain over the
+  * bucket width. The per-batch emit walks the bucket table in ascending
+  * bucket order accumulating counts — the same exclusive-prefix pass
+  * `Ranks.bucketOffsets` runs as a window, here over an in-memory table
+  * that is small BY THE SAME argument (bounded bucket cardinality). */
+class QuantileProcessor(bucketWidth: Long, ps: Seq[Int])
+  extends StatefulProcessor[String, ValObs, QuantileRow] {
+
+  @transient private var st: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getMapState[Long, Long]("buckets",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[ValObs],
+      timers: TimerValues): Iterator[QuantileRow] = {
+    val batch = scala.collection.mutable.TreeMap.empty[Long, Long]
+    rows.foreach { r =>
+      val b = Math.floorDiv(r.cents, bucketWidth)
+      batch.update(b, batch.getOrElse(b, 0L) + 1L)
+    }
+    batch.foreach { case (b, c) =>
+      val prev = if (st.containsKey(b)) st.getValue(b) else 0L
+      st.updateValue(b, prev + c)
+    }
+    val buckets = {
+      val it = st.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (it.hasNext) { val kv = it.next(); buf += (kv._1 -> kv._2) }
+      buf.sortBy(_._1).toVector
+    }
+    val n = buckets.map(_._2).sum
+    if (n == 0L) Iterator.empty
+    else {
+      val out = ps.sorted.map { p =>
+        val pos = math.max(1L, (p.toLong * n + 99L) / 100L) // ceil(p·n/100)
+        var cum = 0L
+        val straddle = buckets.find { case (_, c) =>
+          cum += c; cum >= pos
+        }.get._1 // pos ≤ n, so a straddling bucket always exists
+        QuantileRow(key, n, p.toLong, pos,
+          straddle * bucketWidth, straddle * bucketWidth + bucketWidth - 1L)
+      }
+      out.iterator
+    }
   }
 }
 

@@ -235,4 +235,34 @@ class PropertySpec extends SparkSpec {
           s"missed=${(exact diff found).take(3)} extra=${(found diff exact).take(3)}")
     }
   }
+
+  test("PROPERTY two-phase rank equals the naive window for random buckets (8 random cases)") {
+    // The Ranks contract is an identity — offset + in-bucket rank must
+    // equal the whole-group rank for ANY monotone bucketing — so test it
+    // like one: random group counts, random skewed value ranges, random
+    // bucket widths (including a width coarser than the whole domain and
+    // width 1 = one bucket per distinct value), heavy ties.
+    val rnd = freshRandom(7)
+    for (caseIdx <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val n = 50 + rnd.nextInt(300)
+      val vRange = 1 + rnd.nextInt(40) // heavy ties when small
+      val width = 1 + rnd.nextInt(60)  // may exceed the whole domain
+      val rows = (0L until n).map { id =>
+        (id, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(vRange).toLong)
+      }
+      val df = rows.toDF("id", "g", "v").localCheckpoint(eager = true)
+      val naive = df.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy("v", "id")))
+        .select(col("id"), col("rn").cast("long").as("rn"))
+        .as[(Long, Long)].collect().toMap
+      val two = graft.operators.Ranks.rowNumber(df, Seq("g"),
+          expr(s"v div $width"), Seq(col("v"), col("id")), "rn")
+        .select(col("id"), col("rn").cast("long").as("rn"))
+        .as[(Long, Long)].collect().toMap
+      assert(two === naive,
+        s"case $caseIdx groups=$nGroups n=$n vRange=$vRange width=$width")
+    }
+  }
 }

@@ -1952,4 +1952,81 @@ class StreamingSpec extends SparkSpec {
     assert(DeltaStore.current(spark, layout) === DeltaStore.Snapshot(1L, 1L))
     assert(probe() === probePre)
   }
+
+  test("S36 quantile monitor: bucket-exact type-1 brackets, MapState survives restart, agrees with the batch pick") {
+    import graft.streaming.{QuantileRow, ValObs}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s36_ckpt").toString
+      val in = MemoryStream[ValObs]
+      val sink = new scala.collection.mutable.ArrayBuffer[QuantileRow]
+      val W = 100L
+      def start() = Streams.quantileMonitor(in.toDS(), W, Seq(25, 50, 99))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[QuantileRow],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def awaitN(want: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def last() = sink.synchronized(
+          sink.filter(_.grp == "g").lastOption.map(_.n))
+        while (!last().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(last() === Some(want))
+      }
+      // every observed prefix defines the expected rows EXACTLY (counts
+      // are order-independent): recompute the bracket from first
+      // principles and demand equality, plus the bracket property
+      // against the true sorted values
+      def check(values: Seq[Long]): Unit = {
+        val n = values.size.toLong
+        val rows = sink.synchronized(
+          sink.filter(r => r.grp == "g" && r.n == n))
+        assert(rows.map(_.p).sorted === Seq(25L, 50L, 99L))
+        val sorted = values.sorted
+        for (r <- rows) {
+          val pos = math.max(1L, (r.p * n + 99L) / 100L)
+          assert(r.pos === pos)
+          val exact = sorted((pos - 1).toInt) // true type-1 quantile
+          assert(r.q_lo_cents <= exact && exact <= r.q_hi_cents,
+            s"p=${r.p}: exact $exact outside [${r.q_lo_cents}, ${r.q_hi_cents}]")
+          assert(Math.floorDiv(exact, W) * W === r.q_lo_cents,
+            s"p=${r.p}: bucket must be the one straddling pos $pos")
+          assert(r.q_hi_cents === r.q_lo_cents + W - 1L)
+        }
+      }
+      val wave1 = Seq(120L, 130L, 250L, 260L, 370L, -40L)
+      val wave2 = Seq(380L, 390L, 505L, 111L)
+      val q1 = start()
+      try {
+        in.addData(wave1.zipWithIndex.map { case (v, i) =>
+          ValObs("g", t(i + 1), v) }: _*)
+        awaitN(6L); check(wave1)
+      } finally q1.stop()
+      // kill-and-resume: the bucket MapState must restore and wave 2
+      // answers must reflect the FULL prefix
+      val q2 = start()
+      try {
+        in.addData(wave2.zipWithIndex.map { case (v, i) =>
+          ValObs("g", t(10 + i), v) }: _*)
+        awaitN(10L); check(wave1 ++ wave2)
+      } finally q2.stop()
+      // bucket agreement with the batch two-phase pick: the straddling
+      // bucket of the p50 pick equals floorDiv(exact quantile, W) — the
+      // Ranks contract restated for the stream (already asserted inside
+      // check()); and negative values bucket correctly (floorDiv)
+      val neg = sink.synchronized(sink.filter(r =>
+        r.grp == "g" && r.n == 6L && r.p == 25L)).last
+      assert(neg.q_lo_cents % W === 0L || neg.q_lo_cents < 0L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
 }
