@@ -654,7 +654,44 @@ object StatOps extends QueryFamily {
       .orderBy("flag")
   }
 
+  /** q_vocab_coverage — top-K vocabulary token-coverage curve: for K ∈
+    * {10, 100, 1000, 10000}, how many corpus token OCCURRENCES the K most
+    * frequent word types cover (exact permille) — the tokenizer/vocab
+    * sizing measurement (where the coverage curve flattens is where
+    * added vocab stops paying), the cumulative companion of q_zipf_slope
+    * and q_heaps_law. Ties break (count desc, token asc) — a pinned
+    * total order, so the curve is engine-exact.
+    *
+    * Scale shape: the corpus is touched by one explode + one
+    * vocab-bounded aggregate (map-side partials); the top-10000 cut is a
+    * TakeOrdered (never a materialized global sort — the q_hill_tail
+    * pin), and the rank window + K-threshold join run on that bounded
+    * 10k-row table (the legitimate small-table window user). */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(T.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum("cnt").as("total"))
+    val top = tf.orderBy(desc("cnt"), asc("tok")).limit(10000)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(desc("cnt"), asc("tok")))
+          .cast("long"))
+    val ks = s.range(0, 4)
+      .select(expr("element_at(array(10, 100, 1000, 10000), CAST(id + 1 AS INT))")
+        .cast("long").as("k"))
+    top.join(broadcast(ks), col("rnk") <= col("k"))
+      .groupBy("k")
+      .agg(max("rnk").as("vocab_used"), sum("cnt").as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_permille",
+        expr("(covered_tokens * 1000) div total"))
+      .select("k", "vocab_used", "covered_tokens", "coverage_permille")
+      .orderBy("k")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (qVocabCoverage _),
     "q_quantile_grid" -> (qQuantileGrid _),
     "q_iqr_fences" -> (qIqrFences _),
     "q_subsample_ci" -> (qSubsampleCi _),
@@ -730,6 +767,22 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Vocab coverage: pinned (count desc, token asc) total order; the
+    // permille is integer floor division of exact long counts.
+    "q_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS total FROM c),
+        |r AS (SELECT tok, cnt,
+        |  ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk FROM c),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS k)
+        |SELECT k, CAST(MAX(rnk) AS BIGINT) AS vocab_used,
+        |  CAST(SUM(cnt) AS BIGINT) AS covered_tokens,
+        |  CAST((SUM(cnt) * 1000) // MAX(total) AS BIGINT)
+        |    AS coverage_permille
+        |FROM r JOIN ks ON r.rnk <= ks.k CROSS JOIN tot
+        |GROUP BY k ORDER BY k""".stripMargin,
     // Quantile grid: the oracle states the SPEC (naive per-group rank
     // window) that the engine's two-phase Ranks plan must reproduce
     // bit-for-bit; type-1 positions, GREATEST(1, ceil) as in the engine.

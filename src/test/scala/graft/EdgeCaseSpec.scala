@@ -722,5 +722,14 @@ class EdgeCaseSpec extends SparkSpec {
     assert(mh.forall(r => r.getAs[Long]("h_row_micro") === 0L &&
       r.getAs[Long]("contrib_micro") === 0L))
     assert(mh.map(_.getAs[Long]("stationary_micro")).sum >= 999998L)
+    // vocab coverage: a 2-type corpus saturates every K — vocab_used
+    // honestly reports the 2 available types, coverage is exactly 1000
+    Seq((1L, "x y x")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val vc = graft.queries.StatOps.qVocabCoverage(spark, dir).collect()
+    assert(vc.length === 4)
+    assert(vc.forall(r => r.getAs[Long]("vocab_used") === 2L &&
+      r.getAs[Long]("covered_tokens") === 3L &&
+      r.getAs[Long]("coverage_permille") === 1000L))
   }
 }

@@ -791,5 +791,11 @@ class PlanSpec extends SparkSpec {
     val mh = planString(graft.queries.CorpusOps.qMarkovEntropy(spark, sf))
     assert(!mh.contains("CartesianProduct"), mh.take(2000))
     assert(mh.contains("BroadcastHashJoin"), mh.take(2000))
+    // vocab coverage: the top-10000 cut must be TakeOrdered (never a
+    // materialized global sort of the vocabulary); the K-threshold join
+    // and rank window run on that bounded table
+    val vc = planString(graft.queries.StatOps.qVocabCoverage(spark, sf))
+    assert(vc.contains("TakeOrderedAndProject"), vc.take(2000))
+    assert(!vc.contains("CartesianProduct"), vc.take(2000))
   }
 }
