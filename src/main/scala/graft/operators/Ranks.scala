@@ -38,6 +38,22 @@ object Ranks {
 
   private def keyed(partCols: Seq[String]): Seq[String] = partCols :+ "_bkt"
 
+  /** Inner join on `keys` with NULL-SAFE equality, keeping the left
+    * side's key columns. A plain using-join drops every row whose bucket
+    * (or part key) is null — but a null order key is a legal input the
+    * naive window ranks FIRST (Spark ascending order), and the null
+    * bucket sorts first in the offsets prefix for the same reason, so
+    * rank equivalence holds exactly iff the joins are null-safe. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    // rename-then-join: the two sides share lineage (offsets derive from
+    // the ranked frame), so joining on same-named columns trips Spark's
+    // self-join attribute dedup — fresh aliases sidestep it entirely
+    val r2 = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, s"_r_$k"))
+    val cond = keys.map(k => left(k) <=> r2(s"_r_$k")).reduce(_ && _)
+    left.join(r2, cond).drop(keys.map(k => s"_r_$k"): _*)
+  }
+
   /** Phase 1: per (part, bucket) row count `_bc` and exclusive prefix
     * offset `_off` (rows in earlier buckets of the same part group). The
     * prefix window runs over the bounded bucket table — the legitimate
@@ -70,8 +86,8 @@ object Ranks {
       .select(keyed(partCols).map(col) :+ col("_off"): _*)
     val wIn = Window.partitionBy(keyed(partCols).map(col): _*)
       .orderBy(order: _*)
-    df.withColumn("_bkt", bucket)
-      .join(broadcast(offs), keyed(partCols))
+    joinNullSafe(df.withColumn("_bkt", bucket), broadcast(offs),
+        keyed(partCols))
       .withColumn(rnName, col("_off") + row_number().over(wIn))
       .drop("_bkt", "_off")
   }
@@ -86,20 +102,22 @@ object Ranks {
   def orderStatAt(df: DataFrame, partCols: Seq[String], bucket: Column,
       order: Seq[Column], valueCol: String, offsets: DataFrame,
       positions: DataFrame, posCol: String, outName: String): DataFrame = {
-    val cand = (if (partCols.isEmpty) offsets.crossJoin(broadcast(positions))
-                else offsets.join(broadcast(positions), partCols))
-      .filter(col(posCol) > col("_off") &&
-        col(posCol) <= col("_off") + col("_bc"))
+    val cand =
+      (if (partCols.isEmpty) offsets.crossJoin(broadcast(positions))
+       else joinNullSafe(offsets, broadcast(positions), partCols))
+        .filter(col(posCol) > col("_off") &&
+          col(posCol) <= col("_off") + col("_bc"))
     val bkts = cand.select(keyed(partCols).map(col) :+ col("_off"): _*)
       .distinct()
     val wIn = Window.partitionBy(keyed(partCols).map(col): _*)
       .orderBy(order: _*)
-    val ranked = df.withColumn("_bkt", bucket)
-      .join(broadcast(bkts), keyed(partCols))
+    val ranked = joinNullSafe(df.withColumn("_bkt", bucket),
+        broadcast(bkts), keyed(partCols))
       .withColumn("_rn", col("_off") + row_number().over(wIn))
       .select(keyed(partCols).map(col) :+ col("_rn") :+
         col(valueCol).as(outName): _*)
-    ranked.join(broadcast(cand.drop("_off", "_bc")), keyed(partCols))
+    joinNullSafe(ranked, broadcast(cand.drop("_off", "_bc")),
+        keyed(partCols))
       .filter(col("_rn") === col(posCol))
       .select(positions.columns.map(col) :+ col(outName): _*)
   }

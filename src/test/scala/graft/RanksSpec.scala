@@ -58,6 +58,26 @@ class RanksSpec extends SparkSpec {
     assert(joined.filter(col("got") =!= col("expect")).isEmpty)
   }
 
+  test("rowNumber ranks NULL order keys first, exactly like the naive window") {
+    // a null order key is legal input: the naive window sorts nulls
+    // FIRST (Spark ascending), the null bucket sorts first in the
+    // offsets prefix for the same reason, and the null-safe joins keep
+    // the rows a plain using-join would silently drop
+    val nd = spark.range(0, 60)
+      .select(col("id"), (col("id") % 2).cast("string").as("g"),
+        when(col("id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("id") % 13).as("v"))
+      .localCheckpoint(eager = true)
+    val naive = nd.withColumn("rn",
+      row_number().over(Window.partitionBy("g").orderBy("v", "id")))
+      .select(col("id"), col("g"), col("v"), col("rn").cast("long").as("rn"))
+    val two = Ranks.rowNumber(nd, Seq("g"), expr("v div 5"),
+      Seq(col("v"), col("id")), "rn")
+      .select(col("id"), col("g"), col("v"), col("rn").cast("long").as("rn"))
+    assert(two.count() === 60, "null-keyed rows must not be dropped")
+    assert(naive.exceptAll(two).isEmpty && two.exceptAll(naive).isEmpty)
+  }
+
   test("orderStatAt: no-part global order statistics + out-of-range pos") {
     val offs = Ranks.bucketOffsets(df, Seq(), expr("v div 5"))
     val n = Ranks.totals(offs, Seq()).as[Long].head()
