@@ -690,7 +690,82 @@ object StatOps extends QueryFamily {
       .orderBy("k")
   }
 
+  /** q_gap_quantiles — inter-event wait-time percentiles per event type:
+    * p50/p90/p99 of the gap (exact integer microseconds) between an
+    * event and the SAME user's previous event — "how long do users idle
+    * before doing X", the latency-shaped behavioral signal beside
+    * q_transitions' which-comes-next matrix and q_sessionize's gap cut.
+    * Every percentile is a TYPE-1 order statistic at ⌈p·n/100⌉ of the
+    * (gap, event id) total order — rank-exact, interpolation-free.
+    *
+    * Scale shape: the lag window is user-keyed (bounded per user — the
+    * q_transitions shuffle); the percentile picks are the
+    * [[graft.operators.Ranks]] straddle path over minute-wide gap bands,
+    * so an event type (a fifth of the whole stream) never rides one
+    * rank-window task. */
+  def qGapQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"), col("event_id"), col("gap_us"))
+      .localCheckpoint(eager = false) // feeds offsets + the pick window
+    val bucket = expr("gap_us div 60000000")
+    val offs = graft.operators.Ranks.bucketOffsets(gaps, Seq("event_type"),
+      bucket)
+    val positions = graft.operators.Ranks.totals(offs, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        explode(array(Seq(50L, 90L, 99L).map(lit): _*)).as("p"))
+      .withColumn("pos",
+        greatest(lit(1L), expr("CAST(ceil(p * n / 100.0) AS BIGINT)")))
+    graft.operators.Ranks.orderStatAt(gaps, Seq("event_type"), bucket,
+        Seq(col("gap_us"), col("event_id")), "gap_us", offs, positions,
+        "pos", "gap_quantile_us")
+      .select("event_type", "p", "n", "pos", "gap_quantile_us")
+      .orderBy("event_type", "p")
+  }
+
+  /** q_token_gini — vocabulary-frequency Gini coefficient in exact
+    * permille: inequality of the token-type frequency distribution — the
+    * single concentration number beside q_vocab_coverage's curve,
+    * q_zipf_slope's power-law fit and q_heaps_law's growth (mass in few
+    * types → high; uniform vocabulary → 0). Gini on the ASCENDING count
+    * order, G = (2·Σᵢ i·cᵢ − (n+1)·T) / (n·T), computed WITHOUT ranking
+    * a single type: a run of equal counts contributes the
+    * arithmetic-series closed form c·(m·prev + m(m+1)/2), so the whole
+    * statistic folds off the count HISTOGRAM (count value → #types) —
+    * the q_mannwhitney shape: corpus → vocab-bounded aggregate →
+    * distinct-count-bounded histogram (≤ O(√tokens) rows by the sum
+    * constraint) → one bounded cumulative window. Σ i·cᵢ would overflow
+    * int64 at corpus scale (i ≤ vocab, cᵢ ≤ corpus), so it widens to
+    * DECIMAL(38,0) at the aggregate — the house rule. */
+  def qTokenGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, dir)
+      .select(explode(T.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("m"))
+    val wp = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("prev", coalesce(sum("m").over(wp), lit(0L)))
+      .agg(
+        sum(expr(
+          "CAST(cnt AS DECIMAL(38,0)) * (m * prev + (m * (m + 1)) div 2)"))
+          .as("S"),
+        sum("m").as("n"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).as("T"))
+      .select(col("n").as("n_types"),
+        expr("CAST(T AS BIGINT)").as("total_tokens"),
+        expr("CAST((2 * S - (n + 1) * T) * 1000 div (n * T) AS BIGINT)")
+          .as("gini_permille"))
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_quantiles" -> (qGapQuantiles _),
+    "q_token_gini" -> (qTokenGini _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_quantile_grid" -> (qQuantileGrid _),
     "q_iqr_fences" -> (qIqrFences _),
@@ -767,6 +842,53 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Gap quantiles: exact integer microseconds (epoch_us ≡ unix_micros,
+    // both truncation-free), same lag-then-rank spec as the engine.
+    "q_gap_quantiles" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |          PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        |  FROM events),
+        |f AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, event_id, gap_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM f),
+        |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+        |SELECT event_type, p, n,
+        |  GREATEST(1, CAST(ceil(p * n / 100.0) AS BIGINT)) AS pos,
+        |  gap_us AS gap_quantile_us
+        |FROM r JOIN p
+        |  ON rn = GREATEST(1, CAST(ceil(p * n / 100.0) AS BIGINT))
+        |ORDER BY event_type, p""".stripMargin,
+    // Token Gini: arithmetic-series fold off the count histogram;
+    // HUGEINT moments mirror the engine's DECIMAL(38,0); all divisions
+    // over non-negative integers so `//` and Spark's div agree.
+    "q_token_gini" ->
+      """WITH tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM tf GROUP BY tok),
+        |h AS (SELECT cnt, COUNT(*) AS m FROM c GROUP BY cnt),
+        |cum AS (
+        |  SELECT cnt, m,
+        |    COALESCE(SUM(m) OVER (ORDER BY cnt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM h),
+        |agg AS (
+        |  SELECT
+        |    SUM(CAST(cnt AS HUGEINT) * (m * prev + (m * (m + 1)) // 2)) AS S,
+        |    SUM(m) AS n,
+        |    SUM(CAST(cnt AS HUGEINT) * m) AS T
+        |  FROM cum)
+        |SELECT CAST(n AS BIGINT) AS n_types, CAST(T AS BIGINT) AS total_tokens,
+        |  CAST((2 * S - (n + 1) * T) * 1000 // (n * T) AS BIGINT)
+        |    AS gini_permille
+        |FROM agg""".stripMargin,
     // Vocab coverage: pinned (count desc, token asc) total order; the
     // permille is integer floor division of exact long counts.
     "q_vocab_coverage" ->

@@ -731,5 +731,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(vc.forall(r => r.getAs[Long]("vocab_used") === 2L &&
       r.getAs[Long]("covered_tokens") === 3L &&
       r.getAs[Long]("coverage_permille") === 1000L))
+    // token gini on the same 2-type corpus: counts (1, 2) ascending,
+    // S = 1·1 + 2·2 = 5, G = (2·5 − 3·3)/(2·3) = 1/6 → 166 permille
+    val tg = graft.queries.StatOps.qTokenGini(spark, dir).collect()
+    assert(tg.length === 1)
+    assert(tg(0).getAs[Long]("n_types") === 2L &&
+      tg(0).getAs[Long]("total_tokens") === 3L &&
+      tg(0).getAs[Long]("gini_permille") === 166L)
+    // gap quantiles on the deterministic 1-second chain: type a has one
+    // gap, type b two — every percentile of both is exactly 1e6 µs
+    val gq = graft.queries.StatOps.qGapQuantiles(spark, dir).collect()
+    assert(gq.length === 6)
+    assert(gq.forall(_.getAs[Long]("gap_quantile_us") === 1000000L))
+    assert(gq.filter(_.getAs[String]("event_type") == "b")
+      .map(r => r.getAs[Long]("p") -> r.getAs[Long]("pos")).toMap ===
+      Map(50L -> 1L, 90L -> 2L, 99L -> 2L))
   }
 }

@@ -797,5 +797,17 @@ class PlanSpec extends SparkSpec {
     val vc = planString(graft.queries.StatOps.qVocabCoverage(spark, sf))
     assert(vc.contains("TakeOrderedAndProject"), vc.take(2000))
     assert(!vc.contains("CartesianProduct"), vc.take(2000))
+    // gap quantiles: every rank window keys on the gap band (the lag
+    // window sits behind the checkpoint and is the pinned q_transitions
+    // user-keyed shape)
+    val gq = planString(graft.queries.StatOps.qGapQuantiles(spark, sf))
+    rankWindowsKeyedByBucket(gq)
+    assert(!gq.contains("CartesianProduct"), gq.take(2000))
+    // token gini: no join anywhere — aggregates into the bounded
+    // histogram, one cumulative window over it, one fold
+    val tg = planString(graft.queries.StatOps.qTokenGini(spark, sf))
+    assert(!tg.contains("Join"), tg.take(2000))
+    assert(tg.contains("HashAggregate") && tg.contains("Window"),
+      tg.take(2000))
   }
 }
