@@ -34,6 +34,10 @@ case class ValSeen(grp: String, ts: java.sql.Timestamp, v: Long)
 /** S36 input: one integer-valued observation (cents/ms/bytes) per group. */
 case class ValObs(grp: String, ts: java.sql.Timestamp, cents: Long)
 
+/** S37 input: a typed user event (the q_gap_quantiles row shape). */
+case class TypedEvent(user_id: Long, event_id: Long,
+  ts: java.sql.Timestamp, event_type: String)
+
 /** S36 output: per (group, percentile, batch) the type-1 position and the
   * straddling bucket's inclusive value bounds at the monitor's
   * resolution. */
@@ -376,6 +380,29 @@ object Streams {
     obs.groupByKey(_.grp)
       .transformWithState(new QuantileProcessor(bucketWidth, ps),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S37 — streaming inter-event gap quantiles: the continuous twin of
+    * `q_gap_quantiles`, composed from TWO CHAINED keyed stateful
+    * operators (Spark 4 multiple-stateful-operators, both
+    * `transformWithState`): a USER-keyed gap extractor — one
+    * `ValueState[Long]` holding the user's last event micros; each
+    * arrival emits its wait attributed to ITS event type and advances
+    * the state — feeding the S36 bucket-histogram quantile monitor
+    * re-keyed by EVENT TYPE. The re-key between the two states is the
+    * point: the "previous event" is per user (any type), the quantile
+    * population is per type (across users) — no single keying serves
+    * both, so the composition is the operator. Rows inside a batch
+    * process (ts, event_id)-sorted per user, so replays are
+    * deterministic; state is one long per active user plus the S36
+    * bounded bucket map per type. */
+  def gapQuantileMonitor(events: Dataset[TypedEvent], bucketWidth: Long,
+      ps: Seq[Int]): Dataset[QuantileRow] = {
+    import events.sparkSession.implicits._
+    val gaps = events.groupByKey(_.user_id)
+      .transformWithState(new GapProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+    quantileMonitor(gaps, bucketWidth, ps)
   }
 
   /** S18 — streaming funnel progression: the streaming twin of
@@ -1071,6 +1098,39 @@ class MixProcessor
   * bucket order accumulating counts — the same exclusive-prefix pass
   * `Ranks.bucketOffsets` runs as a window, here over an in-memory table
   * that is small BY THE SAME argument (bounded bucket cardinality). */
+/** S37's user-keyed half (see `Streams.gapQuantileMonitor`): one
+  * `ValueState[Long]` per user holding the last event's epoch micros.
+  * Each arrival (ts, event_id)-sorted within the batch emits the exact
+  * integer gap to the previous same-user event as a `ValObs` keyed by
+  * the ARRIVING event's type — the q_gap_quantiles lag, continuous. */
+class GapProcessor
+  extends StatefulProcessor[Long, TypedEvent, ValObs] {
+
+  @transient private var last: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Long]("last_us",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  // exact epoch micros: getTime is millis; the sub-milli part lives in
+  // getNanos (floorDiv keeps pre-1970 instants exact)
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      timers: TimerValues): Iterator[ValObs] = {
+    val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ValObs]
+    sorted.foreach { e =>
+      val us = micros(e.ts)
+      if (last.exists())
+        out += ValObs(e.event_type, e.ts, us - last.get())
+      last.update(us)
+    }
+    out.iterator
+  }
+}
+
 class QuantileProcessor(bucketWidth: Long, ps: Seq[Int])
   extends StatefulProcessor[String, ValObs, QuantileRow] {
 

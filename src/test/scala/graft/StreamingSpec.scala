@@ -1835,6 +1835,74 @@ class StreamingSpec extends SparkSpec {
     assert(DeltaStore.current(spark, s"$gate/contaminated").gen >= 1L)
   }
 
+  test("S37 gap-quantile monitor: two chained stateful operators, gaps cross the restart boundary") {
+    import graft.streaming.{QuantileRow, TypedEvent}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s37_ckpt").toString
+      val in = MemoryStream[TypedEvent]
+      val sink = new scala.collection.mutable.ArrayBuffer[QuantileRow]
+      val W = 1000000L // 1-second buckets
+      def start() = Streams.gapQuantileMonitor(in.toDS(), W, Seq(50, 99))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[QuantileRow],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def awaitN(grp: String, want: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def last() = sink.synchronized(
+          sink.filter(_.grp == grp).lastOption.map(_.n))
+        while (!last().contains(want) && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(last() === Some(want))
+      }
+      def bracket(grp: String, n: Long, p: Long): (Long, Long) = {
+        val r = sink.synchronized(sink.filter(x =>
+          x.grp == grp && x.n == n && x.p == p)).last
+        (r.q_lo_cents, r.q_hi_cents)
+      }
+      // wave 1 — user 1: a@1s, b@3s, a@6s (gaps b:2s, a:3s);
+      //          user 2: a@10s, a@11s (gap a:1s)
+      val q1 = start()
+      try {
+        in.addData(
+          TypedEvent(1L, 1L, t(1), "a"), TypedEvent(1L, 2L, t(3), "b"),
+          TypedEvent(1L, 3L, t(6), "a"),
+          TypedEvent(2L, 4L, t(10), "a"), TypedEvent(2L, 5L, t(11), "a"))
+        awaitN("a", 2L); awaitN("b", 1L)
+        // type a gaps {1s, 3s}: p50 at pos 1 → the 1s bucket, p99 at
+        // pos 2 → the 3s bucket; type b {2s}: both → 2s bucket
+        assert(bracket("a", 2L, 50L) === ((1000000L, 1999999L)))
+        assert(bracket("a", 2L, 99L) === ((3000000L, 3999999L)))
+        assert(bracket("b", 1L, 99L) === ((2000000L, 2999999L)))
+      } finally q1.stop()
+      // kill-and-resume, then user 1's next event gaps 14s back to its
+      // LAST PRE-RESTART event — both chained states must have restored
+      // (the user ValueState for the gap, the type MapState for counts);
+      // a brand-new user emits no gap at all
+      val q2 = start()
+      try {
+        in.addData(TypedEvent(1L, 6L, t(20), "b"),
+          TypedEvent(9L, 7L, t(21), "a"))
+        awaitN("b", 2L)
+        assert(bracket("b", 2L, 50L) === ((2000000L, 2999999L)))
+        assert(bracket("b", 2L, 99L) === ((14000000L, 14999999L)))
+        // type a unchanged by the gapless new user: still n=2
+        assert(sink.synchronized(
+          sink.filter(_.grp == "a").map(_.n).max) === 2L)
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("S35 compactor crash between fold write and publish: manifest untouched, retry overwrites the orphan (all four stores)") {
     // the single-writer/self-healing argument as a checked fact: kill the
     // compactor AFTER the folded generation is written but BEFORE the
