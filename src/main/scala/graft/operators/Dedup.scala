@@ -448,6 +448,9 @@ object Dedup {
   def minhashEstimatorAudit(df: DataFrame, textCol: String, idCol: String,
       kEst: Int = 16, numBands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
+    require(kEst >= 1 && numBands >= 1 && rowsPerBand >= 1 && shingleN >= 1,
+      s"need kEst/numBands/rowsPerBand/shingleN >= 1, " +
+        s"got $kEst/$numBands/$rowsPerBand/$shingleN")
     val docs = md5ShingleDocs(df, textCol, idCol, shingleN)
     val bands = pairableBands(md5Bands(docs, numBands, rowsPerBand))
     val cand = bands.select(col("doc").as("a"), col("bk"))

@@ -100,20 +100,9 @@ object Outliers {
     val base = df
       .select(col(groupCol), col(idCol), valueCents.as("cents"))
       .localCheckpoint(eager = false) // feeds offsets, picks + clipped agg
-    val bucket = expr(s"cents div $bucketWidth")
-    val offs = Ranks.bucketOffsets(base, Seq(groupCol), bucket)
-    val positions = Ranks.totals(offs, Seq(groupCol))
-      .selectExpr(groupCol,
-        s"stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil($pLowPct * n / 100.0) AS BIGINT))," +
-          s" 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil($pHighPct * n / 100.0) AS BIGINT))) AS (stat, pos)")
-    val picked = Ranks.orderStatAt(base, Seq(groupCol), bucket,
-      Seq(col("cents"), col(idCol)), "cents", offs, positions, "pos",
-      "bound_cents")
-    val bounds = picked.groupBy(groupCol)
-      .agg(max(when(col("stat") === "lo", col("bound_cents")))
-          .as("low_cents"),
-        max(when(col("stat") === "hi", col("bound_cents")))
-          .as("high_cents"))
+    val bounds = Ranks.percentileBounds(base, Seq(groupCol),
+      expr(s"cents div $bucketWidth"), Seq(col("cents"), col(idCol)),
+      "cents", pLowPct, pHighPct, "low_cents", "high_cents")
     base.join(broadcast(bounds), groupCol)
       .withColumn("clipped",
         least(greatest(col("cents"), col("low_cents")), col("high_cents")))

@@ -44,7 +44,7 @@ object Ranks {
     * naive window ranks FIRST (Spark ascending order), and the null
     * bucket sorts first in the offsets prefix for the same reason, so
     * rank equivalence holds exactly iff the joins are null-safe. */
-  private def joinNullSafe(left: DataFrame, right: DataFrame,
+  private[graft] def joinNullSafe(left: DataFrame, right: DataFrame,
       keys: Seq[String]): DataFrame = {
     // rename-then-join: the two sides share lineage (offsets derive from
     // the ranked frame), so joining on same-named columns trips Spark's
@@ -90,6 +90,28 @@ object Ranks {
         keyed(partCols))
       .withColumn(rnName, col("_off") + row_number().over(wIn))
       .drop("_bkt", "_off")
+  }
+
+  /** Per-group type-1 percentile BOUNDS via the straddling-bucket pick:
+    * one row per part group with `loName`/`hiName` = the `valueCol` at
+    * positions max(1, ⌈loPct·n/100⌉) and max(1, ⌈hiPct·n/100⌉) of the
+    * (order...) total order — the shared scaffold of q_winsorize /
+    * q_ppl_filter / q_iqr_fences (any fix to the position arithmetic
+    * lands HERE once). */
+  def percentileBounds(df: DataFrame, partCols: Seq[String], bucket: Column,
+      order: Seq[Column], valueCol: String, loPct: Int, hiPct: Int,
+      loName: String, hiName: String): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"need 0 <= loPct <= hiPct <= 100, got $loPct/$hiPct")
+    val offs = bucketOffsets(df, partCols, bucket)
+    val positions = totals(offs, partCols).selectExpr(partCols :+
+      (s"stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil($loPct * n / 100.0) AS BIGINT))," +
+        s" 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil($hiPct * n / 100.0) AS BIGINT))) AS (stat, pos)"): _*)
+    val picked = orderStatAt(df, partCols, bucket, order, valueCol, offs,
+      positions, "pos", "_pv")
+    picked.groupBy(partCols.map(col): _*)
+      .agg(max(when(col("stat") === "lo", col("_pv"))).as(loName),
+        max(when(col("stat") === "hi", col("_pv"))).as(hiName))
   }
 
   /** Type-1 order statistics at caller-chosen positions, ranking ONLY the

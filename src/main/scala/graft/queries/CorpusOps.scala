@@ -281,8 +281,11 @@ object CorpusOps extends QueryFamily {
     val live = offs.filter(col("_off") < quota(col("source")))
       .select("source", "_bkt", "_off")
     val wIn = Window.partitionBy("source", "_bkt").orderBy("h", "doc_id")
-    base.withColumn("_bkt", bucket)
-      .join(broadcast(live), Seq("source", "_bkt"))
+    // null-safe like Ranks' own joins: a plain using-join would drop a
+    // null-keyed row the naive-window spec (and oracle) rank FIRST
+    graft.operators.Ranks.joinNullSafe(
+        base.withColumn("_bkt", bucket), broadcast(live),
+        Seq("source", "_bkt"))
       .withColumn("rn", col("_off") + row_number().over(wIn))
       .withColumn("quota", quota(col("source")))
       .filter(col("rn") <= col("quota"))
@@ -433,7 +436,14 @@ object CorpusOps extends QueryFamily {
     * then everything is types²-bounded. */
   def qMarkovEntropy(s: SparkSession, dir: String): DataFrame = {
     val (p, vFinal) = markovChain(s, dir)
+    // p_ppm = 0 is reachable (floor division: an edge rarer than 1 in
+    // 1e6 from its state) and must be excluded EXPLICITLY on both
+    // engines: mathematically p·ln p → 0 as p → 0, but Spark's ln(0)
+    // is NULL (term silently dropped) while DuckDB's is -infinity
+    // (round/cast then ERRORS) — a divergent failure the shared filter
+    // removes by encoding the limit
     val rows = p
+      .filter(col("p_ppm") > 0)
       .withColumn("neg_lnp_micro",
         expr("CAST(round(-ln(p_ppm / 1000000.0) * 1000000) AS BIGINT)"))
       .groupBy("i")
@@ -1899,7 +1909,7 @@ object CorpusOps extends QueryFamily {
           |rows_h AS (
           |  SELECT i, SUM(p_ppm * CAST(round(-ln(p_ppm / 1000000.0)
           |      * 1000000) AS BIGINT)) // 1000000 AS h_row_micro
-          |  FROM p GROUP BY i)
+          |  FROM p WHERE p_ppm > 0 GROUP BY i)
           |SELECT v8.st AS event_type, CAST(v8.v AS BIGINT) AS stationary_micro,
           |  CAST(COALESCE(rows_h.h_row_micro, 0) AS BIGINT) AS h_row_micro,
           |  CAST((v8.v * COALESCE(rows_h.h_row_micro, 0)) // 1000000

@@ -273,20 +273,9 @@ object CurateOps extends QueryFamily {
       .filter(col("ce_micro").isNotNull)
     val j = docs.select("doc_id", "source").join(scored, "doc_id")
       .localCheckpoint(eager = false) // feeds offsets, picks + band count
-    val bucket = expr("ce_micro div 250000")
-    val offs = graft.operators.Ranks.bucketOffsets(j, Seq("source"), bucket)
-    val positions = graft.operators.Ranks.totals(offs, Seq("source"))
-      .selectExpr("source",
-        "stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil(25 * n / 100.0) AS BIGINT))," +
-          " 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil(75 * n / 100.0) AS BIGINT))) AS (stat, pos)")
-    val picked = graft.operators.Ranks.orderStatAt(j, Seq("source"), bucket,
-      Seq(col("ce_micro"), col("doc_id")), "ce_micro", offs, positions,
-      "pos", "bound_ce")
-    val bounds = picked.groupBy("source")
-      .agg(max(when(col("stat") === "lo", col("bound_ce")))
-          .as("lo_ce_micro"),
-        max(when(col("stat") === "hi", col("bound_ce")))
-          .as("hi_ce_micro"))
+    val bounds = graft.operators.Ranks.percentileBounds(j, Seq("source"),
+      expr("ce_micro div 250000"), Seq(col("ce_micro"), col("doc_id")),
+      "ce_micro", 25, 75, "lo_ce_micro", "hi_ce_micro")
     j.join(broadcast(bounds), "source")
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),

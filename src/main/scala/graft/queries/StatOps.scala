@@ -625,17 +625,9 @@ object StatOps extends QueryFamily {
         expr("l_orderkey * 10 + l_linenumber").as("id"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .localCheckpoint(eager = false) // feeds offsets, picks + fence agg
-    val bucket = expr("cents div 100000")
-    val offs = graft.operators.Ranks.bucketOffsets(base, Seq("flag"), bucket)
-    val positions = graft.operators.Ranks.totals(offs, Seq("flag"))
-      .selectExpr("flag",
-        "stack(2, 'lo', greatest(CAST(1 AS BIGINT), CAST(ceil(25 * n / 100.0) AS BIGINT))," +
-          " 'hi', greatest(CAST(1 AS BIGINT), CAST(ceil(75 * n / 100.0) AS BIGINT))) AS (stat, pos)")
-    val picked = graft.operators.Ranks.orderStatAt(base, Seq("flag"), bucket,
-      Seq(col("cents"), col("id")), "cents", offs, positions, "pos", "q")
-    val fences = picked.groupBy("flag")
-      .agg(max(when(col("stat") === "lo", col("q"))).as("p25_cents"),
-        max(when(col("stat") === "hi", col("q"))).as("p75_cents"))
+    val fences = graft.operators.Ranks.percentileBounds(base, Seq("flag"),
+        expr("cents div 100000"), Seq(col("cents"), col("id")), "cents",
+        25, 75, "p25_cents", "p75_cents")
       .withColumn("iqr_cents", col("p75_cents") - col("p25_cents"))
       .withColumn("lo2", lit(2L) * col("p25_cents") - lit(3L) * col("iqr_cents"))
       .withColumn("hi2", lit(2L) * col("p75_cents") + lit(3L) * col("iqr_cents"))
@@ -677,9 +669,8 @@ object StatOps extends QueryFamily {
       .withColumn("rnk",
         row_number().over(Window.orderBy(desc("cnt"), asc("tok")))
           .cast("long"))
-    val ks = s.range(0, 4)
-      .select(expr("element_at(array(10, 100, 1000, 10000), CAST(id + 1 AS INT))")
-        .cast("long").as("k"))
+    val ks = s.range(0, 1).select(
+      explode(array(Seq(10L, 100L, 1000L, 10000L).map(lit): _*)).as("k"))
     top.join(broadcast(ks), col("rnk") <= col("k"))
       .groupBy("k")
       .agg(max("rnk").as("vocab_used"), sum("cnt").as("covered_tokens"))
@@ -750,16 +741,23 @@ object StatOps extends QueryFamily {
       .groupBy("cnt").agg(count(lit(1)).as("m"))
     val wp = Window.orderBy("cnt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the DOUBLED rank-weighted sum S2 = 2·Σᵢ i·cᵢ: a run of m equal
+    // counts c after `prev` smaller types contributes c·m·(2·prev+m+1) —
+    // integer with NO halving, so nothing ever truncates; m widens
+    // BEFORE its products (the hapax run alone has m ~ vocabulary size,
+    // so m·prev crosses int64 at corpus scale and a non-ANSI long
+    // multiply would wrap silently). G = (S2 − (n+1)·T) / (n·T).
     hist.withColumn("prev", coalesce(sum("m").over(wp), lit(0L)))
       .agg(
         sum(expr(
-          "CAST(cnt AS DECIMAL(38,0)) * (m * prev + (m * (m + 1)) div 2)"))
-          .as("S"),
+          "CAST(cnt AS DECIMAL(38,0)) * CAST(m AS DECIMAL(38,0))" +
+            " * (2 * prev + m + 1)"))
+          .as("S2"),
         sum("m").as("n"),
         sum(expr("CAST(cnt AS DECIMAL(38,0)) * m")).as("T"))
       .select(col("n").as("n_types"),
         expr("CAST(T AS BIGINT)").as("total_tokens"),
-        expr("CAST((2 * S - (n + 1) * T) * 1000 div (n * T) AS BIGINT)")
+        expr("CAST((S2 - (n + 1) * T) * 1000 div (n * T) AS BIGINT)")
           .as("gini_permille"))
   }
 
@@ -881,12 +879,13 @@ object StatOps extends QueryFamily {
         |  FROM h),
         |agg AS (
         |  SELECT
-        |    SUM(CAST(cnt AS HUGEINT) * (m * prev + (m * (m + 1)) // 2)) AS S,
+        |    SUM(CAST(cnt AS HUGEINT) * CAST(m AS HUGEINT)
+        |      * (2 * prev + m + 1)) AS S2,
         |    SUM(m) AS n,
         |    SUM(CAST(cnt AS HUGEINT) * m) AS T
         |  FROM cum)
         |SELECT CAST(n AS BIGINT) AS n_types, CAST(T AS BIGINT) AS total_tokens,
-        |  CAST((2 * S - (n + 1) * T) * 1000 // (n * T) AS BIGINT)
+        |  CAST((S2 - (n + 1) * T) * 1000 // (n * T) AS BIGINT)
         |    AS gini_permille
         |FROM agg""".stripMargin,
     // Vocab coverage: pinned (count desc, token asc) total order; the

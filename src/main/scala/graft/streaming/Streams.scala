@@ -368,9 +368,12 @@ object Streams {
     * order-independent, so the emitted rows are a pure function of the
     * observed prefix. The batch twin goes one step further and picks
     * the exact value inside the straddling bucket with one bounded
-    * window; the two agree on the bucket by construction (same counts,
-    * same positions) — the spec pins that equality against a Spark-SQL
-    * recompute. */
+    * window; on a NON-NEGATIVE value domain the two agree on the bucket
+    * by construction (same counts, same positions — the spec pins it).
+    * Negative observations are well-defined HERE via floorDiv (bounds
+    * stay width-aligned), but a batch twin bucketing with Spark's
+    * truncating `div` widens its zero-straddling bucket — match the
+    * bucketing function before comparing the two on signed domains. */
   def quantileMonitor(obs: Dataset[ValObs], bucketWidth: Long,
       ps: Seq[Int]): Dataset[QuantileRow] = {
     import obs.sparkSession.implicits._
@@ -1102,7 +1105,16 @@ class MixProcessor
   * `ValueState[Long]` per user holding the last event's epoch micros.
   * Each arrival (ts, event_id)-sorted within the batch emits the exact
   * integer gap to the previous same-user event as a `ValObs` keyed by
-  * the ARRIVING event's type — the q_gap_quantiles lag, continuous. */
+  * the ARRIVING event's type — the q_gap_quantiles lag, continuous.
+  *
+  * Late-data contract (the S18 funnel posture): equivalent to the batch
+  * lag when a user's events arrive in event-time order across batches.
+  * An event that arrives BEHIND the user's anchor (a cross-batch
+  * straggler) is DROPPED from the gap population and never rewinds the
+  * anchor — a negative gap is unrepresentable in the batch twin, and a
+  * rewound anchor would mis-measure every later gap; the monotone
+  * max() update keeps one straggler from poisoning the histogram
+  * forever. */
 class GapProcessor
   extends StatefulProcessor[Long, TypedEvent, ValObs] {
 
@@ -1123,9 +1135,11 @@ class GapProcessor
     val out = scala.collection.mutable.ArrayBuffer.empty[ValObs]
     sorted.foreach { e =>
       val us = micros(e.ts)
-      if (last.exists())
+      if (!last.exists()) last.update(us)
+      else if (us >= last.get()) {
         out += ValObs(e.event_type, e.ts, us - last.get())
-      last.update(us)
+        last.update(us)
+      } // else: cross-batch straggler — dropped, anchor not rewound
     }
     out.iterator
   }

@@ -1894,6 +1894,17 @@ class StreamingSpec extends SparkSpec {
         // type a unchanged by the gapless new user: still n=2
         assert(sink.synchronized(
           sink.filter(_.grp == "a").map(_.n).max) === 2L)
+        // cross-batch STRAGGLER (user 1, ts behind its 20s anchor): the
+        // late-data contract drops it — no negative gap enters the
+        // population and the anchor is not rewound (user 1's next
+        // in-order event still gaps from 20s, not 15s)
+        in.addData(TypedEvent(1L, 8L, t(15), "a"))
+        in.addData(TypedEvent(1L, 9L, t(23), "b"))
+        awaitN("b", 3L)
+        assert(bracket("b", 3L, 50L) === ((3000000L, 3999999L)))
+        assert(sink.synchronized(
+          sink.filter(_.grp == "a").map(_.n).max) === 2L,
+          "a straggler must not add a (negative) gap")
       } finally q2.stop()
     } finally {
       prev match {
