@@ -69,13 +69,11 @@ object Bench {
     }
     def q(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = timed.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     // typo'd filter names land in the machine-read errors map — a filter
     // that matched nothing must not masquerade as an instant-pass bench
     val errs = (timed.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
       ++ badFilter.map(n => s"${q(n)}:${q("unknown query name in filter")}"))
       .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
     val nErrors = timed.count(_._3.isDefined) + badFilter.size
     // Perf-regression ledger: per-query sf0.1 seconds recorded in
     // src/main/resources/bench_baseline.json. A query >1.5x its recorded
@@ -136,18 +134,46 @@ object Bench {
     // Only the FULL suite compares apples-to-apples: a filtered run pays
     // JVM/JIT warm-up on far fewer queries and reads hot where the
     // recording read warm, inflating 2x+ on fit-heavy queries.
-    val regressions =
-      if (!sfDir.contains("sf0.1") || args.nonEmpty) Seq.empty
-      else timed.collect {
-        case (name, t, None) if baseline.get(name).exists(b =>
-          t > b * norm * 1.5 && t - b * norm > 0.25) => (name, t, baseline(name))
+    val gateActive = sfDir.contains("sf0.1") && args.isEmpty
+    val firstFlags =
+      if (!gateActive) Seq.empty
+      else BenchGate.regressions(timed, baseline, norm)
+    // Transient re-check (r13 verdict item 2): a host stall mid-suite
+    // inflates whatever ran during its window — r13 flagged 10 adjacent
+    // late-alphabet queries at host_drift 0.98, none of whose code had
+    // changed. Any non-empty flag set triggers ONE same-JVM re-run of
+    // just the flagged queries (seconds — they are the minority), and
+    // each keeps its min: a transient evaporates on the quiet re-run,
+    // while a genuine plan regression reproduces and still flags. The
+    // contiguous-block signature is reported so a verdict can tell the
+    // two shapes apart even when the re-run still flags.
+    val wasBlock = BenchGate.contiguousBlock(names, firstFlags.map(_._1))
+    val (finalTimed, regressions) =
+      if (firstFlags.isEmpty) (timed, firstFlags)
+      else {
+        System.err.println(s"RE-CHECKING ${firstFlags.size} flagged " +
+          s"quer${if (firstFlags.size == 1) "y" else "ies"} in-JVM " +
+          s"(contiguous_block=$wasBlock): " +
+          firstFlags.map(_._1).mkString(", "))
+        val retry = firstFlags.map { case (name, _, _) =>
+          val t0 = System.nanoTime()
+          val err = run(name)
+          val dt = (System.nanoTime() - t0) / 1e9
+          cleanup()
+          name -> (dt, err)
+        }.toMap
+        val folded = BenchGate.foldRetry(timed, retry)
+        (folded, BenchGate.regressions(folded, baseline, norm))
       }
     regressions.foreach { case (name, t, b) =>
-      System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx raw, host drift $hostDrift%.2fx)")
+      System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx raw, host drift $hostDrift%.2fx) — survived a same-JVM re-run")
     }
+    val qsF = finalTimed.map { case (k, v, _) => s"${q(k)}:$v" }
+      .mkString("{", ",", "}")
+    val totalF = finalTimed.map(_._2).sum
     val regs = regressions
       .map { case (k, t, b) => s"${q(k)}:[$t,$b]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"host_drift":$hostDrift,"drift_alert":$driftAlert,"queries":$qs,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalF,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"n_flag_transient":${firstFlags.size - regressions.size},"flag_block":$wasBlock,"host_drift":$hostDrift,"drift_alert":$driftAlert,"queries":$qsF,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
     // Committed drift history (tools/drift_history.jsonl): one line per
     // full-suite run, so cross-round BENCH comparisons can attribute "got
     // uniformly faster/slower" to host load from a file instead of
@@ -155,7 +181,7 @@ object Bench {
     // checkout must not fail the bench.
     if (sfDir.contains("sf0.1") && args.isEmpty) try {
       val line = s"""{"ts":"${java.time.Instant.now()}","n":${names.size},""" +
-        s""""total_sec":${math.round(total * 1000) / 1000.0},""" +
+        s""""total_sec":${math.round(totalF * 1000) / 1000.0},""" +
         s""""host_drift":${math.round(hostDrift * 1000) / 1000.0},""" +
         s""""n_regressions":${regressions.size},"n_errors":$nErrors}"""
       java.nio.file.Files.write(

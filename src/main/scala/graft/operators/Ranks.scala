@@ -38,6 +38,22 @@ object Ranks {
 
   private def keyed(partCols: Seq[String]): Seq[String] = partCols :+ "_bkt"
 
+  /** The internal scratch names each entry point materializes on caller
+    * frames. A caller column with one of these names (or a `_r_<key>`
+    * rename target in [[joinNullSafe]]) would be silently overwritten or
+    * dropped — wrong ranks with no error — so every public entry point
+    * REJECTS colliding inputs up front (ADVICE r13). */
+  private val ScratchCols = Set("_bkt", "_bc", "_off", "_rn")
+
+  private def requireNoCollision(df: DataFrame, what: String): Unit = {
+    val clash = df.columns.filter(c =>
+      ScratchCols.contains(c) || c.startsWith("_r_"))
+    require(clash.isEmpty,
+      s"Ranks.$what: input columns ${clash.mkString(", ")} collide with " +
+        "internal scratch names (_bkt/_bc/_off/_rn/_r_*) — rename them " +
+        "before calling (the two-phase rank would silently overwrite them)")
+  }
+
   /** Inner join on `keys` with NULL-SAFE equality, keeping the left
     * side's key columns. A plain using-join drops every row whose bucket
     * (or part key) is null — but a null order key is a legal input the
@@ -62,6 +78,7 @@ object Ranks {
     * attach) reuses the one corpus aggregate instead of re-scanning. */
   def bucketOffsets(df: DataFrame, partCols: Seq[String],
       bucket: Column): DataFrame = {
+    requireNoCollision(df, "bucketOffsets")
     val counts = df.withColumn("_bkt", bucket)
       .groupBy(keyed(partCols).map(col): _*)
       .agg(count(lit(1)).as("_bc"))
@@ -82,6 +99,9 @@ object Ranks {
     * window task ever holds more than one bucket. */
   def rowNumber(df: DataFrame, partCols: Seq[String], bucket: Column,
       order: Seq[Column], rnName: String): DataFrame = {
+    requireNoCollision(df, "rowNumber")
+    require(!ScratchCols.contains(rnName) && !rnName.startsWith("_r_"),
+      s"rnName '$rnName' collides with Ranks internal scratch names")
     val offs = bucketOffsets(df, partCols, bucket)
       .select(keyed(partCols).map(col) :+ col("_off"): _*)
     val wIn = Window.partitionBy(keyed(partCols).map(col): _*)
@@ -124,6 +144,10 @@ object Ranks {
   def orderStatAt(df: DataFrame, partCols: Seq[String], bucket: Column,
       order: Seq[Column], valueCol: String, offsets: DataFrame,
       positions: DataFrame, posCol: String, outName: String): DataFrame = {
+    requireNoCollision(df, "orderStatAt")
+    requireNoCollision(positions, "orderStatAt(positions)")
+    require(!ScratchCols.contains(outName) && !outName.startsWith("_r_"),
+      s"outName '$outName' collides with Ranks internal scratch names")
     val cand =
       (if (partCols.isEmpty) offsets.crossJoin(broadcast(positions))
        else joinNullSafe(offsets, broadcast(positions), partCols))

@@ -305,14 +305,23 @@ object LlmOps extends QueryFamily {
     * composing a training mix. No RNG, so the mix is stable across runs
     * and engines. Every row's rank matters (the modulo keeps rows
     * throughout the order), so this is the full two-phase
-    * [[graft.operators.Ranks.rowNumber]]: contiguous 1000-id buckets
-    * (exactly width-bounded, the q_shard_manifest discipline) rank
-    * independently and add their broadcast prefix offsets — a whole
-    * source never rides one window task. */
-  def qMixSources(s: SparkSession, dir: String): DataFrame =
+    * [[graft.operators.Ranks.rowNumber]]: contiguous id-range buckets
+    * rank independently and add their broadcast prefix offsets — a whole
+    * source never rides one window task. The bucket WIDTH scales with the
+    * observed id span (one cheap min/max aggregate over the two-column
+    * projection), capping the offsets table at ~4096 rows per source at
+    * ANY corpus size — a fixed width was corpus-proportional and broke
+    * Ranks' bounded-bucket-table contract at 100 TB (ADVICE r13). Output
+    * ranks are bucketing-invariant, so the oracle is unchanged. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val span = docs.agg(min("doc_id"), max("doc_id")).head()
+    val width =
+      if (span.isNullAt(0)) 1000L
+      else math.max(1000L, (span.getLong(1) - span.getLong(0)) / 4096L + 1L)
     graft.operators.Ranks.rowNumber(
-        Tables.documents(s, dir).select(col("doc_id"), col("source")),
-        Seq("source"), expr("doc_id div 1000"), Seq(col("doc_id")), "rn")
+        docs, Seq("source"), expr(s"doc_id div $width"),
+        Seq(col("doc_id")), "rn")
       .withColumn("keep_every",
         when(col("source") === "src0", 1L)
           .when(col("source").isin("src1", "src2", "src3", "src4"), 2L)
@@ -322,6 +331,7 @@ object LlmOps extends QueryFamily {
         col("rn").cast("long").as("rn"),
         col("keep_every").cast("long").as("keep_every"))
       .orderBy("doc_id")
+  }
 
   /** q_multimodal_meta — binary payload + typed metadata extraction. */
   def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -246,9 +246,13 @@ object ScalarFuncs extends QueryFamily {
 
   /** q_hash_partition — partition assignment analog of the reference's
     * producer partitioner (A11) in the engine-native hash: partition =
-    * pmod(hash(key), n). Spark's Murmur3 `hash` is engine-defined, so this
-    * is registered without an oracle (rows-only check); stability is
-    * asserted in ApproxSpec ("hash partitioning is stable and in-range").
+    * pmod(hash(key), n). Spark's `hash` is Murmur3 x86_32 (seed 42,
+    * hashLong over the two 32-bit halves) — algorithm-DEFINED even though
+    * engine-NATIVE, so since r14 the DuckDB oracle re-derives the full
+    * mix/rotate/fmix pipeline from first principles (HUGEINT for the
+    * 32×32-bit multiplies), the same cross-engine discipline that oracles
+    * FNV-1a below. pmod(h, 32) = unsigned(h) % 32 (two's-complement low
+    * five bits), which the oracle exploits to skip the signed reconstruct.
     * This is exactly the hash-partitioning a 100 TB keyed sink shuffles on. */
   def qHashPartition(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -422,6 +426,36 @@ object ScalarFuncs extends QueryFamily {
         |  sha256(text) AS sha256_hex,
         |  length(text) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hash_partition" ->
+      // Spark Murmur3_x86_32.hashLong(user_id, seed=42), re-derived step
+      // by step: per 32-bit half k1 = rotl15(k*0xcc9e2d51)*0x1b873593,
+      // h1 = rotl13(h1 xor k1)*5 + 0xe6546b64, then fmix(h1 xor 8).
+      // HUGEINT carries the 32x32-bit products; rotates add their two
+      // disjoint halves instead of OR-ing. part = unsigned(h) % 32
+      // (= Spark's pmod over the signed int: low 5 bits agree).
+      """WITH u64 AS (
+        |  SELECT ((user_id::HUGEINT % 18446744073709551616)
+        |    + 18446744073709551616) % 18446744073709551616 AS u FROM events),
+        |halves AS (SELECT u % 4294967296 AS lo, u // 4294967296 AS hi FROM u64),
+        |k1a AS (SELECT hi, (lo * 3432918353) % 4294967296 AS k FROM halves),
+        |k1b AS (SELECT hi, ((k * 32768) % 4294967296 + k // 131072) AS kr FROM k1a),
+        |k1c AS (SELECT hi, (kr * 461845907) % 4294967296 AS k1 FROM k1b),
+        |h1a AS (SELECT hi, xor(42::HUGEINT, k1) AS hx FROM k1c),
+        |h1b AS (SELECT hi, ((hx * 8192) % 4294967296 + hx // 524288) AS hr FROM h1a),
+        |h1c AS (SELECT hi, (hr * 5 + 3864292196) % 4294967296 AS h1 FROM h1b),
+        |k2a AS (SELECT h1, (hi * 3432918353) % 4294967296 AS k2m FROM h1c),
+        |k2b AS (SELECT h1, ((k2m * 32768) % 4294967296 + k2m // 131072) AS k2r FROM k2a),
+        |k2c AS (SELECT h1, (k2r * 461845907) % 4294967296 AS k2 FROM k2b),
+        |h2a AS (SELECT xor(h1, k2) AS hx2 FROM k2c),
+        |h2b AS (SELECT ((hx2 * 8192) % 4294967296 + hx2 // 524288) AS hr2 FROM h2a),
+        |h2c AS (SELECT (hr2 * 5 + 3864292196) % 4294967296 AS h2 FROM h2b),
+        |f2 AS (SELECT xor(xor(h2, 8), xor(h2, 8) // 65536) AS fb FROM h2c),
+        |f3 AS (SELECT (fb * 2246822507) % 4294967296 AS fc FROM f2),
+        |f4 AS (SELECT xor(fc, fc // 8192) AS fd FROM f3),
+        |f5 AS (SELECT (fd * 3266489909) % 4294967296 AS fe FROM f4),
+        |f6 AS (SELECT xor(fe, fe // 65536) AS h FROM f5)
+        |SELECT (h % 32)::BIGINT AS part, COUNT(*) AS n
+        |FROM f6 GROUP BY part ORDER BY part""".stripMargin,
     "q_hash_partition_fnv" ->
       """WITH h AS (
         |  SELECT list_reduce(

@@ -55,4 +55,45 @@ class ControlSpec extends SparkSpec {
     assert(frozen("topic") === "other") // restart sees the updated config
     c.stop("collector")
   }
+
+  test("A19: a RUNNING query's output keeps launch-time conf across " +
+      "Control.update; only a restart picks up the new value") {
+    // The reference freezes config into a task at LAUNCH
+    // (/root/reference/syscol/scheduler.go:213-228): a live collector keeps
+    // emitting under the conf it started with, however the scheduler's
+    // config mutates afterwards. The frozen-build-map test above pins the
+    // plumbing; this one pins the BEHAVIOR — rows produced after the
+    // update still carry the launch-time namespace.
+    import org.apache.spark.sql.functions._
+    val c = new Control
+    c.update(Map("topic" -> "metrics", "namespace" -> "ns_v1"))
+    val in = MemoryStream[Tick]
+    val sinkName = "ctl_frozen_" + System.nanoTime()
+    def build(conf: Map[String, String]) =
+      in.toDF()
+        .select(concat(lit(conf("namespace")), lit("/"), col("slaveId"))
+          .as("key"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+    val q = c.start("collector")(build).toOption.get
+    in.addData(Tick("s1", new java.sql.Timestamp(1000L), 1.0, "{}"))
+    q.processAllAvailable()
+    // conf mutates while the query RUNS...
+    c.update(Map("namespace" -> "ns_v2"))
+    in.addData(Tick("s2", new java.sql.Timestamp(2000L), 2.0, "{}"))
+    q.processAllAvailable()
+    // ...and the post-update row still carries the LAUNCH namespace
+    val live = spark.table(sinkName).as[String].collect().sorted
+    assert(live === Array("ns_v1/s1", "ns_v1/s2"))
+    assert(c.snapshotConf("namespace") === "ns_v2") // update did land
+    // only a stop + restart picks the new value up
+    assert(c.stop("collector"))
+    spark.sql(s"DROP TABLE IF EXISTS $sinkName")
+    val q2 = c.start("collector")(build).toOption.get
+    in.addData(Tick("s3", new java.sql.Timestamp(3000L), 3.0, "{}"))
+    q2.processAllAvailable()
+    assert(spark.table(sinkName).as[String].collect().sorted
+      .contains("ns_v2/s3"))
+    c.stop("collector")
+  }
 }

@@ -92,4 +92,33 @@ class RanksSpec extends SparkSpec {
     assert(got(1L) === sorted(0) && got(250L) === sorted(249) &&
       got(500L) === sorted(499))
   }
+
+  test("entry points REJECT inputs whose columns collide with scratch names") {
+    // ADVICE r13: a caller frame already carrying _bkt/_off/_rn/_r_* was
+    // silently overwritten or dropped — wrong ranks, no error. The
+    // guards turn that into a loud require at build time.
+    def expectReject(body: => Any, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    val bad = df.withColumn("_bkt", lit(1L))
+    expectReject(Ranks.bucketOffsets(bad, Seq("g"), expr("v div 5")), "_bkt")
+    expectReject(Ranks.rowNumber(bad, Seq("g"), expr("v div 5"),
+      Seq(col("v")), "rn"), "_bkt")
+    val badR = df.withColumn("_r_g", lit("x"))
+    expectReject(Ranks.rowNumber(badR, Seq("g"), expr("v div 5"),
+      Seq(col("v")), "rn"), "_r_g")
+    expectReject(Ranks.rowNumber(df, Seq("g"), expr("v div 5"),
+      Seq(col("v")), "_off"), "_off")
+    val offs = Ranks.bucketOffsets(df, Seq(), expr("v div 5"))
+    val badPos = Seq(1L).toDF("pos").withColumn("_rn", lit(0L))
+    expectReject(Ranks.orderStatAt(df, Seq(), expr("v div 5"),
+      Seq(col("v"), col("id")), "v", offs, badPos, "pos", "got"), "_rn")
+    expectReject(Ranks.orderStatAt(df, Seq(), expr("v div 5"),
+      Seq(col("v"), col("id")), "v", offs, Seq(1L).toDF("pos"), "pos",
+      "_bc"), "_bc")
+    // clean inputs still build (the guard must not over-reject)
+    assert(Ranks.rowNumber(df, Seq("g"), expr("v div 5"),
+      Seq(col("v"), col("id")), "rn").count() === 500)
+  }
 }

@@ -1651,6 +1651,31 @@ class StreamingSpec extends SparkSpec {
     assert(one.unionByName(snap).count() === 1L)
   }
 
+  test("mvViewSnapshot with a NON-STRING key: empty and post-ingest " +
+      "schemas agree (keyTypes pins the empty branch)") {
+    // r13 verdict item 6 / ADVICE: the never-ingested branch hard-coded
+    // StringType per key, so a long-keyed view's empty snapshot diverged
+    // from its post-ingest schema ONLY in the empty case. keyTypes closes
+    // it: the empty snapshot must union/join cleanly with the real one.
+    import org.apache.spark.sql.types.LongType
+    val view = java.nio.file.Files.createTempDirectory("s33_longkey").toString
+    val empty = Streams.mvViewSnapshot(spark, view, Seq("uid"), Seq(LongType))
+    assert(empty.schema("uid").dataType === LongType)
+    Streams.mvMergeSinkBatch(view, Seq("uid"), "v")(
+      Seq((7L, 4L), (7L, 2L)).toDF("uid", "v"), 0L)
+    val full = Streams.mvViewSnapshot(spark, view, Seq("uid"), Seq(LongType))
+    assert(full.schema("uid").dataType === LongType)
+    // schema-compatible in the exact failure mode the verdict named
+    assert(full.unionByName(empty).count() === 1L)
+    assert(full.select("uid", "cnt", "total").as[(Long, Long, Long)]
+      .collect().toSeq === Seq((7L, 2L, 6L)))
+    // and a mismatched keyTypes arity fails loudly, not silently
+    val err = intercept[IllegalArgumentException] {
+      Streams.mvViewSnapshot(spark, view, Seq("uid", "day"), Seq(LongType))
+    }
+    assert(err.getMessage.contains("one DataType per key column"))
+  }
+
   test("S34 IVF-PQ delta compaction: snapshot-isolated probes, grace GC, ingest resumes onto the folded store") {
     import graft.operators.{DeltaStore, Similarity}
     val layout = java.nio.file.Files.createTempDirectory("s34_layout").toString
