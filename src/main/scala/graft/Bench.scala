@@ -69,12 +69,6 @@ object Bench {
     }
     def q(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // typo'd filter names land in the machine-read errors map — a filter
-    // that matched nothing must not masquerade as an instant-pass bench
-    val errs = (timed.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
-      ++ badFilter.map(n => s"${q(n)}:${q("unknown query name in filter")}"))
-      .mkString("{", ",", "}")
-    val nErrors = timed.count(_._3.isDefined) + badFilter.size
     // Perf-regression ledger: per-query sf0.1 seconds recorded in
     // src/main/resources/bench_baseline.json. A query >1.5x its recorded
     // time (and >0.25s absolute — sub-second queries are host-noise-bound)
@@ -168,6 +162,14 @@ object Bench {
     regressions.foreach { case (name, t, b) =>
       System.err.println(f"PERF REGRESSION: $name took $t%.2fs vs recorded $b%.2fs (${t / b}%.2fx raw, host drift $hostDrift%.2fx) — survived a same-JVM re-run")
     }
+    // Errors from FINAL timings (post-retry), so a failure the retry
+    // surfaced on a suite-passing query still lands in the machine-read
+    // map; typo'd filter names land here too — a filter that matched
+    // nothing must not masquerade as an instant-pass bench.
+    val errs = (finalTimed.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
+      ++ badFilter.map(n => s"${q(n)}:${q("unknown query name in filter")}"))
+      .mkString("{", ",", "}")
+    val nErrors = finalTimed.count(_._3.isDefined) + badFilter.size
     val qsF = finalTimed.map { case (k, v, _) => s"${q(k)}:$v" }
       .mkString("{", ",", "}")
     val totalF = finalTimed.map(_._2).sum

@@ -39,8 +39,10 @@ object BenchGate {
 
   /** Fold a retry pass into the main timings: each retried query keeps
     * the MIN of its suite reading and its retry reading (same
-    * discipline as the two main passes), and its error slot fills from
-    * the retry only if the suite pass already erred. */
+    * discipline as the two main passes). Error slots: a suite error is
+    * kept verbatim; a retry error on a suite-PASSING query also
+    * surfaces (conservative — a query that fails on re-run is broken,
+    * whatever its first pass said). */
   def foldRetry(timed: Seq[(String, Double, Option[String])],
       retry: Map[String, (Double, Option[String])])
       : Seq[(String, Double, Option[String])] =

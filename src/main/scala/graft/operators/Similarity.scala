@@ -1225,7 +1225,25 @@ object Similarity {
     * the same count() that sizes the grid feeds the guard — no extra
     * action — and a corpus past the cap fails with the documented scale
     * paths instead of running for days. maxRows <= 0 disables the guard
-    * (an explicit opt-in to unbounded quadratic work). */
+    * (an explicit opt-in to unbounded quadratic work).
+    *
+    * MEASURED REJECTION — RP prefilter (r13 verdict task 5, the
+    * PPJoin+-suffix-filter precedent): a [[radProject]] 16-dim projection
+    * bound ahead of this kernel was measured and rejected
+    * (tools/rp_prefilter_probe.py over the full 2M-pair set of the sf0.1
+    * embeddings, byte-exact replication of microQuantize + RadMatrix
+    * signs). The only ORACLE-SAFE margin is the certain Cauchy–Schwarz
+    * bound ‖Δproj‖² ≤ k·d·‖Δx‖² (k·d = 1024): it pruned 0 of 1 999 000
+    * pairs — the observed ratio maxes at 53 (concentration ~χ²ₖ around
+    * k = 16), a 19× gap below the bound, so the certain gate can never
+    * fire on real data. The best LOSSY margin keeping 100% recall on the
+    * measured data (30.6×, data-dependent) pruned 39.8% — against the
+    * prefilter's own ~k/d = 25% kernel-cost overhead that is a ≤15%
+    * best-case net, bought by gambling the hash-exact oracle on an
+    * empirical margin with no guarantee for unseen pairs. Below the
+    * LSH-discriminable regime the projection concentrates for the same
+    * reason banding fails (cosine bulk ~N(0, 1/√d)); the blocked-exact
+    * kernel with the row cap stays the honest plan. */
   def cosinePairsExact(corpus: DataFrame, minSim: Double,
       nBlocks: Int = 0, maxRows: Long = MaxExactPairRows): DataFrame = {
     import corpus.sparkSession.implicits._

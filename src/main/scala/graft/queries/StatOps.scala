@@ -761,7 +761,114 @@ object StatOps extends QueryFamily {
           .as("gini_permille"))
   }
 
+  /** q_distinct_ngrams — per-source distinct-n diversity (Li et al. 2016's
+    * generation-diversity metric, applied corpus-side): for n ∈ {1,2,3},
+    * distinct word n-grams per TOTAL n-gram occurrences (permille). A
+    * source whose distinct-2/3 collapses is template spam or a crawl
+    * loop — the corpus-level companion of q_rep_ngram's per-doc screen.
+    *
+    * Scale shape: one corpus pass per n (a narrow (source, text)
+    * projection through the zipped-slice shingler), then (source, gram)
+    * → source aggregates with map-side partials — the two-stage
+    * distinct that never holds a gram set in memory. Pure integer
+    * counts: engine-exact with no quantization caveats. */
+  def qDistinctNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("text"))
+    (1 to 3).map { n =>
+      docs.select(col("source"),
+          explode(T.wordShingles(col("text"), n)).as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("distinct_ngrams"),
+          sum("cnt").as("total_ngrams"))
+        .select(col("source"), lit(n).cast("int").as("n"),
+          col("distinct_ngrams"), col("total_ngrams"),
+          expr("(distinct_ngrams * 1000) div total_ngrams")
+            .as("distinct_permille"))
+    }.reduce(_ unionAll _).orderBy("source", "n")
+  }
+
+  /** q_entropy_rate — per-language character-level CONDITIONAL entropy
+    * H(c₂|c₁) in micro-nats: how predictable the next character is given
+    * the current one — the entropy-RATE screen that separates natural
+    * language (~1.5–2.5 nats) from both gibberish (→ H(c), no
+    * conditioning gain) and template spam (→ 0). Complements
+    * q_char_entropy's per-doc unigram entropy with the corpus-level
+    * sequential statistic. H(c₂|c₁) = Σ p(c₁c₂)·ln(A(c₁)/B(c₁c₂)) over
+    * the bigram table, B = bigram count, A = its prefix-char total.
+    *
+    * Scale shape: one corpus pass (position explode, the
+    * Signals.charEntropy idiom) into a CHARSET²-bounded bigram table;
+    * the prefix join and entropy fold run on that bounded table. Each
+    * bigram's term quantizes to micro-nats BEFORE the sum (integer
+    * accumulation — order-immune, the repo-wide oracle discipline). */
+  def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = length(col("text"))
+    val positions = when(n > 1, sequence(lit(1), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val bg = docs
+      .select(col("lang"), explode(positions).as("i"), col("text").as("_t"))
+      .select(col("lang"), col("_t").substr(col("i"), lit(2)).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("b"))
+      .localCheckpoint(eager = false)
+    // rename-then-join: pref derives from bg (shared lineage), so joining
+    // on same-named columns trips Spark's self-join ambiguity check —
+    // fresh aliases sidestep it (the Ranks.joinNullSafe discipline)
+    val pref = bg.groupBy(col("lang"), substring(col("bg"), 1, 1).as("c1"))
+      .agg(sum("b").as("a"))
+      .withColumnRenamed("lang", "_p_lang")
+    bg.join(pref, col("lang") === col("_p_lang") &&
+        substring(col("bg"), 1, 1) === col("c1"))
+      .select(col("lang"),
+        col("b"),
+        round(col("b").cast("double") *
+          log(col("a").cast("double") / col("b").cast("double")) *
+          lit(1000000.0), 0).cast("decimal(38,0)").as("term_u"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bigram_types"),
+        sum("b").as("n_bigrams"),
+        sum("term_u").as("tsum"))
+      .select(col("lang"), col("n_bigram_types"), col("n_bigrams"),
+        expr("CAST(tsum div n_bigrams AS BIGINT)")
+          .as("cond_entropy_micro"))
+      .orderBy("lang")
+  }
+
+  /** q_oov_rate — per-language rare-token exposure against the corpus
+    * vocabulary: the share of token OCCURRENCES (and of word TYPES)
+    * whose corpus-wide type frequency is < 3 — the "how much of this
+    * language's text rides the unreliable vocabulary tail" readout that
+    * decides per-language vocab allocation and min-frequency cuts
+    * (q_vocab_coverage gives the head curve; this is the tail, sliced
+    * by language). Pure integer counts — engine-exact.
+    *
+    * Scale shape: corpus touched once (token explode); everything after
+    * is vocab-bounded — corpus-wide type frequencies, per-(lang, token)
+    * counts, and a vocab×vocab equi-join on the token key. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(T.tokens(col("text"))).as("tok"))
+      .localCheckpoint(eager = false)
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+    toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .join(tf, "tok")
+      .groupBy("lang")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("freq") < 3, col("cnt")).otherwise(0L)).as("rare_tokens"),
+        sum(when(col("freq") < 3, 1L).otherwise(0L)).as("rare_types"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("rare_tokens"), col("rare_types"),
+        expr("(rare_tokens * 1000) div n_tokens").as("rare_token_permille"),
+        expr("(rare_types * 1000) div n_types").as("rare_type_permille"))
+      .orderBy("lang")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
+    "q_entropy_rate" -> (qEntropyRate _),
+    "q_oov_rate" -> (qOovRate _),
     "q_gap_quantiles" -> (qGapQuantiles _),
     "q_token_gini" -> (qTokenGini _),
     "q_vocab_coverage" -> (qVocabCoverage _),
@@ -840,6 +947,66 @@ object StatOps extends QueryFamily {
   }
 
   override val oracle: Map[String, String] = Map(
+    // Distinct-n diversity: the same zipped n-gram extraction (1-based
+    // list slices, ' '-joined), pure integer counts.
+    "q_distinct_ngrams" ->
+      """WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g1 AS (SELECT source, unnest(w) AS gram FROM ws),
+        |g2 AS (SELECT source, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS gram
+        |       FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |g3 AS (SELECT source, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+        |         || ' ' || w[CAST(i AS INT) + 2] AS gram
+        |       FROM ws, unnest(range(1, len(w) - 1)) AS u(i)),
+        |c1 AS (SELECT source, 1 AS n, COUNT(DISTINCT gram) AS distinct_ngrams,
+        |       COUNT(*) AS total_ngrams FROM g1 GROUP BY source),
+        |c2 AS (SELECT source, 2 AS n, COUNT(DISTINCT gram) AS distinct_ngrams,
+        |       COUNT(*) AS total_ngrams FROM g2 GROUP BY source),
+        |c3 AS (SELECT source, 3 AS n, COUNT(DISTINCT gram) AS distinct_ngrams,
+        |       COUNT(*) AS total_ngrams FROM g3 GROUP BY source)
+        |SELECT source, n, distinct_ngrams, total_ngrams,
+        |  (distinct_ngrams * 1000) // total_ngrams AS distinct_permille
+        |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |      UNION ALL SELECT * FROM c3)
+        |ORDER BY source, n""".stripMargin,
+    // Conditional char entropy: identical bigram extraction (substr i,2
+    // over positions 1..len-1), per-bigram micro-nat term rounded BEFORE
+    // the integral sum (order-immune), floor division at the end.
+    "q_entropy_rate" ->
+      """WITH bgc AS (
+        |  SELECT lang, substr(text, CAST(i AS INT), 2) AS bg, COUNT(*) AS b
+        |  FROM documents, unnest(range(1, length(text))) AS u(i)
+        |  GROUP BY lang, bg),
+        |pref AS (SELECT lang, substr(bg, 1, 1) AS c1, SUM(b) AS a
+        |         FROM bgc GROUP BY lang, c1),
+        |terms AS (SELECT bgc.lang AS lang, b,
+        |    CAST(round(b::DOUBLE * ln(a::DOUBLE / b::DOUBLE) * 1000000.0, 0)
+        |      AS DECIMAL(38,0)) AS term_u
+        |  FROM bgc JOIN pref ON bgc.lang = pref.lang
+        |    AND substr(bg, 1, 1) = pref.c1)
+        |SELECT lang, COUNT(*) AS n_bigram_types,
+        |  CAST(SUM(b) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(SUM(term_u) AS HUGEINT) // CAST(SUM(b) AS HUGEINT)
+        |    AS BIGINT) AS cond_entropy_micro
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+    // Rare-token exposure: corpus type frequencies joined back per
+    // (lang, token) — all integer counts, floor-div permilles.
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        |lt AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok)
+        |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN freq < 3 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS rare_tokens,
+        |  CAST(SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rare_types,
+        |  (CAST(SUM(CASE WHEN freq < 3 THEN cnt ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(SUM(cnt) AS BIGINT) AS rare_token_permille,
+        |  (CAST(SUM(CASE WHEN freq < 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // COUNT(*) AS rare_type_permille
+        |FROM lt JOIN tf USING (tok)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Gap quantiles: exact integer microseconds (epoch_us ≡ unix_micros,
     // both truncation-free), same lag-then-rank spec as the engine.
     "q_gap_quantiles" ->

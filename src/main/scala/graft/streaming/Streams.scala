@@ -53,6 +53,12 @@ case class DocLang(doc_id: Long, ts: java.sql.Timestamp, lang: String,
 case class MixSnapshot(source: String, n_langs: Long, total: Long,
   mix: String, entropy_milli: Long)
 
+/** S38 output: per (source, batch) the word-n-gram novelty snapshot —
+  * batch occurrences/types, types never seen before this batch, the
+  * type-level novelty permille, and the running seen-type count. */
+case class NoveltyRow(source: String, batch_grams: Long, batch_types: Long,
+  novel_types: Long, novelty_permille: Long, seen_types: Long)
+
 /** S23 input: one id sighting per group key. */
 case class UserSeen(event_type: String, ts: java.sql.Timestamp,
   user_id: Long)
@@ -349,6 +355,30 @@ object Streams {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
       .transformWithState(new MixProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S38 — streaming corpus-novelty monitor: per source key, the share of
+    * this batch's word n-gram TYPES never seen in the stream before — the
+    * continuous twin of `q_novelty`/`q_distinct_ngrams`' diversity
+    * readout, and the first-line crawl-health alarm: a source whose
+    * novelty collapses toward zero is re-crawling itself (a loop or a
+    * mirror), one pinned near 1000 permille forever is likely noise.
+    * `MapState[shingle → 1]` is the seen-set (string keys — exact, no
+    * collision caveat); a `ValueState` counter carries the running
+    * seen-type count so emitting NEVER iterates the store (unlike the
+    * bounded-cardinality MixProcessor walk, the shingle vocabulary is
+    * Heaps-bounded but large — the same store-scale class as the S9/S15
+    * digest stores, which is the monitor's documented cost). Novelty is
+    * SET-level (types, not occurrences), so the emitted row is a pure
+    * order-independent function of the observed prefix — replays and
+    * restarts reproduce it exactly. */
+  def noveltyMonitor(docs: Dataset[DocSourced], n: Int = 3)
+      : Dataset[NoveltyRow] = {
+    import docs.sparkSession.implicits._
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    docs.groupByKey(_.source)
+      .transformWithState(new NoveltyProcessor(n),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -1102,6 +1132,57 @@ class MixProcessor
     }.sum * 1000.0)
     Iterator.single(MixSnapshot(key, mix.size.toLong, total,
       mix.map { case (l, c) => s"$l:$c" }.mkString(","), entropy))
+  }
+}
+
+/** S38's processor (see `Streams.noveltyMonitor`): the seen-shingle set
+  * as `MapState[shingle → 1]` plus a `ValueState[Long]` running type
+  * count, so the per-batch emit costs O(batch shingles) — the store is
+  * only ever probed point-wise (containsKey) and appended, never walked.
+  * Shingles use the engine-wide whitespace tokenization (split -1 keeps
+  * empties, matching Spark `split`); a document shorter than `n` tokens
+  * contributes nothing, the wordShingles contract. Within a batch the
+  * novelty fold is over the batch's TYPE SET (TreeMap — deterministic
+  * order), so duplicate shingles inside one batch count once and the
+  * result is independent of row order. */
+class NoveltyProcessor(n: Int)
+  extends StatefulProcessor[String, DocSourced, NoveltyRow] {
+
+  @transient private var seen: MapState[String, Long] = _
+  @transient private var nSeen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    seen = getHandle.getMapState[String, Long]("seen",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    nSeen = getHandle.getValueState[Long]("n_seen",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[DocSourced],
+      timers: TimerValues): Iterator[NoveltyRow] = {
+    val batch = scala.collection.mutable.TreeMap.empty[String, Long]
+    var grams = 0L
+    rows.foreach { r =>
+      val ws = r.text.split(" ", -1)
+      if (ws.length >= n) ws.sliding(n).foreach { w =>
+        val g = w.mkString(" ")
+        grams += 1L
+        batch.update(g, batch.getOrElse(g, 0L) + 1L)
+      }
+    }
+    var novel = 0L
+    batch.keysIterator.foreach { g =>
+      if (!seen.containsKey(g)) {
+        seen.updateValue(g, 1L)
+        novel += 1L
+      }
+    }
+    val total = (if (nSeen.exists()) nSeen.get() else 0L) + novel
+    nSeen.update(total)
+    val permille =
+      if (batch.isEmpty) 0L else novel * 1000L / batch.size.toLong
+    Iterator.single(NoveltyRow(key, grams, batch.size.toLong, novel,
+      permille, total))
   }
 }
 

@@ -43,12 +43,12 @@ class BpeSpec extends SparkSpec {
       .toSeq === Seq((1L, 3L, 10L, 5L), (2L, 1L, 4L, 2L)))
   }
 
-  test("registered queries: 8 ranked merges, encode covers every doc") {
+  test("registered queries: 16 ranked merges, encode covers every doc") {
     val merges = CurateOps.qBpeTrain(spark, sf).collect()
-    assert(merges.map(_.getInt(0)).toSeq == (0 until 8).toSeq)
+    assert(merges.map(_.getInt(0)).toSeq == (0 until 16).toSeq)
     assert(merges.forall(r => r.getString(1).nonEmpty && r.getLong(2) > 0))
     // A later merge can reference an earlier one, so some token should be
-    // longer than 2 chars once 8 rounds have run on a zipfy corpus.
+    // longer than 2 chars once 16 rounds have run on a zipfy corpus.
     assert(merges.exists(_.getString(1).length > 2))
     val enc = CurateOps.qBpeEncode(spark, sf).collect()
     assert(enc.nonEmpty)

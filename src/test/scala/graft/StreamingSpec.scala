@@ -1283,6 +1283,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S38 novelty monitor: per-batch novel 3-gram types, seen-set survives restart, replays exact") {
+    import graft.streaming.NoveltyRow
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s38_ckpt").toString
+      val in = MemoryStream[DocSourced]
+      val sink = new scala.collection.mutable.ArrayBuffer[NoveltyRow]
+      def start() = Streams.noveltyMonitor(in.toDS(), n = 3).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[NoveltyRow],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      // predicate wait, the S28 awaitMix posture: a restart may REPLAY
+      // the last uncommitted batch (foreachBatch is at-least-once), and
+      // a replayed emission is a legitimate duplicate computed against
+      // the rolled-back state — so waits key on the EXPECTED row, never
+      // on sink growth
+      def awaitRow(what: String)(want: NoveltyRow => Boolean): NoveltyRow = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def found() = sink.synchronized(sink.find(want))
+        while (found().isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(found().nonEmpty,
+          s"$what: no matching row in ${sink.synchronized(sink.toList)}")
+        found().get
+      }
+      // wave 1: "a b c d" has 3-grams {a b c, b c d}; "a b c" has {a b c}
+      // (duplicate type within the batch counts ONCE); "x y" is too short
+      val q1 = start()
+      val r1 =
+        try {
+          in.addData(
+            DocSourced(1L, t(1), "a b c d", "src0"),
+            DocSourced(2L, t(2), "a b c", "src0"),
+            DocSourced(3L, t(3), "x y", "src0"))
+          awaitRow("wave1")(r => r.batch_types == 2L && r.novel_types == 2L)
+        } finally q1.stop()
+      assert(r1.source === "src0")
+      assert(r1.batch_grams === 3L)   // 2 + 1 + 0 occurrences
+      assert(r1.novelty_permille === 1000L)
+      assert(r1.seen_types === 2L)
+      // restart: the seen-set must restore — wave 2 repeats one known
+      // type and brings one new one
+      val q2 = start()
+      val r2 =
+        try {
+          in.addData(DocSourced(4L, t(4), "b c d e", "src0"))
+          // {b c d, c d e}: exactly one novel iff the store restored
+          awaitRow("wave2")(r => r.batch_types == 2L && r.novel_types == 1L)
+        } finally q2.stop()
+      assert(r2.novelty_permille === 500L)
+      assert(r2.seen_types === 3L)
+      // novelty collapse: an all-seen batch reads zero — the crawl-loop
+      // alarm shape
+      val q3 = start()
+      val r3 =
+        try {
+          in.addData(DocSourced(5L, t(5), "a b c d e", "src0"))
+          awaitRow("wave3")(r => r.batch_types == 3L && r.novel_types == 0L)
+        } finally q3.stop()
+      assert(r3.novelty_permille === 0L && r3.seen_types === 3L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("S26 streaming decontamination flags exactly the batch operator's ids across restarts") {
     import graft.operators.Decontaminate
     val gate = java.nio.file.Files.createTempDirectory("s26_gate").toString

@@ -48,7 +48,14 @@ ACCEPTED = {
         "gated path instead of running for days. "
         "See Similarity.cosinePairsExact scaladoc. At the measured sizes "
         "it is still shuffle-bound (e(0.5→1)=0.8, not 2.0); the decade "
-        "ratio reflects leaving the overhead-bound regime."),
+        "ratio reflects leaving the overhead-bound regime. An RP-prefilter "
+        "ahead of the kernel was MEASURED AND REJECTED in r14 "
+        "(tools/rp_prefilter_probe.py, full 2M-pair sweep): the only "
+        "oracle-safe (lossless) margin — the certain Cauchy–Schwarz bound "
+        "k·d = 1024 — pruned 0 pairs (observed ratio max 53), and the best "
+        "lossy margin keeping 100% recall on the measured data pruned "
+        "39.8% against the prefilter's own ~25% kernel-cost overhead; "
+        "see the cosinePairsExact scaladoc for the concentration argument."),
     "q_bitext_margin": (
         "brute-force EVAL operator: one src×tgt exact kernel pass is the "
         "operator's definition (the margin needs both directional "
