@@ -810,4 +810,23 @@ class PlanSpec extends SparkSpec {
     assert(tg.contains("HashAggregate") && tg.contains("Window"),
       tg.take(2000))
   }
+
+  test("r14 wave plans: distinct-n / entropy rate / OOV rate") {
+    // distinct-n diversity: pure two-stage aggregates per n — no window,
+    // no join, no product anywhere; the union is plan glue
+    val dn = planString(graft.queries.StatOps.qDistinctNgrams(spark, sf))
+    assert(!dn.contains("Window"), dn.take(2000))
+    assert(!dn.contains("Join"), dn.take(2000))
+    assert(!dn.contains("CartesianProduct"), dn.take(2000))
+    assert(dn.contains("HashAggregate"), dn.take(2000))
+    // entropy rate: the prefix attach is a keyed equi-join on the
+    // charset^2-bounded bigram table — no window, no product
+    val er = planString(graft.queries.StatOps.qEntropyRate(spark, sf))
+    assert(!er.contains("Window"), er.take(2000))
+    assert(!er.contains("CartesianProduct"), er.take(2000))
+    // OOV rate: vocab-bounded equi-join only — no window, no product
+    val ov = planString(graft.queries.StatOps.qOovRate(spark, sf))
+    assert(!ov.contains("Window"), ov.take(2000))
+    assert(!ov.contains("CartesianProduct"), ov.take(2000))
+  }
 }
