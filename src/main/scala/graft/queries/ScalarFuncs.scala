@@ -253,6 +253,9 @@ object ScalarFuncs extends QueryFamily {
     * 32×32-bit multiplies), the same cross-engine discipline that oracles
     * FNV-1a below. pmod(h, 32) = unsigned(h) % 32 (two's-complement low
     * five bits), which the oracle exploits to skip the signed reconstruct.
+    * Contract: non-null keys (Spark folds a null key to the seed, 42 →
+    * part 10, while the oracle's arithmetic nulls out — the events table
+    * guarantees user_id NOT NULL at every tested scale).
     * This is exactly the hash-partitioning a 100 TB keyed sink shuffles on. */
   def qHashPartition(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -770,8 +770,13 @@ object StatOps extends QueryFamily {
     * Scale shape: one corpus pass per n (a narrow (source, text)
     * projection through the zipped-slice shingler), then (source, gram)
     * → source aggregates with map-side partials — the two-stage
-    * distinct that never holds a gram set in memory. Pure integer
-    * counts: engine-exact with no quantization caveats. */
+    * distinct that never holds a gram set in memory. Three column-pruned
+    * scans is the deliberate trade at this n-count: the fused
+    * alternative (tag each shingle with its n in a per-element struct
+    * transform, one explode) saves 2 scans of a 2-column projection but
+    * pays 3 extra interpreted HOF lambdas per row — swap to it when scan
+    * IO dominates (wide n ranges / remote storage). Pure integer counts:
+    * engine-exact with no quantization caveats. */
   def qDistinctNgrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("source"), col("text"))
     (1 to 3).map { n =>
