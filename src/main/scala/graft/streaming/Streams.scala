@@ -59,6 +59,18 @@ case class MixSnapshot(source: String, n_langs: Long, total: Long,
 case class NoveltyRow(source: String, batch_grams: Long, batch_types: Long,
   novel_types: Long, novelty_permille: Long, seen_types: Long)
 
+/** S39 input: one row of a UNION stream keyed by dimension key — either a
+  * dimension UPDATE (`isDim = true`, `attr` carries the new attribute) or
+  * a FACT to enrich (`isDim = false`, `value` carries the measure). */
+case class DimOrFact(key: String, ts: java.sql.Timestamp, isDim: Boolean,
+  attr: String, value: Double)
+
+/** S39 output: the fact enriched with the dimension attribute current at
+  * its position in the (ts, isDim)-ordered stream, plus the dimension
+  * VERSION that served it (0 = no dimension row seen yet). */
+case class EnrichedFact(key: String, ts: java.sql.Timestamp, value: Double,
+  attr: String, dim_version: Long)
+
 /** S23 input: one id sighting per group key. */
 case class UserSeen(event_type: String, ts: java.sql.Timestamp,
   user_id: Long)
@@ -355,6 +367,31 @@ object Streams {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
       .transformWithState(new MixProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** S39 — streaming dimension enrichment: facts joined against a MUTABLE
+    * dimension held in keyed state — the streaming half of `q_scd2` and
+    * the third join shape beside the watermark-bounded stream-stream
+    * matrix (S8/S17/S29) and the static-broadcast gate (S26): here the
+    * "right side" is a dimension whose rows KEEP CHANGING while facts
+    * flow, so neither a broadcast (stale) nor a stream-stream join
+    * (facts must not pair with FUTURE dimension versions) expresses it.
+    * One union stream of dimension updates and facts, keyed by the
+    * dimension key; per key a single `ValueState[(attr, version)]`.
+    * Within a batch rows apply in (ts, facts-before-dims-on-ties) order;
+    * each fact emits with the attribute and version current AT ITS
+    * POSITION — an arrival-order (processing-time) enrichment, the
+    * production cache-lookup pattern. Facts on a key with no dimension
+    * yet emit `attr = "__unknown__", version = 0` and are NOT
+    * retro-corrected when the dimension arrives (emitted rows are
+    * immutable; the bi-temporal repair is the batch `q_scd2`'s as-of
+    * join). State is ONE small record per dimension key — bounded by
+    * dimension cardinality, never by fact volume. */
+  def dimensionEnrich(rows: Dataset[DimOrFact]): Dataset[EnrichedFact] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new DimEnrichProcessor(),
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
@@ -1132,6 +1169,40 @@ class MixProcessor
     }.sum * 1000.0)
     Iterator.single(MixSnapshot(key, mix.size.toLong, total,
       mix.map { case (l, c) => s"$l:$c" }.mkString(","), entropy))
+  }
+}
+
+/** S39's processor (see `Streams.dimensionEnrich`): one
+  * `ValueState[(attr, version)]` per dimension key. The batch slice
+  * sorts by (ts, isDim) — a fact tied with a dimension update at the
+  * same timestamp enriches against the PRE-update value (false < true),
+  * the deterministic tie-break the spec pins; like the GapProcessor this
+  * buffers one key's slice of one micro-batch to establish that order
+  * (per-key-per-batch memory bound, same scaladoc contract). */
+class DimEnrichProcessor
+  extends StatefulProcessor[String, DimOrFact, EnrichedFact] {
+
+  @transient private var dim: ValueState[(String, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    dim = getHandle.getValueState[(String, Long)]("dim",
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[DimOrFact],
+      timers: TimerValues): Iterator[EnrichedFact] = {
+    val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.isDim))
+    val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedFact]
+    sorted.foreach { r =>
+      if (r.isDim) {
+        val v = if (dim.exists()) dim.get()._2 else 0L
+        dim.update((r.attr, v + 1L))
+      } else {
+        val (attr, v) =
+          if (dim.exists()) dim.get() else ("__unknown__", 0L)
+        out += EnrichedFact(key, r.ts, r.value, attr, v)
+      }
+    }
+    out.iterator
   }
 }
 

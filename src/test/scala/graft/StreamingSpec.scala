@@ -1355,6 +1355,76 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S39 dimension enrichment: facts read the dim version current at " +
+      "their position; state survives restart; no retro-correction") {
+    import graft.streaming.{DimOrFact, EnrichedFact}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("s39_ckpt").toString
+      val in = MemoryStream[DimOrFact]
+      val sink = new scala.collection.mutable.ArrayBuffer[EnrichedFact]
+      def start() = Streams.dimensionEnrich(in.toDS()).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EnrichedFact],
+            _: Long) => sink.synchronized { sink ++= b.collect() }; () }
+        .start()
+      def awaitFact(what: String)(want: EnrichedFact => Boolean): EnrichedFact = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        def found() = sink.synchronized(sink.find(want))
+        while (found().isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(100L)
+        assert(found().nonEmpty,
+          s"$what: no matching row in ${sink.synchronized(sink.toList)}")
+        found().get
+      }
+      // wave 1, ONE batch: a fact BEFORE the dim lands unknown/v0, the
+      // dim update applies at its ts, a later fact reads attr A / v1,
+      // a fact on a dim-less key is unknown/v0, and a fact TIED with a
+      // second update enriches against the PRE-update value (facts
+      // before dims on ts ties — the pinned tie-break)
+      val q1 = start()
+      try {
+        in.addData(
+          DimOrFact("k1", t(1), isDim = false, "", 10.0),
+          DimOrFact("k1", t(2), isDim = true, "A", 0.0),
+          DimOrFact("k1", t(3), isDim = false, "", 11.0),
+          DimOrFact("k2", t(3), isDim = false, "", 99.0),
+          DimOrFact("k1", t(4), isDim = true, "B", 0.0),
+          DimOrFact("k1", t(4), isDim = false, "", 12.0))
+        awaitFact("wave1")(f => f.value == 12.0)
+      } finally q1.stop()
+      def fact(v: Double) = sink.synchronized(sink.find(_.value == v)).get
+      assert(fact(10.0).attr === "__unknown__" && fact(10.0).dim_version === 0L)
+      assert(fact(11.0).attr === "A" && fact(11.0).dim_version === 1L)
+      assert(fact(99.0).attr === "__unknown__" && fact(99.0).dim_version === 0L)
+      assert(fact(12.0).attr === "A" && fact(12.0).dim_version === 1L,
+        "ts-tied fact must see the PRE-update dimension")
+      // restart: the dim state (now B, v2) must restore; k1 facts read
+      // it, and k2's earlier unknown fact is NOT retro-corrected
+      val q2 = start()
+      try {
+        in.addData(DimOrFact("k1", t(5), isDim = false, "", 13.0))
+        awaitFact("wave2")(f => f.value == 13.0 && f.attr == "B" &&
+          f.dim_version == 2L)
+      } finally q2.stop()
+      // no retro-correction: every emission of k2's fact — including a
+      // replay of the uncommitted last batch (foreachBatch is
+      // at-least-once; the replay recomputes against rolled-back state,
+      // so it is bit-identical) — still reads unknown/v0
+      val k2facts = sink.synchronized(sink.filter(_.value == 99.0).toList)
+      assert(k2facts.nonEmpty && k2facts.forall(f =>
+        f.attr == "__unknown__" && f.dim_version == 0L), k2facts.toString)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("S26 streaming decontamination flags exactly the batch operator's ids across restarts") {
     import graft.operators.Decontaminate
     val gate = java.nio.file.Files.createTempDirectory("s26_gate").toString
