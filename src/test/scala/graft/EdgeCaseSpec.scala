@@ -747,4 +747,53 @@ class EdgeCaseSpec extends SparkSpec {
       .map(r => r.getAs[Long]("p") -> r.getAs[Long]("pos")).toMap ===
       Map(50L -> 1L, 90L -> 2L, 99L -> 2L))
   }
+
+  test("r14 additions: degenerate corpora give absent groups, never throws") {
+    val dir = java.nio.file.Files.createTempDirectory("edge14_sf").toString
+    // src_short's only doc has ONE token: its 2/3-gram groups must be
+    // ABSENT (a zero-total group would divide by zero — absence is the
+    // contract); lang "xx" has only length-<=1 texts → no bigram row;
+    // the empty-string doc contributes one empty TOKEN (split semantics,
+    // identical in DuckDB) but zero shingles and zero char bigrams
+    Seq(
+      (1L, "a b c a b c", "en", "src"),
+      (2L, "word", "xx", "src_short"),
+      (3L, "", "xx", "src_short"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+
+    val dn = graft.queries.StatOps.qDistinctNgrams(spark, dir).collect()
+    // src: n=1 {a,b,c}/6; n=2 {a b, b c, c a}/5; n=3 {a b c, b c a, c a b}/4
+    assert(dn.filter(_.getAs[String]("source") == "src").map(r =>
+      r.getAs[Int]("n") -> ((r.getAs[Long]("distinct_ngrams"),
+        r.getAs[Long]("total_ngrams")))).toMap ===
+      Map(1 -> ((3L, 6L)), 2 -> ((3L, 5L)), 3 -> ((3L, 4L))))
+    // src_short: unigram group exists ("word" + the empty token), the
+    // pair-less 2/3-gram groups are absent
+    assert(dn.filter(r => r.getAs[String]("source") == "src_short")
+      .map(_.getAs[Int]("n")).toSeq === Seq(1))
+    val er = graft.queries.StatOps.qEntropyRate(spark, dir).collect()
+    // en: 11 chars -> 10 bigrams; xx: "word" -> 3, "" -> 0
+    assert(er.map(r => r.getAs[String]("lang") ->
+      r.getAs[Long]("n_bigrams")).toMap === Map("en" -> 10L, "xx" -> 3L))
+    // "word"'s three bigrams are all unique (every prefix total equals
+    // its bigram count) -> conditional entropy exactly 0
+    assert(er.filter(_.getAs[String]("lang") == "xx")
+      .head.getAs[Long]("cond_entropy_micro") === 0L)
+    val ov = graft.queries.StatOps.qOovRate(spark, dir).collect()
+    // all of en's types repeat twice (freq 2 < 3 -> all rare); xx has
+    // "word" (freq 1) and "" (freq 1) -> everything rare too
+    assert(ov.map(r => r.getAs[String]("lang") ->
+      r.getAs[Long]("rare_token_permille")).toMap ===
+      Map("en" -> 1000L, "xx" -> 1000L))
+    // and a fully EMPTY corpus: all three return zero rows, no throw
+    val empty = java.nio.file.Files.createTempDirectory("edge14_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$empty/documents.parquet")
+    assert(graft.queries.StatOps.qDistinctNgrams(spark, empty).count() === 0L)
+    assert(graft.queries.StatOps.qEntropyRate(spark, empty).count() === 0L)
+    assert(graft.queries.StatOps.qOovRate(spark, empty).count() === 0L)
+  }
 }
