@@ -18,6 +18,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // MEASURED AND REJECTED (optimization r14, guide §3.1): preferring
+      // shuffled-hash join (`spark.sql.join.preferSortMergeJoin=false` +
+      // `spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m`).
+      // jstack put the heavy pair/graph queries' time in SMJ TimSort +
+      // per-key row buffering, but the paired A/B went the other way:
+      // q_triangles 20.3 s (SMJ) vs 42.0 s (SHJ) adjacent-run, and the
+      // 13-query join-heavy set regressed broadly (q_basket_pairs 1.8x,
+      // q_ppjoin 1.4x, q_containment 1.35x). These joins are
+      // duplicate-key-dense (wedges, shingle bands, basket pairs): SMJ
+      // streams each sorted duplicate group once, while SHJ re-probes a
+      // per-partition map whose buckets hold the same heavy groups —
+      // sort cost < probe-chain cost on this shape. Kept default ON.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional first arg: comma-separated query filter for targeted timing

@@ -15,6 +15,35 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism repair (optimization r14, guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read"): the
+    * driver's test parquet is ONE row group per table, so a bare scan yields
+    * ONE non-empty split and every per-row expression in the scan stage
+    * (decimal moments, tokenize+shingle explodes, hash kernels) runs
+    * single-threaded regardless of `local[N]` — jstack-confirmed (31 of 32
+    * executor threads parked through q_corr's moment aggregate; 6.6 s
+    * single-task vs 2.2 s repartitioned).
+    *
+    * OPT-IN, not applied in [[load]]: a round-robin exchange changes which
+    * physical row arrives first at a downstream sort, and a handful of
+    * row-emitting queries order by keys the generated data does not keep
+    * unique (e.g. duplicate (l_orderkey, l_linenumber) pairs made
+    * q_scan_parquet/q_math_funcs tie-swap against the oracle — caught by the
+    * sf0.01 gate when this was briefly a blanket load() rule). Callers must
+    * therefore be ORDER-IMMUNE: their output a pure function of the input
+    * MULTISET (exact integer aggregates, value-histogram ranks, count-keyed
+    * joins) — the repo's stated design discipline for every statistical
+    * operator. The repair is also scale-adaptive rather than a local-mode
+    * constant: it fires only when the planned scan has fewer splits than
+    * the session's default parallelism, so at production scale (many row
+    * groups/files ⇒ splits ≥ cores) it is a no-op by construction;
+    * sortBeforeRepartition stays ON, so task retries are deterministic
+    * (SPARK-38388). */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

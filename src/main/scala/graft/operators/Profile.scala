@@ -203,6 +203,31 @@ object Profile {
     * row — 2c + c(c−1)/2 + 1 accumulators for c columns — then the pair
     * rows unfold from that one broadcast-sized row. No shuffle beyond the
     * one-row aggregate; 100 TB cost = one scan. */
+  /** Exact integer product accumulated as DECIMAL(38,0), with a LONG fast
+    * path (optimization r14, guide §"expressions and codegen"): Spark's
+    * `Decimal × Decimal` has NO compact representation — every product
+    * routes through java.math.BigDecimal.multiply plus a Decimal.set
+    * (jstack-confirmed as q_corr's hot frame: `Decimal.$times` →
+    * `Decimal.set` inside the codegen'd partial aggregate, ~4.7 s of a
+    * 6.6 s query). Two factors below 2³¹ multiply exactly in one long
+    * instruction (product < 2⁶² < 2⁶³−1, no overflow possible), and the
+    * long→DECIMAL(38,0) cast is a compact Decimal.set — no BigDecimal
+    * anywhere on the fast path. Values at or above 2³¹ (±21.5 M units —
+    * beyond any quantized metric this repo feeds) take the ORIGINAL
+    * decimal-multiply branch, so the result is bit-identical for every
+    * input the old expression accepted; the SUM stays DECIMAL(38,0) —
+    * order-immune and overflow-checked — at any corpus size. */
+  private def prodDec38(a: Column, b: Column): Column = {
+    // callers pass LONG columns so the guard and fast path are pure long
+    // arithmetic (an abs/compare on a DECIMAL input re-entered the Decimal
+    // object path and showed up as a measured 1.5x on the 1-product
+    // aggregates — q_anova's paired A/B)
+    val lim = lit(1L << 31)
+    when(abs(a) < lim && abs(b) < lim, (a * b).cast("decimal(38,0)"))
+      .otherwise((a.cast("decimal(18,0)") * b.cast("decimal(18,0)"))
+        .cast("decimal(38,0)"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String],
       scale: Int = 100): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
@@ -210,17 +235,22 @@ object Profile {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    // decimal(18,0) validates the 18-digit domain exactly as before (an
+    // over-range value nulls and na.drop removes the row — unchanged
+    // semantics); the extra cast to long gives the per-row product its
+    // compact fast path (prodDec38)
     val base = df
       .select(cols.map(c =>
-        round(col(c) * scale).cast("decimal(18,0)").as(s"_$c")): _*)
+        round(col(c) * scale).cast("decimal(18,0)").cast("long")
+          .as(s"_$c")): _*)
       .na.drop()
     val aggs =
       Seq(count(lit(1)).as("n")) ++
       cols.map(c => sum(col(s"_$c").cast("decimal(38,0)")).as(s"s_$c")) ++
       cols.map(c =>
-        sum((col(s"_$c") * col(s"_$c")).cast("decimal(38,0)")).as(s"ss_$c")) ++
+        sum(prodDec38(col(s"_$c"), col(s"_$c"))).as(s"ss_$c")) ++
       pairs.map { case (a, b) =>
-        sum((col(s"_$a") * col(s"_$b")).cast("decimal(38,0)"))
+        sum(prodDec38(col(s"_$a"), col(s"_$b")))
           .as(s"sp_${a}_$b") }
     val m = base.agg(aggs.head, aggs.tail: _*)
     def d(name: String) = col(name).cast("double")
@@ -251,16 +281,17 @@ object Profile {
     * partial aggregate; output is group-cardinality. */
   def olsByGroup(df: DataFrame, groupCol: String,
       xInt: Column, yInt: Column): DataFrame = {
-    df.select(col(groupCol), xInt.cast("decimal(18,0)").as("x"),
-        yInt.cast("decimal(18,0)").as("y"))
+    df.select(col(groupCol),
+        xInt.cast("decimal(18,0)").cast("long").as("x"),
+        yInt.cast("decimal(18,0)").cast("long").as("y"))
       .na.drop()
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        sum(prodDec38(col("x"), col("x"))).as("sxx"),
+        sum(prodDec38(col("y"), col("y"))).as("syy"),
+        sum(prodDec38(col("x"), col("y"))).as("sxy"))
       .withColumn("cov", expr(
         "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
       .withColumn("vx", expr(
@@ -799,15 +830,14 @@ object Profile {
     base
       .join(ranks2("x").withColumnRenamed("v", "x"), Seq("g", "x"))
       .join(ranks2("y").withColumnRenamed("v", "y"), Seq("g", "y"))
-      .select(col("g"), col("rx").cast("decimal(18,0)").as("rx"),
-        col("ry").cast("decimal(18,0)").as("ry"))
+      .select(col("g"), col("rx"), col("ry"))
       .groupBy("g")
       .agg(count(lit(1)).as("n"),
         sum(col("rx").cast("decimal(38,0)")).as("sx"),
         sum(col("ry").cast("decimal(38,0)")).as("sy"),
-        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
-        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"),
-        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"))
+        sum(prodDec38(col("rx"), col("rx"))).as("sxx"),
+        sum(prodDec38(col("ry"), col("ry"))).as("syy"),
+        sum(prodDec38(col("rx"), col("ry"))).as("sxy"))
       .withColumn("cov", expr(
         "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"))
       .withColumn("vx", expr(
@@ -876,12 +906,12 @@ object Profile {
     * k-cardinality, totals attach by one-row broadcast. */
   def anovaF(df: DataFrame, groupCol: String, xInt: Column): DataFrame = {
     val g = df.select(col(groupCol).as("g"),
-        xInt.cast("decimal(18,0)").as("x"))
+        xInt.cast("decimal(18,0)").cast("long").as("x"))
       .na.drop()
       .groupBy("g")
       .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
         sum(col("x").cast("decimal(38,0)")).as("sxg"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxxg"))
+        sum(prodDec38(col("x"), col("x"))).as("sxxg"))
     val tot = g.agg(count(lit(1)).cast("long").as("k"),
       sum("ng").as("n"), sum("sxg").as("sx"))
     g.crossJoin(broadcast(tot))

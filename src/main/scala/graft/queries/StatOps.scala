@@ -373,7 +373,10 @@ object StatOps extends QueryFamily {
     * top-20) probe it via a 48-row broadcast — the plan shape is one
     * corpus scan + bounded joins at any scale. */
   def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    // Tables.parallel (guide §2.5): tokenize + explode + 3 md5 bucket
+    // hashes per token ride the scan stage; counts and (cnt, tok)-ordered
+    // picks are order-immune.
+    val toks = Tables.parallel(Tables.documents(s, dir))
       .select(explode(T.tokens(col("text"))).as("tok"))
       .localCheckpoint(eager = false) // read twice: counters + exact counts
     def bucket(row: Column, tok: Column): Column =
@@ -403,7 +406,12 @@ object StatOps extends QueryFamily {
     * doubles on identical exact operands. One map-side-partial scan for
     * the whole matrix. Full-oracle via the generated HUGEINT mirror. */
   def qCorr(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profile.corrMatrix(Tables.lineitem(s, dir),
+    // Tables.parallel: the 15-accumulator moment pass is scan-stage work on
+    // a one-row-group file — single-threaded without the repair (measured
+    // 6.6 s -> 2.2 s solo, guide §2.5); the moments are exact decimals, so
+    // the output is a pure function of the input multiset (order-immune).
+    graft.operators.Profile.corrMatrix(
+        Tables.parallel(Tables.lineitem(s, dir)),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_x", "col_y")
 
@@ -451,6 +459,9 @@ object StatOps extends QueryFamily {
     * to the price column's heavy tail. Doubled average ranks keep ties
     * exact in integers; see [[graft.operators.Profile.spearmanByGroup]]. */
   def qSpearman(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r14): the
+    // pipeline is dominated by the rank-join shuffles, not the scan, and
+    // the extra exchange cost 1.4x in the paired A/B.
     graft.operators.Profile.spearmanByGroup(Tables.lineitem(s, dir),
         "l_returnflag", expr("CAST(l_quantity AS BIGINT)"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
