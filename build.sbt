@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from stdout. sbt's own `[success] Total time: ...` epilogue
+// landed AFTER that line in every round r09-r14 and the driver's parse came
+// back null each time (BENCH_r*.json: parsed=null) — the JSON must be the
+// LAST stdout line. Suppressing the epilogue is cosmetic for humans
+// (failures still report via exit code and [error] lines) and restores the
+// machine contract.
+Global / showSuccess := false
+// (showSuccess is read by sbt's command engine, not a task — exclude it
+// from the unused-setting lint so the warning doesn't pollute stdout.)
+Global / excludeLintKeys += showSuccess
+// Forked `run` output normally passes through sbt's logger, which prefixes
+// every stdout line with `[info] ` — that prefix (not just the [success]
+// epilogue) breaks any `json.loads(<last stdout line>)` consumer. Route the
+// forked JVM's stdout/stderr straight through instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,10 +63,25 @@ object Bench {
     // its solo time when the unpersist sat inside its timing).
     def cleanup(): Unit = spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    names.foreach { n => run(n); cleanup() } // warm-up: JIT, codegen, footers
-    // Two timed passes, report the per-query MIN: transient host noise
-    // (observed multi-second spikes on trivial queries) inflates single
-    // samples; the min of two is a far better plan-cost estimate.
+    // Bounded low-core mode (optimization r15, VERDICT r14 item 3): the
+    // driver ALSO runs the bench at a low core count for scaling evidence,
+    // and the full 1-warmup + 2-timed-pass protocol cannot finish inside
+    // its timeout there (BENCH_r14_c8.json: rc=124, tail mid-suite — no
+    // scaling data at all for six rounds). At <=8 cores the timed passes
+    // default to ONE; the warm-up pass stays (JIT/codegen otherwise lands
+    // in the first timed pass). Both counts are env-overridable
+    // (SPARK_GRAFT_BENCH_WARMUP / SPARK_GRAFT_BENCH_PASSES) and the
+    // 32-core protocol is byte-identical to r09-r14: warmup 1, passes 2,
+    // per-query min.
+    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUP").map(_.toInt)
+      .getOrElse(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt)
+      .getOrElse(if (cpus.toInt <= 8) 1 else 2)
+    // warm-up: JIT, codegen, footers
+    (1 to warmups).foreach(_ => names.foreach { n => run(n); cleanup() })
+    // Timed passes (default two), report the per-query MIN: transient host
+    // noise (observed multi-second spikes on trivial queries) inflates
+    // single samples; the min of two is a far better plan-cost estimate.
     def pass(): Map[String, (Double, Option[String])] = names.map { name =>
       val t0 = System.nanoTime()
       val err = run(name)
@@ -74,10 +89,10 @@ object Bench {
       cleanup()
       name -> (dt, err)
     }.toMap
-    val (p1, p2) = (pass(), pass())
+    val allPasses = (1 to math.max(passes, 1)).map(_ => pass())
     val timed = names.map { name =>
-      val ((t1, e1), (t2, e2)) = (p1(name), p2(name))
-      (name, math.min(t1, t2), e1.orElse(e2))
+      val rs = allPasses.map(_(name))
+      (name, rs.map(_._1).min, rs.flatMap(_._2).headOption)
     }
     def q(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -139,8 +154,14 @@ object Bench {
         "host_drift against the committed drift history before accepting.")
     // Only the FULL suite compares apples-to-apples: a filtered run pays
     // JVM/JIT warm-up on far fewer queries and reads hot where the
-    // recording read warm, inflating 2x+ on fit-heavy queries.
-    val gateActive = sfDir.contains("sf0.1") && args.isEmpty
+    // recording read warm, inflating 2x+ on fit-heavy queries. The ledger
+    // is also a 32-CORE artifact: at a low core count per-query scaling is
+    // heterogeneous (scan-bound queries slow ~linearly, shuffle-bound ones
+    // barely), so the median-ratio normalization cannot separate "scales
+    // worse than median" from "regressed" — the gate (and its retry pass)
+    // only runs at the recording condition.
+    val gateActive = sfDir.contains("sf0.1") && args.isEmpty &&
+      cpus.toInt == 32
     val firstFlags =
       if (!gateActive) Seq.empty
       else BenchGate.regressions(timed, baseline, norm)
@@ -187,13 +208,27 @@ object Bench {
     val totalF = finalTimed.map(_._2).sum
     val regs = regressions
       .map { case (k, t, b) => s"${q(k)}:[$t,$b]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$totalF,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"n_flag_transient":${firstFlags.size - regressions.size},"flag_block":$wasBlock,"host_drift":$hostDrift,"drift_alert":$driftAlert,"queries":$qsF,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":$totalF,"unit":"sec","n_errors":$nErrors,"n_regressions":${regressions.size},"n_flag_transient":${firstFlags.size - regressions.size},"flag_block":$wasBlock,"host_drift":$hostDrift,"drift_alert":$driftAlert,"cpus":$cpus,"warmup_passes":$warmups,"timed_passes":$passes,"queries":$qsF,"errors":$errs,"regressions":$regs,"sf":"$sfDir"}"""
+    // Driver contract repair (optimization r15, VERDICT r14 item 2): the
+    // driver has NEVER parsed this line (BENCH_r09..r14: parsed=null) —
+    // sbt's `[success]` epilogue followed it on stdout (suppressed via
+    // build.sbt showSuccess=false) and only a 2000-char tail survives
+    // capture. Mirror the full JSON to a file so the numbers are readable
+    // even if stdout is truncated: $SPARK_GRAFT_BENCH_OUT if set, else
+    // bench_out.json in the CWD. Best-effort — a read-only checkout must
+    // not fail the bench.
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_out.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (jsonLine + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Committed drift history (tools/drift_history.jsonl): one line per
     // full-suite run, so cross-round BENCH comparisons can attribute "got
     // uniformly faster/slower" to host load from a file instead of
     // re-deriving it each verdict. Best-effort append — a read-only
     // checkout must not fail the bench.
-    if (sfDir.contains("sf0.1") && args.isEmpty) try {
+    if (gateActive) try { // full sf0.1 suite at the 32-core ledger condition
       val line = s"""{"ts":"${java.time.Instant.now()}","n":${names.size},""" +
         s""""total_sec":${math.round(totalF * 1000) / 1000.0},""" +
         s""""host_drift":${math.round(hostDrift * 1000) / 1000.0},""" +
@@ -205,6 +240,11 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
+    // The one-line JSON is printed AFTER spark.stop() so nothing the
+    // shutdown path might write to stdout can land after it: this line
+    // must be the LAST stdout line of the run (the driver parses it).
+    println(jsonLine)
+    System.out.flush()
     // A bench with erroring queries must fail loudly: BENCH_r05 reported
     // rc=0 with 5 broken queries and nobody noticed until the verdict.
     if (nErrors > 0) sys.exit(1)

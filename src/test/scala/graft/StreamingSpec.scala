@@ -18,6 +18,32 @@ class StreamingSpec extends SparkSpec {
 
   private def t(s: Long): Timestamp = new Timestamp(s * 1000L)
 
+  /** Stop a restart-exercising query only at a COMMIT BOUNDARY: wait
+    * (bounded) until every batch the offset log has started is also in
+    * the commit log, then stop. The transformWithState restart tests
+    * reopen the checkpoint immediately, and their awaitRow-pattern waits
+    * return as soon as foreachBatch lands rows in the sink — potentially
+    * BEFORE that batch's commit/state-metadata writes finish, so the
+    * immediate stop()'s thread interrupt could land mid-write and the
+    * restarted run's StateSchemaAndOperatorMetadataRule validation read a
+    * partial checkpoint (the one-off VERIFY_r14 tests_ok=false signature;
+    * never reproduced across 7 local full-suite/loop runs, so this closes
+    * the window rather than fixing a reproducible bug). The
+    * processAllAvailable-pattern tests already drain before stopping and
+    * are not exposed. */
+  private def stopAtCommitBoundary(
+      q: org.apache.spark.sql.streaming.StreamingQuery, ckpt: String): Unit = {
+    def maxBatch(sub: String): Long = {
+      val d = new java.io.File(ckpt, sub)
+      Option(d.list()).map(_.toSeq.flatMap(_.toLongOption))
+        .filter(_.nonEmpty).map(_.max).getOrElse(-1L)
+    }
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (maxBatch("commits") < maxBatch("offsets") &&
+      System.nanoTime() < deadline) Thread.sleep(50L)
+    q.stop()
+  }
+
   /** Runs the stream; the feed callback gets a step() that forces the
     * pending data into its own micro-batch (watermarks only advance at
     * batch boundaries — a single coalesced batch would never drop late
@@ -1066,7 +1092,7 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(usersA.take(20).map(u => UserSeen("a", t(1), u)): _*)
       await(1)
-    } finally q1.stop()
+    } finally stopAtCommitBoundary(q1, ckpt)
     // restart: the k-min set must survive the checkpoint
     val q2 = start()
     try {
@@ -1212,7 +1238,7 @@ class StreamingSpec extends SparkSpec {
       }
       val q1 = start()
       try { in.addData(docsA.take(4) ++ docsB.take(2): _*); await(5) }
-      finally q1.stop()
+      finally stopAtCommitBoundary(q1, ckpt)
       // restart: the retained list must survive the checkpoint; the
       // second wave can only evict by having a SMALLER content hash
       val q2 = start()
@@ -1260,7 +1286,7 @@ class StreamingSpec extends SparkSpec {
           DocLang(1L, t(1), "en", "src0"), DocLang(2L, t(2), "en", "src0"),
           DocLang(3L, t(3), "en", "src0"), DocLang(4L, t(4), "de", "src0"))
         awaitMix("src0", "de:1,en:3")
-      } finally q1.stop()
+      } finally stopAtCommitBoundary(q1, ckpt)
       // restart: the map must restore; wave 2 shifts the mix
       val q2 = start()
       try {
@@ -1322,7 +1348,7 @@ class StreamingSpec extends SparkSpec {
             DocSourced(2L, t(2), "a b c", "src0"),
             DocSourced(3L, t(3), "x y", "src0"))
           awaitRow("wave1")(r => r.batch_types == 2L && r.novel_types == 2L)
-        } finally q1.stop()
+        } finally stopAtCommitBoundary(q1, ckpt)
       assert(r1.source === "src0")
       assert(r1.batch_grams === 3L)   // 2 + 1 + 0 occurrences
       assert(r1.novelty_permille === 1000L)
@@ -1335,7 +1361,7 @@ class StreamingSpec extends SparkSpec {
           in.addData(DocSourced(4L, t(4), "b c d e", "src0"))
           // {b c d, c d e}: exactly one novel iff the store restored
           awaitRow("wave2")(r => r.batch_types == 2L && r.novel_types == 1L)
-        } finally q2.stop()
+        } finally stopAtCommitBoundary(q2, ckpt)
       assert(r2.novelty_permille === 500L)
       assert(r2.seen_types === 3L)
       // novelty collapse: an all-seen batch reads zero — the crawl-loop
@@ -1395,7 +1421,7 @@ class StreamingSpec extends SparkSpec {
           DimOrFact("k1", t(4), isDim = true, "B", 0.0),
           DimOrFact("k1", t(4), isDim = false, "", 12.0))
         awaitFact("wave1")(f => f.value == 12.0)
-      } finally q1.stop()
+      } finally stopAtCommitBoundary(q1, ckpt)
       def fact(v: Double) = sink.synchronized(sink.find(_.value == v)).get
       assert(fact(10.0).attr === "__unknown__" && fact(10.0).dim_version === 0L)
       assert(fact(11.0).attr === "A" && fact(11.0).dim_version === 1L)
@@ -1558,7 +1584,7 @@ class StreamingSpec extends SparkSpec {
         val deadline = System.nanoTime() + 120e9.toLong
         while (sink.synchronized(sink.length) < 1 &&
           System.nanoTime() < deadline) Thread.sleep(100L)
-      } finally q1.stop() // kill with a full, already-evicted list in state
+      } finally stopAtCommitBoundary(q1, ckpt) // full, already-evicted list in state
       val q2 = start()
       try {
         in.addData(wave2: _*)
@@ -1606,7 +1632,7 @@ class StreamingSpec extends SparkSpec {
         in.addData(
           DocLang(1L, t(1), "en", "src0"), DocLang(2L, t(2), "de", "src0"))
         awaitMix("de:1,en:1")
-      } finally q1.stop() // kill with two live map entries
+      } finally stopAtCommitBoundary(q1, ckpt) // two live map entries
       // resume under changelog recovery: increments must land on the
       // RECOVERED counters exactly once — a lost map reads de:1, a
       // doubled replay reads en:3
@@ -2046,7 +2072,7 @@ class StreamingSpec extends SparkSpec {
         assert(bracket("a", 2L, 50L) === ((1000000L, 1999999L)))
         assert(bracket("a", 2L, 99L) === ((3000000L, 3999999L)))
         assert(bracket("b", 1L, 99L) === ((2000000L, 2999999L)))
-      } finally q1.stop()
+      } finally stopAtCommitBoundary(q1, ckpt)
       // kill-and-resume, then user 1's next event gaps 14s back to its
       // LAST PRE-RESTART event — both chained states must have restored
       // (the user ValueState for the gap, the type MapState for counts);
@@ -2252,7 +2278,7 @@ class StreamingSpec extends SparkSpec {
         in.addData(wave1.zipWithIndex.map { case (v, i) =>
           ValObs("g", t(i + 1), v) }: _*)
         awaitN(6L); check(wave1)
-      } finally q1.stop()
+      } finally stopAtCommitBoundary(q1, ckpt)
       // kill-and-resume: the bucket MapState must restore and wave 2
       // answers must reflect the FULL prefix
       val q2 = start()
