@@ -31,6 +31,14 @@ object Explain {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+        // The formatted plan stops at `Scan ExistingRDD` wherever an
+        // operator localCheckpoints an intermediate — the stages BEFORE
+        // the checkpoint (e.g. a scan-parallelism repartition) are
+        // invisible there (the r14 q_cms_topk evidence gap). The RDD
+        // debug string keeps the full physical lineage as long as the
+        // lazy checkpoint has not materialized, so dump it too.
+        Files.writeString(Paths.get(s"$outDir/${name}_$tag.rdd.txt"),
+          df.rdd.toDebugString)
       } catch { case e: Throwable =>
         System.err.println(s"[explain] $name failed: ${e.getMessage}")
       }

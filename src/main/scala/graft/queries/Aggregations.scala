@@ -83,6 +83,7 @@ object Aggregations extends QueryFamily {
     * ambiguous-column (dataset-id) check whenever its child contains a join,
     * even behind a fresh projection; `groupingSets` resolves cleanly. */
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    // Tables.parallel measured and rejected (see q_agg_cube): 1.07x worse.
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
@@ -98,6 +99,11 @@ object Aggregations extends QueryFamily {
 
   /** q_agg_cube — all grouping combinations of status × priority. */
   def qAggCube(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15, guide
+    // §2.5): paired A/B median 1.48x WORSE (1.23/1.48/1.62). The Expand ×
+    // grouping-sets work on this sub-second scan is cheaper single-task
+    // than the round-robin exchange it takes to spread it; same verdict
+    // on q_agg_gsets (1.89x) and q_agg_rollup (1.07x).
     Tables.orders(s, dir)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
@@ -109,6 +115,7 @@ object Aggregations extends QueryFamily {
     * `Dataset.groupingSets`), same Catalyst Expand operator as rollup/cube.
     * Pure function of its inputs — no temp-view session mutation. */
   def qAggGsets(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel measured and rejected (see q_agg_cube): 1.89x worse.
     Tables.lineitem(s, dir)
       .groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),

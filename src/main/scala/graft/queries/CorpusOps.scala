@@ -29,7 +29,10 @@ object CorpusOps extends QueryFamily {
     * never emitted. Isolated documents are their own cluster (left join +
     * coalesce — the component loop never sees them). */
   def qDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // Tables.parallel (optimization r15, guide §2.5): shingle explode +
+    // hashing ride the scan; components and the doc_id-keyed label join
+    // are order-immune, final orderBy a total order.
+    val docs = Tables.parallel(Tables.documents(s, dir))
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
     val comp = Clusters.connectedComponents(pairs, "a_id", "b_id")
@@ -49,8 +52,11 @@ object CorpusOps extends QueryFamily {
     * docs). Degree-ordered wedge orientation bounds the self-join at
     * O(Σ√m·deg) — the power-law-safe shape. Full-oracle. */
   def qDupGraph(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel: same scan-stage repair as q_dup_clusters (shared
+    // edge machinery); the triangle census is order-immune.
     Clusters.triangleStats(
-        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+        Dedup.ngramJaccardPairs(Tables.parallel(Tables.documents(s, dir)),
+          "text", "doc_id",
           n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01)),
         "a_id", "b_id")
       .select(col("v").as("doc_id"), col("degree"), col("n_tri"),
@@ -65,6 +71,10 @@ object CorpusOps extends QueryFamily {
     * broadcast aggregate; the final top-k is orderBy+limit →
     * TakeOrderedAndProject, never a global sort. */
   def qBm25(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // paired A/B median 1.87x WORSE (1.59/1.87/2.30) — the tiny-vocab
+    // postings filter makes the scan stage cheap, and the corpus-stats
+    // one-row aggregate + doc-length pass each pay the extra exchange.
     Ranking.bm25(Tables.documents(s, dir), "doc_id", "text",
       Seq("spark", "table", "hash"), k = 20)
 
@@ -474,6 +484,12 @@ object CorpusOps extends QueryFamily {
     * one-fat-finger-proof aggregate beside q_outliers' row-level flags.
     * See [[graft.operators.Outliers.winsorizedStats]]. */
   def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // paired A/B median 1.37x WORSE (1.04/1.37/1.78) — the narrow base
+    // projection is cheap to materialize single-task, and the extra
+    // round-robin exchange of all 600k rows outweighs the parallel
+    // checkpoint write (the Ranks two-phase stages downstream are
+    // already shuffle-parallel).
     graft.operators.Outliers.winsorizedStats(
         Tables.lineitem(s, dir)
           .withColumn("li_id", expr("l_orderkey * 10 + l_linenumber")),
@@ -586,6 +602,9 @@ object CorpusOps extends QueryFamily {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
         emb.select("vec_id", "embedding"), 20)
       .select(col("q_id"), col("rnk"), col("vec_id").as("doc_id"))
+    // Tables.parallel measured and rejected (optimization r15): paired
+    // A/B median 1.37x worse (1.08–1.41) — the q_bm25 shape (cheap
+    // filtered scan, aggregate-bound tail).
     val sparse = Ranking.sparseKnn(Tables.documents(s, dir), "doc_id",
         "text", queryIds = Seq(0L, 1L, 2L), k = 20)
       .select("q_id", "rnk", "doc_id")
@@ -596,6 +615,15 @@ object CorpusOps extends QueryFamily {
   /** Distinct (order, part) incidence — the bipartite base both graph
     * queries below share. */
   private def orderPartPairs(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // paired A/B across all 10 consumer graph queries read medians
+    // 1.04x–1.34x WORSE (q_random_walks 1.32, q_itemsets3 1.34,
+    // q_communities 1.18, q_triangles 1.04). The 2-long-column
+    // projection feeding distinct()'s own exchange is trivial scan work;
+    // the added round-robin shuffle of 600 k rows is pure cost for every
+    // consumer (the r14 q_spearman lesson: shuffle-dominated pipelines
+    // lose). The repair only pays when HEAVY per-row compute (shingle
+    // explodes, hashing, encoders) rides the scan.
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()

@@ -92,6 +92,10 @@ object CurateOps extends QueryFamily {
     * is one broadcast join + a doc-keyed aggregate (words, chars, subword
     * counts) — the compression-ratio report of tokenizer training. */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // 7-pair A/B median 1.04x (0.82–1.20) — the BPE chain is dominated
+    // by the 16 merge rounds over the (small) word-vocab table, not the
+    // scan, so the extra exchange buys nothing.
     val docs = Tables.documents(s, dir)
     val (_, vocab) = Bpe.trainVocab(docs, "text", nMerges = 16)
     Bpe.encode(docs, "text", "doc_id", vocab).orderBy("doc_id")
@@ -105,6 +109,9 @@ object CurateOps extends QueryFamily {
     * oracle-checked train+encode chain; the rollup is one lang-keyed
     * aggregate over per-doc counts with integral-milli division. */
   def qTokFertility(s: SparkSession, dir: String): DataFrame = {
+    // Tables.parallel measured and rejected (see q_bpe_encode): 7-pair
+    // median 0.91x but 0.78–1.37 spread — noise, same merge-round-bound
+    // chain.
     val docs = Tables.documents(s, dir)
     val (_, vocab) = Bpe.trainVocab(docs, "text", nMerges = 16)
     docs.select("doc_id", "lang")

@@ -28,7 +28,11 @@ object DriftOps extends QueryFamily {
     * hashes (df-guarded: fingerprints in > 10 documents are boilerplate and
     * excluded) — the guaranteed-recall overlap candidate generator. */
   def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
-    Winnow.sharedFingerprintPairs(Tables.documents(s, dir), "text", "doc_id",
+    // Tables.parallel (optimization r15, guide §2.5): k-gram hashing +
+    // the winnowing window fold ride the single-split scan; shared-
+    // fingerprint pair counts are order-immune, orderBy a total order.
+    Winnow.sharedFingerprintPairs(Tables.parallel(Tables.documents(s, dir)),
+        "text", "doc_id",
         k = 3, w = 4, minShared = 2L, maxDf = 10L)
       .orderBy("a_id", "b_id")
 

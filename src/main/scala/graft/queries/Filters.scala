@@ -91,9 +91,14 @@ object Filters extends QueryFamily {
     * materialized via localCheckpoint so the scratch copies are deleted
     * before the query returns — repeated harness runs accumulate nothing. */
   def qScanRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // Tables.parallel (optimization r15, guide §2.5): without it the ORC
+    // write is ONE task writing ONE file, and the whole ORC→CSV→agg chain
+    // inherits that serial layout (CSV write: one 30+ MB file). The
+    // round-trip VALUES are per-row and the final aggregate is exact-
+    // integer/min-max — order- and layout-immune.
+    val li = Tables.parallel(Tables.lineitem(s, dir)
       .select("l_orderkey", "l_returnflag", "l_quantity",
-        "l_extendedprice", "l_shipdate")
+        "l_extendedprice", "l_shipdate"))
     val base = graft.operators.Scratch.dir("graft_roundtrip")
     try {
       li.write.mode("overwrite").orc(s"$base/orc")

@@ -219,7 +219,12 @@ object LlmOps extends QueryFamily {
     * one-row count — no driver-side action); the identical formula runs in
     * the DuckDB oracle. */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text", "doc_id",
+    // Tables.parallel (optimization r15, guide §2.5): the tokenize +
+    // shingle explode + xxhash64 ride the scan stage, single-task on the
+    // one-row-group test parquet; pair outputs are a pure function of the
+    // input multiset (order-immune), final orderBy is a total order.
+    Dedup.ngramJaccardPairs(Tables.parallel(Tables.documents(s, dir)),
+        "text", "doc_id",
         n = 3, threshold = 0.05, maxShingleDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 
@@ -542,8 +547,11 @@ object LlmOps extends QueryFamily {
     * has tiny Jaccard but containment ~1). Same guarded machinery as
     * q_ngram_jaccard, full-oracle. */
   def qContainment(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel: same scan-stage repair (and rationale) as
+    // q_ngram_jaccard — identical guarded shingle machinery.
     graft.operators.Dedup.containmentPairs(
-        Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.6,
+        Tables.parallel(Tables.documents(s, dir)), "text", "doc_id",
+        n = 3, threshold = 0.6,
         maxShingleDfFraction = Some(0.01))
       .orderBy("a_id", "b_id")
 

@@ -75,6 +75,10 @@ object StatOps extends QueryFamily {
             least(p.getField("x"), p.getField("y")).as("lo"),
             greatest(p.getField("x"), p.getField("y")).as("hi"))))
       .otherwise(array().cast("array<struct<lo:string,hi:string>>"))
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // paired A/B median 1.10x (0.89–1.18) — the adjacency explode
+    // collapses straight into the (lo, hi) count shuffle, and the
+    // pagerank rounds dominate; the extra exchange buys nothing.
     val pc = Tables.documents(s, dir)
       .select(explode(adj).as("p"))
       .select(col("p.lo").as("lo"), col("p.hi").as("hi"))
@@ -517,62 +521,85 @@ object StatOps extends QueryFamily {
     * per row and dominated the query at ~9.6M evaluations), flipped
     * identically by both engines, so the replicate MEMBERSHIP is
     * oracle-checked, not just the statistic. Each replicate's median is
-    * the exact type-1 pick — no interpolation anywhere — selected from
-    * the replicate's VALUE HISTOGRAM by cumulative count (see the
+    * the exact type-1 pick — no interpolation anywhere — the value at
+    * global rank (n+1) div 2 of the replicate's cents order (see the
     * in-body rationale), and the band is the 2nd..15th order statistic
-    * of the 16 replicate medians, a rank-exact ~87.5% band. Scale shape:
-    * the ×B explode rides the scan and collapses immediately into the
-    * per-value aggregate (map-side combine — the shuffle carries value
-    * histograms, not rows); the cumulative-count window runs over
-    * distinct values, which barely grow with corpus size (measured flat
-    * at the sf1 rehearsal); the band fold runs on the (flags × B)-row
-    * table. */
+    * of the 16 replicate medians, a rank-exact ~87.5% band. Scale shape
+    * (rewritten in optimization r15): ONE aggregate pass computes per
+    * (group, $1000 cent band) the full count plus all B replicate
+    * counts as conditional sums — the shuffle carries a bounded band
+    * histogram, never exploded rows — and only each replicate's
+    * straddling band is ranked for the exact pick (the
+    * q_quantile_grid/[[graft.operators.Ranks]] two-phase discipline). */
   def qSubsampleCi(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = 16
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_returnflag").as("flag"),
-        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .localCheckpoint(eager = false) // feeds the full median + B replicates
-    // The type-1 median VALUE is tie-independent, so every median here is
-    // selected from the (group, cents, multiplicity) VALUE HISTOGRAM, not
-    // from ranked rows: rows pre-aggregate by value (map-side combine),
-    // the window runs over distinct values only, and the pick is the
-    // value whose cumulative count first reaches (n+1) div 2. Measured
-    // rationale (sf1 scale rehearsal): ranking raw rows meant the window
-    // sorted the full xB exploded table — 48M rows at sf1, e(0.5->1) =
-    // 1.89 superlinear (spill) — while distinct cents barely grows with
-    // corpus size, so the histogram shape is flat at 10x (measured:
-    // 40.3 s -> 13.0 s at sf1). The trade is explicit: at sf0.1 the
-    // value domain is barely saturated (583k distinct of 600k rows) and
-    // the extra per-value aggregate costs ~1.5x there — accepted,
-    // because at production scale value domains always saturate and the
-    // histogram is what survives the 100x. Group sizes
-    // come from broadcast-joined aggregates, never a second
-    // count-over-partition window (a separate Window exec = a second
-    // sort — measured ~2x on the same table).
-    def medianByValue(rows: DataFrame, keys: Seq[String]): DataFrame = {
-      val hist = rows.groupBy((keys :+ "cents").map(col): _*)
-        .agg(count(lit(1)).as("cnt"))
-      val sizes = hist.groupBy(keys.map(col): _*).agg(sum("cnt").as("n"))
-      hist
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy(keys.map(col): _*).orderBy("cents")))
-        .join(broadcast(sizes), keys)
-        .filter(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
-          col("cum") >= expr("(n + 1) div 2"))
-        .select((keys.map(col) :+ col("n") :+ col("cents")): _*)
-    }
-    val full = medianByValue(li, Seq("flag"))
+    // Optimization r15 (guide §2.3 "aggregate before you shuffle" / §2
+    // shuffle volume; VERDICT r14 item 5): the r13 formulation exploded
+    // every row ×B (9.6 M rows at sf0.1, ~half surviving the coin filter)
+    // into a (flag, b, cents) VALUE histogram whose distinct-value window
+    // sort was nearly corpus-sized (583 k distinct of 600 k rows at
+    // sf0.1, ×16 replicates). This one replaces the explode with B
+    // CONDITIONAL SUMS over $1000 cent BANDS (the Ranks two-phase
+    // discipline q_winsorize/q_quantile_grid already use): ONE pass
+    // computes per (flag, band) the full count plus all 16 replicate
+    // counts — the shuffle carries ~hundreds of 17-column band rows
+    // instead of millions of value rows — and a second pass ranks ONLY
+    // the straddling band of each (flag, replicate) to pick the exact
+    // type-1 median. Every pick is the value at global rank
+    // (n+1) div 2 in cents order — the identical statistic the value
+    // histogram selected (cumulative count first reaching (n+1) div 2),
+    // proven by the unchanged oracle at sf0.01 + sf0.1. Replicate
+    // MEMBERSHIP is the same md5 hex-digit coin, one md5 per row,
+    // computed once and checkpointed. Tables.parallel repairs the
+    // single-split scan the checkpoint otherwise materializes serially
+    // (guide §2.5).
+    val W = 100000L // $1000 cent bands (the q_quantile_grid width)
+    val li = Tables.parallel(Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+            .as("h")))
+      .withColumn("bkt", expr(s"cents div $W"))
+      .localCheckpoint(eager = false) // feeds the band histogram + picks
+    // pass 1: per (flag, band) the full count + B replicate counts
+    val aggs = count(lit(1)).as("c_full") +:
+      (0 until B).map(b =>
+        sum(when(expr(s"substr(h, ${b + 1}, 1) < '8'"), 1L).otherwise(0L))
+          .as(s"c$b"))
+    val hist = li.groupBy("flag", "bkt").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(eager = false) // tiny (≤ flags × ~110 bands)
+    // long form over (flag, replicate, band); b = -1 is the full median
+    val stacked = (("-1", "c_full") +: (0 until B).map(b =>
+      (b.toString, s"c$b"))).map { case (b, c) => s"$b, $c" }
+      .mkString(", ")
+    val longF = hist.selectExpr("flag", "bkt",
+        s"stack(${B + 1}, $stacked) AS (b, cnt)")
+      .filter(col("cnt") > 0)
+    // exclusive prefix offsets + totals over the BAND table (bounded
+    // cardinality — the legitimate small-data window user)
+    val offs = longF.withColumn("off", coalesce(sum("cnt").over(
+      Window.partitionBy("flag", "b").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val sizes = longF.groupBy("flag", "b").agg(sum("cnt").as("n"))
+      .withColumn("pos", expr("(n + 1) div 2"))
+    // exactly ONE band straddles each (flag, replicate)'s median rank
+    val cand = offs.join(sizes, Seq("flag", "b"))
+      .filter(col("pos") > col("off") &&
+        col("pos") <= col("off") + col("cnt"))
+      .select("flag", "b", "bkt", "off", "pos", "n")
+    // pass 2: rank ONLY the straddling band's member rows; the value at
+    // the global rank is the median (row_number ties are value-neutral)
+    val picked = li.join(broadcast(cand), Seq("flag", "bkt"))
+      .filter(col("b") === -1 || expr("substr(h, b + 1, 1) < '8'"))
+      .withColumn("rn", col("off") + row_number().over(
+        Window.partitionBy("flag", "b").orderBy("cents")))
+      .filter(col("rn") === col("pos"))
+      .select("flag", "b", "n", "cents")
+    val full = picked.filter(col("b") === -1)
       .select(col("flag"), col("n").as("n_rows"),
         col("cents").as("median_full_c"))
-    val reps = medianByValue(
-      li.withColumn("h", md5(concat_ws("|", col("ok"), col("ln"))))
-        .withColumn("b", explode(expr(s"sequence(0, ${B - 1})")))
-        .filter(expr("substr(h, b + 1, 1) < '8'"))
-        .select("flag", "b", "cents"),
-      Seq("flag", "b"))
+    val reps = picked.filter(col("b") >= 0)
       .select(col("flag"), col("b"), col("cents").as("med_c"))
     reps
       .withColumn("r", row_number().over(

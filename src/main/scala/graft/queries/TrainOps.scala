@@ -49,6 +49,9 @@ object TrainOps extends QueryFamily {
     * where the (4 bands × 2 rows) layout starts missing. The dedup twin
     * of q_ann_recall; counts + floor division ⇒ full-oracle. */
   def qDedupRecall(s: SparkSession, dir: String): DataFrame =
+    // Tables.parallel MEASURED AND REJECTED here (optimization r15):
+    // 7-pair A/B median 0.97x (0.85–1.14) — neutral; the recall curve is
+    // dominated by the truth-pair join, not the signature scan.
     Dedup.minhashRecall(Tables.documents(s, dir), "text", "doc_id",
         maxDistance = 0.5)
       .orderBy("bucket")

@@ -437,21 +437,29 @@ class PlanSpec extends SparkSpec {
     assert(!heaps.contains("Exchange SinglePartition"), heaps.take(2000))
   }
 
-  test("subsample CI medians ride value histograms; LPA rollup is keyed, no products") {
-    // q_subsample_ci's sf1 rehearsal claim is the HISTOGRAM shape: the
-    // median path must aggregate per (flag, b, cents) BEFORE any window —
-    // a refactor back to ranking raw rows stays correct (the median value
-    // is tie-independent) but re-sorts the full xB exploded table and
-    // measured 3x slower at sf1 (e(0.5->1)=1.89). The plan is where the
-    // shape is observable; pin it. Group sizes broadcast.
+  test("subsample CI medians ride band histograms; LPA rollup is keyed, no products") {
+    // q_subsample_ci's scale claim (rewritten in optimization r15) is the
+    // two-phase BAND-histogram shape: ONE aggregate per (flag, $1000
+    // cent band) carries the full count plus all 16 replicate counts as
+    // conditional sums — there is NO ×B row explode anywhere (the r13
+    // explode formulation measured 2.8x slower at sf0.1), and only each
+    // replicate's straddling band is ranked. The plan is where the shape
+    // is observable; pin it. Straddle candidates broadcast.
     val p = planString(graft.queries.StatOps.qSubsampleCi(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(
-      "HashAggregate\\(keys=\\[flag#\\d+[^\\]]*cents#\\d+".r
-        .findFirstIn(p).isDefined,
-      s"per-value histogram aggregate missing from the plan:\n${p.take(4000)}")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("explode(sequence"),
+      s"the xB replicate row explode is back in the plan:\n${p.take(4000)}")
+    // the band-histogram aggregate itself sits behind the hist
+    // localCheckpoint (Scan ExistingRDD in this dump); the observable
+    // signature of the two-phase shape is the straddle-candidate
+    // BROADCAST join carrying the replicate-membership residual
+    // (b = -1 OR substr(h, ...)) and the rank-at-position pick filter
+    assert("BroadcastHashJoin.*substr\\(h#".r.findFirstIn(p).isDefined,
+      s"membership-filtered straddle broadcast join missing:\n${p.take(4000)}")
+    assert("Filter \\(\\(off#\\d+L \\+ cast\\(_we".r.findFirstIn(p).isDefined
+      || p.contains("= pos#"),
+      s"rank-at-position pick filter missing:\n${p.take(4000)}")
     // q_communities' final rollup: keyed aggregate + TakeOrdered only
     // (the round-loop plans are behind their per-round localCheckpoints;
     // the loop shape itself is asserted behaviorally in CorpusOpsSpec)
