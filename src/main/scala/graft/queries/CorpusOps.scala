@@ -741,8 +741,12 @@ object CorpusOps extends QueryFamily {
       .select("i", "j")
     val starts = e.select(col("i").as("node")).distinct()
       .filter(col("node") < 20)
+    // broadcastFrontier (optimization r15, guide §3.1): starts is the
+    // <20-part seed set and walks never fork, so the frontier stays ≤20
+    // rows through all 5 steps — broadcast it and the edge table streams
+    // instead of being re-shuffled every step.
     graft.operators.Walks.deterministicWalks(e, "i", "j", starts, "node",
-        steps = 5, seed = "dw-r10")
+        steps = 5, seed = "dw-r10", broadcastFrontier = true)
       .orderBy("walk_id", "step")
   }
 
@@ -787,6 +791,11 @@ object CorpusOps extends QueryFamily {
       .filter(col("c") >= 2)
       .select("i", "j")
       .localCheckpoint(eager = false) // joined once per hop round
+    // Frontier broadcast hints MEASURED AND REJECTED here (optimization
+    // r15, guide §3.1): paired A/B median 1.03x (1.01/1.03/1.05) —
+    // neutral. Unlike the 5-step walk loop, only TWO hops join the edge
+    // table and the hop tables are already tiny, so the shuffles the
+    // hints remove are a small share of the query.
     val h0 = e.select(col("i").as("part")).distinct()
       .filter(col("part") < 20).withColumn("hop", lit(0L))
     val n1 = e.join(h0.select(col("part").as("i")), "i")
